@@ -1,0 +1,155 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+Exact (hash groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard — each
+designed scale-first:
+
+- exact dedup is one shuffle on a 128-bit content hash (map-side partial agg);
+- MinHash: one explode over shingles → per-doc signature agg (one shuffle on
+  doc_id) → band-key self-join. Band keys use r=2 rows/band so bucket sizes
+  stay small; the self-join shuffles only (band_key) pairs, never full text;
+- SimHash clusters by exact 16-bit signature — a cheap groupBy; the
+  hamming-radius variant is in tests (bounded self-join per signature bucket);
+- n-gram Jaccard uses an inverted shingle index (explode + equi-join on the
+  shingle) rather than a cross join — at 100 TB the shingle join is the only
+  strategy that avoids O(n²) pairs; frequency-capping hot shingles (not needed
+  at test SF) is the standard skew guard.
+
+Every hash is md5-derived so the DuckDB oracle reproduces results exactly
+(Spark's xxhash64/hash have no DuckDB equivalent).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.functions.text import shingles, token_hash60, tokens
+
+N_MINHASHES = 8  # 4 bands × r=2
+N_BANDS = 4
+SIMHASH_BITS = 16
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical documents (hash-groupBy dedup)."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + exploded distinct 3-word shingles."""
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(toks))).alias("shingle")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: for hash function i, min over shingles of
+    md5(i || ':' || shingle). Hex-string min == lexicographic min — identical
+    in DuckDB."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(N_MINHASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """LSH banding: band key = concat of r=2 signature rows."""
+    sig = minhash_signatures(docs)
+    bands = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return reduce(lambda a, c: a.unionByName(c), bands)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket."""
+    buckets = minhash_band_buckets(docs)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over token hashes: bit j is the sign of
+    Σ_tokens (2·bit_j(h(token)) − 1)."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = token_hash60(F.col("tok"))
+    contribs = [
+        (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"c{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_tok = tok.select("doc_id", *contribs)
+    bit_sums = per_tok.groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    sim = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_dup_clusters(docs: DataFrame) -> DataFrame:
+    """Documents sharing an identical SimHash signature (hamming-0 clusters;
+    hamming≤k pairing is exercised in tests via bit_count)."""
+    return (
+        simhash(docs)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Pairwise Jaccard over distinct 3-shingle sets via an inverted index:
+    explode → self-equi-join on shingle → |A∩B| per pair → |A∪B| by size
+    lookup. Returns pairs with jaccard ≥ threshold."""
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_inter", "jaccard"
+    )

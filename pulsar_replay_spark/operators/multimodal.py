@@ -1,0 +1,74 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+The Spark-side plumbing is real — schema, partition-friendly batch iteration,
+Arrow-batched ``mapInPandas`` signatures — while the actual media decode is
+STUBBED (no image/audio libraries in this container): ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake feature vector is derived from the bytes so tests can pin the pipeline
+shape end-to-end.
+
+At scale: media blobs ride in parquet binary columns; decode/feature-extract
+runs as ``mapInPandas`` (one Arrow batch per call — the batch, not the row, is
+the unit of Python overhead), and feature outputs are small fixed-width
+columns so downstream joins/aggs never shuffle raw bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, sha256 string, width int, height int"
+)
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"doc_id long, feature array<float>"
+
+
+def as_media(docs: DataFrame) -> DataFrame:
+    """Model documents as media rows: an opaque binary payload plus typed
+    metadata (media_type derived deterministically for fixtures)."""
+    raw = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        raw.alias("payload"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        ).alias("media_type"),
+        F.octet_length(raw).alias("byte_len"),
+        F.sha2(raw, 256).alias("sha256"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 floats from sha256 bytes."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    ``fake=False`` is the seam where a real decoder (PIL/ffmpeg/torchaudio)
+    would plug in; it raises here because those libs are absent.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires image/audio libraries not in this container"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [_fake_decode(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)

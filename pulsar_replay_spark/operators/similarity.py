@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, per the standard scale playbook:
+
+- ``brute_force_topk`` — exact cosine top-k: query-set × corpus join. Correct
+  baseline; O(|Q|·N) — fine when |Q| is small or N fits a broadcast, the
+  recall oracle for everything else.
+- ``lsh_buckets`` / ``lsh_topk`` — random-hyperplane LSH: each vector gets a
+  B-bit signature (sign of ⟨v, h_p⟩ for deterministic md5-derived hyperplanes
+  h_p ∈ {−1,+1}^dim); candidates are same-bucket vectors only. The bucket join
+  is an equi-join on the signature — shuffle on a small key, no cross join;
+  at 100 TB this is the only tractable shape. Recall vs brute force is pinned
+  in tests/test_similarity.py.
+
+Everything is built-in higher-order functions — hyperplanes are *expressions*
+(md5-seeded), so the DuckDB oracle reproduces signatures exactly.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_replay_spark.functions.vectors import cosine
+
+N_PLANES = 8
+DIM = 64
+
+
+def _hyperplane_component(p: int, j: Column) -> Column:
+    """Component j of hyperplane p: +1 when the first md5 hex nibble of
+    ``p-j`` is 0–7, else −1. Deterministic, engine-agnostic."""
+    nibble = F.substring(F.md5(F.concat(F.lit(f"{p}-"), j.cast("string"))), 1, 1)
+    return F.when(nibble.isin(*"01234567"), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_signature(vec: Column) -> Column:
+    """B-bit signature as a long: bit p = [⟨v, h_p⟩ > 0]."""
+    bits = []
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.transform(vec, lambda x, i: x.cast("double") * _hyperplane_component(p, i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    return reduce(lambda a, b: a + b, bits).cast("long")
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select("vec_id", lsh_signature(F.col("embedding")).alias("bucket"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k for each query vector against the whole corpus.
+
+    `queries` is expected to be small → broadcast; ordering is on
+    round(cos, 6) with vec_id tiebreak so results are engine-stable.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = embeddings.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    sims = (
+        cand.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("sim6", F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), F.round("sim6", 3).alias("sim"), "rk")
+    )
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """ANN top-k: rank only same-LSH-bucket candidates (the scale path)."""
+    b = lsh_buckets(embeddings)
+    cand = embeddings.join(b, "vec_id").select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "bucket"
+    )
+    q = (
+        queries.join(b, "vec_id")
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
+    )
+    sims = (
+        cand.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("sim6", F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), F.round("sim6", 3).alias("sim"), "rk")
+    )

@@ -1,0 +1,370 @@
+"""LLM-data-pipeline queries (dedup / similarity / text analysis / multimodal)
+over the `documents` and `embeddings` fixtures, each with its DuckDB oracle.
+
+Shared cross-engine contracts:
+- token hash  = ('0x' || substr(md5(tok),1,15))::BIGINT  ==  conv(substr(md5,1,15),16,10)
+- minhash     = lexicographic MIN over md5 hex strings
+- cosine      = double-cast sequential dot/norms, compared at round(·, 6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.functions.text import (
+    STOPWORDS,
+    stopword_count,
+    token_count,
+    tokens,
+    unique_token_count,
+)
+from pulsar_replay_spark.operators import dedup, multimodal, similarity
+from pulsar_replay_spark.registry import register
+
+STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Shared oracle CTE: distinct 3-word shingles per doc (1-based list indexing;
+# mirrors functions.text.shingles / operators.dedup.doc_shingles exactly).
+SHINGLES_SQL = r"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+  FROM toks
+)
+"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dup_groups",
+    """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+""",
+)
+def q_exact_dup_groups(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "content_hash_stats",
+    """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+FROM documents
+""",
+)
+def q_content_hash_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: per-doc quality features.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, n_chars FROM documents)
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique,
+       ROUND(len(list_filter(toks, x -> x IN ({STOP_SQL}))) / len(toks), 4) AS stopword_ratio,
+       ROUND(len(list_distinct(toks)) / len(toks), 4) AS ttr,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM t
+""",
+)
+def q_text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count(text).alias("n_tokens"),
+        unique_token_count(text).alias("n_unique"),
+        F.round(stopword_count(text) / token_count(text), 4).alias("stopword_ratio"),
+        F.round(unique_token_count(text) / token_count(text), 4).alias("ttr"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword-density n-gram-free variant) + accuracy
+# against the labeled lang column.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id_accuracy",
+    f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ({STOP_SQL})))
+                   / len(string_split(text, ' ')) > 0.02
+              THEN 'en' ELSE 'unk' END AS pred
+  FROM documents
+)
+SELECT lang, pred, COUNT(*) AS n FROM t GROUP BY lang, pred
+""",
+)
+def q_lang_id_accuracy(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    pred = F.when(
+        stopword_count(text) / token_count(text) > 0.02, F.lit("en")
+    ).otherwise(F.lit("unk"))
+    return docs.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token stats per source (provenance grouping).
+# ---------------------------------------------------------------------------
+@register(
+    "token_stats_by_source",
+    """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents GROUP BY source
+""",
+)
+def q_token_stats_by_source(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: polynomial rolling hash over 60-bit token hashes.
+# ---------------------------------------------------------------------------
+FP_MOD = 9007199254740881  # largest prime < 2^53; keeps acc*131 within int64
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(hs, (acc, x) -> (acc % {FP_MOD} * 131 + x % {FP_MOD}) % {FP_MOD}) AS fingerprint
+FROM t
+""",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from pulsar_replay_spark.functions.text import token_hash60
+
+    hs = F.transform(tokens(F.col("text")), lambda t: token_hash60(t))
+    # list_reduce seeds with the first element; mirror with aggregate(slice).
+    fp = F.aggregate(
+        F.slice(hs, 2, F.size(hs) - 1),
+        F.element_at(hs, 1),
+        lambda acc, x: (acc % FP_MOD * 131 + x % FP_MOD) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate candidate pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_pairs",
+    "WITH "
+    + SHINGLES_SQL
+    + """
+, sig AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
+         MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
+         MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
+         MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+            SELECT doc_id, 0 AS band, m0 || m1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, m2 || m3 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 2 AS band, m4 || m5 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 3 AS band, m6 || m7 AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# n-gram (3-shingle) Jaccard similarity pairs via inverted index.
+# ---------------------------------------------------------------------------
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "ngram_jaccard_pairs",
+    "WITH "
+    + SHINGLES_SQL
+    + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (row-level; hamming clustering in tests/test_dedup.py).
+# ---------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM((h >> {j} & 1) * 2 - 1) AS s{j}" for j in range(dedup.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok
+),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@register("simhash_signatures", _simhash_sql())
+def q_simhash_signatures(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (baseline path).
+# ---------------------------------------------------------------------------
+COSINE_SQL = """
+q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+      FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS n_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_emb
+      FROM embeddings),
+sims AS (
+  SELECT q_id, n_id,
+         ROUND(list_inner_product(q_emb, n_emb)
+               / (sqrt(list_inner_product(q_emb, q_emb)) * sqrt(list_inner_product(n_emb, n_emb))),
+               6) AS sim6
+  FROM q JOIN c ON q_id <> n_id
+)
+"""
+
+
+@register(
+    "embedding_topk",
+    "WITH "
+    + COSINE_SQL
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rk FROM sims
+)
+SELECT q_id, n_id AS neighbor_id, ROUND(sim6, 3) AS sim, rk FROM ranked WHERE rk <= 5
+""",
+)
+def q_embedding_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: random-hyperplane LSH bucket assignment (the scale
+# path; ANN recall vs brute force is pinned in tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+def _lsh_bucket_sql() -> str:
+    planes = []
+    for p in range(similarity.N_PLANES):
+        hp = (
+            f"list_transform(range(0, {similarity.DIM}), "
+            f"j -> CASE WHEN substr(md5('{p}-' || CAST(j AS VARCHAR)), 1, 1) "
+            f"IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)"
+        )
+        planes.append(
+            f"(CASE WHEN list_inner_product(vd, {hp}) > 0 THEN {2**p} ELSE 0 END)"
+        )
+    bucket = " + ".join(planes)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+),
+sig AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM e)
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM sig GROUP BY bucket
+"""
+
+
+@register("lsh_bucket_histogram", _lsh_bucket_sql())
+def q_lsh_bucket_histogram(spark, sf_dir):
+    b = similarity.lsh_buckets(_emb(spark, sf_dir))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: typed metadata over opaque binary payloads (decode/feature
+# extraction is the mapInPandas path in operators/multimodal.py, tested in
+# tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal.as_media(_docs(spark, sf_dir)).select(
+        "doc_id", "media_type", "byte_len", "sha256"
+    )

@@ -1,0 +1,457 @@
+"""Relational core corpus over the TPC-H-ish fixtures (SURVEY §2.3–§2.7).
+
+The reference itself has no joins/windows/cubes — Catalyst supplies them all
+built-in (SURVEY §2.3) — but the engine exposes the full family and these
+queries pin the semantics against the DuckDB oracle while exercising the
+physical strategies that matter at 100 TB:
+
+- small dims (region/nation/supplier at TPC-H ratios) are explicitly
+  `broadcast()` so fact-table joins never shuffle the big side;
+- fact⋈fact joins (lineitem⋈orders) shuffle on the join key once and AQE
+  handles skew;
+- aggregations are partial-aggregated map-side by Catalyst automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from pulsar_replay_spark.registry import register
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: the canonical scan+agg (map-side partial
+# aggregation; no shuffle of raw rows — only of the tiny group keyspace).
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join + agg + deterministic top-10.
+# customer is the small side → broadcast; lineitem⋈orders shuffles on
+# orderkey (the one unavoidable big shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier revenue: 6-way star join, dims broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_region_revenue",
+    """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q5_region_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti join: customers with no orders, per market segment.
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join: nations having customers with at least one 'F'-status order.
+# ---------------------------------------------------------------------------
+@register(
+    "nations_with_f_orders",
+    """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY n_name
+""",
+)
+def q_nations_with_f_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .join(broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer join: every nation with its customer count (zero-preserving).
+# ---------------------------------------------------------------------------
+@register(
+    "nation_customer_counts",
+    """
+SELECT n_name,
+       COUNT(c_custkey) AS n_customers,
+       ROUND(COALESCE(SUM(c_acctbal), 0), 2) AS sum_acctbal
+FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_nation_customer_counts(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0)), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP over the region→nation hierarchy.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_region_nation",
+    """
+SELECT r_name, n_name,
+       COUNT(c_custkey) AS n_customers,
+       ROUND(COALESCE(SUM(c_acctbal), 0), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup_region_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0)), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE over returnflag × linestatus.
+# ---------------------------------------------------------------------------
+@register(
+    "cube_flag_status",
+    """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_flag_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (via Spark SQL — DataFrame API has cube/rollup only).
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_priority_status",
+    """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking window: top-3 orders per customer by totalprice.
+# ---------------------------------------------------------------------------
+@register(
+    "top3_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def q_top3_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window: per-customer running revenue (frame spec).
+# ---------------------------------------------------------------------------
+@register(
+    "running_revenue_per_customer",
+    """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+)
+def q_running_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag window: gap in days between consecutive orders per customer.
+# ---------------------------------------------------------------------------
+@register(
+    "order_gaps",
+    """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+FROM orders
+""",
+)
+def q_order_gaps(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint").alias(
+            "gap_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global deterministic top-k (raw doubles are bit-identical parquet values —
+# no rounding needed).
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops: INTERSECT / EXCEPT on nation keys.
+# ---------------------------------------------------------------------------
+@register(
+    "nations_customers_and_suppliers",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def q_nations_intersect(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "nations_customers_only",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+)
+def q_nations_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)  # EXCEPT (set) semantics, not EXCEPT ALL
+
+
+# ---------------------------------------------------------------------------
+# Theta/range join: parts priced within ±1.0 of another part in the same
+# brand (bounded band condition — the as-of/range-join family).
+# Broadcast one side: part is a dimension table.
+# ---------------------------------------------------------------------------
+@register(
+    "part_price_band_join",
+    """
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
+       ROUND(ABS(a.p_retailprice - b.p_retailprice), 2) AS price_gap
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+""",
+)
+def q_part_price_band_join(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    a = part.alias("a")
+    b = part.alias("b")
+    return (
+        a.join(
+            broadcast(b),
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) <= 1.0),
+        )
+        .select(
+            F.col("a.p_partkey").alias("a_key"),
+            F.col("b.p_partkey").alias("b_key"),
+            F.col("a.p_brand").alias("p_brand"),
+            F.round(F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")), 2).alias(
+                "price_gap"
+            ),
+        )
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the conf set here is chosen so the same
+logical plans scale to a multi-executor cluster reading ~100 TB:
+
+- AQE on (runtime re-plan: join-strategy switching, skew-join splitting,
+  partition coalescing) so small-SF test plans and large-SF cluster plans
+  both come out right without hand-tuning.
+- Arrow on for the few Pandas-UDF seams (vectorized Python, never row-at-a-time).
+- ``spark.sql.shuffle.partitions`` sized for the local box; on a real cluster
+  AQE's coalescing makes the initial number mostly irrelevant.
+- Broadcast threshold left at default (10 MB) — dimension tables (region,
+  nation, supplier, catalog listings) broadcast; fact tables never do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def get_spark(app_name: str = "pulsar-replay-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+        # rejects; read as raw nanos long and normalize in load_tables().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str):
+    """events with `ts` as a proper TimestampType.
+
+    The parquet column is TIMESTAMP(NANOS); with `nanosAsLong` it arrives as
+    epoch-nanos long. `ts div 1000` is exact integer division (a double
+    division would lose precision at 1.7e18), truncating nanos → micros the
+    same way DuckDB's epoch_ms later truncates — oracle outputs always compare
+    at millisecond granularity.
+    """
+    from pyspark.sql import functions as F
+
+    # Runtime-settable; required even when the session wasn't built by
+    # get_spark() (e.g. the verification driver's vanilla session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load every fixture table from ``sf_dir`` as a DataFrame.
+
+    Parquet scans keep column-pruning + predicate-pushdown; callers filter
+    and select on the returned DataFrames so the pushdowns reach the scan.
+    """
+    out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    out["events"] = load_events(spark, sf_dir)
+    return out
