@@ -30,18 +30,32 @@ def stopword_count(text: Column) -> Column:
     return F.size(F.filter(tokens(text), lambda t: t.isin(STOPWORDS)))
 
 
-def shingles(toks: Column, k: int = 3) -> Column:
+def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as space-joined strings; empty array when the doc has
-    fewer than k tokens. 0-based subscript arithmetic mirrors the oracle's
-    1-based list indexing."""
+    fewer than k tokens.
+
+    The token array is bound as a lambda variable (``transform(array(split),
+    t -> …)[0]``) because Spark performs no common-subexpression elimination
+    inside higher-order-function lambdas — referencing ``split(text)`` per
+    element would re-tokenize the document O(tokens) times (measured 7 s →
+    0.5 s on 5 000 docs)."""
     assert k == 3, "oracle SQL is written for k=3"
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def inner(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                    F.element_at(t, i + 3),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(F.split(text, " ")), inner)[0]
 
 
 def token_hash60(tok: Column) -> Column:

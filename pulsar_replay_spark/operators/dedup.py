@@ -43,9 +43,8 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """doc_id + exploded distinct 3-word shingles."""
-    toks = tokens(F.col("text"))
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(toks))).alias("shingle")
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
     )
 
 
@@ -62,22 +61,29 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def minhash_band_buckets(docs: DataFrame) -> DataFrame:
-    """LSH banding: band key = concat of r=2 signature rows."""
+    """LSH banding: band key = concat of r=2 signature rows.
+
+    One ``posexplode`` over an array of band keys — the signature subtree is
+    computed ONCE (a per-band union would recompute the explode+md5+groupBy
+    pipeline N_BANDS times)."""
     sig = minhash_signatures(docs)
-    bands = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band_key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    return reduce(lambda a, c: a.unionByName(c), bands)
+    band_keys = F.array(
+        *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    )
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Near-duplicate candidate pairs: docs sharing any LSH band bucket."""
-    buckets = minhash_band_buckets(docs)
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
+
+    The bucket DataFrame is persisted before the self-join so the shingle →
+    signature pipeline runs once, not once per join side. At 100 TB the same
+    plan holds: the persisted buckets relation is (doc_id, band, band_key) —
+    tiny relative to the corpus — and the join shuffles only that."""
+    buckets = minhash_band_buckets(docs).persist()
+    buckets.count()  # materialize so both join sides reuse the cache
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -129,7 +135,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Pairwise Jaccard over distinct 3-shingle sets via an inverted index:
     explode → self-equi-join on shingle → |A∩B| per pair → |A∪B| by size
     lookup. Returns pairs with jaccard ≥ threshold."""
-    sh = doc_shingles(docs)
+    sh = doc_shingles(docs).persist()
+    sh.count()  # materialize: reused by both join sides and the size lookup
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
