@@ -50,18 +50,19 @@ def b64(raw: Column) -> Column:
 def is_valid_utf8(raw: Column) -> Column:
     """True iff ``raw`` decodes as UTF-8.
 
-    Spark's ``decode(..., 'UTF-8')`` replaces invalid bytes rather than
-    signalling, so validity is checked by an encode∘decode round-trip: the
-    replacement character makes the round-trip lossy exactly when the input
-    is invalid. Pure built-ins — stays in whole-stage codegen (no UDF).
+    Spark 4's ANSI ``decode`` THROWS on malformed input
+    (MALFORMED_CHARACTER_CODING), so validity uses the 4.0+ builtin
+    ``is_valid_utf8`` over the unchecked ``cast(binary as string)``
+    reinterpretation. Pure built-ins — stays in whole-stage codegen (no UDF).
     """
-    return F.encode(F.decode(raw, "UTF-8"), "UTF-8") == raw
+    return F.is_valid_utf8(raw.cast("string"))
 
 
 def decode_content(raw: Column) -> Column:
     """Charset-fallback decode (reference ``pulsar_backup_restore.py:118-124``):
-    UTF-8 when valid, else base64-of-bytes."""
-    return F.when(is_valid_utf8(raw), F.decode(raw, "UTF-8")).otherwise(b64(raw))
+    UTF-8 when valid, else base64-of-bytes. The valid branch uses the cast
+    reinterpretation (never throws), not ANSI ``decode``."""
+    return F.when(is_valid_utf8(raw), raw.cast("string")).otherwise(b64(raw))
 
 
 def encode_content(content: Column, binary_encoded: Column) -> Column:

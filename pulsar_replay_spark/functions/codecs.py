@@ -31,11 +31,14 @@ def extract_project_id(topic: Column) -> Column:
 
 
 def topic_to_filename(topic: Column) -> Column:
-    """Filesystem-safe topic name, `/` → `_` (P7; reference
-    ``pulsar_backup_restore.py:103``)."""
-    return F.translate(topic, "/", "_")
+    """Filesystem-safe topic name: `/` → `_` (P7; reference
+    ``pulsar_backup_restore.py:103``) plus `:` → `+` — an engine extension
+    because Hadoop's Path/URI layer rejects colons in file names (the
+    reference's plain-Python I/O had no such constraint)."""
+    return F.translate(topic, "/:", "_+")
 
 
 def topic_from_filename(name: Column) -> Column:
-    """Inverse codec, `_` → `/` (reference ``pulsar_backup_restore.py:192``)."""
-    return F.translate(name, "_", "/")
+    """Inverse codec, `_` → `/`, `+` → `:` (reference
+    ``pulsar_backup_restore.py:192`` + engine colon extension)."""
+    return F.translate(name, "_+", "/:")

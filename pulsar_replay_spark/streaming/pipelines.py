@@ -1,0 +1,117 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+Maps the reference's streaming semantics onto Structured Streaming:
+
+- T2 bounded read of an unbounded stream (5s-timeout-as-EOF,
+  ``pulsar_backup_restore.py:117,135-137``) → ``Trigger.AvailableNow``;
+- T5 rate-limited generation (``pulsar_remote_inspector.py:291-319``) →
+  ``rate-micro-batch`` source + the expression generator;
+- T1/T7 event-time + late/duplicate handling (absent in the reference,
+  engine addition) → ``withWatermark`` + ``dropDuplicatesWithinWatermark``;
+- T8 windows → tumbling/sliding ``window()`` and ``session_window()``.
+
+All pipelines are file/memory-backed here (no broker needed); the Pulsar
+read/write option mapping lives in ``sources/pulsar_connector.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-based stream of the events fixture (one file per micro-batch) —
+    the broker-free stand-in for a Pulsar topic subscription."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def generated_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate-paced synthetic emailSend stream (T5): the rate source replaces
+    the reference's sleep-based token pacing; generation is the same
+    deterministic expression pipeline as the batch generator."""
+    from pulsar_replay_spark.generator import USER_DOMAINS, USER_PREFIXES, USER_SUFFIXES, _pick
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    id_ = F.col("value")
+    return rate.select(
+        id_.alias("id"),
+        F.col("timestamp").alias("ts"),
+        F.md5(F.concat(F.lit("event-"), id_.cast("string"))).alias("event_id_hex"),
+        F.concat(
+            _pick(id_, USER_PREFIXES), F.lit("."), _pick(id_, USER_SUFFIXES),
+            F.lit("@"), _pick(id_, USER_DOMAINS),
+        ).alias("user_key"),
+        (F.lit(1000) + (id_ * 37) % 50).cast("int").alias("campaign_id"),
+    )
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h event-time window per event_type with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def deduped_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T6/T7: at-least-once delivery → exactly-once effect by idempotent-key
+    dedup within the watermark (the engine's answer to the reference's
+    no-dedup replay)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """T8: per-user session windows with an inactivity gap."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, sink_table: str, checkpoint_dir: str) -> None:
+    """T2: drain everything currently available, then stop — the declarative
+    form of the reference's receive-timeout EOF. Blocks until completion."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append" if stream_df.isStreaming else "complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_complete(stream_df: DataFrame, sink_table: str, checkpoint_dir: str) -> None:
+    """AvailableNow with complete output mode (for streaming aggregations)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

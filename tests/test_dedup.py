@@ -1,0 +1,85 @@
+"""Dedup operator tests beyond the oracle gate: recall properties, hamming
+pairing, planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import dedup
+
+
+def _with_planted_dups(spark, documents):
+    """Append near-identical copies of 5 docs (1 word changed) and exact
+    copies of 3 docs, with shifted doc_ids."""
+    base = documents.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    exact = documents.limit(3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return documents.unionByName(base).unionByName(exact)
+
+
+def test_exact_dedup_finds_planted(spark, documents):
+    docs = _with_planted_dups(spark, documents)
+    groups = dedup.exact_dup_groups(docs)
+    # the 3 exact copies must each form a group with their original
+    assert groups.filter(F.col("n_docs") >= 2).count() >= 3
+    keep = {r["keep_doc_id"] for r in groups.collect()}
+    assert all(k < 1_000_000 for k in keep)  # min-id kept = original
+
+
+def test_minhash_finds_planted_near_dups(spark, documents):
+    docs = _with_planted_dups(spark, documents)
+    pairs = dedup.minhash_candidate_pairs(docs).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # appended-word docs share almost all shingles with their original:
+    # at least 4 of 5 planted near-dups should collide in some band
+    planted = {(i, i + 1_000_000) for i in range(5)}
+    assert len(planted & found) >= 4
+    # exact copies always collide
+    exact = {(i, i + 2_000_000) for i in range(3)}
+    assert exact <= found
+
+
+def test_jaccard_scores_planted_high(spark, documents):
+    docs = _with_planted_dups(spark, documents)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    for i in range(3):
+        assert got.get((i, i + 2_000_000)) == 1.0  # exact copy → jaccard 1
+
+
+def test_simhash_exact_copies_identical(spark, documents):
+    docs = _with_planted_dups(spark, documents)
+    sig = dedup.simhash(docs)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    same = (
+        a.join(b, (F.col("a.doc_id") + 2_000_000 == F.col("b.doc_id")))
+        .filter(F.col("a.simhash") != F.col("b.simhash"))
+    )
+    assert same.count() == 0
+
+
+def test_simhash_hamming_pairs(spark, documents):
+    """Hamming-distance pairing via bit_count(xor) — the near-dup variant of
+    the exact-signature clustering."""
+    docs = _with_planted_dups(spark, documents)
+    sig = dedup.simhash(docs)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+    found = {(r["a.doc_id"] if "a.doc_id" in r else r[0], r[1]) for r in
+             pairs.select(F.col("a.doc_id"), F.col("b.doc_id")).collect()}
+    # near-dup planted docs differ by one appended word → tiny hamming distance
+    assert len({(i, i + 1_000_000) for i in range(5)} & found) >= 3

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: binary payload columns + Arrow-batched feature
+extraction (decode stubbed — no media libs in the container)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import multimodal
+
+
+def test_as_media_schema_and_hash(spark, documents):
+    media = multimodal.as_media(documents)
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,payload:binary,media_type:string,byte_len:int,sha256:string>"
+    )
+    r = media.orderBy("doc_id").first()
+    assert r["sha256"] == hashlib.sha256(bytes(r["payload"])).hexdigest()
+    assert r["byte_len"] == len(bytes(r["payload"]))
+
+
+def test_extract_features_fake(spark, documents):
+    media = multimodal.as_media(documents.limit(50))
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # deterministic across runs
+    again = {r["doc_id"]: list(r["feature"]) for r in multimodal.extract_features(media).collect()}
+    for r in rows:
+        assert [pytest.approx(x) for x in again[r["doc_id"]]] == list(r["feature"])
+
+
+def test_extract_features_real_decode_raises(spark, documents):
+    media = multimodal.as_media(documents.limit(2))
+    feats = multimodal.extract_features(media, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        feats.collect()
+
+
+def test_feature_pipeline_composes_with_similarity(spark, documents):
+    """Features feed the similarity operators (schema contract)."""
+    from pulsar_replay_spark.operators.similarity import lsh_signature
+
+    media = multimodal.as_media(documents.limit(20))
+    feats = multimodal.extract_features(media)
+    sigs = feats.select("doc_id", lsh_signature(F.col("feature")).alias("bucket"))
+    assert sigs.count() == 20

@@ -1,0 +1,52 @@
+"""The driver-mimic: every registered query must match its DuckDB oracle at
+sf0.001 (fast). tools/parity.py runs the same at sf0.01 (the driver gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tools.parity import compare, duck_connection
+
+
+def _registry():
+    from pulsar_replay_spark import registry
+
+    registry.load_all()
+    return registry
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+def _names():
+    return sorted(_registry().QUERIES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, duck, name):
+    reg = _registry()
+    sdf = reg.QUERIES[name](spark, SF_SMOKE).toPandas()
+    if name not in reg.ORACLES:
+        pytest.skip("rows-only query (no oracle)")
+    ddf = duck.execute(reg.ORACLES[name]).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_every_query_has_oracle_or_reason():
+    reg = _registry()
+    missing = set(reg.QUERIES) - set(reg.ORACLES)
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(m.queries()) == set(m.oracle_sql()) | (set(m.queries()) - set(m.oracle_sql()))

@@ -1,0 +1,106 @@
+"""Streaming surface tests: AvailableNow bounded reads vs batch expectations
+(SURVEY §2.9; the reference's timeout-as-EOF idiom T2)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.streaming import pipelines
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    """Events fixture re-materialized as several parquet files so
+    maxFilesPerTrigger produces real micro-batches."""
+    from pulsar_replay_spark.session import load_events
+
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_events(spark, SF_SMOKE).repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(spark, tmp_path_factory, stream_df, mode="append"):
+    name = "t" + uuid.uuid4().hex[:12]
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_available_now_drains_everything(spark, events_src, tmp_path_factory):
+    stream = pipelines.events_stream(spark, events_src)
+    got = _run(spark, tmp_path_factory, stream)
+    batch_n = spark.read.parquet(events_src).count()
+    assert got.count() == batch_n
+
+
+def test_windowed_counts_match_batch(spark, events_src, tmp_path_factory):
+    stream = pipelines.windowed_counts(pipelines.events_stream(spark, events_src))
+    got = _run(spark, tmp_path_factory, stream, mode="complete")
+
+    batch = (
+        spark.read.parquet(events_src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+
+
+def test_dedup_within_watermark(spark, events_src, tmp_path_factory):
+    """Duplicated source rows collapse back to the original set (T6/T7)."""
+    dup_path = str(tmp_path_factory.mktemp("dup"))
+    src = spark.read.parquet(events_src)
+    src.union(src).repartition(4).write.mode("overwrite").parquet(dup_path)
+
+    # watermark wider than the fixture's full time span: micro-batch files are
+    # not time-ordered, so a narrow watermark would also drop LATE rows (by
+    # design) — this test isolates the dedup semantics.
+    stream = pipelines.deduped_stream(pipelines.events_stream(spark, dup_path), watermark="90 days")
+    got = _run(spark, tmp_path_factory, stream)
+    assert got.select("event_id").distinct().count() == got.count()
+    assert got.count() == src.count()
+
+
+def test_session_windows_complete(spark, events_src, tmp_path_factory):
+    stream = pipelines.session_windows(pipelines.events_stream(spark, events_src))
+    got = _run(spark, tmp_path_factory, stream, mode="complete")
+    assert got.count() > 0
+    # session windows are disjoint per user and ordered
+    w = got.filter(F.col("session_end_ms") <= F.col("session_start_ms"))
+    assert w.count() == 0
+
+
+def test_generated_stream_is_deterministic(spark, tmp_path_factory):
+    """Rate-source generation: same ids → same derived fields as the batch
+    generator (T5 + S9)."""
+    from pulsar_replay_spark.generator import generate_flat
+
+    stream = pipelines.generated_stream(spark, rows_per_second=500)
+    got = _run(spark, tmp_path_factory, stream)
+    if got.count() == 0:
+        pytest.skip("rate source produced no rows in availableNow window")
+    batch = generate_flat(spark, 10_000).select("id", "event_id_hex", "user_key", "campaign_id")
+    j = got.join(batch, "id", "inner")
+    mismatch = j.filter(
+        (got["event_id_hex"] != batch["event_id_hex"])
+        | (got["user_key"] != batch["user_key"])
+        | (got["campaign_id"] != batch["campaign_id"])
+    )
+    assert mismatch.count() == 0
