@@ -1,0 +1,27 @@
+"""Vectorized (Arrow) scalar UDF seams for logic that needs Python libraries
+at runtime — tokenizer / embedding-model calls plug in here. Everything in
+the correctness corpus stays on JVM built-ins; these exist as the documented
+extension point and are pinned against their JVM twins in tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("int")
+def ws_token_count_udf(text: pd.Series) -> pd.Series:
+    """Whitespace token count — the Python twin of
+    ``functions.text.token_count`` (Arrow-batched; a real BPE tokenizer call
+    would replace the split)."""
+    return text.str.split(" ").map(len).astype("int32")
+
+
+@pandas_udf("double")
+def quality_score_udf(text: pd.Series) -> pd.Series:
+    """Toy quality score (type-token ratio damped by length) — the seam where
+    a learned quality model would run."""
+    toks = text.str.split(" ")
+    ttr = toks.map(lambda t: len(set(t)) / len(t) if t else 0.0)
+    length_penalty = toks.map(len).clip(upper=200) / 200.0
+    return (ttr * length_penalty).round(4)

@@ -1,0 +1,243 @@
+"""Scalar-function-family queries (SURVEY §2.8) + nested-document and
+analytics coverage, each with its DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_replay_spark.registry import register
+from pulsar_replay_spark.session import load_events
+
+# ---------------------------------------------------------------------------
+# Map family (§2.8): properties-style map parsed from JSON, map_keys /
+# element_at / size (reference carries properties as dict,
+# pulsar_backup_restore.py:129).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_map_ops",
+    """
+SELECT event_id,
+       json_keys(props)[1] AS first_key,
+       CAST(json_extract(props, '$.k') AS INT) AS k_val,
+       len(json_keys(props)) AS n_keys
+FROM events
+""",
+)
+def q_props_map_ops(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m)[0].alias("first_key"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — column extraction from whitespace-split text rows (the pulsarctl
+# ASCII-table parsing idiom, ``pulsar_backup_restore.py:56-57``: skip header,
+# take field #1 of each row).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ascii_table_parse",
+    r"""
+WITH lines AS (
+  SELECT '| ' || CAST(event_id AS VARCHAR) || ' | ' || event_type || ' |' AS line
+  FROM events
+),
+parsed AS (
+  SELECT CAST(string_split_regex(line, '\s+')[2] AS BIGINT) AS id,
+         string_split_regex(line, '\s+')[4] AS name
+  FROM lines
+)
+SELECT name, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+FROM parsed GROUP BY name
+""",
+)
+def q_ascii_table_parse(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    line = F.concat(
+        F.lit("| "), F.col("event_id").cast("string"), F.lit(" | "), F.col("event_type"), F.lit(" |")
+    )
+    toks = F.split(line, r"\s+")
+    parsed = ev.select(
+        toks.getItem(1).cast("bigint").alias("id"), toks.getItem(3).alias("name")
+    )
+    return parsed.groupBy("name").agg(
+        F.count("*").alias("n"), F.min("id").alias("min_id"), F.max("id").alias("max_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested emailSend document: build the 4-level struct, then navigate back out
+# (§1.3; the oracle recomputes the fields directly from the generator
+# formulas — pins struct construction + field access + all three timestamp
+# formats of pulsar_remote_inspector.py:218,228,234).
+# ---------------------------------------------------------------------------
+NESTED_N = 500
+
+
+@register(
+    "emailsend_nested_fields",
+    f"""
+SELECT id,
+       CAST(100 + id % 7 AS INT) AS project_id,
+       CAST(1000 + (id * 37) % 50 AS INT) AS campaign_id,
+       CAST(500 + (id * 13) % 20 AS INT) AS template_id,
+       strftime(epoch_ms(CAST(1700000000000 + id * 1000 AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS created_at,
+       strftime(epoch_ms(CAST(1700000000000 + id * 1000 AS BIGINT)), '%Y-%m-%d %H:%M:%S +00:00') AS es_created_at,
+       'emailSend' AS doc_type
+FROM range({NESTED_N}) t(id)
+""",
+)
+def q_emailsend_nested_fields(spark, sf_dir):
+    from pulsar_replay_spark.generator import generate_emailsend
+
+    doc = generate_emailsend(spark, NESTED_N)
+    return doc.select(
+        "id",
+        F.col("doc.payload.projectId").alias("project_id"),
+        F.col("doc.payload.data.diff.campaignId").alias("campaign_id"),
+        F.col("doc.payload.data.diff.templateId").alias("template_id"),
+        F.col("doc.createdAt").alias("created_at"),
+        F.col("doc.payload.metadata.esContext.esCreatedAt").alias("es_created_at"),
+        F.col("doc.payload.docType").alias("doc_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON round-trip: struct → to_json → from_json → fields survive (the
+# capture-file fidelity property, driven through SQL-visible output).
+# ---------------------------------------------------------------------------
+@register(
+    "emailsend_json_roundtrip",
+    f"""
+SELECT id,
+       md5('event-' || CAST(id AS VARCHAR)) AS event_id,
+       CAST(1000 + (id * 37) % 50 AS INT) AS campaign_id,
+       TRUE AS roundtrip_ok
+FROM range({NESTED_N}) t(id)
+""",
+)
+def q_emailsend_json_roundtrip(spark, sf_dir):
+    from pulsar_replay_spark.generator import generate_emailsend
+
+    doc = generate_emailsend(spark, NESTED_N)
+    schema = doc.schema["doc"].dataType
+    back = doc.select("id", "doc", F.from_json("json", schema).alias("doc2"))
+    return back.select(
+        "id",
+        F.col("doc2.eventId").alias("event_id"),
+        F.col("doc2.payload.data.diff.campaignId").alias("campaign_id"),
+        (F.to_json("doc") == F.to_json("doc2")).alias("roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window family: dense_rank / percent_rank / ntile.
+# ---------------------------------------------------------------------------
+@register(
+    "order_rank_analytics",
+    """
+SELECT o_custkey, o_orderkey,
+       dense_rank() OVER w AS drank,
+       ROUND(percent_rank() OVER w, 6) AS prank,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_order_rank_analytics(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (LLM-pipeline token counting; the scale-honest
+# stand-in for a real BPE vocab — word pieces + punctuation as single
+# tokens).
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_token_counts",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens
+FROM documents
+""",
+)
+def q_bpe_token_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exact; the LSH-candidate variant is
+# the scale path, pinned against this in tests).
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# The Arrow/Python seam, oracle-checked: applyInPandas z-score per event_type
+# must equal the SQL window-function formulation (SURVEY §2.10).
+# ---------------------------------------------------------------------------
+@register(
+    "zscore_apply_in_pandas",
+    """
+SELECT event_id, event_type, value,
+       ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+""",
+)
+def q_zscore_apply_in_pandas(spark, sf_dir):
+    from pulsar_replay_spark.operators.stats import zscore_by_group
+
+    return zscore_by_group(load_events(spark, sf_dir))
+
+
+NEAR_DUP_THRESHOLD = 0.45
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS sim6
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(sim6, 3) AS sim FROM pairs WHERE sim6 >= {NEAR_DUP_THRESHOLD}
+""",
+)
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    from pulsar_replay_spark.functions.vectors import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "sim6", F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    )
+    return pairs.filter(F.col("sim6") >= NEAR_DUP_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("sim6", 3).alias("sim")
+    )

@@ -38,4 +38,9 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query-defining module (idempotent)."""
-    from pulsar_replay_spark import queries_llm, queries_reference, queries_relational  # noqa: F401
+    from pulsar_replay_spark import (  # noqa: F401
+        queries_functions,
+        queries_llm,
+        queries_reference,
+        queries_relational,
+    )

@@ -1,0 +1,64 @@
+"""Arrow UDF seams pinned against JVM twins; catalog DDL plans; console sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.catalog import SYSTEM_TENANTS, list_topics
+from pulsar_replay_spark.catalog_ddl import deletion_plan, execute_plan, restore_plan
+
+
+def test_pandas_udf_matches_jvm_token_count(spark, documents):
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.functions.udfs import ws_token_count_udf
+
+    df = documents.select(
+        token_count(F.col("text")).alias("jvm"),
+        ws_token_count_udf(F.col("text")).alias("py"),
+    )
+    assert df.filter(F.col("jvm") != F.col("py")).count() == 0
+
+
+def test_quality_score_udf_bounds(spark, documents):
+    from pulsar_replay_spark.functions.udfs import quality_score_udf
+
+    scores = documents.select(quality_score_udf(F.col("text")).alias("s")).collect()
+    assert all(0.0 <= r["s"] <= 1.0 for r in scores)
+
+
+def test_zscore_pandas_matches_window(spark, events):
+    from pulsar_replay_spark.operators.stats import zscore_by_group, zscore_by_group_sql
+
+    a = sorted(map(tuple, zscore_by_group(events).collect()))
+    b = sorted(map(tuple, zscore_by_group_sql(events).collect()))
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[:3] == rb[:3]
+        assert ra[3] == pytest.approx(rb[3], abs=1e-9)
+
+
+def test_restore_plan_order(spark, events):
+    topics = list_topics(events)
+    plan = restore_plan(topics).collect()
+    steps = [r["step"] for r in plan]
+    assert steps == sorted(steps)  # tenants before namespaces before topics
+    ops = {r["op"] for r in plan}
+    assert ops == {"create-tenant", "create-namespace", "create-topic"}
+
+
+def test_deletion_plan_excludes_system_and_requires_confirm(spark, events):
+    topics = list_topics(events)
+    plan = deletion_plan(topics)
+    assert plan.filter(F.col("target").isin(SYSTEM_TENANTS)).count() == 0
+    with pytest.raises(PermissionError, match="DELETE"):
+        execute_plan(plan, "http://localhost:0")  # guard fires before any I/O
+
+
+def test_console_sink_runs(spark, capsys, tmp_path):
+    from pulsar_replay_spark.envelope import synthetic_envelope
+    from pulsar_replay_spark.sources.console import print_messages
+
+    print_messages(synthetic_envelope(spark, 50).drop("raw"), n=5)
+    out = capsys.readouterr().out
+    assert "topic" in out and "n_msgs" in out
