@@ -62,15 +62,24 @@ def brute_force_topk(
     `queries` is expected to be small → broadcast; ordering is on
     round(cos, 6) with vec_id tiebreak so results are engine-stable.
     """
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    # Precompute per-vector norms BEFORE the pair join: norm is O(dim) work
+    # that would otherwise run once per (query, candidate) pair instead of
+    # once per vector — |Q|× wasted at scale.
     q = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
     )
     cand = embeddings.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        norm(F.col("embedding")).alias("n_norm"),
     )
-    sims = (
-        cand.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn("sim6", F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6))
+    sims = cand.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).withColumn(
+        "sim6",
+        F.round(dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")), 6),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
     return (
@@ -112,20 +121,33 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
     """ANN top-k: rank only candidates colliding with the query in some LSH
     table (the scale path — the table join shuffles (table, bucket) keys,
     never the full cross product)."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
     t = lsh_tables(embeddings)
     cand = embeddings.join(t, "vec_id").select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "table", "bucket"
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        norm(F.col("embedding")).alias("n_norm"),
+        "table",
+        "bucket",
     )
     q = queries.join(t, "vec_id").select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "table", "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+        "table",
+        "bucket",
     )
     pairs = (
         cand.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_emb", "n_id", "n_emb")
+        .select("q_id", "q_emb", "q_norm", "n_id", "n_emb", "n_norm")
         .dropDuplicates(["q_id", "n_id"])  # collapse multi-table collisions
     )
-    sims = pairs.withColumn("sim6", F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6))
+    sims = pairs.withColumn(
+        "sim6",
+        F.round(dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")), 6),
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
     return (
         sims.withColumn("rk", F.row_number().over(w))

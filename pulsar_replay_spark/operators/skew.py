@@ -1,0 +1,56 @@
+"""Skew-mitigation operators.
+
+At 100 TB a handful of hot topics/keys dominate any key-partitioned shuffle
+(one Pulsar topic with 40% of traffic → one straggler task). Two standard
+mitigations, both exposed here and equality-tested against their plain
+formulations:
+
+- **AQE skew-join splitting** is on by default in the session conf
+  (``spark.sql.adaptive.skewJoin.enabled``) — covers joins automatically;
+- **two-phase salted aggregation** covers aggregations whose partial
+  aggregation can't save them (e.g. high-cardinality intermediate state):
+  spray each hot key across S salts, aggregate, then merge the S partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_count_sum(
+    df: DataFrame, key: str, value: str, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """groupBy(key).agg(count, sum(value)) computed skew-proof:
+    phase 1 groups on (key, salt) — hot keys split across n_salts reducers —
+    phase 2 merges the partials on key alone (n_salts rows per key, trivial).
+
+    Results are identical to the direct groupBy (count/sum are associative);
+    sums are reassociated so floating totals can differ in the last ulp —
+    callers needing oracle-exact floats should round, as everywhere else.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_n"), F.sum(value).alias("_s"))
+    )
+    return phase1.groupBy(key).agg(
+        F.sum("_n").alias("n"), F.sum("_s").alias("sum_value")
+    )
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Salted equi-join for when AQE can't help (e.g. the small side is too
+    big to broadcast but the big side is skewed): replicate each small-side
+    row n_salts times with an explicit salt, salt the big side randomly, and
+    join on (key, salt) — hot keys fan across n_salts tasks."""
+    salted_big = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")

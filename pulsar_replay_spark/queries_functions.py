@@ -230,13 +230,19 @@ SELECT vec_a, vec_b, ROUND(sim6, 3) AS sim FROM pairs WHERE sim6 >= {NEAR_DUP_TH
 """,
 )
 def q_embedding_near_dup_pairs(spark, sf_dir):
-    from pulsar_replay_spark.functions.vectors import cosine
+    from pulsar_replay_spark.functions.vectors import dot, norm
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "sim6", F.round(cosine(F.col("ea"), F.col("eb")), 6)
+        "sim6", F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     )
     return pairs.filter(F.col("sim6") >= NEAR_DUP_THRESHOLD).select(
         "vec_a", "vec_b", F.round("sim6", 3).alias("sim")

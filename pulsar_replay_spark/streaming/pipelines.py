@@ -90,6 +90,57 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def running_counts_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the brief's
+    named mechanism for operators Structured Streaming lacks): a per-user
+    running event count + running value sum maintained in explicit state
+    across micro-batches. Equivalent batch semantics: groupBy(user_id).agg —
+    which is exactly how tests pin it."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def foreach_batch_to_parquet(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+):
+    """foreachBatch sink: arbitrary batch logic per micro-batch (the escape
+    hatch for sinks without native streaming support — e.g. upserts).
+
+    ``output_mode`` must match the upstream plan: update-mode operators
+    (``running_counts_stateful``) require ``output_mode="update"``.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, sink_table: str, checkpoint_dir: str) -> None:
     """T2: drain everything currently available, then stop — the declarative
     form of the reference's receive-timeout EOF. Blocks until completion."""
