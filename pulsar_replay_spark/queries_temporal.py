@@ -1,0 +1,155 @@
+"""Temporal-join + approximate-aggregate corpus (engine extensions).
+
+The reference carries two time domains per message (publish vs event time,
+SURVEY.md §2.9 T1) but never joins across them; a real analytics engine needs
+the temporal join family — as-of (point-in-time) and range (interval) joins —
+plus the sketch aggregates (HLL distinct, quantile sketch) that replace exact
+operators at 100 TB. Each query here pins semantics against the DuckDB
+oracle; the approximate ones pin an error *bound* (the sketch estimate must
+sit within tolerance of the exact answer, which both engines compute
+exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators.asof import asof_join, latest_per
+from pulsar_replay_spark.registry import register
+from pulsar_replay_spark.session import load_events
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event picks up the customer's most recent order at-or-
+# before the event. Union+window plan: one shuffle on user_id, no pair
+# explosion (operators/asof.py).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_latest_order",
+    """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders QUALIFY rn = 1
+)
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+       od.o_orderkey AS asof_orderkey,
+       ROUND(od.o_totalprice, 2) AS asof_totalprice
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+""",
+)
+def q_asof_latest_order(spark, sf_dir):
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    od = latest_per(
+        _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id"),
+        ["user_id", "o_orderdate"],
+        "o_orderkey",
+    )
+    joined = asof_join(
+        ev, od, key="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round("o_totalprice", 2).alias("asof_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: per event, how many orders the same customer placed
+# in the trailing 7 days. Equi-key + time-band condition → Catalyst plans a
+# sort-merge join on the equality key with the band as a post-join predicate;
+# the shuffle is on user_id only.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_recent_orders",
+    """
+SELECT e.event_id, epoch_ms(e.ts) AS ts_ms,
+       COUNT(o.o_orderkey) AS n_recent_orders
+FROM events e
+LEFT JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+GROUP BY e.event_id, e.ts
+""",
+)
+def q_range_join_recent_orders(spark, sf_dir):
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (ev.user_id == o.o_custkey)
+        & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 7 DAYS"))
+        & (o.o_orderdate <= ev.ts)
+    )
+    return (
+        ev.join(o, cond, "left")
+        .groupBy("event_id", "ts")
+        .agg(F.count("o_orderkey").alias("n_recent_orders"))
+        .select("event_id", F.unix_millis("ts").alias("ts_ms"), "n_recent_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates. At 100 TB exact COUNT(DISTINCT) shuffles every distinct
+# value; HyperLogLog ships constant-size sketches instead. The oracle can't
+# reproduce Spark's HLL estimate bit-for-bit, so the query emits the exact
+# answer (both engines agree) plus a boolean asserting the sketch landed
+# within tolerance — the driver hash then pins the error bound.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_distinct_users(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("hll"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("hll") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("hll_within_5pct"),
+    )
+
+
+@register(
+    "approx_quantiles_value",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 2) AS p50_exact,
+       TRUE AS sketch_within_2pct
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_quantiles_value(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_sketch"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("p50_exact", 2).alias("p50_exact"),
+        (
+            F.abs(F.col("p50_sketch") - F.col("p50_exact"))
+            <= 0.02 * F.abs(F.col("p50_exact"))
+        ).alias("sketch_within_2pct"),
+    )

@@ -43,4 +43,5 @@ def load_all() -> None:
         queries_llm,
         queries_reference,
         queries_relational,
+        queries_temporal,
     )
