@@ -154,3 +154,102 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("n_id").alias("neighbor_id"), F.round("sim6", 3).alias("sim"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the corpus into Voronoi cells around
+# centroids; a query ranks only vectors in its nprobe nearest cells.
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_centroids(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """Deterministic centroid pick: the n_cells lowest vec_ids (fixture ids
+    are a random permutation of the space, so this is a uniform sample that
+    both engines and every rerun agree on). Production path: seed MLlib
+    k-means|| with these and iterate — the cell-assignment plan below is
+    unchanged."""
+    return (
+        embeddings.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+        )
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
+    """(vec_id, cell_id) for each vector's ``n_probe`` nearest centroids by
+    cosine. The centroid set is tiny → broadcast nested-loop, map-side
+    O(N·cells·dim) compute, then a per-vec_id top-n_probe — the shuffle is
+    only on vec_id. This is the inherent IVF assignment cost; at real scale
+    the constant is cut with PQ codes, not a different join shape."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    pairs = embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("v_norm")
+    ).join(
+        F.broadcast(
+            centroids.select(
+                "cell_id", "centroid", norm(F.col("centroid")).alias("c_norm")
+            )
+        )
+    )
+    sim = dot(F.col("embedding"), F.col("centroid")) / (F.col("v_norm") * F.col("c_norm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim6"), "cell_id")
+    return (
+        pairs.withColumn("sim6", F.round(sim, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_probe)
+        .select("vec_id", "cell_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """ANN top-k via IVF: corpus vectors live in their 1 nearest cell; each
+    query probes its ``n_probe`` nearest cells. Candidate generation is an
+    equi-join on cell_id — shuffle on a 16-value key here, a ~2^14-value key
+    at 100 TB — never a cross join. Same output contract as
+    ``brute_force_topk`` (the recall oracle)."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    cents = ivf_centroids(embeddings, n_cells)
+    corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
+    query_cells = ivf_assign(queries, cents, n_probe=n_probe)
+
+    cand = embeddings.join(corpus_cells, "vec_id").select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        norm(F.col("embedding")).alias("n_norm"),
+        "cell_id",
+    )
+    q = queries.join(query_cells, "vec_id").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+        "cell_id",
+    )
+    pairs = (
+        cand.join(F.broadcast(q), "cell_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .drop("cell_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    sims = pairs.withColumn(
+        "sim6",
+        F.round(dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")), 6),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), F.round("sim6", 3).alias("sim"), "rk")
+    )

@@ -141,6 +141,40 @@ def foreach_batch_to_parquet(
     )
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: enrich each streaming row with a dimension table.
+
+    The static side is broadcast per micro-batch (no stream-side state, no
+    watermark needed) — the standard pattern for topic→catalog or
+    user→customer enrichment at any scale, as long as the dim side stays
+    broadcastable; bigger dims become a stream-stream join or a state store.
+    """
+    return stream.join(F.broadcast(dim), key, "left")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_wm: str = "1 hour",
+    right_wm: str = "2 hours",
+    interval: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within a time interval: right rows
+    join left rows at most ``interval`` older. Both watermarks bound the join
+    state Spark must hold — without them state grows forever; with them
+    expired rows are evicted at the watermark.
+
+    Column contract: left must expose ``l_ts``, right ``r_ts``.
+    """
+    return left.withWatermark("l_ts", left_wm).join(
+        right.withWatermark("r_ts", right_wm),
+        F.expr(
+            f"{key} = r_{key} AND r_ts BETWEEN l_ts - {interval} AND l_ts"
+        ),
+    )
+
+
 def run_available_now(stream_df: DataFrame, sink_table: str, checkpoint_dir: str) -> None:
     """T2: drain everything currently available, then stop — the declarative
     form of the reference's receive-timeout EOF. Blocks until completion."""

@@ -58,3 +58,26 @@ def test_lsh_buckets_are_stable(spark, embeddings):
     buckets = {r["bucket"] for r in a}
     assert all(0 <= x < 256 for x in buckets)
     assert len(buckets) > 10  # signatures actually spread
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    """IVF with nprobe=4/16 cells must beat blind chance comfortably and its
+    candidate join must stay an equi-join on cell_id (no cross join)."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    approx_df = similarity.ivf_topk(embeddings, queries, k=5)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = approx_df.collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe/cells = 1/4 of the corpus scanned → random baseline ~0.25
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_deterministic(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") % 100 == 0)
+    a = similarity.ivf_topk(embeddings, queries, k=3).collect()
+    b = similarity.ivf_topk(embeddings, queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

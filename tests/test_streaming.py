@@ -104,3 +104,65 @@ def test_generated_stream_is_deterministic(spark, tmp_path_factory):
         | (got["campaign_id"] != batch["campaign_id"])
     )
     assert mismatch.count() == 0
+
+
+def test_stream_static_enrich_matches_batch(spark, events_src, tmp_path_factory):
+    dim = spark.createDataFrame(
+        [(i, "vip" if i % 3 == 0 else "std") for i in range(200)],
+        "user_id long, segment string",
+    )
+    stream = pipelines.stream_static_enrich(
+        pipelines.events_stream(spark, events_src), dim, "user_id"
+    )
+    got = _run(spark, tmp_path_factory, stream)
+    batch = spark.read.parquet(events_src).join(dim, "user_id", "left")
+    assert got.count() == batch.count()
+    g = {r["event_id"]: r["segment"] for r in got.collect()}
+    b = {r["event_id"]: r["segment"] for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_src, tmp_path_factory):
+    """Purchases join clicks of the same user within the preceding hour —
+    both as a stream-stream interval join and as the equivalent batch join."""
+    ev = spark.read.parquet(events_src)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    t_left, t_right = sorted(types)[:2]
+
+    left = (
+        pipelines.events_stream(spark, events_src)
+        .filter(F.col("event_type") == t_left)
+        .select("event_id", F.col("ts").alias("l_ts"), "user_id")
+    )
+    right = (
+        pipelines.events_stream(spark, events_src)
+        .filter(F.col("event_type") == t_right)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user_id"),
+        )
+    )
+    # Micro-batches arrive in random time order (repartition(4) above), so
+    # the watermark must span the fixture's whole range or cross-batch rows
+    # get dropped as late — the production-relevant lesson this test pins.
+    joined = pipelines.stream_stream_interval_join(
+        left, right, "user_id", left_wm="60 days", right_wm="60 days"
+    )
+    got = _run(spark, tmp_path_factory, joined)
+
+    b_left = ev.filter(F.col("event_type") == t_left).select(
+        "event_id", F.col("ts").alias("l_ts"), "user_id"
+    )
+    b_right = ev.filter(F.col("event_type") == t_right).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user_id"),
+    )
+    batch = b_left.join(
+        b_right,
+        F.expr("user_id = r_user_id AND r_ts BETWEEN l_ts - INTERVAL 1 HOUR AND l_ts"),
+    )
+    g = sorted((r["event_id"], r["r_event_id"]) for r in got.collect())
+    b = sorted((r["event_id"], r["r_event_id"]) for r in batch.collect())
+    assert g == b and len(g) > 0
