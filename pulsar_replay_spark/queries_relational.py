@@ -574,3 +574,82 @@ def q18_large_volume_orders(spark, sf_dir):
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (wide↔long reshaping). Spark's pivot with an EXPLICIT value
+# list — omitting it triggers a driver-side distinct scan to discover columns,
+# a hidden extra job at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_status_by_priority",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS BIGINT) AS st_f,
+       CAST(COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS BIGINT) AS st_o,
+       CAST(COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS st_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_pivot_status_by_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"st_{c.lower()}") for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "unpivot_status_counts",
+    """
+SELECT o_orderpriority, 'st_' || LOWER(o_orderstatus) AS status_col,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+""",
+)
+def q_unpivot_status_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(f"st_{c.lower()}") for c in ("F", "O", "P")],
+        )
+    )
+    long = wide.unpivot(
+        "o_orderpriority", ["st_f", "st_o", "st_p"], "status_col", "n"
+    )
+    # pivot materializes zero cells that the long-form oracle never had
+    return long.filter(F.col("n") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling: TABLESAMPLE is seed/plan-dependent across
+# engines, so scale-out sampling is done on a content hash — stable under
+# repartitioning, re-runs, and engine choice (the property that matters for
+# reproducible training-data subsets).
+# ---------------------------------------------------------------------------
+@register(
+    "hash_sample_orders",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders WHERE SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+""",
+)
+def q_hash_sample_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    sampled = orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    )
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )

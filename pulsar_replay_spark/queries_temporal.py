@@ -153,3 +153,52 @@ def q_approx_quantiles_value(spark, sf_dir):
             <= 0.02 * F.abs(F.col("p50_exact"))
         ).alias("sketch_within_2pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (resample): per-user hourly grid spanning each user's
+# active range, zero-filled where no events landed. sequence+explode builds
+# the grid distributed (never a driver loop); the grid join is an equi-join
+# on (user_id, hour).
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_hourly_counts",
+    """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+cnt AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT g.user_id, epoch_ms(g.h) AS hour_ms, COALESCE(c.n, 0) AS n
+FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id AND g.h = c.h
+""",
+)
+def q_gapfill_hourly_counts(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    cnt = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        grid.join(cnt, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_millis("h").alias("hour_ms"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
