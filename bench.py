@@ -24,7 +24,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q10_returned_item_customers",
     "top3_orders_per_customer",
+    "asof_latest_order",
     "text_quality",
     "minhash_pairs",
     "ngram_jaccard_pairs",
@@ -59,6 +61,19 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+
+    # Derived throughputs comparable to BASELINE.md's reference numbers:
+    # the reference publishes 1 000 msgs at a 1 000 msg/s target (2 000 in its
+    # documented example) and captures topics single-threaded; `generator`
+    # produces the same 1 000 emailSend docs, `capture_pipeline` scans the
+    # full events table.
+    events_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    throughput = {
+        "generator_msgs_per_sec": round(1000 / times["generator"]),
+        "capture_events_per_sec": round(events_n / times["capture_pipeline"]),
+        "baseline_publish_msgs_per_sec": 2000,
+    }
+
     print(
         json.dumps(
             {
@@ -66,6 +81,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "throughput": throughput,
                 "sf": sf,
             }
         )
