@@ -72,3 +72,69 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, offset_ms long, frame_bytes binary"
+THUMB_SCHEMA = "doc_id long, width int, height int, thumb binary"
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Video frame sampling: N evenly-spaced frames per payload — the 1→N
+    mapInPandas shape (each input row yields n_frames output rows inside the
+    same Arrow batch; no explode of raw bytes through a shuffle).
+
+    The ffmpeg seek+decode is stubbed: fake frames are deterministic byte
+    slices so the row-multiplication plumbing is pinned end-to-end.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame decode requires ffmpeg")
+            out = {"doc_id": [], "frame_idx": [], "offset_ms": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                dur_ms = max(len(raw), 1)  # fake: 1 ms per byte
+                for i in range(n_frames):
+                    off = (i * dur_ms) // n_frames
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["offset_ms"].append(off)
+                    out["frame_bytes"].append(raw[off : off + 16])
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("media_type") == "video/mp4")
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
+
+
+def resize_thumbnail(media: DataFrame, width: int = 32, height: int = 32, fake: bool = True) -> DataFrame:
+    """Image resize plumbing: fixed-size thumbnail per image row. The PIL
+    resize is stubbed with a deterministic byte fold of the requested size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires an image library")
+            thumbs = [
+                bytes(
+                    (hashlib.sha256(bytes(p) + bytes([width, height])).digest() * ((width * height) // 32 + 1))[: width * height]
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image/png")
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema=THUMB_SCHEMA)
+    )

@@ -368,3 +368,15 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media(_docs(spark, sf_dir)).select(
         "doc_id", "media_type", "byte_len", "sha256"
     )
+
+
+# Rows-only contract entry (no oracle: the 1→N Arrow-batched frame fan-out is
+# a mapInPandas pipeline, not SQL — the driver records the weaker rows check;
+# full semantics are pinned in tests/test_multimodal.py).
+@register("video_frame_sample")
+def q_video_frame_sample(spark, sf_dir):
+    media = multimodal.as_media(_docs(spark, sf_dir))
+    frames = multimodal.frame_sample(media, n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", "offset_ms", F.octet_length("frame_bytes").alias("frame_len")
+    )

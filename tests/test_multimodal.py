@@ -50,3 +50,36 @@ def test_feature_pipeline_composes_with_similarity(spark, documents):
     feats = multimodal.extract_features(media)
     sigs = feats.select("doc_id", lsh_signature(F.col("feature")).alias("bucket"))
     assert sigs.count() == 20
+
+
+def test_frame_sample_multiplicity_and_determinism(spark, documents):
+    media = multimodal.as_media(documents)
+    frames = multimodal.frame_sample(media, n_frames=4)
+    n_videos = media.filter("media_type = 'video/mp4'").count()
+    rows = frames.collect()
+    assert len(rows) == 4 * n_videos
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+    # offsets monotone within a doc; frames are non-empty prefixes of payload
+    assert all(r["offset_ms"] >= 0 and len(r["frame_bytes"]) > 0 for r in rows)
+    again = multimodal.frame_sample(media, n_frames=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_thumbnail_fixed_size(spark, documents):
+    media = multimodal.as_media(documents)
+    thumbs = multimodal.resize_thumbnail(media, width=16, height=8).collect()
+    n_images = media.filter("media_type = 'image/png'").count()
+    assert len(thumbs) == n_images
+    assert all(len(bytes(r["thumb"])) == 16 * 8 for r in thumbs)
+    assert all((r["width"], r["height"]) == (16, 8) for r in thumbs)
+
+
+def test_frame_sample_real_decode_raises(spark, documents):
+    import pytest as _pytest
+
+    media = multimodal.as_media(documents)
+    with _pytest.raises(Exception, match="ffmpeg"):
+        multimodal.frame_sample(media, fake=False).collect()
