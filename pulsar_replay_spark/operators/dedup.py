@@ -160,3 +160,70 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_inter", "jaccard"
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive closure of candidate pairs → (doc_id, cluster_id) where
+    cluster_id = min doc_id reachable. This is what turns pairwise near-dup
+    hits into dedup *groups* (keep one doc per cluster).
+
+    Iterative min-label propagation: each round every vertex takes the min of
+    its own label and its neighbors' labels; converged when no label changes.
+    Rounds = graph diameter (near-dup clusters are shallow — single digits
+    even at 100 TB). Each round is one shuffle on vertex id; frames are
+    persisted per round and released after the convergence check, so lineage
+    never grows unboundedly (localCheckpoint would be the lever if clusters
+    were deep).
+
+    The reference has no graph ops (SURVEY §2.3); this is the engine's
+    iterative-algorithm seam (same pattern serves PageRank-style scoring).
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.distinct().persist()
+
+    labels = (
+        sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).persist()
+    labels.count()
+
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("label").alias("cand"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.v == msgs.v2, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(docs: DataFrame) -> DataFrame:
+    """MinHash candidate pairs → connected components → cluster summary
+    (the end-to-end near-dedup operator: one row per multi-doc cluster)."""
+    cc = connected_components(minhash_candidate_pairs(docs))
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -380,3 +380,29 @@ def q_video_frame_sample(spark, sf_dir):
     return frames.select(
         "doc_id", "frame_idx", "offset_ms", F.octet_length("frame_bytes").alias("frame_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: candidate pairs → connected components (iterative
+# min-label propagation in Spark; recursive CTE in the oracle).
+# ---------------------------------------------------------------------------
+from pulsar_replay_spark.registry import ORACLES as _ORACLES
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_ORACLES["minhash_pairs"]}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.v
+),
+lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM lab GROUP BY cluster_id HAVING COUNT(*) > 1
+"""
+
+
+@register("near_dup_clusters", _CLUSTERS_ORACLE)
+def q_near_dup_clusters(spark, sf_dir):
+    return dedup.near_dup_clusters(_docs(spark, sf_dir))

@@ -83,3 +83,48 @@ def test_simhash_hamming_pairs(spark, documents):
              pairs.select(F.col("a.doc_id"), F.col("b.doc_id")).collect()}
     # near-dup planted docs differ by one appended word → tiny hamming distance
     assert len({(i, i + 1_000_000) for i in range(5)} & found) >= 3
+
+
+def test_connected_components_matches_union_find(spark, documents):
+    """Label propagation must equal a driver-side union-find on the same
+    candidate pairs (the pairs set is small at test SF; the DF algorithm is
+    the one that scales)."""
+    pairs = dedup.minhash_candidate_pairs(documents)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges, "fixture must contain planted near-dups"
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    # canonicalize: min member per root
+    roots = {}
+    for v, r in expected.items():
+        roots.setdefault(find(r), []).append(v)
+    exp_clusters = {min(ms): sorted(ms) for ms in roots.values()}
+
+    got = dedup.connected_components(pairs).collect()
+    got_clusters = {}
+    for r in got:
+        got_clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    got_clusters = {k: sorted(v) for k, v in got_clusters.items()}
+    assert got_clusters == exp_clusters
+
+
+def test_near_dup_clusters_end_to_end(spark, documents):
+    out = dedup.near_dup_clusters(documents).collect()
+    assert all(r["n_docs"] >= 2 and r["keep_doc_id"] == r["cluster_id"] for r in out)
+    assert len(out) > 0
