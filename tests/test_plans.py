@@ -95,3 +95,26 @@ def test_events_scan_prunes_columns_for_counts(spark):
     plan = _plan(q_per_topic_count(spark, SF_SMOKE))
     assert "value" not in plan.split("ReadSchema:")[-1]
     assert "props" not in plan.split("ReadSchema:")[-1]
+
+
+def test_no_row_at_a_time_python_udf_in_any_query(spark):
+    """Global gate: every contract query must stay JVM-side or Arrow-batched.
+    `BatchEvalPython` (pickled row-at-a-time UDF) in any plan is a bug;
+    `ArrowEvalPython` / `MapInPandas` / `FlatMapGroupsInPandas` are the
+    sanctioned Python seams."""
+    import __spark_entry__ as m
+
+    offenders = []
+    for name, fn in m.queries().items():
+        plan = _plan(fn(spark, SF_SMOKE))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_gapfill_grid_join_is_equi(spark):
+    from pulsar_replay_spark.queries_temporal import q_gapfill_hourly_counts
+
+    plan = _plan(q_gapfill_hourly_counts(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
