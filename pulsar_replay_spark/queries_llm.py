@@ -406,3 +406,87 @@ FROM lab GROUP BY cluster_id HAVING COUNT(*) > 1
 @register("near_dup_clusters", _CLUSTERS_ORACLE)
 def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source: corpus statistics for training-data curation
+# (which terms characterize each source). One explode over tokens; document
+# frequency and per-source term counts are two aggs over it; the scalar
+# corpus size joins in as a broadcast literal-frame (never a collect).
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    r"""
+WITH tok AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_term FROM tok GROUP BY source, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.n_term,
+         ROUND(tf.n_term * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT source, term, n_term, score, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
+""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from pulsar_replay_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("n_term"))
+    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("n_term") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("source", "term", "n_term", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling: different rates per stratum (heavy
+# classes downsampled harder), driven by a content hash so the sample is
+# stable under repartitioning and engine choice.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_counts",
+    """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM events
+WHERE SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 1) <=
+      CASE WHEN event_type = 'click' THEN '0' ELSE '3' END
+GROUP BY event_type
+""",
+)
+def q_stratified_sample_counts(spark, sf_dir):
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    cutoff = F.when(F.col("event_type") == "click", F.lit("0")).otherwise(F.lit("3"))
+    return (
+        ev.filter(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) <= cutoff)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )

@@ -653,3 +653,42 @@ def q_hash_sample_orders(spark, sf_dir):
         F.count("*").alias("n_sampled"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated MIN subquery — cheapest supplier per part
+# (equality against a per-group minimum). The correlated aggregate becomes a
+# broadcast join against the tiny per-part minimum relation.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    """
+SELECT p_partkey, l_suppkey, s_name,
+       ROUND(l_extendedprice / l_quantity, 2) AS unit_price
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_brand = 'Brand#2'
+  AND l_extendedprice / l_quantity = (
+    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    min_unit = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min(unit).alias("min_unit")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(min_unit), F.col("l_partkey") == F.col("m_partkey"))
+        .filter(unit == F.col("min_unit"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "l_suppkey", "s_name", F.round(unit, 2).alias("unit_price")
+        )
+    )
