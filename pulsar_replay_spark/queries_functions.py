@@ -247,3 +247,61 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
     return pairs.filter(F.col("sim6") >= NEAR_DUP_THRESHOLD).select(
         "vec_a", "vec_b", F.round("sim6", 3).alias("sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text interface: the engine's second query API. Tables register as temp
+# views; the query text goes through the same Catalyst pipeline as the
+# DataFrame API (identical plans) — pinned here by running pure SQL text.
+# ---------------------------------------------------------------------------
+@register(
+    "sql_interface_monthly_revenue",
+    """
+SELECT l_linestatus, strftime(l_shipdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_linestatus, strftime(l_shipdate, '%Y-%m')
+""",
+)
+def q_sql_interface_monthly_revenue(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_linestatus, date_format(l_shipdate, 'yyyy-MM') AS month,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem_v GROUP BY l_linestatus, date_format(l_shipdate, 'yyyy-MM')
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tolerant JSON parsing: from_json yields NULL on malformed input instead of
+# failing the job — the property that matters when 100 TB of scraped payloads
+# contain garbage. The fixture's props are all well-formed; the invariant
+# (0 parse failures, all rows parsed) is exactly what the oracle pins, and
+# the malformed branch is exercised in tests with injected garbage.
+# ---------------------------------------------------------------------------
+@register(
+    "json_parse_health",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN json_valid(props) THEN 1 END) AS BIGINT) AS n_parsed,
+       CAST(COUNT(CASE WHEN NOT json_valid(props) THEN 1 END) AS BIGINT) AS n_failed
+FROM events
+""",
+)
+def q_json_parse_health(spark, sf_dir):
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "map<string,string>")
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count("p").alias("n_parsed"),
+        (F.count("*") - F.count("p")).alias("n_failed"),
+    )

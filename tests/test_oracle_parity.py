@@ -38,10 +38,21 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, f"{name}: {problems}"
 
 
+# Queries intentionally registered rows-only, each with the reason the
+# driver's weaker check is acceptable.
+ROWS_ONLY = {
+    # 1→N Arrow-batched mapInPandas fan-out — not SQL-expressible; semantics
+    # pinned in tests/test_multimodal.py instead.
+    "video_frame_sample",
+}
+
+
 def test_every_query_has_oracle_or_reason():
     reg = _registry()
-    missing = set(reg.QUERIES) - set(reg.ORACLES)
+    missing = set(reg.QUERIES) - set(reg.ORACLES) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
+    stale = ROWS_ONLY & set(reg.ORACLES)
+    assert not stale, f"ROWS_ONLY entries that now have oracles: {stale}"
 
 
 def test_entry_contract(spark):

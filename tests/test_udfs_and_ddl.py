@@ -62,3 +62,17 @@ def test_console_sink_runs(spark, capsys, tmp_path):
     print_messages(synthetic_envelope(spark, 50).drop("raw"), n=5)
     out = capsys.readouterr().out
     assert "topic" in out and "n_msgs" in out
+
+
+def test_from_json_tolerates_garbage(spark):
+    """Malformed payloads must parse to NULL, never fail the job."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"a": "1"}'), (2, "{not json"), (3, None), (4, '["wrong shape"]')],
+        "id long, props string",
+    )
+    out = df.withColumn("p", F.from_json("props", "map<string,string>")).collect()
+    by_id = {r["id"]: r["p"] for r in out}
+    assert by_id[1] == {"a": "1"}
+    assert by_id[2] is None and by_id[3] is None and by_id[4] is None
