@@ -490,3 +490,52 @@ def q_stratified_sample_counts(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid cohesion: posexplode → per-dimension mean (the
+# distributed way to average vectors — no array-sum aggregate exists, and a
+# collect-then-numpy loop wouldn't scale) → cosine of each member to its
+# centroid → per-label average. The per-dim agg shuffles (label, dim) keys:
+# 64·|labels| rows, constant in corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "label_centroid_cohesion",
+    """
+WITH pos AS (
+  SELECT label, vec_id, i, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) r(i)
+),
+cent AS (SELECT label, i, AVG(x) AS c FROM pos GROUP BY label, i),
+dots AS (
+  SELECT p.label, p.vec_id,
+         SUM(p.x * c.c) AS dp, SQRT(SUM(p.x * p.x)) AS nv, SQRT(SUM(c.c * c.c)) AS nc
+  FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
+  GROUP BY p.label, p.vec_id
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(dp / (nv * nc)), 3) AS avg_cos_to_centroid
+FROM dots GROUP BY label
+""",
+)
+def q_label_centroid_cohesion(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pos = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("label", "vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cent = pos.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    dots = (
+        pos.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dp"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    return dots.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.col("dp") / (F.col("nv") * F.col("nc"))), 3).alias(
+            "avg_cos_to_centroid"
+        ),
+    )

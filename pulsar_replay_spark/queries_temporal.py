@@ -202,3 +202,34 @@ def q_gapfill_hourly_counts(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-range window (RANGE frame, not ROWS): trailing-7-day running
+# value per user. Range frames are the time-series workhorse — peers with the
+# same timestamp aggregate identically regardless of row order, which a ROWS
+# frame can't guarantee under shuffle nondeterminism.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7d_user_value",
+    """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+FROM events
+""",
+)
+def q_rolling_7d_user_value(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-604_800_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_7d"),
+    )
