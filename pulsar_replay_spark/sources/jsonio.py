@@ -130,3 +130,30 @@ def replay_frame(env: DataFrame) -> DataFrame:
         .repartition("topic")
         .sortWithinPartitions("publish_timestamp")
     )
+
+
+def compact_parquet(
+    spark, src_dir: str, dst_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Streaming captures (one file per
+    micro-batch per topic) accrete thousands of KB-sized files; scans then
+    pay one task + one open per file. Run compaction behind the watermark.
+
+    Returns the output file count. Uses repartition (round-robin, even
+    output sizes) — not coalesce, which skips the shuffle but inherits skewed
+    input splits.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(src_dir)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(dst_dir)
+    return n

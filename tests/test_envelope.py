@@ -113,3 +113,19 @@ def test_envelope_schema_shape():
         "topic", "content", "raw", "binary_encoded",
         "properties", "publish_timestamp", "event_timestamp", "partition_key",
     ]
+
+
+def test_compact_parquet_reduces_file_count(spark, events, tmp_path):
+    from pulsar_replay_spark.sources.jsonio import compact_parquet
+
+    src = str(tmp_path / "shards")
+    events.repartition(64).write.parquet(src)
+    import glob
+
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in >= 64
+    dst = str(tmp_path / "compacted")
+    n_target = compact_parquet(spark, src, dst)
+    n_out = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_out == n_target < n_in
+    assert spark.read.parquet(dst).count() == events.count()
