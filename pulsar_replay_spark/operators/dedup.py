@@ -182,6 +182,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     sym = sym.distinct().persist()
+    sym.count()  # materialize once: the upstream pair pipeline (minhash etc.)
+    # must never re-run inside the loop
 
     labels = (
         sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
@@ -194,23 +196,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("v2"))
             .agg(F.min("label").alias("cand"))
         )
+        # Carry the old label through the join so the convergence check is a
+        # filter on THIS frame — one action per round, no second join.
         new_labels = (
             labels.join(msgs, labels.v == msgs.v2, "left")
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
-                    "label"
+                    "new_label"
                 ),
+                (
+                    F.coalesce(F.col("cand"), F.col("label")) < F.col("label")
+                ).alias("_changed"),
             )
+            .withColumnRenamed("new_label", "label")
         ).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter("_changed").count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
 
