@@ -25,3 +25,32 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
     ttr = toks.map(lambda t: len(set(t)) / len(t) if t else 0.0)
     length_penalty = toks.map(len).clip(upper=200) / 200.0
     return (ttr * length_penalty).round(4)
+
+
+def topic_parts_udtf():
+    """Python UDTF (Spark ≥3.5): one topic string → one row per path segment
+    with its role (domain/tenant/namespace/topic). UDTFs are the engine's
+    table-function seam (SURVEY §2.10) — the row-generating analog of the
+    scalar seams above; a real use is exploding a raw crawl record into
+    per-asset rows.
+
+    Returns the class for ``udtf()`` registration (kept lazy so importing
+    this module never requires a live session).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="segment_idx int, role string, segment string")
+    class TopicParts:
+        ROLES = ["domain", "tenant", "namespace", "topic"]
+
+        def eval(self, topic: str):
+            if topic is None:
+                return
+            # persistent://tenant/namespace/topic
+            head, _, rest = topic.partition("://")
+            parts = [head] + rest.split("/") if rest else [head]
+            for i, seg in enumerate(parts):
+                role = self.ROLES[i] if i < len(self.ROLES) else "extra"
+                yield i, role, seg
+
+    return TopicParts

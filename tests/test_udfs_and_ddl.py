@@ -76,3 +76,32 @@ def test_from_json_tolerates_garbage(spark):
     by_id = {r["id"]: r["p"] for r in out}
     assert by_id[1] == {"a": "1"}
     assert by_id[2] is None and by_id[3] is None and by_id[4] is None
+
+
+def test_topic_parts_udtf(spark):
+    """UDTF surface: registered table function usable from SQL text and
+    lateral-joined over a column."""
+    from pulsar_replay_spark.functions.udfs import topic_parts_udtf
+
+    spark.udtf.register("topic_parts", topic_parts_udtf())
+    rows = spark.sql(
+        "SELECT * FROM topic_parts('persistent://eventbus/org-1/post-ingestion-495')"
+    ).collect()
+    assert [(r["role"], r["segment"]) for r in rows] == [
+        ("domain", "persistent"),
+        ("tenant", "eventbus"),
+        ("namespace", "org-1"),
+        ("topic", "post-ingestion-495"),
+    ]
+    # lateral join over a table of topics
+    spark.createDataFrame(
+        [("persistent://t1/ns/a",), ("non-persistent://t2/ns2/b",)], "topic string"
+    ).createOrReplaceTempView("topics_v")
+    out = spark.sql(
+        "SELECT t.topic, p.role, p.segment FROM topics_v t, "
+        "LATERAL topic_parts(t.topic) p WHERE p.role = 'tenant'"
+    ).collect()
+    assert sorted((r["topic"], r["segment"]) for r in out) == [
+        ("non-persistent://t2/ns2/b", "t2"),
+        ("persistent://t1/ns/a", "t1"),
+    ]
