@@ -1,0 +1,100 @@
+"""Scaling-evidence probe: times key operators across sf0.001 → sf0.1 (100×
+data) and prints per-operator wall-time ratios. Linear-ish growth across 100×
+at constant parallelism is the local evidence that the plan shapes (one
+bounded shuffle, inverted-index joins, no pair explosions) hold as data
+scales; quadratic growth would show up immediately as a >>100 ratio.
+
+Also contrasts the as-of join against its naive join-explode-prune
+formulation at sf0.1 — the designed plan must win, and the gap widens with
+per-key history length.
+
+Usage: python tools/scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+OPS = [
+    "capture_pipeline",
+    "q3_shipping_priority",
+    "asof_latest_order",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "gapfill_hourly_counts",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pulsar_replay_spark.session import get_spark
+
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    qs["count_ratio"](spark, SFS[0]).write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for name in OPS:
+        times = []
+        for sf in SFS:
+            t0 = time.perf_counter()
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 2))
+        out[name] = {
+            "sec_at_sf": dict(zip(["0.001", "0.01", "0.1"], times)),
+            "ratio_100x_data": round(times[2] / max(times[0], 0.01), 1),
+        }
+
+    # as-of designed plan vs naive explode-prune at sf0.1
+    from pulsar_replay_spark.operators.asof import asof_join, latest_per
+    from pulsar_replay_spark.session import load_events
+
+    sf = SFS[2]
+    ev = load_events(spark, sf).select("event_id", "user_id", "ts")
+    od = latest_per(
+        spark.read.parquet(f"{sf}/orders.parquet").withColumnRenamed(
+            "o_custkey", "user_id"
+        ),
+        ["user_id", "o_orderdate"],
+        "o_orderkey",
+    )
+    t0 = time.perf_counter()
+    asof_join(ev, od, "user_id", "ts", "o_orderdate", ["o_orderkey"]).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    designed = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    naive = (
+        ev.join(od, (ev.user_id == od.user_id) & (od.o_orderdate <= ev.ts))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_id").orderBy(
+                    F.desc("o_orderdate"), F.desc("o_orderkey")
+                )
+            ),
+        )
+        .filter("rn = 1")
+    )
+    naive.write.format("noop").mode("overwrite").save()
+    naive_t = round(time.perf_counter() - t0, 2)
+    out["asof_designed_vs_naive_sf0.1"] = {"designed_sec": designed, "naive_sec": naive_t}
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
