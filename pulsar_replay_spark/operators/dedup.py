@@ -131,11 +131,28 @@ def simhash_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_shingle_df: int | None = None
+) -> DataFrame:
     """Pairwise Jaccard over distinct 3-shingle sets via an inverted index:
     explode → self-equi-join on shingle → |A∩B| per pair → |A∪B| by size
-    lookup. Returns pairs with jaccard ≥ threshold."""
-    sh = doc_shingles(docs).persist()
+    lookup. Returns pairs with jaccard ≥ threshold.
+
+    ``max_shingle_df`` is the scale knob: shingles appearing in more than
+    that many documents are dropped from the *index* (pair generation) —
+    a shingle with document frequency f contributes f·(f-1)/2 join rows, so
+    a handful of boilerplate phrases dominate the join at corpus scale.
+    Capping loses intersection counts only on those ubiquitous shingles,
+    which near-identical pairs share the least; recall on planted near-dups
+    is pinned in tests. Default None = exact (the oracle-checked path)."""
+    sh = doc_shingles(docs)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(F.broadcast(df_counts.filter(F.col("_df") <= max_shingle_df)), "shingle")
+            .drop("_df")
+        )
+    sh = sh.persist()
     sh.count()  # materialize: reused by both join sides and the size lookup
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

@@ -128,3 +128,21 @@ def test_near_dup_clusters_end_to_end(spark, documents):
     out = dedup.near_dup_clusters(documents).collect()
     assert all(r["n_docs"] >= 2 and r["keep_doc_id"] == r["cluster_id"] for r in out)
     assert len(out) > 0
+
+
+def test_ngram_df_capping_keeps_planted_dups(spark, documents):
+    """The scale knob (drop shingles with document frequency > cap) must not
+    lose genuinely near-identical pairs: every exact pair at a high threshold
+    survives a generous cap, and the capped index is strictly smaller."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(documents, 0.8).collect()
+    }
+    assert exact, "fixture must contain high-similarity planted pairs"
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(documents, 0.8, max_shingle_df=20).collect()
+    }
+    assert exact <= capped | exact  # no silent type surprises
+    recall = len(exact & capped) / len(exact)
+    assert recall == 1.0, f"capping lost planted dups: recall={recall}"
