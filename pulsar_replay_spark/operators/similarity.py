@@ -30,19 +30,38 @@ N_PLANES = 8
 DIM = 64
 
 
-def _hyperplane_component(p: int, j: Column) -> Column:
-    """Component j of hyperplane p: +1 when the first md5 hex nibble of
-    ``p-j`` is 0–7, else −1. Deterministic, engine-agnostic."""
-    nibble = F.substring(F.md5(F.concat(F.lit(f"{p}-"), j.cast("string"))), 1, 1)
-    return F.when(nibble.isin(*"01234567"), F.lit(1.0)).otherwise(F.lit(-1.0))
+def _hyperplane_matrix(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Hyperplane components as driver-side constants: component j of plane p
+    is +1 when the first md5 hex nibble of ``"p-j"`` is 0–7, else −1 — the
+    exact formula the DuckDB oracle evaluates in SQL (queries_llm:
+    ``_lsh_bucket_sql``), precomputed here because it depends only on (p, j),
+    never on data. Evaluating md5 per vector-component would cost
+    N·dim·planes hash calls for a constant 8×64 matrix."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}-{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_H = _hyperplane_matrix()
 
 
 def lsh_signature(vec: Column) -> Column:
-    """B-bit signature as a long: bit p = [⟨v, h_p⟩ > 0]."""
+    """B-bit signature as a long: bit p = [⟨v, h_p⟩ > 0]. Hyperplanes are
+    literal arrays (see ``_hyperplane_matrix``) — the projection is a pure
+    zip_with/aggregate over codegen'd constants."""
     bits = []
     for p in range(N_PLANES):
+        plane = F.array(*[F.lit(h) for h in _H[p]])
         proj = F.aggregate(
-            F.transform(vec, lambda x, i: x.cast("double") * _hyperplane_component(p, i)),
+            F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
