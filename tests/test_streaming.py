@@ -166,3 +166,27 @@ def test_stream_stream_interval_join_matches_batch(spark, events_src, tmp_path_f
     g = sorted((r["event_id"], r["r_event_id"]) for r in got.collect())
     b = sorted((r["event_id"], r["r_event_id"]) for r in batch.collect())
     assert g == b and len(g) > 0
+
+
+def test_max_files_per_trigger_bounds_micro_batches(spark, events_src, tmp_path_factory):
+    """T4 (prefetch/backpressure): maxFilesPerTrigger=1 must produce one
+    micro-batch per input file — the file-source analog of the reference's
+    receiver_queue_size bound on in-flight data."""
+    import uuid as _uuid
+
+    stream = pipelines.events_stream(spark, events_src)
+    name = "mb" + _uuid.uuid4().hex[:10]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ck")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_files = len(
+        [f for f in __import__("os").listdir(events_src) if f.endswith(".parquet")]
+    )
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert n_files >= 4
+    assert len(batches) == n_files, (len(batches), n_files)
