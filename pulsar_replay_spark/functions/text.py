@@ -64,3 +64,29 @@ def token_hash60(tok: Column) -> Column:
     ``('0x' || substr(md5(t), 1, 15))::BIGINT`` — the cross-engine contract
     the dedup/fingerprint operators rely on."""
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(text: Column) -> Column:
+    """Near-exact dedup normalization: casefold, collapse whitespace runs,
+    strip edges — the canonical key for catching trivially-reformatted
+    duplicates that byte-hash dedup misses."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+REDACTION_RULES = [
+    # (pattern, replacement) — RE2-compatible (no lookarounds) so the same
+    # patterns run in Spark (Java regex) and any RE2 engine.
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data scrub: emails → <EMAIL>, URLs → <URL>, long digit runs
+    → <NUM>. Order matters (URLs may contain digit runs; emails must win
+    over bare domains). Pure regexp_replace chain — JVM-side, idempotent."""
+    out = text
+    for pat, repl in REDACTION_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -33,3 +33,19 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: s
     """Join two co-bucketed tables on their bucket key — planned as a
     zero-exchange sort-merge join (asserted in tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, key: str, n_files: int = 8
+) -> None:
+    """Range-partition on ``key`` and sort within partitions before writing —
+    produces files with DISJOINT key ranges so parquet row-group min/max
+    stats prune whole files on key-range predicates (the time-series layout:
+    cluster by timestamp, prune by time window). Verified against actual
+    parquet footers in tests/test_bucketing.py."""
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

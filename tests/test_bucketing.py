@@ -56,3 +56,33 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
     agg = spark.table(lt).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = _plan(agg)
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
+    """The written files' parquet footer stats must carve the key space into
+    non-overlapping ranges — the physical property row-group skipping needs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pulsar_replay_spark.operators.bucketing import write_range_clustered
+    from pulsar_replay_spark.session import load_events
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "clustered")
+    ev = load_events(spark, SF_SMOKE).withColumn("ts_ms", F.unix_millis("ts"))
+    write_range_clustered(ev.select("ts_ms", "user_id", "value"), path, "ts_ms")
+
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts_ms"]
+        lo = min(md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups))
+        hi = max(md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 4
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {spans}"
+    # and nothing was lost
+    assert spark.read.parquet(path).count() == ev.count()

@@ -105,3 +105,31 @@ def test_topic_parts_udtf(spark):
         ("non-persistent://t2/ns2/b", "t2"),
         ("persistent://t1/ns/a", "t1"),
     ]
+
+
+def test_normalize_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.functions.text import normalize_text, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "  The   QUICK brown\tfox "),
+            (2, "contact bob.smith+x@corp.example.COM or https://ex.com/a?id=1234567 now"),
+            (3, "account 123456789 and short 12345"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: (r["norm"], r["red"]) for r in df.select(
+        "id",
+        normalize_text(F.col("text")).alias("norm"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()}
+    assert out[1][0] == "the quick brown fox"
+    assert "<EMAIL>" in out[2][1] and "<URL>" in out[2][1]
+    assert "bob.smith" not in out[2][1] and "1234567" not in out[2][1]
+    assert out[3][1] == "account <NUM> and short 12345"  # 6+ digits only
+    # idempotent: redacting redacted text is a no-op
+    again = df.select(redact_pii(redact_pii(F.col("text"))).alias("r2"),
+                      redact_pii(F.col("text")).alias("r1")).collect()
+    assert all(r["r1"] == r["r2"] for r in again)
