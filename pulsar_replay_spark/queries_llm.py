@@ -539,3 +539,48 @@ def q_label_centroid_cohesion(spark, sf_dir):
             "avg_cos_to_centroid"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality proxy: low-entropy docs are repetitive/degenerate
+# (boilerplate, padding) — a cheap first-pass quality filter before any model
+# scoring. explode-to-chars inflates rows ×len but reduces immediately to
+# (doc, char) counts; entropy itself is two aggs.
+# ---------------------------------------------------------------------------
+@register(
+    "char_entropy_by_source",
+    r"""
+WITH chars AS (
+  SELECT doc_id, source, unnest(string_split(text, '')) AS ch FROM documents
+),
+freq AS (
+  SELECT doc_id, source, ch, COUNT(*) AS n,
+         SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tot
+  FROM chars GROUP BY doc_id, source, ch
+),
+ent AS (
+  SELECT doc_id, source, -SUM((n / tot) * LOG2(n / tot)) AS h
+  FROM freq GROUP BY doc_id, source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(h), 3) AS avg_entropy
+FROM ent GROUP BY source
+""",
+)
+def q_char_entropy_by_source(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    chars = docs.select(
+        "doc_id", "source", F.explode(F.split("text", "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "source", "ch").agg(F.count("*").alias("n"))
+    freq = freq.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("n") / F.col("tot")
+    ent = freq.groupBy("doc_id", "source").agg(
+        (-F.sum(p * F.log2(p))).alias("h")
+    )
+    return ent.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("h"), 3).alias("avg_entropy")
+    )
