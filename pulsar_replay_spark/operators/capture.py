@@ -60,3 +60,33 @@ def capture_pipeline(events: DataFrame, max_per_topic: int = MAX_MESSAGES_PER_TO
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def observed_capture(events: DataFrame, max_per_topic: int = MAX_MESSAGES_PER_TOPIC):
+    """Capture pipeline with inline metrics via the Observation API: row
+    count, distinct-ish topic count and value sum are collected as
+    accumulator-style observations DURING the one pass — the engine's
+    replacement for the reference's per-topic print counters
+    (pulsar_backup_restore.py:139,343-378), which cost it a second iteration.
+
+    Returns (result_df, observation); read ``observation.get`` AFTER an
+    action on result_df.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("capture_metrics")
+    msgs = with_topics(events).filter(~is_partition_topic(F.col("topic")))
+    observed = msgs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.approx_count_distinct("topic").alias("approx_topics"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    scanned = bounded_scan(observed, max_per_topic=max_per_topic)
+    result = scanned.groupBy("topic").agg(
+        F.count("*").alias("n_msgs"),
+        F.unix_millis(F.min("ts")).alias("first_ts_ms"),
+        F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return result, obs

@@ -200,3 +200,32 @@ def run_available_now_complete(stream_df: DataFrame, sink_table: str, checkpoint
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_idempotent(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+):
+    """Exactly-once foreachBatch: after a crash between sink-write and
+    checkpoint-commit, Structured Streaming re-runs the SAME batch_id; the
+    plain append sink would then duplicate it. Writing each batch into its
+    own ``batch_id=`` partition with dynamic partition overwrite makes the
+    retry overwrite itself — at-least-once delivery + idempotent write =
+    exactly-once effect (the engine's answer to the reference's
+    at-least-once replay, SURVEY §2.9 T6)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

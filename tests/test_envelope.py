@@ -129,3 +129,18 @@ def test_compact_parquet_reduces_file_count(spark, events, tmp_path):
     n_out = len(glob.glob(f"{dst}/*.parquet"))
     assert n_out == n_target < n_in
     assert spark.read.parquet(dst).count() == events.count()
+
+
+def test_observed_capture_metrics_match_direct_aggregates(spark, events):
+    from pulsar_replay_spark.operators.capture import observed_capture, with_topics
+    from pulsar_replay_spark.functions.codecs import is_partition_topic
+    from pyspark.sql import functions as F
+
+    result, obs = observed_capture(events)
+    result.count()  # one action; observations ride along
+    m = obs.get
+    direct = with_topics(events).filter(~is_partition_topic(F.col("topic")))
+    assert m["rows_scanned"] == direct.count()
+    assert m["total_value"] == direct.agg(F.round(F.sum("value"), 2)).first()[0]
+    n_topics = direct.select("topic").distinct().count()
+    assert abs(m["approx_topics"] - n_topics) <= max(1, 0.05 * n_topics)

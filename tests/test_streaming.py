@@ -190,3 +190,28 @@ def test_max_files_per_trigger_bounds_micro_batches(spark, events_src, tmp_path_
     batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert n_files >= 4
     assert len(batches) == n_files, (len(batches), n_files)
+
+
+def test_foreach_batch_idempotent_rerun(spark, events_src, tmp_path_factory):
+    """Re-delivering a batch with the same batch_id must overwrite, not
+    duplicate — the exactly-once property."""
+    from pulsar_replay_spark.streaming.pipelines import foreach_batch_idempotent
+
+    out = str(tmp_path_factory.mktemp("out"))
+    q = foreach_batch_idempotent(
+        pipelines.events_stream(spark, events_src), out, str(tmp_path_factory.mktemp("ck"))
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == spark.read.parquet(events_src).count()
+
+    # simulate the crash-retry: re-run batch 0's write directly
+    batch0 = spark.read.parquet(out).filter("batch_id = 0").drop("batch_id")
+    (
+        batch0.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == n1  # no duplication
