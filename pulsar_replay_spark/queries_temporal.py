@@ -233,3 +233,57 @@ def q_rolling_7d_user_value(spark, sf_dir):
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("rolling_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Value histogram: fixed-width binning per event_type (the profiling query a
+# pipeline runs before choosing quality thresholds). Plain floor arithmetic
+# so any engine bins identically.
+# ---------------------------------------------------------------------------
+@register(
+    "value_histogram",
+    """
+SELECT event_type, CAST(FLOOR(value / 10) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, CAST(FLOOR(value / 10) AS INT)
+""",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 10).cast("int")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality gate over the fixture contract: the suite must come back
+# CLEAN (the oracle asserts the same zero-violation facts), and the
+# violation COUNTERS are what the hash pins.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_events_contract",
+    """
+SELECT
+  CAST(COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS BIGINT) AS null_event_id,
+  CAST(COUNT(CASE WHEN user_id < 0 THEN 1 END) AS BIGINT) AS negative_user,
+  CAST(COUNT(CASE WHEN value < 0 OR value > 1000 THEN 1 END) AS BIGINT) AS value_out_of_range,
+  CAST((SELECT COUNT(*) FROM (SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1)) AS BIGINT) AS dup_event_ids
+FROM events
+""",
+)
+def q_dq_events_contract(spark, sf_dir):
+    from pulsar_replay_spark.operators.quality import unique_key_violations
+
+    ev = load_events(spark, sf_dir)
+    single_pass = ev.agg(
+        F.count(F.when(F.col("event_id").isNull(), 1)).cast("bigint").alias("null_event_id"),
+        F.count(F.when(F.col("user_id") < 0, 1)).cast("bigint").alias("negative_user"),
+        F.count(F.when((F.col("value") < 0) | (F.col("value") > 1000), 1))
+        .cast("bigint")
+        .alias("value_out_of_range"),
+    )
+    dups = unique_key_violations(ev, ["event_id"]).agg(
+        F.count("*").cast("bigint").alias("dup_event_ids")
+    )
+    return single_pass.join(dups)

@@ -133,3 +133,29 @@ def test_normalize_and_redact(spark):
     again = df.select(redact_pii(redact_pii(F.col("text"))).alias("r2"),
                       redact_pii(F.col("text")).alias("r1")).collect()
     assert all(r["r1"] == r["r2"] for r in again)
+
+
+def test_check_suite_catches_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators.quality import (
+        check_suite,
+        referential_violations,
+        unique_key_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 20.0), (None, 3.0)], "id long, v double"
+    )
+    out = {r["check"]: r["n_violations"] for r in check_suite(
+        df, {"null_id": F.col("id").isNull(), "neg_v": F.col("v") < 0}
+    ).collect()}
+    assert out == {"null_id": 1, "neg_v": 1}
+    assert unique_key_violations(df, ["id"]).count() == 1  # id=2 twice
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    orphans = referential_violations(df, parent, "id", "pk").count()
+    assert orphans == 1  # the NULL id has no parent
+
+    # clean frame -> empty suite
+    clean = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    assert check_suite(clean, {"null_id": F.col("id").isNull()}).count() == 0
