@@ -86,7 +86,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     buckets.count()  # materialize so both join sides reuse the cache
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -96,6 +96,12 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Truncate lineage and RELEASE the bucket cache: pairs is tiny (dups
+    # only); without this, composed pipelines (cluster → anti-join → re-dedup)
+    # accumulate every intermediate cache for the session's lifetime.
+    pairs = pairs.localCheckpoint(eager=True)
+    buckets.unpersist()
+    return pairs
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -234,8 +240,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
 
+    out = labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
     sym.unpersist()
-    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+    labels.unpersist()
+    return out
 
 
 def near_dup_clusters(docs: DataFrame) -> DataFrame:
@@ -247,3 +257,13 @@ def near_dup_clusters(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dedup_corpus(docs: DataFrame) -> DataFrame:
+    """The end-product dedup operator: the corpus with near-duplicate cluster
+    members removed, keeping each cluster's lowest doc_id (plus every
+    unclustered doc). One left-anti join against the non-keeper set — the
+    non-keeper relation is tiny (duplicates only), so it broadcasts."""
+    cc = connected_components(minhash_candidate_pairs(docs))
+    losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")

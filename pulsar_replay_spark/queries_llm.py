@@ -584,3 +584,35 @@ def q_char_entropy_by_source(spark, sf_dir):
     return ent.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.round(F.avg("h"), 3).alias("avg_entropy")
     )
+
+
+@register(
+    "dedup_corpus_stats",
+    f"""
+WITH RECURSIVE pairs AS ({_ORACLES["minhash_pairs"]}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.v
+),
+lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM losers) AS BIGINT) AS n_removed,
+       CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM losers) AS BIGINT) AS n_survivors
+""",
+)
+def q_dedup_corpus_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    survivors = dedup.dedup_corpus(docs)
+    return (
+        docs.agg(F.count("*").alias("n_total"))
+        .join(survivors.agg(F.count("*").alias("n_survivors")))
+        .select(
+            "n_total",
+            (F.col("n_total") - F.col("n_survivors")).alias("n_removed"),
+            "n_survivors",
+        )
+    )
