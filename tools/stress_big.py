@@ -1,0 +1,155 @@
+"""10× scale rehearsal: replicate the sf0.1 fixtures with shifted keys into
+/tmp (≈ TPC-H SF1-equivalent lineitem volume, 1M events, 50k documents where
+every source doc gains 9 clones — a dedup stress by construction), then run
+the headline operators and print one JSON line of timings + result sanity.
+
+Replication preserves referential integrity: every fact key is shifted by
+replica_index × (max_key + 1) consistently across tables.
+
+Usage: python tools/stress_big.py [n_replicas]   # default 10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfbig"
+
+
+def build(spark, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.session import load_events
+
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+
+    def read(t):
+        return spark.read.parquet(f"{SRC}/{t}.parquet")
+
+    # key strides
+    O = read("orders").agg(F.max("o_orderkey")).first()[0] + 1
+    C = read("customer").agg(F.max("c_custkey")).first()[0] + 1
+    P = read("part").agg(F.max("p_partkey")).first()[0] + 1
+    E = 10_000_000
+    U = read("events") and None  # events loaded via load_events below
+    reps = spark.range(n).withColumnRenamed("id", "rep")
+
+    def replicate(df, shifts: dict):
+        out = df.crossJoin(reps)
+        for col, stride in shifts.items():
+            out = out.withColumn(col, F.col(col) + F.col("rep") * stride)
+        return out.drop("rep")
+
+    replicate(read("customer"), {"c_custkey": C}).write.parquet(f"{DST}/customer.parquet")
+    replicate(read("orders"), {"o_orderkey": O, "o_custkey": C}).write.parquet(
+        f"{DST}/orders.parquet"
+    )
+    replicate(read("lineitem"), {"l_orderkey": O, "l_partkey": P}).write.parquet(
+        f"{DST}/lineitem.parquet"
+    )
+    replicate(read("part"), {"p_partkey": P}).write.parquet(f"{DST}/part.parquet")
+    for t in ("region", "nation", "supplier"):
+        read(t).write.parquet(f"{DST}/{t}.parquet")
+
+    ev = load_events(spark, SRC)
+    emax = ev.agg(F.max("user_id")).first()[0] + 1
+    ev_rep = (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * E)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * emax)
+        .drop("rep")
+    )
+    # write ts as micros long is fine — stress queries use this dir's events
+    # via plain read (TimestampType survives parquet round-trip)
+    ev_rep.write.parquet(f"{DST}/events_plain.parquet")
+
+    D = read("documents").agg(F.max("doc_id")).first()[0] + 1
+    replicate(read("documents"), {"doc_id": D}).write.parquet(f"{DST}/documents.parquet")
+    V = read("embeddings").agg(F.max("vec_id")).first()[0] + 1
+    replicate(read("embeddings"), {"vec_id": V}).write.parquet(f"{DST}/embeddings.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators import dedup, similarity
+    from pulsar_replay_spark.operators.asof import asof_join, latest_per
+    from pulsar_replay_spark.operators.capture import capture_pipeline
+    from pulsar_replay_spark.session import get_spark
+
+    spark = get_spark("stress-big")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    build(spark, n)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    def read(t):
+        return spark.read.parquet(f"{DST}/{t}.parquet")
+
+    sizes = {t: read(t).count() for t in ("lineitem", "orders", "events_plain", "documents", "embeddings")}
+
+    out: dict[str, float] = {}
+
+    def timeit(name, df):
+        t = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t, 2)
+
+    li, orders, cust, nation, region, supp = (
+        read("lineitem"), read("orders"), read("customer"),
+        read("nation"), read("region"), read("supplier"),
+    )
+    timeit(
+        "q1_agg_6m",
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*")
+        ),
+    )
+    timeit(
+        "q3_join_6m",
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(li.l_extendedprice * (1 - li.l_discount)).alias("rev")),
+    )
+    ev = read("events_plain")
+    timeit("capture_1m", capture_pipeline(ev))
+    od = latest_per(orders.withColumnRenamed("o_custkey", "user_id"),
+                    ["user_id", "o_orderdate"], "o_orderkey")
+    timeit("asof_1m_events", asof_join(ev.select("event_id", "user_id", "ts"), od,
+                                       "user_id", "ts", "o_orderdate", ["o_orderkey"]))
+    docs = read("documents")
+    t = time.perf_counter()
+    n_pairs = dedup.minhash_candidate_pairs(docs).count()
+    out["minhash_pairs_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    n_clusters = dedup.near_dup_clusters(docs).count()
+    out["near_dup_clusters_50k_docs"] = round(time.perf_counter() - t, 2)
+    emb = read("embeddings")
+    queries = emb.filter(F.col("vec_id") % 1000 == 0)
+    t = time.perf_counter()
+    similarity.lsh_topk(emb, queries, k=5).write.format("noop").mode("overwrite").save()
+    out["lsh_topk_20k_vecs"] = round(time.perf_counter() - t, 2)
+
+    print(json.dumps({
+        "replicas": n, "build_sec": build_s, "rows": sizes,
+        "timings_sec": out,
+        "sanity": {"minhash_pairs": n_pairs, "near_dup_clusters": n_clusters},
+    }))
+
+
+if __name__ == "__main__":
+    main()
