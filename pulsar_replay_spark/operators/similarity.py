@@ -142,7 +142,12 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
     never the full cross product)."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
-    t = lsh_tables(embeddings)
+    # Materialize the bucket table once: it feeds BOTH join sides, and the
+    # signature computation (8 hyperplane projections per vector) is the
+    # expensive subtree — unpersisted it would run twice. localCheckpoint
+    # truncates lineage so nothing upstream stays cached (measured 2× on the
+    # 20k-vector stress).
+    t = lsh_tables(embeddings).localCheckpoint(eager=True)
     cand = embeddings.join(t, "vec_id").select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_emb"),
