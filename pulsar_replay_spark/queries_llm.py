@@ -616,3 +616,55 @@ def q_dedup_corpus_stats(spark, sf_dir):
             "n_survivors",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN top-k, oracle-checked end-to-end (centroid pick → cell assignment →
+# nprobe candidate generation → exact rerank) — the full inverted-file path
+# reproduced in SQL with the same double-cast arithmetic as COSINE_SQL.
+# ---------------------------------------------------------------------------
+_IVF_COS = (
+    "ROUND(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+)
+
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e ORDER BY vec_id LIMIT 16),
+ca AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
+    FROM e v CROSS JOIN cents c) WHERE rn <= 1
+),
+qa AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
+    FROM e v CROSS JOIN cents c WHERE v.vec_id % 100 = 0) WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS n_id
+  FROM qa JOIN ca USING (cell_id) WHERE qa.vec_id <> ca.vec_id
+),
+sims AS (
+  SELECT cand.q_id, cand.n_id,
+         {_IVF_COS.format(a="qe.emb", b="ne.emb")} AS sim6
+  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rk
+  FROM sims
+)
+SELECT q_id, n_id AS neighbor_id, ROUND(sim6, 3) AS sim, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("ann_ivf_topk", _IVF_SQL)
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(emb, queries, k=5)
