@@ -277,3 +277,42 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("n_id").alias("neighbor_id"), F.round("sim6", 3).alias("sim"), "rk")
     )
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Scale path for embedding near-dup detection: candidate pairs from LSH
+    bucket collisions only (equi-join on (table, bucket) — never the |N|²
+    pair space of the exact formulation), then exact cosine filter. Returns
+    (vec_a, vec_b, sim) like the exact query; recall vs the exact pairs is
+    pinned in tests."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    t = lsh_tables(embeddings).localCheckpoint(eager=True)
+    side = embeddings.join(t, "vec_id").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"), "table", "bucket"
+    )
+    a = side.alias("a")
+    b = side.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("sim6"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return pairs.filter(F.col("sim6") >= threshold).select(
+        "vec_a", "vec_b", F.round("sim6", 3).alias("sim")
+    )

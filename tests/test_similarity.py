@@ -81,3 +81,33 @@ def test_ivf_deterministic(spark, embeddings):
     a = similarity.ivf_topk(embeddings, queries, k=3).collect()
     b = similarity.ivf_topk(embeddings, queries, k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_near_dup_recall_vs_exact(spark, embeddings):
+    """The bucketed near-dup path must recover a usable fraction of the exact
+    high-similarity pairs while generating candidates from collisions only."""
+    from pulsar_replay_spark.queries_functions import NEAR_DUP_THRESHOLD
+
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                          norm(F.col("embedding")).alias("na"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                          norm(F.col("embedding")).alias("nb"))
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("s", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("s") >= NEAR_DUP_THRESHOLD)
+        .collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs_lsh(
+            embeddings, threshold=NEAR_DUP_THRESHOLD
+        ).collect()
+    }
+    assert got <= exact  # no false positives (exact rerank filter)
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.3, f"recall {recall}"
