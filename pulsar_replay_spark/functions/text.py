@@ -58,6 +58,41 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.transform(F.array(F.split(text, " ")), inner)[0]
 
 
+def bigrams(text: Column) -> Column:
+    """Word 2-grams as space-joined strings; empty array below 2 tokens.
+    Same bound-array idiom as ``shingles`` (no CSE inside HOF lambdas)."""
+
+    def inner(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(F.split(text, " ")), inner)[0]
+
+
+def top_token_count(text: Column) -> Column:
+    """Occurrence count of the document's most frequent token — computed
+    shuffle-free with higher-order functions (O(unique·total) per doc, stays
+    inside whole-stage codegen; the explode+groupBy alternative costs a
+    corpus-wide shuffle keyed by doc_id for a per-doc scalar)."""
+
+    def inner(t: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda x: F.size(F.filter(t, lambda y: y == x)),
+            )
+        )
+
+    return F.transform(F.array(F.split(text, " ")), inner)[0]
+
+
 def token_hash60(tok: Column) -> Column:
     """Deterministic 60-bit integer hash of a token: first 15 hex chars of
     md5, parsed base-16. Reproducible in DuckDB as

@@ -267,3 +267,38 @@ def dedup_corpus(docs: DataFrame) -> DataFrame:
     cc = connected_components(minhash_candidate_pairs(docs))
     losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def benchmark_overlap(
+    corpus: DataFrame, benchmark: DataFrame, min_overlap: int = 8
+) -> DataFrame:
+    """Decontamination: per corpus doc, how many of its distinct 3-word
+    shingles also occur anywhere in a benchmark/eval set (the standard
+    train-test contamination check run before LLM training).
+
+    Plan shape for 100 TB: the benchmark side (eval suites) is tiny and
+    static, so its distinct-shingle set is BROADCAST — the corpus side is
+    never shuffled for the probe; the only shuffle is the per-doc count
+    aggregation on doc_id, and the left join back to the corpus doc list
+    reuses that key. Every doc is returned (n_overlap=0 when clean) so the
+    output is a total contamination report, not just the flagged subset.
+
+    Returns (doc_id, n_overlap, contaminated)."""
+    bench_sh = doc_shingles(benchmark).select("shingle").distinct()
+    counts = (
+        doc_shingles(corpus)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))  # doc_shingles is pre-distinct
+    )
+    return (
+        corpus.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

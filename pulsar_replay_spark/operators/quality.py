@@ -43,3 +43,39 @@ def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
 def referential_violations(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
     """Child rows whose foreign key has no parent (left-anti join)."""
     return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 data-quality filters): fraction of
+    repeated tokens, fraction of repeated 2-grams, and the most-frequent
+    token's share. Pure map — no shuffle, no Python; every signal is a
+    higher-order-function expression over the token array, so the pass is
+    embarrassingly parallel at any corpus size.
+
+    Returns one row per doc:
+    (doc_id, source, n_tokens, dup_token_ratio, dup_bigram_ratio,
+    top_token_ratio)."""
+    from pulsar_replay_spark.functions.text import (
+        bigrams,
+        tokens,
+        top_token_count,
+    )
+
+    text = F.col("text")
+    t = tokens(text)
+    bg = bigrams(text)
+    n_tok = F.size(t)
+    n_bg = F.size(bg)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.round(1 - F.size(F.array_distinct(t)) / n_tok, 4).alias(
+            "dup_token_ratio"
+        ),
+        F.when(
+            n_bg > 0, F.round(1 - F.size(F.array_distinct(bg)) / n_bg, 4)
+        ).alias("dup_bigram_ratio"),
+        F.round(top_token_count(text) / n_tok, 4).alias("top_token_ratio"),
+    )

@@ -13,9 +13,12 @@ from pyspark.sql import functions as F
 
 from pulsar_replay_spark.functions.text import (
     STOPWORDS,
+    bigrams,
     stopword_count,
     token_count,
+    token_hash60,
     tokens,
+    top_token_count,
     unique_token_count,
 )
 from pulsar_replay_spark.operators import dedup, multimodal, similarity
@@ -668,3 +671,149 @@ def q_ann_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals + composed quality-filter funnel +
+# benchmark decontamination (train/eval shingle overlap).
+# ---------------------------------------------------------------------------
+_REP_SIG_SQL = """
+t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, source, toks,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bgs
+      FROM t)
+"""
+
+
+@register(
+    "doc_repetition",
+    f"""
+WITH {_REP_SIG_SQL}
+SELECT doc_id, source,
+       len(toks) AS n_tokens,
+       ROUND(1 - len(list_distinct(toks)) / len(toks), 4) AS dup_token_ratio,
+       CASE WHEN len(bgs) > 0
+            THEN ROUND(1 - len(list_distinct(bgs)) / len(bgs), 4) END AS dup_bigram_ratio,
+       ROUND(list_max(list_transform(list_distinct(toks),
+                                     x -> len(list_filter(toks, y -> y = x))))
+             / len(toks), 4) AS top_token_ratio
+FROM b
+""",
+)
+def q_doc_repetition(spark, sf_dir):
+    from pulsar_replay_spark.operators.quality import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+@register(
+    "quality_funnel",
+    f"""
+WITH {_REP_SIG_SQL},
+sig AS (
+  SELECT source,
+         len(toks) AS n_tokens,
+         ROUND(len(list_filter(toks, x -> x IN ({STOP_SQL}))) / len(toks), 4) AS stop_r,
+         ROUND(1 - len(list_distinct(toks)) / len(toks), 4) AS dup_tok,
+         CASE WHEN len(bgs) > 0
+              THEN ROUND(1 - len(list_distinct(bgs)) / len(bgs), 4)
+              ELSE 0 END AS dup_bg,
+         ROUND(list_max(list_transform(list_distinct(toks),
+                                       x -> len(list_filter(toks, y -> y = x))))
+               / len(toks), 4) AS top_r
+  FROM b
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE n_tokens >= 20 AND stop_r > 0.02
+                               AND dup_tok <= 0.6 AND dup_bg <= 0.05
+                               AND top_r <= 0.15) AS BIGINT) AS n_keep,
+       ROUND(COUNT(*) FILTER (WHERE n_tokens >= 20 AND stop_r > 0.02
+                                AND dup_tok <= 0.6 AND dup_bg <= 0.05
+                                AND top_r <= 0.15) / COUNT(*), 4) AS keep_rate
+FROM sig GROUP BY source
+""",
+)
+def q_quality_funnel(spark, sf_dir):
+    """Composed C4/Gopher-style keep/drop funnel per source: language proxy
+    (stopword density), length bound, and the three repetition signals.
+    Single map pass + one tiny agg on `source` — the whole filter chain is
+    shuffle-free until the final per-source rollup."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    t = tokens(text)
+    bg = bigrams(text)
+    n_tok = F.size(t)
+    n_bg = F.size(bg)
+    sig = docs.select(
+        "source",
+        n_tok.alias("n_tokens"),
+        F.round(stopword_count(text) / token_count(text), 4).alias("stop_r"),
+        F.round(1 - F.size(F.array_distinct(t)) / n_tok, 4).alias("dup_tok"),
+        F.when(n_bg > 0, F.round(1 - F.size(F.array_distinct(bg)) / n_bg, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bg"),
+        F.round(top_token_count(text) / n_tok, 4).alias("top_r"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_r") > 0.02)
+        & (F.col("dup_tok") <= 0.6)
+        & (F.col("dup_bg") <= 0.05)
+        & (F.col("top_r") <= 0.15)
+    )
+    n_keep = F.count(F.when(keep, 1))
+    return sig.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        n_keep.alias("n_keep"),
+        F.round(n_keep / F.count("*"), 4).alias("keep_rate"),
+    )
+
+
+_DECON_SQL = """
+WITH hashed AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 20 = 0 AS is_bench
+  FROM documents
+),
+csh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM hashed WHERE NOT is_bench)
+),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+  FROM (SELECT string_split(text, ' ') AS t FROM hashed WHERE is_bench)
+),
+ov AS (
+  SELECT csh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM csh JOIN bsh USING (shingle) GROUP BY csh.doc_id
+)
+SELECT h.doc_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) >= 8 AS contaminated
+FROM hashed h LEFT JOIN ov ON ov.doc_id = h.doc_id
+WHERE NOT h.is_bench
+"""
+
+
+@register("decontaminate", _DECON_SQL)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over a deterministic md5-hash split of the
+    corpus (~5% 'benchmark'): per training doc, distinct 3-shingle overlap
+    with the benchmark pool. See operators/dedup.benchmark_overlap for the
+    broadcast-probe plan rationale."""
+    docs = _docs(spark, sf_dir)
+    is_bench = token_hash60(F.col("doc_id").cast("string")) % 20 == 0
+    return dedup.benchmark_overlap(
+        docs.filter(~is_bench), docs.filter(is_bench), min_overlap=8
+    )
