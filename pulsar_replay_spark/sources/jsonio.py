@@ -109,6 +109,55 @@ def read_parquet_capture(spark: SparkSession, in_dir: str) -> DataFrame:
     return spark.read.parquet(in_dir)
 
 
+def write_orc_capture(env: DataFrame, out_dir: str) -> None:
+    """ORC capture sink — same topic-partitioned layout (and therefore the
+    same partition-pruning / columnar-pushdown story) as the Parquet path,
+    for warehouses standardized on ORC."""
+    env.write.partitionBy("topic").mode("overwrite").orc(out_dir)
+
+
+def read_orc_capture(spark: SparkSession, in_dir: str) -> DataFrame:
+    return spark.read.orc(in_dir)
+
+
+_CSV_OPTS = {"header": True, "quote": '"', "escape": '"'}
+
+
+def write_csv_capture(env: DataFrame, out_dir: str) -> None:
+    """CSV interchange export. CSV carries flat types only, so the
+    properties map is JSON-serialized and timestamps travel as epoch millis
+    (the reference's on-disk convention, ``README.md:63-75``); quote-escaped
+    so content with embedded newlines/commas survives. Topic-partitioned
+    like the other capture sinks."""
+    flat = to_json_rows(env).withColumn("properties", F.to_json("properties"))
+    w = flat.write.partitionBy("topic").mode("overwrite")
+    for k, v in _CSV_OPTS.items():
+        w = w.option(k, v)
+    w.csv(out_dir)
+
+
+def read_csv_capture(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Restore the envelope from a CSV capture dir (topic recovered via
+    partition discovery; multiLine for quoted embedded newlines)."""
+    schema = (
+        "content string, binary_encoded boolean, properties string, "
+        "publish_timestamp long, event_timestamp long, partition_key string"
+    )
+    r = spark.read.schema(schema).option("multiLine", True)
+    for k, v in _CSV_OPTS.items():
+        r = r.option(k, v)
+    df = r.csv(in_dir)
+    return df.select(
+        "topic",
+        "content",
+        "binary_encoded",
+        F.from_json("properties", "map<string,string>").alias("properties"),
+        F.timestamp_millis("publish_timestamp").alias("publish_timestamp"),
+        normalize_event_timestamp(F.col("event_timestamp")).alias("event_timestamp"),
+        "partition_key",
+    )
+
+
 def replay_frame(env: DataFrame) -> DataFrame:
     """Envelope → replay-sink shape (S6, ``pulsar_backup_restore.py:202-219``):
     payload bytes restored (base64-decode when flagged binary), event time and

@@ -144,3 +144,41 @@ def test_observed_capture_metrics_match_direct_aggregates(spark, events):
     assert m["total_value"] == direct.agg(F.round(F.sum("value"), 2)).first()[0]
     n_topics = direct.select("topic").distinct().count()
     assert abs(m["approx_topics"] - n_topics) <= max(1, 0.05 * n_topics)
+
+
+def test_orc_capture_roundtrip(spark, tmp_path):
+    """envelope → topic-partitioned ORC → envelope identity (format breadth:
+    the capture layout is format-agnostic)."""
+    from pulsar_replay_spark.sources.jsonio import read_orc_capture, write_orc_capture
+
+    env = synthetic_envelope(spark, 200).drop("raw")
+    out = str(tmp_path / "orc_capture")
+    write_orc_capture(env, out)
+    back = read_orc_capture(spark, out)
+
+    cols = ["topic", "content", "binary_encoded", "publish_timestamp", "event_timestamp", "partition_key"]
+    a = sorted([tuple(r) for r in env.select(cols).collect()])
+    b = sorted([tuple(r) for r in back.select(cols).collect()])
+    assert a == b
+    pa = sorted([tuple(sorted(r["properties"].items())) for r in env.collect()])
+    pb = sorted([tuple(sorted(r["properties"].items())) for r in back.collect()])
+    assert pa == pb
+
+
+def test_csv_capture_roundtrip(spark, tmp_path):
+    """envelope → quoted CSV (map JSON-flattened, millis timestamps) →
+    envelope identity."""
+    from pulsar_replay_spark.sources.jsonio import read_csv_capture, write_csv_capture
+
+    env = synthetic_envelope(spark, 200).drop("raw")
+    out = str(tmp_path / "csv_capture")
+    write_csv_capture(env, out)
+    back = read_csv_capture(spark, out)
+
+    cols = ["topic", "content", "binary_encoded", "publish_timestamp", "event_timestamp", "partition_key"]
+    a = sorted([tuple(r) for r in env.select(cols).collect()])
+    b = sorted([tuple(r) for r in back.select(cols).collect()])
+    assert a == b
+    pa = sorted([tuple(sorted(r["properties"].items())) for r in env.collect()])
+    pb = sorted([tuple(sorted(r["properties"].items())) for r in back.collect()])
+    assert pa == pb
