@@ -54,3 +54,14 @@ def topic_parts_udtf():
                 yield i, role, seg
 
     return TopicParts
+
+
+@pandas_udf("double")
+def weighted_avg_udf(value: pd.Series, weight: pd.Series) -> float:
+    """Grouped-aggregate Pandas UDF (Arrow series-to-scalar): weighted mean.
+    The custom-UDAF seam — where a numpy/scipy reduction (e.g. a learned
+    calibration curve) would run per group. Spark computes it per shuffle
+    partition group; unlike scalar UDFs it participates in hash aggregation
+    directly."""
+    w = weight.sum()
+    return float((value * weight).sum() / w) if w else 0.0

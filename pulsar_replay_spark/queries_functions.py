@@ -305,3 +305,84 @@ def q_json_parse_health(spark, sf_dir):
         F.count("p").alias("n_parsed"),
         (F.count("*") - F.count("p")).alias("n_failed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDF (§2.10 — the custom-UDAF seam): Arrow ships
+# each group's (value, weight) series to Python once, the reduction returns a
+# scalar that participates in the hash aggregate like any built-in. Unlike
+# applyInPandas this never materializes the group as a DataFrame.
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_avg_price",
+    """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS w_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_weighted_avg_price(spark, sf_dir):
+    from pulsar_replay_spark.functions.udfs import weighted_avg_udf
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_avg_udf(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("w_avg_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (frequent items): the exact two-pass form — per-key counts
+# vs a broadcast global total. The single-pass sketch alternative
+# (df.stat.freqItems, Karp-Papadimitriou-Shenker) is pinned against this in
+# tests/test_stats_extras.py via its superset guarantee; at 100 TB you run
+# the sketch first and this exact query only over the candidate set.
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitters_event_type",
+    """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 4) AS share
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events) >= 0.05
+""",
+)
+def q_heavy_hitters_event_type(spark, sf_dir):
+    ev = load_events(spark, sf_dir).select("event_type")
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("total"), 4))
+        .filter(F.col("cnt") / F.col("total") >= 0.05)
+        .select("event_type", "cnt", "share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistical aggregates (§2.4 family): Pearson correlation /
+# sample covariance / stddev per group — one map-side-combinable pass over
+# the fact table, same plan shape as q1.
+# ---------------------------------------------------------------------------
+@register(
+    "qty_price_correlation",
+    """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       ROUND(stddev_samp(l_quantity), 4) AS qty_sd
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_qty_price_correlation(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+    )

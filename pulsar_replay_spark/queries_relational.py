@@ -692,3 +692,161 @@ def q2_min_cost_supplier(spark, sf_dir):
             "p_partkey", "l_suppkey", "s_name", F.round(unit, 2).alias("unit_price")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS correlated subquery with an inequality on the
+# correlated row (l_shipdate > o_orderdate) → left-semi join with a compound
+# condition. Catalyst plans this as one shuffle on the orderkey; the date
+# range filter on orders is pushed to the parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share) over a
+# one-month shipdate slice. part scales with the fact table at TPC-H ratios,
+# so this is a shuffle join on partkey — but the month filter prunes lineitem
+# to ~1/80 of rows BEFORE the join (pushed to the scan), which is what keeps
+# it cheap at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_pct",
+    """
+SELECT ROUND(
+  100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def q14_promo_revenue_pct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides. The
+# per-side conjuncts Catalyst can factor out (p_brand IN (...), quantity
+# envelope) push to the scans; the residual disjunction evaluates post-join
+# inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#15", 15, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: uncorrelated scalar subquery (global average balance,
+# broadcast as a 1-row literal join) + NOT EXISTS anti-join against recent
+# orders ("idle" = no order since 2000-01-01; every customer has SOME order
+# in these fixtures, so the window keeps the result non-trivial). The
+# anti-join shuffles customer on custkey once; the scalar avg is a separate
+# tiny job whose result rides along as a broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_rich_customers",
+    """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+""",
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -190,3 +190,39 @@ def test_replay_preserves_per_topic_order(spark):
     assert all(len(p) == 1 for p in by_topic_partitions.values()), (
         "a topic spans multiple partitions"
     )
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    """EXISTS with a correlated inequality must plan as ONE semi join (no
+    aggregate-then-join rewrite, no cartesian), with the orders date range
+    pushed to the scan."""
+    from pulsar_replay_spark.queries_relational import q4_order_priority
+
+    plan = _plan(q4_order_priority(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan[:2000]
+
+
+def test_q19_factored_conjuncts_push_to_scans(spark):
+    """Catalyst must factor the OR-of-ANDs: the brand disjunction pushes to
+    the part scan and the quantity envelope to the lineitem scan, so both
+    sides prune before the join."""
+    from pulsar_replay_spark.queries_relational import q19_disjunctive_revenue
+
+    plan = _plan(q19_disjunctive_revenue(spark, SF_SMOKE))
+    # both scans carry the (factored) disjunction in PushedFilters
+    assert plan.count("Or(Or(And(") >= 2, plan[:3000]
+    # plus the extracted common conjunct on the part side
+    assert "GreaterThanOrEqual(p_size,1)" in plan, plan[:3000]
+
+
+def test_q22_scalar_subquery_broadcasts(spark):
+    """The 1-row average-balance side must broadcast (never shuffle customer
+    against it) and the recent-orders anti-join must plan as LeftAnti."""
+    from pulsar_replay_spark.queries_relational import q22_idle_rich_customers
+
+    plan = _plan(q22_idle_rich_customers(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
