@@ -226,3 +226,39 @@ def test_q22_scalar_subquery_broadcasts(spark):
     assert "BroadcastNestedLoopJoin BuildRight, Inner" in plan or "BroadcastHashJoin" in plan, plan[:3000]
     assert "LeftAnti" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark):
+    """Runtime row-level filtering (Spark 3.3+): a selective filter on one
+    side of a fact⋈fact shuffle join must inject a bloom_filter_agg subquery
+    whose might_contain() prunes the big side BEFORE the shuffle. At 100 TB
+    the default thresholds (10 GB application side) enable this untouched;
+    the thresholds are lowered here only so tiny fixtures qualify."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
