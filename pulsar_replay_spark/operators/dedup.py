@@ -302,3 +302,39 @@ def benchmark_overlap(
             ),
         )
     )
+
+
+def chunk_dedup_marks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """Exact-substring (chunk-level) dedup, the sub-document granularity the
+    doc-level family above can't reach: segment each text into consecutive
+    ``chunk_tokens``-token windows, keep only the globally FIRST occurrence
+    of each window (RefinedWeb/C4-style boilerplate removal — repeated
+    headers/footers vanish from every copy but one).
+
+    One row per (doc_id, chunk_idx) with ``chunk`` and ``keep``. First
+    occurrence = min (doc_id, chunk_idx) position, decided by a single
+    shuffle on the chunk text (window row_number, no join-back); at 100 TB
+    hash-partitioning on chunk spreads uniformly — no hot keys, and the
+    chunk strings themselves are the shuffle payload, so chunk_tokens sizes
+    the shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("t", i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    pos = F.col("doc_id") * 100000 + F.col("chunk_idx")
+    w = Window.partitionBy("chunk").orderBy(pos.asc())
+    return chunks.withColumn(
+        "keep", (F.row_number().over(w) == 1)
+    )

@@ -817,3 +817,40 @@ def q_decontaminate(spark, sf_dir):
     return dedup.benchmark_overlap(
         docs.filter(~is_bench), docs.filter(is_bench), min_overlap=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (chunk-level) dedup — sub-document granularity: per-doc
+# counts of 10-token windows kept vs dropped under global first-occurrence
+# dedup. Oracle mirrors the segmentation with DuckDB list slicing and the
+# same (doc_id, chunk_idx) position ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_dedup_stats",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(u.gs AS INT) AS chunk_idx,
+         array_to_string(t[u.gs*10+1 : u.gs*10+10], ' ') AS chunk
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(gs)
+),
+marked AS (
+  SELECT doc_id, chunk_idx,
+         ROW_NUMBER() OVER (
+           PARTITION BY chunk ORDER BY doc_id * 100000 + chunk_idx
+         ) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM marked
+GROUP BY doc_id
+""",
+)
+def q_chunk_dedup_stats(spark, sf_dir):
+    marks = dedup.chunk_dedup_marks(_docs(spark, sf_dir), chunk_tokens=10)
+    return marks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+    )

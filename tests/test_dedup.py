@@ -146,3 +146,41 @@ def test_ngram_df_capping_keeps_planted_dups(spark, documents):
     assert exact <= capped | exact  # no silent type surprises
     recall = len(exact & capped) / len(exact)
     assert recall == 1.0, f"capping lost planted dups: recall={recall}"
+
+
+def test_chunk_dedup_drops_planted_boilerplate(spark):
+    """Two docs share an identical 10-token header; chunk-level dedup must
+    keep it in the earlier doc only, while unique chunks all survive."""
+    from pulsar_replay_spark.operators.dedup import chunk_dedup_marks
+
+    header = " ".join(f"h{i}" for i in range(10))
+    body_a = " ".join(f"a{i}" for i in range(10))
+    body_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{header} {body_a}"), (2, f"{header} {body_b}")],
+        "doc_id long, text string",
+    )
+    marks = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["keep"])
+        for r in chunk_dedup_marks(docs, chunk_tokens=10).collect()
+    }
+    assert marks[(1, 0)] == (header, True)
+    assert marks[(2, 0)] == (header, False)  # later copy dropped
+    assert marks[(1, 1)] == (body_a, True)
+    assert marks[(2, 1)] == (body_b, True)
+
+
+def test_chunk_dedup_single_shuffle_no_join(spark, documents):
+    """First-occurrence choice is a window over chunk — the plan must carry
+    NO join (no join-back of a firsts table) and exactly one exchange on
+    chunk before the row_number."""
+    from pulsar_replay_spark.operators.dedup import chunk_dedup_marks
+
+    plan = (
+        chunk_dedup_marks(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
