@@ -338,3 +338,24 @@ def chunk_dedup_marks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     return chunks.withColumn(
         "keep", (F.row_number().over(w) == 1)
     )
+
+
+def scrub_repeated_chunks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """End product of chunk-level dedup: each document's text with every
+    non-first-occurrence window removed (order of surviving chunks
+    preserved). Shuffle profile = chunk_dedup_marks + one doc_id
+    aggregation; the collect_list is per-document (bounded by doc length),
+    never per-key-global, so it holds at 100 TB."""
+    marks = chunk_dedup_marks(docs, chunk_tokens)
+    kept = marks.filter("keep").select(
+        "doc_id", F.struct("chunk_idx", "chunk").alias("c")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("c")), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept_chunks"),
+    )

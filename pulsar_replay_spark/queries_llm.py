@@ -854,3 +854,35 @@ def q_chunk_dedup_stats(spark, sf_dir):
         F.count("*").alias("n_chunks"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-dedup end product: the scrubbed corpus itself (surviving windows
+# reassembled in order) — value-hash-checked text output, not just counts.
+# ---------------------------------------------------------------------------
+@register(
+    "scrubbed_corpus",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(u.gs AS INT) AS chunk_idx,
+         array_to_string(t[u.gs*10+1 : u.gs*10+10], ' ') AS chunk
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(gs)
+),
+marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (
+           PARTITION BY chunk ORDER BY doc_id * 100000 + chunk_idx
+         ) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS cleaned_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept_chunks
+FROM marked
+WHERE rn = 1
+GROUP BY doc_id
+""",
+)
+def q_scrubbed_corpus(spark, sf_dir):
+    return dedup.scrub_repeated_chunks(_docs(spark, sf_dir), chunk_tokens=10)

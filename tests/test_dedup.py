@@ -184,3 +184,20 @@ def test_chunk_dedup_single_shuffle_no_join(spark, documents):
     )
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_scrub_repeated_chunks_reassembles_in_order(spark):
+    """Reassembly keeps surviving chunks in original order; the shared
+    header survives only in the earlier doc."""
+    from pulsar_replay_spark.operators.dedup import scrub_repeated_chunks
+
+    header = " ".join(f"h{i}" for i in range(10))
+    body_a = " ".join(f"a{i}" for i in range(10))
+    body_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{header} {body_a}"), (2, f"{header} {body_b}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cleaned_text"] for r in scrub_repeated_chunks(docs).collect()}
+    assert out[1] == f"{header} {body_a}"
+    assert out[2] == body_b
