@@ -62,8 +62,14 @@ def asof_join(
         left.withColumn("_asof_t", F.col(left_time))
         .withColumn("_is_left", F.lit(1))
     )
+    # Payload rides as ONE struct so the matched right row is atomic: a right
+    # row whose payload fields are legitimately NULL must not be stitched with
+    # fields from an older row (struct is non-null whenever a right row
+    # exists, so last(ignorenulls) picks whole rows, never per-field).
     r2 = right.select(
-        F.col(key), F.col(right_time).alias("_asof_t"), *[F.col(c) for c in payload]
+        F.col(key),
+        F.col(right_time).alias("_asof_t"),
+        F.struct(*[F.col(c) for c in payload]).alias("_asof_p"),
     ).withColumn("_is_left", F.lit(0))
     u = l2.unionByName(r2, allowMissingColumns=True)
 
@@ -73,8 +79,15 @@ def asof_join(
         .orderBy(t, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return u.select(
+    matched = (
+        u.select(
+            *[F.col(c) for c in out_cols],
+            F.col("_is_left"),
+            F.last(F.col("_asof_p"), ignorenulls=True).over(w).alias("_asof_p"),
+        )
+        .filter("_is_left = 1")
+    )
+    return matched.select(
         *[F.col(c) for c in out_cols],
-        F.col("_is_left"),
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload],
-    ).filter("_is_left = 1").drop("_is_left")
+        *[F.col("_asof_p").getField(c).alias(c) for c in payload],
+    )

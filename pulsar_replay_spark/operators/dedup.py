@@ -145,24 +145,28 @@ def ngram_jaccard_pairs(
     lookup. Returns pairs with jaccard ≥ threshold.
 
     ``max_shingle_df`` is the scale knob: shingles appearing in more than
-    that many documents are dropped from the *index* (pair generation) —
-    a shingle with document frequency f contributes f·(f-1)/2 join rows, so
-    a handful of boilerplate phrases dominate the join at corpus scale.
-    Capping loses intersection counts only on those ubiquitous shingles,
-    which near-identical pairs share the least; recall on planted near-dups
-    is pinned in tests. Default None = exact (the oracle-checked path)."""
-    sh = doc_shingles(docs)
+    that many documents are dropped from the *pair-generation index* — a
+    shingle with document frequency f contributes f·(f-1)/2 join rows, so a
+    handful of boilerplate phrases dominate the join at corpus scale. The
+    per-doc sizes (the |A∪B| denominator) are computed from the PRE-cap
+    shingle sets, so capping can only lose intersection counts on ubiquitous
+    shingles (estimate biased downward, never upward); recall on planted
+    near-dups is pinned in tests. Default None = exact (the oracle-checked
+    path)."""
+    sh = doc_shingles(docs).persist()
+    sh.count()  # materialize: reused by the size lookup and both join sides
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    idx = sh
     if max_shingle_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = (
+        idx = (
             sh.join(F.broadcast(df_counts.filter(F.col("_df") <= max_shingle_df)), "shingle")
             .drop("_df")
+            .persist()
         )
-    sh = sh.persist()
-    sh.count()  # materialize: reused by both join sides and the size lookup
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        idx.count()
+    a = idx.alias("a")
+    b = idx.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -312,17 +316,52 @@ def chunk_dedup_marks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     headers/footers vanish from every copy but one).
 
     One row per (doc_id, chunk_idx) with ``chunk`` and ``keep``. First
-    occurrence = min (doc_id, chunk_idx) position, decided by a single
-    shuffle on the chunk text (window row_number, no join-back); at 100 TB
-    hash-partitioning on chunk spreads uniformly — no hot keys, and the
-    chunk strings themselves are the shuffle payload, so chunk_tokens sizes
-    the shuffle.
-    """
-    from pyspark.sql.window import Window
+    occurrence = min (doc_id, chunk_idx) position — ordered on the two
+    columns directly (an arithmetic encoding would break past the
+    multiplier; 1M-token documents exist in real corpora).
 
+    Scale shape (the 100 TB path): the first-occurrence decision shuffles
+    ``md5(chunk)`` + position ONLY — never the chunk text — through a
+    groupBy with map-side partial aggregation, so an ultra-hot boilerplate
+    chunk combines to one row per map task instead of serializing every
+    occurrence onto a single window reducer. The winners relation
+    (duplicated hashes only — boilerplate is a tiny fraction of distinct
+    chunks) broadcasts back; non-duplicated chunks never join at all.
+    """
+    chunks = _doc_chunks(docs, chunk_tokens)
+    h = F.md5("chunk")
+    # min(struct) orders lexicographically on (doc_id, chunk_idx) — the
+    # global first occurrence — with map-side combine on the hash key.
+    firsts = (
+        chunks.groupBy(h.alias("_h"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("_first"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("_h", "_first")
+    )
+    joined = chunks.join(F.broadcast(firsts), h == F.col("_h"), "left")
+    return joined.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        (
+            F.col("_first").isNull()
+            | (
+                (F.col("_first.doc_id") == F.col("doc_id"))
+                & (F.col("_first.chunk_idx") == F.col("chunk_idx"))
+            )
+        ).alias("keep"),
+    )
+
+
+def _doc_chunks(docs: DataFrame, chunk_tokens: int) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): consecutive ``chunk_tokens``-token
+    windows of each document."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("int")
-    chunks = toks.select(
+    return toks.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -332,11 +371,6 @@ def chunk_dedup_marks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
                 ),
             )
         ).alias("chunk_idx", "chunk"),
-    )
-    pos = F.col("doc_id") * 100000 + F.col("chunk_idx")
-    w = Window.partitionBy("chunk").orderBy(pos.asc())
-    return chunks.withColumn(
-        "keep", (F.row_number().over(w) == 1)
     )
 
 

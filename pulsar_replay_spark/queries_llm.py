@@ -837,7 +837,7 @@ chunks AS (
 marked AS (
   SELECT doc_id, chunk_idx,
          ROW_NUMBER() OVER (
-           PARTITION BY chunk ORDER BY doc_id * 100000 + chunk_idx
+           PARTITION BY chunk ORDER BY doc_id, chunk_idx
          ) AS rn
   FROM chunks
 )
@@ -872,7 +872,7 @@ chunks AS (
 marked AS (
   SELECT doc_id, chunk_idx, chunk,
          ROW_NUMBER() OVER (
-           PARTITION BY chunk ORDER BY doc_id * 100000 + chunk_idx
+           PARTITION BY chunk ORDER BY doc_id, chunk_idx
          ) AS rn
   FROM chunks
 )

@@ -62,6 +62,11 @@ def read_topics(
         F.col("__publishTime").alias("publish_timestamp"),
         F.col("__eventTime").alias("event_timestamp"),
         F.col("__key").alias("partition_key"),
+        # Unique per message: the deterministic tie-break for the bounded
+        # scan (equal publish timestamps are common within a batch; sorting
+        # on the timestamp alone would make the captured set nondeterministic
+        # across runs).
+        F.hex(F.col("__messageId")).alias("message_id"),
     )
     from pulsar_replay_spark.envelope import with_envelope
 
@@ -70,7 +75,7 @@ def read_topics(
         from pulsar_replay_spark.operators.capture import bounded_scan
 
         env = bounded_scan(
-            env, ts_col=F.col("publish_timestamp"), id_col="publish_timestamp",
+            env, ts_col=F.col("publish_timestamp"), id_col="message_id",
             max_per_topic=max_per_topic,
         )
     return env

@@ -108,3 +108,18 @@ def test_bad_direction_raises(frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right, "key", "t", "rt", ["px"], direction="nearest")
+
+
+def test_matched_right_row_is_atomic(spark):
+    """A right row whose payload field is legitimately NULL must win as-is:
+    fields from older right rows must never be stitched in per-column."""
+    from pulsar_replay_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "key string, t long")
+    right = spark.createDataFrame(
+        [("k", 1, 99, "old"), ("k", 5, None, "new")],
+        "key string, rt long, px int, tag string",
+    )
+    row = asof_join(left, right, "key", "t", "rt", ["px", "tag"]).collect()[0]
+    assert row["tag"] == "new"
+    assert row["px"] is None  # NOT back-filled from the older row

@@ -170,10 +170,12 @@ def test_chunk_dedup_drops_planted_boilerplate(spark):
     assert marks[(2, 1)] == (body_b, True)
 
 
-def test_chunk_dedup_single_shuffle_no_join(spark, documents):
-    """First-occurrence choice is a window over chunk — the plan must carry
-    NO join (no join-back of a firsts table) and exactly one exchange on
-    chunk before the row_number."""
+def test_chunk_dedup_hash_keyed_broadcast_shape(spark, documents):
+    """First-occurrence choice must shuffle the md5 hash + position ONLY,
+    never the chunk text: exactly one hash exchange (the _h groupBy, with
+    map-side partial aggregation so hot boilerplate chunks combine before
+    the shuffle), and the join-back of duplicate winners must be broadcast
+    — no sort-merge join, no window over the raw chunk strings."""
     from pulsar_replay_spark.operators.dedup import chunk_dedup_marks
 
     plan = (
@@ -182,8 +184,11 @@ def test_chunk_dedup_single_shuffle_no_join(spark, documents):
         .executedPlan()
         .toString()
     )
-    assert "Join" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2, plan[:2000]
 
 
 def test_scrub_repeated_chunks_reassembles_in_order(spark):
