@@ -29,9 +29,18 @@ HEADLINE = [
     "asof_latest_order",
     "text_quality",
     "minhash_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_topk",
+    # df-capped index is the serving path (exact stays as the oracle twin)
+    "ngram_jaccard_pairs_capped",
+    # ANN is the serving path for similarity (brute-force embedding_topk is
+    # the recall oracle, not the headline); LSH candidate generation is pure
+    # equi-joins — no nested-loop operator anywhere in the benched plan
+    "ann_lsh_topk",
     "lsh_bucket_histogram",
+    # dedup end-products: the steepest-scaling family, benched so regressions
+    # are visible round over round
+    "near_dup_clusters",
+    "dedup_corpus_stats",
+    "chunk_dedup_stats",
     "generator",
 ]
 

@@ -153,25 +153,49 @@ def ngram_jaccard_pairs(
     shingles (estimate biased downward, never upward); recall on planted
     near-dups is pinned in tests. Default None = exact (the oracle-checked
     path)."""
-    sh = doc_shingles(docs).persist()
-    sh.count()  # materialize: reused by the size lookup and both join sides
+    sh = doc_shingles(docs)
+    if max_shingle_df is None:
+        # exact self-join path: three consumers (sizes + both join sides) of
+        # the same subtree — cache it once
+        sh = sh.persist()
+        sh.count()
+    # capped path: doc_shingles is a cheap map-side projection — recomputing
+    # it per agg beats paying cache serialization + memory for the corpus
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    idx = sh
     if max_shingle_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        idx = (
-            sh.join(F.broadcast(df_counts.filter(F.col("_df") <= max_shingle_df)), "shingle")
-            .drop("_df")
-            .persist()
+        # Capped path ≠ capped self-join: ONE shuffle groups each shingle's
+        # (≤ cap) doc ids, then pairs explode from the sorted id list via a
+        # bounded HOF — ≤ cap·(cap−1)/2 rows per shingle, no second shuffle
+        # of the index and no join at all. This is also why the cap is the
+        # 100 TB default: the posting list per shingle is bounded, so both
+        # memory and fan-out are O(cap²) however hot the shingle is.
+        ids = (
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids").between(2, max_shingle_df))
         )
-        idx.count()
-    a = idx.alias("a")
-    b = idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+        pair_structs = F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + F.lit(2), F.size("ids")),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        inter = (
+            ids.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = (

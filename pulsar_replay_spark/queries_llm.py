@@ -255,6 +255,43 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+# The 100 TB default: hot shingles (document frequency > MAX_SHINGLE_DF) are
+# dropped from the pair-generation index — a shingle in f docs contributes
+# f·(f-1)/2 join rows, the measured scale-killer of the exact path (SCALE.md).
+# Sizes stay pre-cap, so the estimate only ever biases DOWN; recall vs the
+# exact path is 1.0 at sf0.01 (pinned in tests/test_dedup.py). The capped
+# semantics are themselves deterministic, so this variant has its own exact
+# oracle — the uncapped query above stays as the ground-truth twin.
+MAX_SHINGLE_DF = 20
+
+
+@register(
+    "ngram_jaccard_pairs_capped",
+    "WITH "
+    + SHINGLES_SQL
+    + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_ngram_jaccard_pairs_capped(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), JACCARD_THRESHOLD, max_shingle_df=MAX_SHINGLE_DF
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash signatures (row-level; hamming clustering in tests/test_dedup.py).
 # ---------------------------------------------------------------------------
@@ -351,6 +388,62 @@ def q_lsh_bucket_histogram(spark, sf_dir):
     )
 
 
+def _lsh_sig_expr() -> str:
+    planes = []
+    for p in range(similarity.N_PLANES):
+        hp = (
+            f"list_transform(range(0, {similarity.DIM}), "
+            f"j -> CASE WHEN substr(md5('{p}-' || CAST(j AS VARCHAR)), 1, 1) "
+            f"IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)"
+        )
+        planes.append(
+            f"(CASE WHEN list_inner_product(vd, {hp}) > 0 THEN {2**p} ELSE 0 END)"
+        )
+    return " + ".join(planes)
+
+
+# The benched similarity serving path: multi-table LSH candidate generation
+# (equi-join on (table, bucket) — no nested-loop anywhere in the plan, gated
+# in tests/test_plans.py) + exact cosine rerank of candidates only. The
+# brute-force `embedding_topk` above stays as the recall oracle; this query's
+# own DuckDB twin reproduces signatures, table buckets, candidate set, and
+# rerank exactly.
+_ANN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+),
+sig AS (SELECT vec_id, vd, CAST({{sig}} AS BIGINT) AS sig FROM e),
+tb AS (
+  SELECT vec_id, t.i AS tbl, (sig >> (CAST(t.i AS INT) * {similarity.BITS_PER_TABLE}))
+         & {2 ** similarity.BITS_PER_TABLE - 1} AS bucket
+  FROM sig CROSS JOIN range(0, {similarity.N_TABLES}) t(i)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM tb q JOIN tb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+),
+sims AS (
+  SELECT cand.q_id, cand.n_id,
+         ROUND(list_inner_product(qe.vd, ne.vd)
+               / (sqrt(list_inner_product(qe.vd, qe.vd)) * sqrt(list_inner_product(ne.vd, ne.vd))),
+               6) AS sim6
+  FROM cand JOIN sig qe ON qe.vec_id = cand.q_id JOIN sig ne ON ne.vec_id = cand.n_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rk FROM sims
+)
+SELECT q_id, n_id AS neighbor_id, ROUND(sim6, 3) AS sim, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("ann_lsh_topk", _ANN_LSH_SQL.format(sig=_lsh_sig_expr()))
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: typed metadata over opaque binary payloads (decode/feature
 # extraction is the mapInPandas path in operators/multimodal.py, tested in
@@ -373,15 +466,39 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-# Rows-only contract entry (no oracle: the 1→N Arrow-batched frame fan-out is
-# a mapInPandas pipeline, not SQL — the driver records the weaker rows check;
-# full semantics are pinned in tests/test_multimodal.py).
-@register("video_frame_sample")
+# The fake frames are deterministic byte slices of the UTF-8 payload
+# (operators/multimodal.py:frame_sample), so the 1→N Arrow fan-out is fully
+# value-checkable: the oracle re-derives each frame as a hex-string slice
+# (DuckDB has no BLOB substring — hex doubles offsets/lengths instead).
+@register(
+    "video_frame_sample",
+    """
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS dur_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+         CAST((t.i * dur_ms) // 4 AS BIGINT) AS offset_ms, hx
+  FROM v CROSS JOIN range(0, 4) t(i)
+)
+SELECT doc_id, frame_idx, offset_ms,
+       substring(hx, CAST(offset_ms * 2 + 1 AS BIGINT), 32) AS frame_hex,
+       CAST(length(substring(hx, CAST(offset_ms * 2 + 1 AS BIGINT), 32)) // 2 AS INT)
+         AS frame_len
+FROM f
+""",
+)
 def q_video_frame_sample(spark, sf_dir):
     media = multimodal.as_media(_docs(spark, sf_dir))
     frames = multimodal.frame_sample(media, n_frames=4)
     return frames.select(
-        "doc_id", "frame_idx", "offset_ms", F.octet_length("frame_bytes").alias("frame_len")
+        "doc_id",
+        "frame_idx",
+        "offset_ms",
+        F.hex("frame_bytes").alias("frame_hex"),
+        F.octet_length("frame_bytes").alias("frame_len"),
     )
 
 

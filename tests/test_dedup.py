@@ -206,3 +206,24 @@ def test_scrub_repeated_chunks_reassembles_in_order(spark):
     out = {r["doc_id"]: r["cleaned_text"] for r in scrub_repeated_chunks(docs).collect()}
     assert out[1] == f"{header} {body_a}"
     assert out[2] == body_b
+
+
+def test_capped_jaccard_recall_on_planted(spark, documents):
+    """The df-capped default path must keep every planted near-dup pair the
+    exact path finds (caps drop only boilerplate shingles, which true
+    near-dups don't depend on), and never report a HIGHER jaccard (sizes are
+    pre-cap, intersections can only shrink)."""
+    from pulsar_replay_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _with_planted_dups(spark, documents)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.5, max_shingle_df=20).collect()
+    }
+    planted = {(i, i + 1_000_000) for i in range(5)}
+    assert planted & set(exact) <= set(capped)
+    assert all(capped[p] <= exact[p] for p in set(capped) & set(exact))

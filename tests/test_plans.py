@@ -262,3 +262,27 @@ def test_runtime_bloom_filter_prunes_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_benched_similarity_headline_is_ann_not_bnlj(spark):
+    """The benchmark's similarity headline must be the ANN path: no
+    BroadcastNestedLoopJoin / cartesian anywhere in its plan (brute force is
+    the recall oracle only, never the benched serving path)."""
+    import bench
+
+    from pulsar_replay_spark.queries_llm import q_ann_lsh_topk
+
+    assert "embedding_topk" not in bench.HEADLINE
+    assert "ann_lsh_topk" in bench.HEADLINE
+    plan = _plan(q_ann_lsh_topk(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_benched_jaccard_headline_is_capped(spark):
+    """The benchmark must run the df-capped Jaccard path (the exact query is
+    the oracle twin); the capped plan broadcasts the df filter."""
+    import bench
+
+    assert "ngram_jaccard_pairs" not in bench.HEADLINE
+    assert "ngram_jaccard_pairs_capped" in bench.HEADLINE
