@@ -19,15 +19,15 @@ import time
 HEADLINE = [
     "capture_pipeline",
     "per_topic_limit",
-    "tumbling_window_counts",
+    "time_bucketed_counts",
     "sessionize",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q10_returned_item_customers",
-    "top3_orders_per_customer",
+    "window_analytics",
     "asof_latest_order",
-    "text_quality",
+    "doc_profile",
     "minhash_pairs",
     # df-capped index is the serving path (exact stays as the oracle twin)
     "ngram_jaccard_pairs_capped",
@@ -35,12 +35,11 @@ HEADLINE = [
     # the recall oracle, not the headline); LSH candidate generation is pure
     # equi-joins — no nested-loop operator anywhere in the benched plan
     "ann_lsh_topk",
-    "lsh_bucket_histogram",
     # dedup end-products: the steepest-scaling family, benched so regressions
     # are visible round over round
     "near_dup_clusters",
     "dedup_corpus_stats",
-    "chunk_dedup_stats",
+    "scrubbed_corpus",
     "generator",
 ]
 
@@ -61,7 +60,7 @@ def main() -> None:
 
     # Warm the JVM/codegen once on a cheap query so timings measure the
     # queries, not session startup.
-    qs["count_ratio"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["per_topic_count_ratio"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -401,19 +401,23 @@ def _doc_chunks(docs: DataFrame, chunk_tokens: int) -> DataFrame:
 def scrub_repeated_chunks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     """End product of chunk-level dedup: each document's text with every
     non-first-occurrence window removed (order of surviving chunks
-    preserved). Shuffle profile = chunk_dedup_marks + one doc_id
-    aggregation; the collect_list is per-document (bounded by doc length),
-    never per-key-global, so it holds at 100 TB."""
+    preserved), plus the per-doc counts (total vs surviving windows).
+    Every input document appears — a fully-scrubbed doc keeps an empty
+    cleaned_text, which the corpus writer needs to see to drop it.
+    Shuffle profile = chunk_dedup_marks + one doc_id aggregation; the
+    collect_list is per-document (bounded by doc length), never
+    per-key-global, so it holds at 100 TB."""
     marks = chunk_dedup_marks(docs, chunk_tokens)
-    kept = marks.filter("keep").select(
-        "doc_id", F.struct("chunk_idx", "chunk").alias("c")
-    )
-    return kept.groupBy("doc_id").agg(
+    kept_struct = F.when(
+        F.col("keep"), F.struct("chunk_idx", "chunk")
+    )  # null for dropped chunks → excluded from collect_list
+    return marks.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list("c")), lambda s: s["chunk"]
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
             ),
             " ",
         ).alias("cleaned_text"),
-        F.count("*").alias("n_kept_chunks"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept_chunks"),
     )

@@ -22,11 +22,19 @@ from pulsar_replay_spark.session import load_events
 SELECT event_id,
        json_keys(props)[1] AS first_key,
        CAST(json_extract(props, '$.k') AS INT) AS k_val,
-       len(json_keys(props)) AS n_keys
+       len(json_keys(props)) AS n_keys,
+       json_valid(props) AS parse_ok,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
 FROM events
 """,
 )
 def q_props_map_ops(spark, sf_dir):
+    """Map + JSON scalar family in one per-event pass: from_json → map ops
+    (keys/element_at/size), tolerant-parse health flag (from_json yields NULL
+    on malformed input instead of failing the job — the property that matters
+    when 100 TB of scraped payloads contain garbage; the malformed branch is
+    exercised in tests with injected garbage), and get_json_object-style
+    bucketing."""
     ev = load_events(spark, sf_dir)
     m = F.from_json("props", "map<string,int>")
     return ev.select(
@@ -34,6 +42,8 @@ def q_props_map_ops(spark, sf_dir):
         F.map_keys(m)[0].alias("first_key"),
         F.element_at(m, "k").alias("k_val"),
         F.size(m).cast("bigint").alias("n_keys"),
+        m.isNotNull().alias("parse_ok"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
     )
 
 
@@ -44,22 +54,6 @@ def q_props_map_ops(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ascii_table_parse",
-    r"""
-WITH lines AS (
-  SELECT '| ' || CAST(event_id AS VARCHAR) || ' | ' || event_type || ' |' AS line
-  FROM events
-),
-parsed AS (
-  SELECT CAST(string_split_regex(line, '\s+')[2] AS BIGINT) AS id,
-         string_split_regex(line, '\s+')[4] AS name
-  FROM lines
-)
-SELECT name, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
-FROM parsed GROUP BY name
-""",
-)
 def q_ascii_table_parse(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     line = F.concat(
@@ -83,19 +77,6 @@ def q_ascii_table_parse(spark, sf_dir):
 NESTED_N = 500
 
 
-@register(
-    "emailsend_nested_fields",
-    f"""
-SELECT id,
-       CAST(100 + id % 7 AS INT) AS project_id,
-       CAST(1000 + (id * 37) % 50 AS INT) AS campaign_id,
-       CAST(500 + (id * 13) % 20 AS INT) AS template_id,
-       strftime(epoch_ms(CAST(1700000000000 + id * 1000 AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS created_at,
-       strftime(epoch_ms(CAST(1700000000000 + id * 1000 AS BIGINT)), '%Y-%m-%d %H:%M:%S +00:00') AS es_created_at,
-       'emailSend' AS doc_type
-FROM range({NESTED_N}) t(id)
-""",
-)
 def q_emailsend_nested_fields(spark, sf_dir):
     from pulsar_replay_spark.generator import generate_emailsend
 
@@ -115,16 +96,6 @@ def q_emailsend_nested_fields(spark, sf_dir):
 # JSON round-trip: struct → to_json → from_json → fields survive (the
 # capture-file fidelity property, driven through SQL-visible output).
 # ---------------------------------------------------------------------------
-@register(
-    "emailsend_json_roundtrip",
-    f"""
-SELECT id,
-       md5('event-' || CAST(id AS VARCHAR)) AS event_id,
-       CAST(1000 + (id * 37) % 50 AS INT) AS campaign_id,
-       TRUE AS roundtrip_ok
-FROM range({NESTED_N}) t(id)
-""",
-)
 def q_emailsend_json_roundtrip(spark, sf_dir):
     from pulsar_replay_spark.generator import generate_emailsend
 
@@ -142,17 +113,6 @@ def q_emailsend_json_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Analytic window family: dense_rank / percent_rank / ntile.
 # ---------------------------------------------------------------------------
-@register(
-    "order_rank_analytics",
-    """
-SELECT o_custkey, o_orderkey,
-       dense_rank() OVER w AS drank,
-       ROUND(percent_rank() OVER w, 6) AS prank,
-       ntile(4) OVER w AS quartile
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-""",
-)
 def q_order_rank_analytics(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -170,15 +130,6 @@ def q_order_rank_analytics(spark, sf_dir):
 # stand-in for a real BPE vocab — word pieces + punctuation as single
 # tokens).
 # ---------------------------------------------------------------------------
-@register(
-    "bpe_token_counts",
-    r"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
-       len(string_split(text, ' ')) AS n_ws_tokens
-FROM documents
-""",
-)
 def q_bpe_token_counts(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -254,15 +205,6 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
 # views; the query text goes through the same Catalyst pipeline as the
 # DataFrame API (identical plans) — pinned here by running pure SQL text.
 # ---------------------------------------------------------------------------
-@register(
-    "sql_interface_monthly_revenue",
-    """
-SELECT l_linestatus, strftime(l_shipdate, '%Y-%m') AS month,
-       CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem GROUP BY l_linestatus, strftime(l_shipdate, '%Y-%m')
-""",
-)
 def q_sql_interface_monthly_revenue(spark, sf_dir):
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
         "lineitem_v"
@@ -284,15 +226,6 @@ def q_sql_interface_monthly_revenue(spark, sf_dir):
 # (0 parse failures, all rows parsed) is exactly what the oracle pins, and
 # the malformed branch is exercised in tests with injected garbage.
 # ---------------------------------------------------------------------------
-@register(
-    "json_parse_health",
-    """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(CASE WHEN json_valid(props) THEN 1 END) AS BIGINT) AS n_parsed,
-       CAST(COUNT(CASE WHEN NOT json_valid(props) THEN 1 END) AS BIGINT) AS n_failed
-FROM events
-""",
-)
 def q_json_parse_health(spark, sf_dir):
     from pulsar_replay_spark.session import load_events
 
@@ -313,15 +246,6 @@ def q_json_parse_health(spark, sf_dir):
 # scalar that participates in the hash aggregate like any built-in. Unlike
 # applyInPandas this never materializes the group as a DataFrame.
 # ---------------------------------------------------------------------------
-@register(
-    "weighted_avg_price",
-    """
-SELECT l_returnflag,
-       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS w_avg_price
-FROM lineitem
-GROUP BY l_returnflag
-""",
-)
 def q_weighted_avg_price(spark, sf_dir):
     from pulsar_replay_spark.functions.udfs import weighted_avg_udf
 
@@ -340,16 +264,6 @@ def q_weighted_avg_price(spark, sf_dir):
 # tests/test_stats_extras.py via its superset guarantee; at 100 TB you run
 # the sketch first and this exact query only over the candidate set.
 # ---------------------------------------------------------------------------
-@register(
-    "heavy_hitters_event_type",
-    """
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
-       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 4) AS share
-FROM events
-GROUP BY event_type
-HAVING COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events) >= 0.05
-""",
-)
 def q_heavy_hitters_event_type(spark, sf_dir):
     ev = load_events(spark, sf_dir).select("event_type")
     total = ev.agg(F.count("*").alias("total"))
@@ -364,21 +278,44 @@ def q_heavy_hitters_event_type(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Bivariate statistical aggregates (§2.4 family): Pearson correlation /
-# sample covariance / stddev per group — one map-side-combinable pass over
-# the fact table, same plan shape as q1.
+# Statistical-aggregate family (§2.4) + the grouped-agg Pandas UDAF seam
+# (§2.10) in ONE map-side-combinable pass per l_returnflag: Pearson corr /
+# sample covariance / stddev are built-ins; the weighted average is the
+# custom Arrow UDAF (each group's (value, weight) series ships to Python
+# once and the scalar result participates in the same hash aggregate).
 # ---------------------------------------------------------------------------
 @register(
-    "qty_price_correlation",
+    "lineitem_stats",
     """
 SELECT l_returnflag,
        ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
        ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-       ROUND(stddev_samp(l_quantity), 4) AS qty_sd
+       ROUND(stddev_samp(l_quantity), 4) AS qty_sd,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS w_avg_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
 )
+def q_lineitem_stats(spark, sf_dir):
+    from pulsar_replay_spark.functions.udfs import weighted_avg_udf
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # Spark forbids mixing a grouped-agg pandas UDF with non-pandas aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — two aggs over the same
+    # 3-key groupBy, joined on the tiny result.
+    builtins = li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+    )
+    udaf = li.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_avg_udf(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("w_avg_price")
+    )
+    return builtins.join(udaf, "l_returnflag")
+
+
 def q_qty_price_correlation(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag").agg(

@@ -63,15 +63,8 @@ def q_exact_dup_groups(spark, sf_dir):
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
 
 
-@register(
-    "content_hash_stats",
-    """
-SELECT COUNT(*) AS n_docs,
-       COUNT(DISTINCT md5(text)) AS n_unique,
-       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
-FROM documents
-""",
-)
+# Not registered: corpus-level dup counts are covered by exact_dup_groups
+# (per-group rows) and dedup_corpus_stats (end-product stats).
 def q_content_hash_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.agg(
@@ -82,21 +75,99 @@ def q_content_hash_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Text analysis: per-doc quality features.
+# Text analysis: the per-document feature family in ONE scan — quality
+# ratios, BPE-ish token counts, rolling-hash fingerprint, Gopher repetition
+# signals, and the SimHash signature. At 100 TB this is exactly how you run
+# per-doc featurization: every per-row metric in a single map pass (no
+# shuffle), plus the one aggregation SimHash needs (explode → per-doc bit
+# sums, one shuffle on doc_id) joined back on the primary key.
 # ---------------------------------------------------------------------------
-@register(
-    "text_quality",
-    f"""
-WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, n_chars FROM documents)
-SELECT doc_id, lang,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_unique,
-       ROUND(len(list_filter(toks, x -> x IN ({STOP_SQL}))) / len(toks), 4) AS stopword_ratio,
-       ROUND(len(list_distinct(toks)) / len(toks), 4) AS ttr,
-       CAST(n_chars AS BIGINT) AS n_chars
-FROM t
-""",
-)
+FP_MOD_Q = 9007199254740881  # largest prime < 2^53 (mirrors doc_fingerprint)
+
+
+def _doc_profile_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM((h >> {j} & 1) * 2 - 1) AS s{j}" for j in range(dedup.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(dedup.SIMHASH_BITS)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks, n_chars
+  FROM documents
+),
+b AS (
+  SELECT *,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bgs,
+         list_transform(toks, tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS hs
+  FROM t
+),
+per_row AS (
+  SELECT doc_id, lang, source,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique,
+         ROUND(len(list_filter(toks, x -> x IN ({STOP_SQL}))) / len(toks), 4) AS stopword_ratio,
+         ROUND(len(list_distinct(toks)) / len(toks), 4) AS ttr,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+         list_reduce(hs, (acc, x) -> (acc % {FP_MOD_Q} * 131 + x % {FP_MOD_Q}) % {FP_MOD_Q}) AS fingerprint,
+         ROUND(1 - len(list_distinct(toks)) / len(toks), 4) AS dup_token_ratio,
+         CASE WHEN len(bgs) > 0
+              THEN ROUND(1 - len(list_distinct(bgs)) / len(bgs), 4) END AS dup_bigram_ratio,
+         ROUND(list_max(list_transform(list_distinct(toks),
+                                       x -> len(list_filter(toks, y -> y = x))))
+               / len(toks), 4) AS top_token_ratio
+  FROM b
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok
+),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits)
+SELECT per_row.*, sims.simhash FROM per_row JOIN sims USING (doc_id)
+"""
+
+
+@register("doc_profile", _doc_profile_sql())
+def q_doc_profile(spark, sf_dir):
+    from pulsar_replay_spark.functions.text import bigrams, top_token_count
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    t = tokens(text)
+    bg = bigrams(text)
+    n_tok = F.size(t)
+    n_bg = F.size(bg)
+    hs = F.transform(t, lambda tk: token_hash60(tk))
+    fp = F.aggregate(
+        F.slice(hs, 2, F.size(hs) - 1),
+        F.element_at(hs, 1),
+        lambda acc, x: (acc % FP_MOD_Q * 131 + x % FP_MOD_Q) % FP_MOD_Q,
+    )
+    per_row = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count(text).alias("n_tokens"),
+        unique_token_count(text).alias("n_unique"),
+        F.round(stopword_count(text) / token_count(text), 4).alias("stopword_ratio"),
+        F.round(unique_token_count(text) / token_count(text), 4).alias("ttr"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_bpe_tokens"),
+        fp.alias("fingerprint"),
+        F.round(1 - F.size(F.array_distinct(t)) / n_tok, 4).alias("dup_token_ratio"),
+        F.when(n_bg > 0, F.round(1 - F.size(F.array_distinct(bg)) / n_bg, 4)).alias(
+            "dup_bigram_ratio"
+        ),
+        F.round(top_token_count(text) / n_tok, 4).alias("top_token_ratio"),
+    )
+    return per_row.join(dedup.simhash(docs), "doc_id")
+
+
 def q_text_quality(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     text = F.col("text")
@@ -140,18 +211,73 @@ def q_lang_id_accuracy(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Token stats per source (provenance grouping).
+# Per-source (provenance) profile in one contract query: token/char stats,
+# mean character entropy (the repetitive/degenerate-text proxy), and the
+# composed C4/Gopher keep/drop funnel — three aggs over the same tiny
+# `source` keyspace, joined on the group key.
 # ---------------------------------------------------------------------------
-@register(
-    "token_stats_by_source",
-    """
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-       ROUND(AVG(n_chars), 2) AS avg_chars
-FROM documents GROUP BY source
-""",
+def _source_profile_sql() -> str:
+    return rf"""
+WITH stats AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         ROUND(AVG(n_chars), 2) AS avg_chars
+  FROM documents GROUP BY source
+),
+chars AS (
+  SELECT doc_id, source, unnest(string_split(text, '')) AS ch FROM documents
+),
+freq AS (
+  SELECT doc_id, source, ch, COUNT(*) AS n,
+         SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tot
+  FROM chars GROUP BY doc_id, source, ch
+),
+ent AS (
+  SELECT doc_id, source, -SUM((n / tot) * LOG2(n / tot)) AS h
+  FROM freq GROUP BY doc_id, source
+),
+entropy AS (
+  SELECT source, ROUND(AVG(h), 3) AS avg_entropy FROM ent GROUP BY source
+),
+{_REP_SIG_SQL.strip()},
+fsig AS (
+  SELECT source,
+         len(toks) AS n_tokens,
+         ROUND(len(list_filter(toks, x -> x IN ({STOP_SQL}))) / len(toks), 4) AS stop_r,
+         ROUND(1 - len(list_distinct(toks)) / len(toks), 4) AS dup_tok,
+         CASE WHEN len(bgs) > 0
+              THEN ROUND(1 - len(list_distinct(bgs)) / len(bgs), 4)
+              ELSE 0 END AS dup_bg,
+         ROUND(list_max(list_transform(list_distinct(toks),
+                                       x -> len(list_filter(toks, y -> y = x))))
+               / len(toks), 4) AS top_r
+  FROM b
+),
+funnel AS (
+  SELECT source,
+         CAST(COUNT(*) FILTER (WHERE n_tokens >= 20 AND stop_r > 0.02
+                                 AND dup_tok <= 0.6 AND dup_bg <= 0.05
+                                 AND top_r <= 0.15) AS BIGINT) AS n_keep,
+         ROUND(COUNT(*) FILTER (WHERE n_tokens >= 20 AND stop_r > 0.02
+                                  AND dup_tok <= 0.6 AND dup_bg <= 0.05
+                                  AND top_r <= 0.15) / COUNT(*), 4) AS keep_rate
+  FROM fsig GROUP BY source
 )
+SELECT stats.source, stats.n_docs, stats.total_tokens, stats.avg_chars,
+       entropy.avg_entropy, funnel.n_keep, funnel.keep_rate
+FROM stats JOIN entropy USING (source) JOIN funnel USING (source)
+"""
+
+
+@register("source_profile", None)  # oracle attached below (needs _REP_SIG_SQL)
+def q_source_profile(spark, sf_dir):
+    stats = q_token_stats_by_source(spark, sf_dir)
+    entropy = q_char_entropy_by_source(spark, sf_dir).select("source", "avg_entropy")
+    funnel = q_quality_funnel(spark, sf_dir).select("source", "n_keep", "keep_rate")
+    return stats.join(entropy, "source").join(funnel, "source")
+
+
 def q_token_stats_by_source(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.groupBy("source").agg(
@@ -167,20 +293,7 @@ def q_token_stats_by_source(spark, sf_dir):
 FP_MOD = 9007199254740881  # largest prime < 2^53; keeps acc*131 within int64
 
 
-@register(
-    "doc_fingerprint",
-    f"""
-WITH t AS (
-  SELECT doc_id,
-         list_transform(string_split(text, ' '),
-                        tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS hs
-  FROM documents
-)
-SELECT doc_id,
-       list_reduce(hs, (acc, x) -> (acc % {FP_MOD} * 131 + x % {FP_MOD}) % {FP_MOD}) AS fingerprint
-FROM t
-""",
-)
+# Not registered: doc_profile carries the fingerprint column per doc.
 def q_doc_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     from pulsar_replay_spark.functions.text import token_hash60
@@ -232,25 +345,9 @@ def q_minhash_pairs(spark, sf_dir):
 JACCARD_THRESHOLD = 0.5
 
 
-@register(
-    "ngram_jaccard_pairs",
-    "WITH "
-    + SHINGLES_SQL
-    + f"""
-, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, n_inter,
-       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
-""",
-)
+# Exact (uncapped) variant: not registered — the capped query below is the
+# contract/serving path; exact stays as the ground-truth twin, recall-pinned
+# against capped in tests/test_dedup.py.
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
 
@@ -314,7 +411,8 @@ SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits
 """
 
 
-@register("simhash_signatures", _simhash_sql())
+# Not registered: doc_profile carries the simhash column for the contract;
+# hamming clustering stays pinned in tests/test_dedup.py.
 def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -380,7 +478,8 @@ FROM sig GROUP BY bucket
 """
 
 
-@register("lsh_bucket_histogram", _lsh_bucket_sql())
+# Not registered: ann_lsh_topk drives the same signature pipeline end-to-end
+# with a full oracle; the histogram stays as a diagnostic (tests/test_similarity.py).
 def q_lsh_bucket_histogram(spark, sf_dir):
     b = similarity.lsh_buckets(_emb(spark, sf_dir))
     return b.groupBy("bucket").agg(
@@ -590,16 +689,8 @@ def q_tfidf_top_terms(spark, sf_dir):
 # classes downsampled harder), driven by a content hash so the sample is
 # stable under repartitioning and engine choice.
 # ---------------------------------------------------------------------------
-@register(
-    "stratified_sample_counts",
-    """
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
-FROM events
-WHERE SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 1) <=
-      CASE WHEN event_type = 'click' THEN '0' ELSE '3' END
-GROUP BY event_type
-""",
-)
+# Not registered: sampling_counts (queries_relational) carries this as its
+# stratified_events leg.
 def q_stratified_sample_counts(spark, sf_dir):
     from pulsar_replay_spark.session import load_events
 
@@ -667,25 +758,8 @@ def q_label_centroid_cohesion(spark, sf_dir):
 # scoring. explode-to-chars inflates rows ×len but reduces immediately to
 # (doc, char) counts; entropy itself is two aggs.
 # ---------------------------------------------------------------------------
-@register(
-    "char_entropy_by_source",
-    r"""
-WITH chars AS (
-  SELECT doc_id, source, unnest(string_split(text, '')) AS ch FROM documents
-),
-freq AS (
-  SELECT doc_id, source, ch, COUNT(*) AS n,
-         SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tot
-  FROM chars GROUP BY doc_id, source, ch
-),
-ent AS (
-  SELECT doc_id, source, -SUM((n / tot) * LOG2(n / tot)) AS h
-  FROM freq GROUP BY doc_id, source
-)
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(h), 3) AS avg_entropy
-FROM ent GROUP BY source
-""",
-)
+# Not registered: source_profile carries avg_entropy per source for the
+# contract; the per-doc entropy operator stays pinned in tests/test_quality.py.
 def q_char_entropy_by_source(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -804,55 +878,14 @@ b AS (SELECT doc_id, source, toks,
 """
 
 
-@register(
-    "doc_repetition",
-    f"""
-WITH {_REP_SIG_SQL}
-SELECT doc_id, source,
-       len(toks) AS n_tokens,
-       ROUND(1 - len(list_distinct(toks)) / len(toks), 4) AS dup_token_ratio,
-       CASE WHEN len(bgs) > 0
-            THEN ROUND(1 - len(list_distinct(bgs)) / len(bgs), 4) END AS dup_bigram_ratio,
-       ROUND(list_max(list_transform(list_distinct(toks),
-                                     x -> len(list_filter(toks, y -> y = x))))
-             / len(toks), 4) AS top_token_ratio
-FROM b
-""",
-)
+# Not registered: doc_profile carries the three repetition ratios per doc.
 def q_doc_repetition(spark, sf_dir):
     from pulsar_replay_spark.operators.quality import repetition_signals
 
     return repetition_signals(_docs(spark, sf_dir))
 
 
-@register(
-    "quality_funnel",
-    f"""
-WITH {_REP_SIG_SQL},
-sig AS (
-  SELECT source,
-         len(toks) AS n_tokens,
-         ROUND(len(list_filter(toks, x -> x IN ({STOP_SQL}))) / len(toks), 4) AS stop_r,
-         ROUND(1 - len(list_distinct(toks)) / len(toks), 4) AS dup_tok,
-         CASE WHEN len(bgs) > 0
-              THEN ROUND(1 - len(list_distinct(bgs)) / len(bgs), 4)
-              ELSE 0 END AS dup_bg,
-         ROUND(list_max(list_transform(list_distinct(toks),
-                                       x -> len(list_filter(toks, y -> y = x))))
-               / len(toks), 4) AS top_r
-  FROM b
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) FILTER (WHERE n_tokens >= 20 AND stop_r > 0.02
-                               AND dup_tok <= 0.6 AND dup_bg <= 0.05
-                               AND top_r <= 0.15) AS BIGINT) AS n_keep,
-       ROUND(COUNT(*) FILTER (WHERE n_tokens >= 20 AND stop_r > 0.02
-                                AND dup_tok <= 0.6 AND dup_bg <= 0.05
-                                AND top_r <= 0.15) / COUNT(*), 4) AS keep_rate
-FROM sig GROUP BY source
-""",
-)
+# Not registered: source_profile carries n_keep/keep_rate per source.
 def q_quality_funnel(spark, sf_dir):
     """Composed C4/Gopher-style keep/drop funnel per source: language proxy
     (stopword density), length bound, and the three repetition signals.
@@ -942,29 +975,8 @@ def q_decontaminate(spark, sf_dir):
 # dedup. Oracle mirrors the segmentation with DuckDB list slicing and the
 # same (doc_id, chunk_idx) position ordering.
 # ---------------------------------------------------------------------------
-@register(
-    "chunk_dedup_stats",
-    """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-chunks AS (
-  SELECT doc_id, CAST(u.gs AS INT) AS chunk_idx,
-         array_to_string(t[u.gs*10+1 : u.gs*10+10], ' ') AS chunk
-  FROM toks, UNNEST(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(gs)
-),
-marked AS (
-  SELECT doc_id, chunk_idx,
-         ROW_NUMBER() OVER (
-           PARTITION BY chunk ORDER BY doc_id, chunk_idx
-         ) AS rn
-  FROM chunks
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_chunks,
-       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM marked
-GROUP BY doc_id
-""",
-)
+# Not registered: scrubbed_corpus carries the per-doc n_chunks/n_kept_chunks
+# counts alongside the reassembled text.
 def q_chunk_dedup_stats(spark, sf_dir):
     marks = dedup.chunk_dedup_marks(_docs(spark, sf_dir), chunk_tokens=10)
     return marks.groupBy("doc_id").agg(
@@ -975,7 +987,9 @@ def q_chunk_dedup_stats(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Chunk-dedup end product: the scrubbed corpus itself (surviving windows
-# reassembled in order) — value-hash-checked text output, not just counts.
+# reassembled in order, value-hash-checked text output) plus the per-doc
+# total/surviving chunk counts. Every doc appears; fully-scrubbed docs have
+# an empty cleaned_text.
 # ---------------------------------------------------------------------------
 @register(
     "scrubbed_corpus",
@@ -994,12 +1008,18 @@ marked AS (
   FROM chunks
 )
 SELECT doc_id,
-       string_agg(chunk, ' ' ORDER BY chunk_idx) AS cleaned_text,
-       CAST(COUNT(*) AS BIGINT) AS n_kept_chunks
+       COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1),
+                '') AS cleaned_text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks
 FROM marked
-WHERE rn = 1
 GROUP BY doc_id
 """,
 )
 def q_scrubbed_corpus(spark, sf_dir):
     return dedup.scrub_repeated_chunks(_docs(spark, sf_dir), chunk_tokens=10)
+
+
+# source_profile's oracle is built here because it reuses _REP_SIG_SQL,
+# defined above its registration point.
+_ORACLES["source_profile"] = _source_profile_sql()

@@ -58,16 +58,56 @@ def q_capture_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# A1 — per-(logical-)topic message count.
+# A1 + A2 in one pass — per-(logical-)topic message count, with the
+# reference's "Found N, M non-partition" ratio carried per collapsed topic
+# (n_direct = rows not living under a partition child) plus the global row
+# (topic='*') the reference prints. Single groupBy; the global rollup is a
+# second agg over the tiny per-topic relation, not a second scan.
 # ---------------------------------------------------------------------------
 @register(
-    "per_topic_count",
+    "per_topic_count_ratio",
     EVENTS_TOPICS_SQL
     + rf"""
-SELECT regexp_replace(topic, '{PART_RE_SQL}', '') AS topic, COUNT(*) AS n_msgs
-FROM events_topics GROUP BY 1
+, per AS (
+  SELECT regexp_replace(topic, '{PART_RE_SQL}', '') AS topic,
+         CAST(COUNT(*) AS BIGINT) AS n_msgs,
+         CAST(COUNT(CASE WHEN NOT regexp_matches(topic, '{PART_RE_SQL}') THEN 1 END) AS BIGINT) AS n_direct
+  FROM events_topics GROUP BY 1
+)
+SELECT topic, n_msgs, n_direct, ROUND(n_direct * 1.0 / n_msgs, 4) AS direct_ratio FROM per
+UNION ALL
+SELECT '*' AS topic, CAST(SUM(n_msgs) AS BIGINT) AS n_msgs,
+       CAST(SUM(n_direct) AS BIGINT) AS n_direct,
+       ROUND(SUM(n_direct) * 1.0 / SUM(n_msgs), 4) AS direct_ratio
+FROM per
 """,
 )
+def q_per_topic_count_ratio(spark, sf_dir):
+    ev = with_topics(load_events(spark, sf_dir)).select(
+        collapse_partition(F.col("topic")).alias("ctopic"),
+        (~is_partition_topic(F.col("topic"))).cast("bigint").alias("is_direct"),
+    )
+    per = (
+        ev.groupBy(F.col("ctopic").alias("topic"))
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("is_direct").alias("n_direct"),
+        )
+    )
+    total = per.agg(
+        F.lit("*").alias("topic"),
+        F.sum("n_msgs").alias("n_msgs"),
+        F.sum("n_direct").alias("n_direct"),
+    )
+    with_ratio = lambda df: df.select(  # noqa: E731
+        "topic",
+        "n_msgs",
+        "n_direct",
+        F.round(F.col("n_direct") / F.col("n_msgs"), 4).alias("direct_ratio"),
+    )
+    return with_ratio(per).unionByName(with_ratio(total))
+
+
 def q_per_topic_count(spark, sf_dir):
     ev = with_topics(load_events(spark, sf_dir))
     return (
@@ -77,18 +117,6 @@ def q_per_topic_count(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# A2 — global count + filtered ratio ("Found N topics, M non-partition").
-# ---------------------------------------------------------------------------
-@register(
-    "count_ratio",
-    EVENTS_TOPICS_SQL
-    + rf"""
-SELECT COUNT(*) AS n_total,
-       COUNT(CASE WHEN NOT regexp_matches(topic, '{PART_RE_SQL}') THEN 1 END) AS n_kept
-FROM events_topics
-""",
-)
 def q_count_ratio(spark, sf_dir):
     ev = with_topics(load_events(spark, sf_dir))
     return ev.agg(
@@ -98,40 +126,84 @@ def q_count_ratio(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# U1/A3 — three-way union of topic listings + distinct
-# (pulsar_remote_inspector.py:400-421).
+# The set-operator family in one tagged contract query:
+#   U1/A3 — three-way union of topic listings + distinct
+#           (pulsar_remote_inspector.py:400-421);
+#   P2/U2 — system-resource exclusion (NOT IN / anti) on the collapsed
+#           listing;
+#   §2.7  — INTERSECT / EXCEPT on customer-vs-supplier nation keys.
+# Each leg keeps its natural table; the tag column makes every operator's
+# row set independently hash-checkable in one driver row.
 # ---------------------------------------------------------------------------
 @register(
-    "union_listings",
+    "set_operators",
     EVENTS_TOPICS_SQL
     + rf"""
-SELECT DISTINCT tenant, namespace, topic FROM (
-  SELECT tenant, namespace, topic FROM events_topics
-  WHERE NOT regexp_matches(topic, '{PART_RE_SQL}') AND tenant <> 'pulsar'
-  UNION ALL
-  SELECT tenant, namespace, regexp_replace(topic, '{PART_RE_SQL}', '') AS topic
-  FROM events_topics WHERE regexp_matches(topic, '{PART_RE_SQL}')
-  UNION ALL
-  SELECT tenant, namespace, topic FROM events_topics WHERE tenant = 'pulsar'
+SELECT 'union3' AS op, tenant AS k1, namespace AS k2, topic AS k3 FROM (
+  SELECT DISTINCT tenant, namespace, topic FROM (
+    SELECT tenant, namespace, topic FROM events_topics
+    WHERE NOT regexp_matches(topic, '{PART_RE_SQL}') AND tenant <> 'pulsar'
+    UNION ALL
+    SELECT tenant, namespace, regexp_replace(topic, '{PART_RE_SQL}', '') AS topic
+    FROM events_topics WHERE regexp_matches(topic, '{PART_RE_SQL}')
+    UNION ALL
+    SELECT tenant, namespace, topic FROM events_topics WHERE tenant = 'pulsar'
+  )
+)
+UNION ALL
+SELECT 'non_system' AS op, tenant AS k1, namespace AS k2, topic AS k3 FROM (
+  SELECT DISTINCT tenant, namespace, regexp_replace(topic, '{PART_RE_SQL}', '') AS topic
+  FROM events_topics
+  WHERE tenant NOT IN ({",".join(f"'{t}'" for t in SYSTEM_TENANTS)})
+)
+UNION ALL
+SELECT 'nation_intersect' AS op, CAST(nationkey AS VARCHAR) AS k1,
+       NULL AS k2, NULL AS k3 FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'nation_except' AS op, CAST(nationkey AS VARCHAR) AS k1,
+       NULL AS k2, NULL AS k3 FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
 )
 """,
 )
+def q_set_operators(spark, sf_dir):
+    from pulsar_replay_spark.queries_relational import (
+        q_nations_except,
+        q_nations_intersect,
+    )
+
+    ev = load_events(spark, sf_dir)
+    tag = lambda df, op, cols: df.select(  # noqa: E731
+        F.lit(op).alias("op"),
+        *[
+            (F.col(c).cast("string") if c else F.lit(None).cast("string")).alias(f"k{i+1}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    return (
+        tag(catalog.union_three_listings(ev), "union3", ["tenant", "namespace", "topic"])
+        .unionByName(
+            tag(catalog.non_system_topics(ev), "non_system", ["tenant", "namespace", "topic"])
+        )
+        .unionByName(
+            tag(q_nations_intersect(spark, sf_dir), "nation_intersect", ["nationkey", None, None])
+        )
+        .unionByName(
+            tag(q_nations_except(spark, sf_dir), "nation_except", ["nationkey", None, None])
+        )
+    )
+
+
 def q_union_listings(spark, sf_dir):
     return catalog.union_three_listings(load_events(spark, sf_dir))
 
 
-# ---------------------------------------------------------------------------
-# P2/U2 — system-resource exclusion (NOT IN / anti) on the collapsed listing.
-# ---------------------------------------------------------------------------
-@register(
-    "non_system_topics",
-    EVENTS_TOPICS_SQL
-    + rf"""
-SELECT DISTINCT tenant, namespace, regexp_replace(topic, '{PART_RE_SQL}', '') AS topic
-FROM events_topics
-WHERE tenant NOT IN ({",".join(f"'{t}'" for t in SYSTEM_TENANTS)})
-""",
-)
 def q_non_system_topics(spark, sf_dir):
     return catalog.non_system_topics(load_events(spark, sf_dir))
 
@@ -193,17 +265,9 @@ def q_per_topic_limit(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # P4 — priority-namespace filter (substring patterns org-1|global|dlq).
+# (Not registered — top_n_topics carries the P4 pattern as its is_priority
+# ordering key; see COVERAGE.md "contract budget".)
 # ---------------------------------------------------------------------------
-@register(
-    "priority_namespaces",
-    EVENTS_TOPICS_SQL
-    + rf"""
-SELECT namespace, COUNT(DISTINCT topic) AS n_topics, COUNT(*) AS n_msgs
-FROM events_topics
-WHERE regexp_matches(namespace, '{catalog.PRIORITY_NS_RE}')
-GROUP BY namespace
-""",
-)
 def q_priority_namespaces(spark, sf_dir):
     ev = with_topics(load_events(spark, sf_dir))
     return (
@@ -217,11 +281,14 @@ def q_priority_namespaces(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# P5 — project-id extraction from topic names
-# (pulsar_remote_inspector.py:188-195).
+# The reference's two text-parsing idioms in one tagged contract query:
+#   P5 — project-id regex extraction from topic names
+#        (pulsar_remote_inspector.py:188-195);
+#   P3 — pulsarctl ASCII-table field extraction
+#        (pulsar_backup_restore.py:56-57).
 # ---------------------------------------------------------------------------
 @register(
-    "project_id_extract",
+    "reference_parsers",
     r"""
 WITH ing AS (
   SELECT 'persistent://eventbus/org-1/'
@@ -230,13 +297,55 @@ WITH ing AS (
                  ELSE 'other-' || event_type END AS topic,
          value
   FROM events
+),
+proj AS (
+  SELECT CAST(NULLIF(regexp_extract(topic, '(?:post-)?ingestion-(\d+)', 1), '') AS INT) AS project_id,
+         COUNT(*) AS n,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM ing GROUP BY 1
+),
+lines AS (
+  SELECT '| ' || CAST(event_id AS VARCHAR) || ' | ' || event_type || ' |' AS line
+  FROM events
+),
+parsed AS (
+  SELECT CAST(string_split_regex(line, '\s+')[2] AS BIGINT) AS id,
+         string_split_regex(line, '\s+')[4] AS name
+  FROM lines
+),
+ascii_t AS (
+  SELECT name, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+  FROM parsed GROUP BY name
 )
-SELECT CAST(NULLIF(regexp_extract(topic, '(?:post-)?ingestion-(\d+)', 1), '') AS INT) AS project_id,
-       COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS sum_value
-FROM ing GROUP BY 1
+SELECT 'project_id' AS parser, CAST(project_id AS VARCHAR) AS key,
+       CAST(n AS BIGINT) AS n, sum_value AS m1, CAST(NULL AS DOUBLE) AS m2
+FROM proj
+UNION ALL
+SELECT 'ascii_table' AS parser, name AS key, CAST(n AS BIGINT) AS n,
+       CAST(min_id AS DOUBLE) AS m1, CAST(max_id AS DOUBLE) AS m2
+FROM ascii_t
 """,
 )
+def q_reference_parsers(spark, sf_dir):
+    from pulsar_replay_spark.queries_functions import q_ascii_table_parse
+
+    proj = q_project_id_extract(spark, sf_dir).select(
+        F.lit("project_id").alias("parser"),
+        F.col("project_id").cast("string").alias("key"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+    )
+    ascii_leg = q_ascii_table_parse(spark, sf_dir).select(
+        F.lit("ascii_table").alias("parser"),
+        F.col("name").alias("key"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("min_id").cast("double").alias("m1"),
+        F.col("max_id").cast("double").alias("m2"),
+    )
+    return proj.unionByName(ascii_leg)
+
+
 def q_project_id_extract(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     topic = F.concat(
@@ -255,19 +364,43 @@ def q_project_id_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# P7 — topic↔filename codec round-trip (pulsar_backup_restore.py:103,192).
+# Both reference codecs in one tagged contract query:
+#   P7 — topic↔filename round-trip (pulsar_backup_restore.py:103,192);
+#   P8 — charset-fallback content base64 over documents (UTF-8 branch; the
+#        invalid-UTF-8 branch is covered by tests/test_envelope.py).
 # ---------------------------------------------------------------------------
 @register(
-    "topic_codec",
+    "codec_roundtrips",
     EVENTS_TOPICS_SQL
     + r"""
-SELECT DISTINCT topic,
-       replace(replace(topic, '/', '_'), ':', '+') AS fname,
-       replace(replace(replace(replace(topic, '/', '_'), ':', '+'), '_', '/'), '+', ':') = topic
-         AS roundtrip_ok
-FROM events_topics
+SELECT 'topic_fname' AS codec, topic AS key,
+       replace(replace(topic, '/', '_'), ':', '+') AS encoded,
+       CAST(replace(replace(replace(replace(topic, '/', '_'), ':', '+'), '_', '/'), '+', ':') = topic
+            AS BIGINT) AS n
+FROM (SELECT DISTINCT topic FROM events_topics)
+UNION ALL
+SELECT 'content_b64' AS codec, CAST(doc_id AS VARCHAR) AS key,
+       base64(encode(text)) AS encoded,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n
+FROM documents
 """,
 )
+def q_codec_roundtrips(spark, sf_dir):
+    topic_leg = q_topic_codec(spark, sf_dir).select(
+        F.lit("topic_fname").alias("codec"),
+        F.col("topic").alias("key"),
+        F.col("fname").alias("encoded"),
+        F.col("roundtrip_ok").cast("bigint").alias("n"),
+    )
+    content_leg = q_content_codec(spark, sf_dir).select(
+        F.lit("content_b64").alias("codec"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("b64").alias("encoded"),
+        F.col("byte_len").cast("bigint").alias("n"),
+    )
+    return topic_leg.unionByName(content_leg)
+
+
 def q_topic_codec(spark, sf_dir):
     ev = with_topics(load_events(spark, sf_dir))
     return ev.select(
@@ -283,15 +416,6 @@ def q_topic_codec(spark, sf_dir):
 # P8 — charset-fallback content codec over documents (UTF-8 branch; the
 # invalid-UTF-8 branch is covered by tests/test_envelope.py).
 # ---------------------------------------------------------------------------
-@register(
-    "content_codec",
-    """
-SELECT doc_id,
-       base64(encode(text)) AS b64,
-       octet_length(encode(text)) AS byte_len
-FROM documents
-""",
-)
 def q_content_codec(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     raw = F.encode(F.col("text"), "UTF-8")
@@ -305,15 +429,6 @@ def q_content_codec(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # JSON family — get_json_object over events.props (§2.8).
 # ---------------------------------------------------------------------------
-@register(
-    "json_props",
-    """
-SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-       COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS sum_value
-FROM events GROUP BY 1
-""",
-)
 def q_json_props(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
@@ -331,6 +446,10 @@ def q_json_props(spark, sf_dir):
 GENERATOR_N = 1000
 
 
+# The registered form drives the FULL nested path: generate the 4-level
+# emailSend document, navigate the nested fields back out (all three of the
+# reference's timestamp formats), and prove the to_json→from_json round-trip
+# — so S9 + nested-struct navigation + JSON fidelity land in one driver row.
 @register(
     "generator",
     f"""
@@ -344,50 +463,140 @@ SELECT id,
        CAST(1000 + (id * 37) % 50 AS INT) AS campaign_id,
        CAST(500 + (id * 13) % 20 AS INT) AS template_id,
        CAST(100 + id % 7 AS INT) AS project_id,
-       strftime(epoch_ms(CAST(1700000000000 + id * 1000 AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS created_at
+       strftime(epoch_ms(CAST(1700000000000 + id * 1000 AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS created_at,
+       strftime(epoch_ms(CAST(1700000000000 + id * 1000 AS BIGINT)), '%Y-%m-%d %H:%M:%S +00:00') AS es_created_at,
+       'emailSend' AS doc_type,
+       TRUE AS roundtrip_ok
 FROM range({GENERATOR_N}) t(id)
 """,
 )
 def q_generator(spark, sf_dir):
-    from pulsar_replay_spark.generator import generate_flat
+    from pulsar_replay_spark.generator import generate_emailsend
 
-    return generate_flat(spark, GENERATOR_N)
-
-
-# ---------------------------------------------------------------------------
-# Timestamp functions (§2.8 date/time) — monthly rollup of orders.
-# ---------------------------------------------------------------------------
-@register(
-    "orders_by_month",
-    """
-SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
-FROM orders GROUP BY 1
-""",
-)
-def q_orders_by_month(spark, sf_dir):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
-        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    doc = generate_emailsend(spark, GENERATOR_N)
+    schema = doc.schema["doc"].dataType
+    back = doc.select("id", "doc", F.from_json("json", schema).alias("doc2"))
+    return back.select(
+        "id",
+        F.col("doc2.eventId").alias("event_id_hex"),
+        F.col("doc2.payload.userKey").alias("user_key"),
+        F.col("doc2.payload.data.diff.campaignId").alias("campaign_id"),
+        F.col("doc2.payload.data.diff.templateId").alias("template_id"),
+        F.col("doc2.payload.projectId").alias("project_id"),
+        F.col("doc2.createdAt").alias("created_at"),
+        F.col("doc2.payload.metadata.esContext.esCreatedAt").alias("es_created_at"),
+        F.col("doc2.payload.docType").alias("doc_type"),
+        (F.to_json("doc") == F.to_json("doc2")).alias("roundtrip_ok"),
     )
 
 
 # ---------------------------------------------------------------------------
-# T8-adjacent (batch form) — tumbling-window counts per event_type; the
-# streaming variant (watermark + window) is tested in tests/test_streaming.py.
+# Timestamp functions (§2.8 date/time) — monthly rollup of orders, run
+# through the SQL-TEXT interface (spark.sql over a registered view): the
+# engine's second query API goes through the same Catalyst pipeline as the
+# DataFrame API, pinned here by executing pure SQL text.
+# ---------------------------------------------------------------------------
+# Not registered: time_bucketed_counts carries this as its monthly_orders
+# leg (still executed through spark.sql text — the SQL-text interface pin).
+def q_orders_by_month(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders_v GROUP BY date_format(o_orderdate, 'yyyy-MM')
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# The time-bucketing family in one tagged contract query (batch twins of the
+# streaming pipelines in streaming/pipelines.py, tested with watermarks in
+# tests/test_streaming.py):
+#   tumbling  — 1 h window() per event_type;
+#   sliding   — 1 h window, 30 min slide (every event lands in 2 windows);
+#   gapfill   — per-user hourly grid via sequence+explode, zero-filled where
+#               no events landed (the resample operator);
+#   monthly_orders — calendar-month rollup of orders, executed as pure SQL
+#               text through spark.sql (pins the engine's second query API:
+#               same Catalyst pipeline as the DataFrame legs).
 # ---------------------------------------------------------------------------
 @register(
-    "tumbling_window_counts",
+    "time_bucketed_counts",
     """
-SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
-       event_type,
-       COUNT(*) AS n,
+SELECT 'tumbling' AS kind, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+       event_type AS key, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 2) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind, window_start_ms AS bucket_ms, NULL AS key,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS window_start_ms, value FROM events
+  UNION ALL
+  SELECT ((epoch_ms(ts) // 1800000) - 1) * 1800000 AS window_start_ms, value FROM events
+) GROUP BY 2
+UNION ALL
+SELECT 'gapfill_user_hour' AS kind, hour_ms AS bucket_ms, key, n,
+       CAST(NULL AS DOUBLE) AS sum_value
+FROM (
+  WITH bounds AS (
+    SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+    FROM events GROUP BY user_id
+  ),
+  grid AS (
+    SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+  ),
+  cnt AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+  )
+  SELECT CAST(g.user_id AS VARCHAR) AS key, epoch_ms(g.h) AS hour_ms,
+         COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id AND g.h = c.h
+)
+UNION ALL
+SELECT 'monthly_orders' AS kind, CAST(NULL AS BIGINT) AS bucket_ms,
+       strftime(o_orderdate, '%Y-%m') AS key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_value
+FROM orders GROUP BY 3
 """,
 )
+def q_time_bucketed_counts(spark, sf_dir):
+    from pulsar_replay_spark.queries_temporal import q_gapfill_hourly_counts
+
+    tag = lambda df, kind, bucket, key, n, sv: df.select(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        F.col(bucket).alias("bucket_ms"),
+        (F.col(key).cast("string") if key else F.lit(None).cast("string")).alias("key"),
+        F.col(n).cast("bigint").alias("n"),
+        (F.col(sv).cast("double") if sv else F.lit(None).cast("double")).alias("sum_value"),
+    )
+    return (
+        tag(q_tumbling_window_counts(spark, sf_dir), "tumbling",
+            "window_start_ms", "event_type", "n", "sum_value")
+        .unionByName(
+            tag(q_sliding_window_counts(spark, sf_dir), "sliding",
+                "window_start_ms", None, "n", "sum_value")
+        )
+        .unionByName(
+            tag(q_gapfill_hourly_counts(spark, sf_dir), "gapfill_user_hour",
+                "hour_ms", "user_id", "n", None)
+        )
+        .unionByName(
+            q_orders_by_month(spark, sf_dir).select(
+                F.lit("monthly_orders").alias("kind"),
+                F.lit(None).cast("bigint").alias("bucket_ms"),
+                F.col("month").alias("key"),
+                F.col("n_orders").cast("bigint").alias("n"),
+                F.col("revenue").cast("double").alias("sum_value"),
+            )
+        )
+    )
+
+
 def q_tumbling_window_counts(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     return (
@@ -405,18 +614,6 @@ def q_tumbling_window_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Sliding windows (1 h window, 30 min slide): each event lands in 2 windows.
 # ---------------------------------------------------------------------------
-@register(
-    "sliding_window_counts",
-    """
-WITH exploded AS (
-  SELECT (epoch_ms(ts) // 1800000) * 1800000 AS window_start_ms, value FROM events
-  UNION ALL
-  SELECT ((epoch_ms(ts) // 1800000) - 1) * 1800000 AS window_start_ms, value FROM events
-)
-SELECT window_start_ms, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-FROM exploded GROUP BY 1
-""",
-)
 def q_sliding_window_counts(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     return (

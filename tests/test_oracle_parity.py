@@ -39,12 +39,9 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 # Queries intentionally registered rows-only, each with the reason the
-# driver's weaker check is acceptable.
-ROWS_ONLY = {
-    # 1→N Arrow-batched mapInPandas fan-out — not SQL-expressible; semantics
-    # pinned in tests/test_multimodal.py instead.
-    "video_frame_sample",
-}
+# driver's weaker check is acceptable. Empty since round 2: the frame
+# sampler's deterministic fakes are hex-slice-reproducible in DuckDB.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_reason():
