@@ -109,6 +109,86 @@ def write_replay(env: DataFrame, service_url: str, admin_url: str) -> None:
         raise PulsarUnavailable(str(e)) from e
 
 
+def paced_publish(
+    rows,
+    producer,
+    rate_per_second: int,
+    clock=None,
+    sleep=None,
+) -> int:
+    """Rate-paced async publish of one partition's rows (S7 / T5 sink side).
+
+    Reference semantics (``pulsar_remote_inspector.py:291-328``): batches of
+    ``min(100, rate//10)`` messages (≥1), ``send_async`` per message inside
+    the batch, sleep the remainder of ``batch_size/rate`` between batches,
+    and a single ``flush()`` after the last message so everything async is
+    on the wire before return. Returns the number of messages sent.
+
+    ``producer`` needs ``send_async(payload, callback=None)`` and
+    ``flush()`` — satisfied by a ``pulsar.Producer`` and by test stubs.
+    ``clock``/``sleep`` are injectable so tests assert pacing without
+    wall-clock sleeps. Designed to run per-partition (each executor
+    partition gets ``rate/`` partitions share), never per-row on the driver.
+    """
+    import time as _time
+
+    clock = clock or _time.monotonic
+    sleep = sleep or _time.sleep
+    if rate_per_second <= 0:
+        raise ValueError("rate_per_second must be positive")
+    batch_size = max(1, min(100, rate_per_second // 10))
+    delay_between_batches = batch_size / rate_per_second
+
+    sent = 0
+    batch: list = []
+    it = iter(rows)
+    while True:
+        batch.clear()
+        for msg in it:
+            batch.append(msg)
+            if len(batch) >= batch_size:
+                break
+        if not batch:
+            break
+        batch_start = clock()
+        for msg in batch:
+            producer.send_async(msg, callback=None)
+            sent += 1
+        batch_time = clock() - batch_start
+        if len(batch) == batch_size and batch_time < delay_between_batches:
+            sleep(delay_between_batches - batch_time)
+    producer.flush()
+    return sent
+
+
+def write_replay_paced(
+    env: DataFrame,
+    producer_factory,
+    rate_per_second: int,
+    partitions: int = 1,
+) -> None:
+    """Distributed replay at a bounded aggregate rate: each of ``partitions``
+    partitions opens its own producer (connections can't cross the
+    executor boundary) and paces at its share of the total rate — the
+    scale-out form of the reference's single paced producer loop.
+    ``producer_factory`` runs on the executor and must be serializable."""
+    from pulsar_replay_spark.sources.jsonio import replay_frame
+
+    per_part_rate = max(1, rate_per_second // partitions)
+    payloads = replay_frame(env).select("payload")
+
+    def _publish(rows) -> None:
+        producer = producer_factory()
+        try:
+            paced_publish((r["payload"] for r in rows), producer, per_part_rate)
+        finally:
+            close = getattr(producer, "close", None)
+            if close:
+                close()
+
+    payloads.repartition(partitions).foreachPartition(_publish)
+
+
 # ---------------------------------------------------------------------------
 # Admin REST catalog (S1/S2/S10/S11) — driver-side DDL, like the reference's
 # pulsarctl/REST calls, but returning DataFrames for the listing operators.

@@ -203,7 +203,11 @@ def run_available_now_complete(stream_df: DataFrame, sink_table: str, checkpoint
 
 
 def foreach_batch_idempotent(
-    stream: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    processing_time: str | None = None,
 ):
     """Exactly-once foreachBatch: after a crash between sink-write and
     checkpoint-commit, Structured Streaming re-runs the SAME batch_id; the
@@ -222,10 +226,15 @@ def foreach_batch_idempotent(
             .parquet(out_dir)
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(write_batch)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is not None:
+        # continuous mode for restart/chaos tests: batches keep coming until
+        # an explicit stop(), instead of draining-and-terminating
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

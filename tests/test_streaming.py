@@ -215,3 +215,74 @@ def test_foreach_batch_idempotent_rerun(spark, events_src, tmp_path_factory):
         .parquet(out)
     )
     assert spark.read.parquet(out).count() == n1  # no duplication
+
+
+def test_kill_and_restart_from_checkpoint_exactly_once(
+    spark, events_src, tmp_path_factory
+):
+    """Chaos recovery: kill the query mid-stream, delete the newest commit
+    marker (simulating a crash AFTER the sink write but BEFORE the
+    checkpoint commit — the window where at-least-once redelivery happens),
+    restart from the same checkpoint, and drain. The re-delivered batch_id
+    must overwrite itself: zero loss, zero duplicates."""
+    import os
+    import time
+
+    out = str(tmp_path_factory.mktemp("out"))
+    ck = str(tmp_path_factory.mktemp("ck"))
+    stream = pipelines.events_stream(spark, events_src)  # 4 files → 4 batches
+
+    # Phase 1: continuous trigger, stop after ≥2 batches committed.
+    q = pipelines.foreach_batch_idempotent(stream, out, ck, processing_time="1 seconds")
+    commits = os.path.join(ck, "commits")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [f for f in os.listdir(commits)] if os.path.isdir(commits) else []
+        if len([f for f in done if not f.startswith(".")]) >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass  # stop() can surface as a query interrupt — termination is what matters
+    deadline = time.time() + 60
+    while time.time() < deadline and any(
+        aq.id == q.id for aq in spark.streams.active
+    ):
+        time.sleep(0.2)
+    assert not q.isActive
+    committed = sorted(
+        int(f) for f in os.listdir(commits) if not f.startswith(".")
+    )
+    assert committed, "no batch committed before the kill"
+
+    # Crash simulation: the newest PLANNED batch's commit marker is lost but
+    # its sink write (the batch_id= partition) survives — the poison scenario
+    # for a plain append sink. Align with the offsets log: recovery tolerates
+    # exactly one trailing uncommitted batch, so remove the commit only if
+    # the last planned batch actually committed (otherwise the kill itself
+    # already left that crash window open).
+    offsets_dir = os.path.join(ck, "offsets")
+    planned = sorted(
+        int(f) for f in os.listdir(offsets_dir) if not f.startswith(".")
+    )
+    if planned and planned[-1] in committed:
+        os.remove(os.path.join(commits, str(planned[-1])))
+        crc = os.path.join(commits, f".{planned[-1]}.crc")  # Hadoop checksum shadow
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # Phase 2: restart from the same checkpoint; AvailableNow drains the rest.
+    q2 = pipelines.foreach_batch_idempotent(
+        pipelines.events_stream(spark, events_src), out, ck
+    )
+    q2.awaitTermination()
+
+    src = spark.read.parquet(events_src)
+    got = spark.read.parquet(out)
+    assert got.count() == src.count()  # no loss, no dupes
+    assert (
+        got.select("event_id").distinct().count()
+        == src.select("event_id").distinct().count()
+    )
