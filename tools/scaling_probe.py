@@ -26,9 +26,10 @@ OPS = [
     "q3_shipping_priority",
     "asof_latest_order",
     "minhash_pairs",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_capped",
     "near_dup_clusters",
-    "gapfill_hourly_counts",
+    "time_bucketed_counts",
+    "scrubbed_corpus",
 ]
 
 
@@ -43,7 +44,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    qs["count_ratio"](spark, SFS[0]).write.format("noop").mode("overwrite").save()
+    qs["per_topic_count_ratio"](spark, SFS[0]).write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
     for name in OPS:
