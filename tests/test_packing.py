@@ -1,0 +1,124 @@
+"""Sequence-packing gates: DuckDB hash-parity for the JVM token-stream
+packer, invariants (no overflow, determinism, monotone placement, token
+conservation) for the greedy packer, and the shard-parallel plan shape
+(the window partitions on shard — never a global single-partition sort)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import packing
+from tests.conftest import SF_SMOKE
+
+SEQ_LEN = 512
+N_SHARDS = 16
+
+_STREAM_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+              % {N_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              AS BIGINT) AS end_tok
+  FROM lens
+)
+SELECT doc_id, shard, n_tokens,
+       end_tok - n_tokens AS start_tok, end_tok,
+       (end_tok - n_tokens) // {SEQ_LEN} AS first_seq,
+       (end_tok - 1) // {SEQ_LEN} AS last_seq
+FROM spans
+"""
+
+
+@pytest.fixture(scope="module")
+def stream_packed(documents):
+    df = packing.pack_token_stream(documents, SEQ_LEN, N_SHARDS)
+    rows = df.collect()
+    return df, rows
+
+
+@pytest.fixture(scope="module")
+def greedy_packed(documents):
+    return packing.pack_greedy(documents, SEQ_LEN, N_SHARDS).collect()
+
+
+def test_token_stream_matches_duckdb(stream_packed):
+    _, rows = stream_packed
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    oracle = con.execute(_STREAM_ORACLE).fetchall()
+    key = lambda r: r[0]
+    assert sorted([tuple(r) for r in rows], key=key) == sorted(oracle, key=key)
+
+
+def test_token_stream_is_shard_parallel(documents):
+    plan = packing.pack_token_stream(documents, SEQ_LEN, N_SHARDS)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_greedy_never_overflows(greedy_packed):
+    per_seq: dict[tuple, list[int]] = {}
+    for r in greedy_packed:
+        per_seq.setdefault((r.shard, r.seq_id), []).append(r.n_tokens)
+    for toks in per_seq.values():
+        assert sum(toks) <= SEQ_LEN or len(toks) == 1  # overlong doc = own seq
+
+
+def test_greedy_offsets_and_monotone_placement(greedy_packed):
+    by_shard: dict[int, list] = {}
+    for r in greedy_packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        prev_seq, fill = 0, 0
+        for r in rows:
+            assert r.seq_id >= prev_seq  # first-fit-by-order never goes back
+            if r.seq_id != prev_seq:
+                fill = 0
+            assert r.tok_offset == fill
+            fill += r.n_tokens
+            prev_seq = r.seq_id
+
+
+def test_greedy_is_deterministic(documents):
+    a = sorted(map(tuple, packing.pack_greedy(documents, SEQ_LEN, N_SHARDS).collect()))
+    b = sorted(
+        map(
+            tuple,
+            packing.pack_greedy(
+                documents.repartition(7), SEQ_LEN, N_SHARDS
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_packers_conserve_tokens(documents, stream_packed, greedy_packed):
+    from pulsar_replay_spark.functions.text import token_count
+
+    total = documents.agg(F.sum(token_count(F.col("text")))).first()[0]
+    _, stream_rows = stream_packed
+    assert sum(r.n_tokens for r in stream_rows) == total
+    assert sum(r.n_tokens for r in greedy_packed) == total
+
+
+def test_packing_stats_bounds(documents, spark):
+    stats = packing.packing_stats(
+        packing.pack_greedy(documents, SEQ_LEN, N_SHARDS), SEQ_LEN
+    ).collect()
+    assert len(stats) > 0
+    for r in stats:
+        assert 0 < r.avg_fill <= 1.0
+        assert 0 <= r.padding_frac < 1.0
+        # greedy padding at 512 tokens on real-length docs should be modest
+        assert r.padding_frac < 0.5
