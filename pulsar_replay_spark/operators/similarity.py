@@ -231,12 +231,76 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) ->
     )
 
 
+def kmeans_refine(
+    embeddings: DataFrame, n_cells: int = N_CELLS, n_iter: int = 2
+) -> DataFrame:
+    """Lloyd's refinement of the deterministic seed centroids: assign every
+    vector to its nearest centroid, recompute each centroid as the
+    per-dimension mean of its members, repeat. Better centroids → tighter
+    Voronoi cells → fewer out-of-cell true neighbors, the knob that lifts
+    IVF recall without raising nprobe.
+
+    Scale shape per iteration: ``ivf_assign`` (broadcast centroids, shuffle
+    on vec_id) + per-dim mean via posexplode — the reduce keyspace is
+    (cell, dim) = n_cells·dim rows, constant in corpus size, same pattern
+    as ``label_centroid_cohesion``. One ``localCheckpoint`` per iteration
+    cuts lineage so N iterations never replan the whole history (the
+    connected-components discipline). Cells that lose every member drop out
+    (standard Lloyd's on fixed seeds — callers see ≤ n_cells centroids).
+    """
+    cents = ivf_centroids(embeddings, n_cells)
+    for _ in range(n_iter):
+        assign = ivf_assign(embeddings, cents, n_probe=1)
+        pos = (
+            embeddings.join(assign, "vec_id")
+            .select("cell_id", F.posexplode("embedding").alias("i", "xf"))
+            .select("cell_id", "i", F.col("xf").cast("double").alias("x"))
+        )
+        per_dim = pos.groupBy("cell_id", "i").agg(F.avg("x").alias("c"))
+        cents = per_dim.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        ).localCheckpoint(eager=True)
+    return cents
+
+
+def assignment_cohesion(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Mean cosine of every vector to its assigned (nearest) centroid — the
+    objective Lloyd's iterations improve; one row: (n_vecs, avg_cos)."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    best = (
+        embeddings.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("v_norm")
+        )
+        .join(
+            F.broadcast(
+                centroids.select(
+                    "cell_id", "centroid", norm(F.col("centroid")).alias("c_norm")
+                )
+            )
+        )
+        .withColumn(
+            "sim",
+            dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("v_norm") * F.col("c_norm")),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("best_sim"))
+    )
+    return best.agg(
+        F.count("*").alias("n_vecs"), F.round(F.avg("best_sim"), 6).alias("avg_cos")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: corpus vectors live in their 1 nearest cell; each
     query probes its ``n_probe`` nearest cells. Candidate generation is an
@@ -245,7 +309,7 @@ def ivf_topk(
     ``brute_force_topk`` (the recall oracle)."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
-    cents = ivf_centroids(embeddings, n_cells)
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
     corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
     query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 

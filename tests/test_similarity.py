@@ -111,3 +111,44 @@ def test_lsh_near_dup_recall_vs_exact(spark, embeddings):
     if exact:
         recall = len(got & exact) / len(exact)
         assert recall >= 0.3, f"recall {recall}"
+
+
+def test_kmeans_refine_improves_cohesion(spark, embeddings):
+    """Lloyd's iterations must tighten cells: mean cosine of vectors to their
+    assigned centroid strictly improves over the first-k seed pick, and a
+    second iteration never undoes the first (monotone on the fixtures)."""
+    seed = similarity.ivf_centroids(embeddings)
+    one = similarity.kmeans_refine(embeddings, n_iter=1)
+    two = similarity.kmeans_refine(embeddings, n_iter=2)
+    c_seed = similarity.assignment_cohesion(embeddings, seed).first()
+    c_one = similarity.assignment_cohesion(embeddings, one).first()
+    c_two = similarity.assignment_cohesion(embeddings, two).first()
+    assert c_seed["n_vecs"] == c_one["n_vecs"] == c_two["n_vecs"]
+    assert c_one["avg_cos"] > c_seed["avg_cos"]
+    assert c_two["avg_cos"] >= c_one["avg_cos"]
+
+
+def test_kmeans_refine_deterministic_and_bounded(spark, embeddings):
+    a = similarity.kmeans_refine(embeddings, n_iter=2).collect()
+    b = similarity.kmeans_refine(embeddings, n_iter=2).collect()
+    assert sorted(r["cell_id"] for r in a) == sorted(r["cell_id"] for r in b)
+    assert {tuple(r["centroid"]) for r in a} == {tuple(r["centroid"]) for r in b}
+    assert 0 < len(a) <= similarity.N_CELLS
+    assert all(len(r["centroid"]) == similarity.DIM for r in a)
+
+
+def test_ivf_with_refined_centroids_keeps_recall(spark, embeddings):
+    """The refined-centroid IVF path must hold the recall bar of the seeded
+    path (same nprobe/cells budget) — refinement is a quality knob, never a
+    correctness regression."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    cents = similarity.kmeans_refine(embeddings, n_iter=2)
+    approx_df = similarity.ivf_topk(embeddings, queries, k=5, centroids=cents)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = approx_df.collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"recall {recall}"
