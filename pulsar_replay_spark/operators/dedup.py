@@ -213,7 +213,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, small_graph_edges: int = SMALL_GRAPH_EDGES
+) -> DataFrame:
     """Transitive closure of candidate pairs → (doc_id, cluster_id) where
     cluster_id = min doc_id reachable. This is what turns pairwise near-dup
     hits into dedup *groups* (keep one doc per cluster).
@@ -226,6 +231,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     never grows unboundedly (localCheckpoint would be the lever if clusters
     were deep).
 
+    Hybrid finish: the dedup *edge* relation (LSH collisions above
+    threshold) is orders of magnitude smaller than the corpus; when the
+    materialized edge count — already an action this operator pays — is
+    ≤ ``small_graph_edges`` (~16 MB of longs), the closure runs as a
+    driver-side union-find instead of diameter× cluster rounds that would
+    be pure shuffle overhead on a near-empty frame. Same size-gated
+    strategy switch as Spark's broadcast threshold, and the same shape real
+    hybrid-CC systems use (finish locally once the frontier is small); the
+    distributed loop remains the path for graphs past the gate, and both
+    paths are equality-tested. ``small_graph_edges=0`` forces distributed.
+
     The reference has no graph ops (SURVEY §2.3); this is the engine's
     iterative-algorithm seam (same pattern serves PageRank-style scoring).
     """
@@ -233,8 +249,31 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     sym = sym.distinct().persist()
-    sym.count()  # materialize once: the upstream pair pipeline (minhash etc.)
-    # must never re-run inside the loop
+    n_edges = sym.count()  # materialize once: the upstream pair pipeline
+    # (minhash etc.) must never re-run inside the loop
+
+    if n_edges <= small_graph_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # one collect — the gate bounds it to ≤ small_graph_edges rows
+        # (~16 MB of longs); toLocalIterator would pay one job per partition
+        for r in sym.collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:  # union by min so labels match the distributed path
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(v, find(v)) for v in parent]
+        dt = sym.schema["src"].dataType.simpleString()  # match distributed-path types
+        sym.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(rows, f"doc_id {dt}, cluster_id {dt}")
 
     labels = (
         sym.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))

@@ -116,12 +116,21 @@ def test_connected_components_matches_union_find(spark, documents):
         roots.setdefault(find(r), []).append(v)
     exp_clusters = {min(ms): sorted(ms) for ms in roots.values()}
 
-    got = dedup.connected_components(pairs).collect()
-    got_clusters = {}
-    for r in got:
-        got_clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
-    got_clusters = {k: sorted(v) for k, v in got_clusters.items()}
-    assert got_clusters == exp_clusters
+    def clusters_of(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["cluster_id"], []).append(r["doc_id"])
+        return {k: sorted(v) for k, v in got.items()}
+
+    # distributed label propagation (forced past the small-graph gate) and
+    # the size-gated driver union-find must both equal the reference result
+    dist = dedup.connected_components(pairs, small_graph_edges=0)
+    hybrid = dedup.connected_components(pairs)
+    assert clusters_of(dist) == exp_clusters
+    assert clusters_of(hybrid) == exp_clusters
+    assert [f.dataType for f in dist.schema.fields] == [
+        f.dataType for f in hybrid.schema.fields
+    ]
 
 
 def test_near_dup_clusters_end_to_end(spark, documents):

@@ -138,6 +138,10 @@ def main() -> None:
     t = time.perf_counter()
     n_clusters = dedup.near_dup_clusters(docs).count()
     out["near_dup_clusters_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    scrub = dedup.scrub_repeated_chunks(docs)
+    n_scrubbed = scrub.filter(F.col("n_kept_chunks") < F.col("n_chunks")).count()
+    out["chunk_scrub_50k_docs"] = round(time.perf_counter() - t, 2)
     emb = read("embeddings")
     queries = emb.filter(F.col("vec_id") % 1000 == 0)
     t = time.perf_counter()
@@ -147,7 +151,11 @@ def main() -> None:
     print(json.dumps({
         "replicas": n, "build_sec": build_s, "rows": sizes,
         "timings_sec": out,
-        "sanity": {"minhash_pairs": n_pairs, "near_dup_clusters": n_clusters},
+        "sanity": {
+            "minhash_pairs": n_pairs,
+            "near_dup_clusters": n_clusters,
+            "docs_with_scrubbed_chunks": n_scrubbed,
+        },
     }))
 
 
