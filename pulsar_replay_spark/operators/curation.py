@@ -98,6 +98,39 @@ def select_within_token_budget_naive(
     )
 
 
+def mixture_sample(docs: DataFrame, target_weights: dict[str, float]) -> DataFrame:
+    """Deterministic weighted mixture: sample each source so that kept
+    tokens approach the target proportions, scaled to the largest mixture
+    the scarcest source supports (K = min_s available_s / weight_s; source
+    s keeps ≈ K·weight_s tokens — the binding source keeps everything).
+
+    Acceptance is by md5(doc_id) fraction — per-doc, stable under
+    repartitioning/retries, reproducible in any engine. The only shuffle is
+    the per-source token-total agg, a |sources|-row frame the driver turns into
+    literal rates (the broadcast-threshold pattern: a handful of scalars,
+    not data). Proportions are approximate at doc granularity — exactness
+    at token granularity would need the budget-selection machinery above.
+
+    Returns docs ∩ sample with (doc_id, source, n_tokens)."""
+    weights = {s: float(w) for s, w in target_weights.items()}
+    total_w = sum(weights.values())
+    scored = _scored(docs, None).filter(F.col("source").isin(list(weights)))
+    avail = {
+        r["source"]: r["t"]
+        for r in scored.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    k = min(avail[s] / (weights[s] / total_w) for s in avail)
+    rates = {s: min(1.0, k * (weights[s] / total_w) / avail[s]) for s in avail}
+    rate_col = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in rates.items()]
+    )
+    # md5 prefix as a uniform [0,1) fraction: first 8 hex chars / 16^8
+    frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    return scored.filter(frac < rate_col).select("doc_id", "source", "n_tokens")
+
+
 def mixture_summary(selected: DataFrame, budget_tokens: int) -> DataFrame:
     """Per-source mixture report: docs kept, tokens kept, budget utilization
     and the score floor that made the cut."""

@@ -20,8 +20,6 @@ Every hash is md5-derived so the DuckDB oracle reproduces results exactly
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,26 +102,45 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     return pairs
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over token hashes: bit j is the sign of
-    Σ_tokens (2·bit_j(h(token)) − 1)."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    h = token_hash60(F.col("tok"))
-    contribs = [
-        (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"c{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_tok = tok.select("doc_id", *contribs)
-    bit_sums = per_tok.groupBy("doc_id").agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+def simhash_expr(text) -> "F.Column":
+    """16-bit SimHash as a single shuffle-free expression: bit j of the
+    signature is the sign of Σ_tokens (2·bit_j(h(token)) − 1).
+
+    One ``aggregate`` pass over the token-hash array carries all 16 signed
+    sums as an array accumulator (``zip_with`` against the constant 2^j
+    weight array — Spark does no CSE inside higher-order-function lambdas,
+    so per-bit aggregates would re-md5 every token 16×). A per-doc
+    signature needs no explode/groupBy — the aggregation formulation costs
+    a full corpus shuffle for the same arithmetic and forces every consumer
+    (``doc_profile``'s one-scan featurization) into a doc_id join."""
+    hs = F.transform(tokens(text), lambda t: token_hash60(t))
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(SIMHASH_BITS)])
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            weights,
+            lambda a, w: a
+            + F.when(h.bitwiseAND(w) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
     )
-    sim = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)),
-        range(SIMHASH_BITS),
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via ``simhash_expr`` — a pure map projection."""
+    return docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
 
 
 def simhash_dup_clusters(docs: DataFrame) -> DataFrame:
@@ -155,13 +172,17 @@ def ngram_jaccard_pairs(
     path)."""
     sh = doc_shingles(docs)
     if max_shingle_df is None:
-        # exact self-join path: three consumers (sizes + both join sides) of
-        # the same subtree — cache it once
+        # exact self-join path: both join sides consume the same subtree —
+        # cache it once
         sh = sh.persist()
         sh.count()
-    # capped path: doc_shingles is a cheap map-side projection — recomputing
-    # it per agg beats paying cache serialization + memory for the corpus
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Per-doc set sizes (the |A∪B| denominator, always PRE-cap) need no
+    # explode+groupBy: the count is the distinct-shingle array length, a
+    # map-side projection — one exchange fewer than aggregating the
+    # inverted index, and immune to the cap by construction.
+    sizes = docs.select(
+        "doc_id", F.size(F.array_distinct(shingles(F.col("text")))).alias("n_sh")
+    )
     if max_shingle_df is not None:
         # Capped path ≠ capped self-join: ONE shuffle groups each shingle's
         # (≤ cap) doc ids, then pairs explode from the sorted id list via a

@@ -164,8 +164,11 @@ def q_doc_profile(spark, sf_dir):
             "dup_bigram_ratio"
         ),
         F.round(top_token_count(text) / n_tok, 4).alias("top_token_ratio"),
+        # simhash as a map-side expression: the whole profile is ONE scan
+        # with zero exchanges (plan-gated) — no doc_id join for the signature
+        dedup.simhash_expr(text).alias("simhash"),
     )
-    return per_row.join(dedup.simhash(docs), "doc_id")
+    return per_row
 
 
 def q_text_quality(spark, sf_dir):

@@ -107,3 +107,67 @@ def test_mixture_summary(documents):
     for r in rows:
         assert 0 < r.budget_util <= 1.0
         assert 0 < r.score_floor <= 1.0
+
+
+def test_mixture_sample_proportions_and_determinism(documents, spark):
+    """Kept tokens must track the target proportions (doc-granularity
+    tolerance), the binding source keeps everything, and the md5 acceptance
+    must reproduce exactly in DuckDB."""
+    # proportion check needs statistical mass: sf0.1 has ~500 docs/source
+    big = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    big_sources = [r.source for r in big.select("source").distinct().collect()]
+    wbig = {big_sources[0]: 3.0, big_sources[1]: 1.0}
+    kept = {
+        r.source: r.t
+        for r in curation.mixture_sample(big, wbig)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    ratio = kept[big_sources[0]] / kept[big_sources[1]]
+    assert 2.3 < ratio < 3.9, f"token ratio {ratio} vs target 3.0"
+
+    sources = [r.source for r in documents.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    w = {sources[0]: 3.0, sources[1]: 1.0}
+    sel = curation.mixture_sample(documents, w)
+
+    # determinism under repartition
+    a = sorted(r.doc_id for r in sel.collect())
+    b = sorted(
+        r.doc_id
+        for r in curation.mixture_sample(documents.repartition(11), w).collect()
+    )
+    assert a == b
+
+    # exact DuckDB twin of the acceptance rule at the computed rates
+    import duckdb
+
+    avail = {
+        r.source: r.t
+        for r in curation._scored(documents, None)
+        .filter(F.col("source").isin(list(w)))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    total_w = sum(w.values())
+    k = min(avail[s] / (w[s] / total_w) for s in avail)
+    rates = {s: min(1.0, k * (w[s] / total_w) / avail[s]) for s in avail}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    cases = " ".join(f"WHEN '{s}' THEN {r}" for s, r in rates.items())
+    oracle = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+        SELECT doc_id FROM documents
+        WHERE source IN ({','.join(repr(s) for s in rates)})
+          AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < CASE source {cases} END
+        """
+        ).fetchall()
+    )
+    assert a == oracle

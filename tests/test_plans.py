@@ -286,3 +286,14 @@ def test_benched_jaccard_headline_is_capped(spark):
 
     assert "ngram_jaccard_pairs" not in bench.HEADLINE
     assert "ngram_jaccard_pairs_capped" in bench.HEADLINE
+
+
+def test_doc_profile_is_single_scan_no_exchange(spark):
+    """The per-doc profile (quality ratios, fingerprint, repetition,
+    SimHash) must be ONE map-side scan: the SimHash signature is an
+    expression, not an explode+groupBy — any Exchange here means a corpus
+    shuffle for per-row arithmetic."""
+    from pulsar_replay_spark.queries_llm import q_doc_profile
+
+    plan = _plan(q_doc_profile(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan[:3000]
