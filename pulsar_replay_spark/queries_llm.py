@@ -321,10 +321,10 @@ def q_doc_fingerprint(spark, sf_dir):
     + """
 , sig AS (
   SELECT doc_id,
-         MIN(md5('0:' || shingle)) AS m0, MIN(md5('1:' || shingle)) AS m1,
-         MIN(md5('2:' || shingle)) AS m2, MIN(md5('3:' || shingle)) AS m3,
-         MIN(md5('4:' || shingle)) AS m4, MIN(md5('5:' || shingle)) AS m5,
-         MIN(md5('6:' || shingle)) AS m6, MIN(md5('7:' || shingle)) AS m7
+         MIN(substr(md5(shingle),  1, 4)) AS m0, MIN(substr(md5(shingle),  5, 4)) AS m1,
+         MIN(substr(md5(shingle),  9, 4)) AS m2, MIN(substr(md5(shingle), 13, 4)) AS m3,
+         MIN(substr(md5(shingle), 17, 4)) AS m4, MIN(substr(md5(shingle), 21, 4)) AS m5,
+         MIN(substr(md5(shingle), 25, 4)) AS m6, MIN(substr(md5(shingle), 29, 4)) AS m7
   FROM sh GROUP BY doc_id
 ),
 buckets AS (
