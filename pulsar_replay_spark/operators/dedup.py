@@ -106,6 +106,58 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     return pairs
 
 
+def incremental_minhash_pairs(
+    new_docs: DataFrame, existing_buckets: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: probe a NEW batch against the
+    persisted LSH bucket index of the already-ingested corpus, without ever
+    re-signaturing old documents — the only dedup shape that works when
+    ingest is a daily increment into a 100 TB corpus.
+
+    ``existing_buckets`` is the (doc_id, band, band_key) index (what
+    ``minhash_band_buckets`` emits — the engine's persistable dedup state;
+    store it partitioned by band_key prefix and this probe is an equi-join
+    that touches only colliding partitions). Signatures are per-doc
+    deterministic expressions, so incremental and full-recompute agree
+    EXACTLY: pairs(old∪new) restricted to pairs touching the new batch ==
+    new-internal pairs ∪ cross probes (the equivalence is pinned in tests).
+
+    Returns (pairs, updated_buckets): candidate pairs (doc_a < doc_b) that
+    involve at least one new document, and the bucket index grown by the
+    new batch (dedup policy — e.g. dropping dup newcomers before indexing —
+    is the caller's, exactly like the batch pipeline)."""
+    # One materialization feeds the self-join, the cross probe AND the
+    # returned index — localCheckpoint (not persist/unpersist) because the
+    # caller keeps consuming ``updated`` after this function returns.
+    nb = minhash_band_buckets(new_docs).localCheckpoint(eager=True)
+    a, b = nb.alias("a"), nb.alias("b")
+    new_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    e = existing_buckets.alias("e")
+    n = nb.alias("n")
+    cross = (
+        n.join(
+            e,
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    pairs = new_new.unionAll(cross).distinct().localCheckpoint(eager=True)
+    return pairs, existing_buckets.unionAll(nb)
+
+
 def simhash_expr(text) -> "F.Column":
     """16-bit SimHash as a single shuffle-free expression: bit j of the
     signature is the sign of Σ_tokens (2·bit_j(h(token)) − 1).

@@ -236,3 +236,35 @@ def test_capped_jaccard_recall_on_planted(spark, documents):
     planted = {(i, i + 1_000_000) for i in range(5)}
     assert planted & set(exact) <= set(capped)
     assert all(capped[p] <= exact[p] for p in set(capped) & set(exact))
+
+
+def test_incremental_minhash_equals_full_recompute(spark, documents):
+    """Splitting the corpus into an initial load + an increment and probing
+    the increment against the persisted bucket index must find EXACTLY the
+    full-recompute pairs that touch the increment — and a second increment
+    over the updated index must complete the full pair set."""
+    half1 = documents.filter(F.col("doc_id") % 2 == 0)
+    half2 = documents.filter(F.col("doc_id") % 2 == 1)
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(documents).collect()
+    }
+    h2_ids = {r.doc_id for r in half2.select("doc_id").collect()}
+    expected_touching_h2 = {
+        p for p in full if p[0] in h2_ids or p[1] in h2_ids
+    }
+
+    base_idx = dedup.minhash_band_buckets(half1).localCheckpoint(eager=True)
+    inc_pairs, updated_idx = dedup.incremental_minhash_pairs(half2, base_idx)
+    got = {(r.doc_a, r.doc_b) for r in inc_pairs.collect()}
+    assert got == expected_touching_h2
+
+    # the grown index is the full index: an empty increment finds nothing,
+    # and base-internal pairs from half1 close the full set
+    h1_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(half1).collect()
+    }
+    assert h1_pairs | got == full
+    assert updated_idx.count() == dedup.minhash_band_buckets(documents).count()
