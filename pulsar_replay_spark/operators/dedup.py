@@ -122,10 +122,13 @@ def incremental_minhash_pairs(
     EXACTLY: pairs(old∪new) restricted to pairs touching the new batch ==
     new-internal pairs ∪ cross probes (the equivalence is pinned in tests).
 
-    Returns (pairs, updated_buckets): candidate pairs (doc_a < doc_b) that
-    involve at least one new document, and the bucket index grown by the
-    new batch (dedup policy — e.g. dropping dup newcomers before indexing —
-    is the caller's, exactly like the batch pipeline)."""
+    Returns (pairs, new_buckets): candidate pairs (doc_a < doc_b) that
+    involve at least one new document, and the new batch's OWN bucket rows —
+    the caller appends them to its index store (a batch caller unions; the
+    streaming sink writes them as one idempotent batch-id partition —
+    rewriting the whole grown index per increment would be O(corpus) per
+    batch). Dedup policy — e.g. dropping dup newcomers before indexing —
+    is the caller's, exactly like the batch pipeline."""
     # One materialization feeds the self-join, the cross probe AND the
     # returned index — localCheckpoint (not persist/unpersist) because the
     # caller keeps consuming ``updated`` after this function returns.
@@ -155,7 +158,7 @@ def incremental_minhash_pairs(
         .filter(F.col("doc_a") != F.col("doc_b"))
     )
     pairs = new_new.unionAll(cross).distinct().localCheckpoint(eager=True)
-    return pairs, existing_buckets.unionAll(nb)
+    return pairs, nb
 
 
 def simhash_expr(text) -> "F.Column":

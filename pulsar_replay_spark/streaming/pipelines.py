@@ -238,3 +238,67 @@ def foreach_batch_idempotent(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-based stream of the documents fixture (one file per micro-batch)
+    — the ingest feed of the incremental-dedup pipeline."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def incremental_dedup_sink(
+    doc_stream: DataFrame, index_dir: str, pairs_dir: str, checkpoint_dir: str
+):
+    """Streaming incremental near-dedup: every micro-batch of documents
+    probes the persisted LSH bucket index
+    (``dedup.incremental_minhash_pairs``), emits the candidate pairs that
+    touch the batch, and appends its OWN bucket rows as a new batch_id
+    partition of the index store.
+
+    Exactly-once: both writes are batch_id-partitioned dynamic overwrites
+    (the ``foreach_batch_idempotent`` discipline), so a crash-retry of the
+    same batch overwrites itself — and because the batch's own partition is
+    written AFTER the probe reads the index, a retried batch never probes
+    its own half-written buckets as if they were prior corpus. At 100 TB
+    the index store is the compact (doc_id, band, band_key) relation, not
+    the corpus; storing it partitioned/bucketed by band_key prefix turns
+    each probe into a partition-pruned equi-join."""
+    from pulsar_replay_spark.operators.dedup import incremental_minhash_pairs
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            idx = spark.read.parquet(index_dir).where(
+                F.col("batch_id") != batch_id  # retry safety: never self-probe
+            ).select("doc_id", "band", "band_key")
+        except Exception:  # first batch: no index yet
+            idx = spark.createDataFrame([], "doc_id long, band int, band_key string")
+        pairs, new_buckets = incremental_minhash_pairs(batch_df, idx)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            new_buckets.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -256,15 +256,18 @@ def test_incremental_minhash_equals_full_recompute(spark, documents):
     }
 
     base_idx = dedup.minhash_band_buckets(half1).localCheckpoint(eager=True)
-    inc_pairs, updated_idx = dedup.incremental_minhash_pairs(half2, base_idx)
+    inc_pairs, new_buckets = dedup.incremental_minhash_pairs(half2, base_idx)
     got = {(r.doc_a, r.doc_b) for r in inc_pairs.collect()}
     assert got == expected_touching_h2
 
-    # the grown index is the full index: an empty increment finds nothing,
-    # and base-internal pairs from half1 close the full set
+    # base index ∪ the increment's buckets closes to the full index, and
+    # base-internal pairs from half1 close the full pair set
     h1_pairs = {
         (r.doc_a, r.doc_b)
         for r in dedup.minhash_candidate_pairs(half1).collect()
     }
     assert h1_pairs | got == full
-    assert updated_idx.count() == dedup.minhash_band_buckets(documents).count()
+    assert (
+        base_idx.unionAll(new_buckets).count()
+        == dedup.minhash_band_buckets(documents).count()
+    )

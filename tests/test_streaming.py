@@ -286,3 +286,48 @@ def test_kill_and_restart_from_checkpoint_exactly_once(
         got.select("event_id").distinct().count()
         == src.select("event_id").distinct().count()
     )
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path_factory):
+    """Micro-batched incremental dedup must discover the SAME pair set as
+    one batch recompute over the whole corpus, and a crash-retry of a
+    batch must not duplicate index rows or probe itself."""
+    from pulsar_replay_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    index_dir = str(tmp_path_factory.mktemp("dedup_index"))
+    pairs_dir = str(tmp_path_factory.mktemp("dedup_pairs"))
+    q = pipelines.incremental_dedup_sink(
+        pipelines.documents_stream(spark, src),
+        index_dir,
+        pairs_dir,
+        str(tmp_path_factory.mktemp("ck")),
+    )
+    q.awaitTermination()
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(docs).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == full
+
+    # index closure: all corpus bucket rows present exactly once
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == dedup.minhash_band_buckets(docs).count()
+
+    # crash-retry: re-running a batch's writes must overwrite, not append
+    b0 = spark.read.parquet(index_dir).filter("batch_id = 0")
+    n_before = idx.count()
+    (
+        b0.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_dir)
+    )
+    assert spark.read.parquet(index_dir).count() == n_before
