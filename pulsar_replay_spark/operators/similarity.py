@@ -343,6 +343,224 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress each vector into M sub-space centroid
+# codes, score candidates against the CODES (asymmetric distance / ADC), and
+# only touch full vectors for the final exact rerank. The reason PQ exists at
+# 100 TB: the corpus's float vectors are too big to scan, the code table is
+# 32× smaller (64×f32 → 8 nibbles) and the per-candidate score is 8 lookups.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (DIM/PQ_M dims each)
+PQ_K = 16  # centroids per subspace → 4-bit codes
+
+
+def _subvectors(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sub): each vector split into PQ_M contiguous sub-vectors —
+    coordinate blocks are orthogonal, so ||approx||² = Σ_m ||centroid_m||²
+    (the identity ADC norms rely on)."""
+    sub_len = DIM // PQ_M
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice("embedding", m * sub_len + 1, sub_len),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col), F.explode(subs).alias("s")
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+
+def pq_codebooks(embeddings: DataFrame, n_iter: int = 1) -> DataFrame:
+    """Per-subspace codebooks (m, cell, centroid): deterministic seed — the
+    PQ_K lowest vec_ids' sub-vectors — refined by Lloyd rounds with
+    (m, cell, dim) reduce keys (all PQ_M subspaces train in the SAME jobs;
+    the keyspace is PQ_M·PQ_K·sub_len rows, constant in corpus size)."""
+    subs = _subvectors(embeddings)
+    seed_ids = embeddings.orderBy("vec_id").limit(PQ_K).select(
+        F.col("vec_id"), F.row_number().over(
+            Window.orderBy("vec_id")
+        ).alias("cell")
+    )
+    books = (
+        _subvectors(embeddings.join(seed_ids.select("vec_id"), "vec_id"))
+        .join(F.broadcast(seed_ids), "vec_id")
+        .select("m", (F.col("cell") - 1).alias("cell"), F.col("sub").alias("centroid"))
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assigned = _pq_assign(subs, books)
+        pos = assigned.select(
+            "m", "cell", F.posexplode("sub").alias("i", "x")
+        )
+        per_dim = pos.groupBy("m", "cell", "i").agg(F.avg("x").alias("c"))
+        books = per_dim.groupBy("m", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        ).localCheckpoint(eager=True)
+    return books
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest centroid per (id, m) by euclidean distance — broadcast the
+    PQ_M·PQ_K codebook, min-struct pick (no window needed)."""
+    d2 = F.aggregate(
+        F.zip_with("sub", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(books), "m").select(
+        subs.columns[0],
+        "m",
+        "sub",
+        F.struct(d2.alias("d2"), F.col("cell").alias("cell")).alias("sc"),
+    )
+    id_col = subs.columns[0]
+    return (
+        scored.groupBy(id_col, "m")
+        .agg(F.min("sc").alias("best"), F.first("sub").alias("sub"))
+        .select(id_col, "m", F.col("best.cell").alias("cell"), "sub")
+    )
+
+
+def pq_encode(embeddings: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>[PQ_M], approx_norm): the 32×-compressed
+    corpus representation ADC scans instead of the vectors. approx_norm =
+    sqrt(Σ_m ||centroid_{code_m}||²) — exact for the reconstruction because
+    subspaces are orthogonal blocks."""
+    cn = books.select(
+        "m",
+        "cell",
+        F.aggregate(
+            "centroid", F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("cn2"),
+    )
+    assigned = _pq_assign(_subvectors(embeddings), books).join(
+        F.broadcast(cn), ["m", "cell"]
+    )
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cell"))), lambda s: s["cell"]
+        ).alias("codes"),
+        F.sqrt(F.sum("cn2")).alias("approx_norm"),
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = N_PROBE,
+    rerank: int = 20,
+) -> DataFrame:
+    """The full compressed-serving pipeline: IVF candidate generation
+    (equi-join on cell_id) → ADC scoring against PQ codes — per candidate,
+    PQ_M lookups into the query's broadcast LUT, full vectors untouched —
+    → exact rerank of the top ``rerank`` per query → top-k. Same output
+    contract as ``brute_force_topk`` (the recall oracle; recall floor is
+    pinned in tests).
+
+    Scale: the scored relation is (vec_id, 8 nibbles), 32× smaller than the
+    vectors; every join is equi (cell_id; (q_id, m, cell)); the only full-
+    vector access is the ≤ rerank·|Q| row exact pass at the end."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    books = pq_codebooks(embeddings)
+    codes = pq_encode(embeddings, books)
+
+    cents = ivf_centroids(embeddings)
+    corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
+    query_cells = ivf_assign(queries, cents, n_probe=n_probe)
+
+    # Query LUT: partial dot of each query sub-vector with every centroid —
+    # |Q|·PQ_M·PQ_K rows, broadcast.
+    lut = (
+        _subvectors(queries.join(query_cells.select("vec_id").distinct(), "vec_id"))
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(books), "m")
+        .select(
+            "q_id",
+            "m",
+            "cell",
+            F.aggregate(
+                F.zip_with("sub", "centroid", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("pdot"),
+        )
+    )
+    q_norms = queries.select(
+        F.col("vec_id").alias("q_id"), norm(F.col("embedding")).alias("q_norm")
+    )
+
+    # IVF candidates → their codes → ADC score from PQ_M LUT lookups.
+    cand = (
+        corpus_cells.join(query_cells.withColumnRenamed("vec_id", "q_id"), "cell_id")
+        .select("q_id", "vec_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    cand_codes = cand.join(codes, "vec_id").select(
+        "q_id", "vec_id", F.posexplode("codes").alias("m", "cell"), "approx_norm"
+    )
+    adc = (
+        cand_codes.join(F.broadcast(lut), ["q_id", "m", "cell"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").alias("adot"), F.first("approx_norm").alias("approx_norm"))
+        .join(F.broadcast(q_norms), "q_id")
+        .withColumn("asim", F.col("adot") / (F.col("q_norm") * F.col("approx_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("asim"), "vec_id")
+    short = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= rerank)
+        .select("q_id", "vec_id")
+    )
+
+    # Exact rerank of the shortlist only.
+    full = short.join(
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").alias("n_emb"),
+            norm(F.col("embedding")).alias("n_norm"),
+        ),
+        "vec_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"),
+                norm(F.col("embedding")).alias("q_norm2"),
+            )
+        ),
+        "q_id",
+    )
+    sims = full.withColumn(
+        "sim6",
+        F.round(
+            dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm2") * F.col("n_norm")),
+            6,
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "vec_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim6", 3).alias("sim"),
+            "rk",
+        )
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     embeddings: DataFrame, threshold: float = 0.45
 ) -> DataFrame:

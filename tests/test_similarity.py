@@ -152,3 +152,43 @@ def test_ivf_with_refined_centroids_keeps_recall(spark, embeddings):
     approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_pq_encode_compresses_and_reconstructs(spark, embeddings):
+    """Every vector gets PQ_M 4-bit codes and a positive reconstruction
+    norm; codebooks hold PQ_M × PQ_K centroids of the right width."""
+    books = similarity.pq_codebooks(embeddings)
+    rows = books.collect()
+    assert len(rows) == similarity.PQ_M * similarity.PQ_K
+    assert all(len(r["centroid"]) == similarity.DIM // similarity.PQ_M for r in rows)
+    codes = similarity.pq_encode(embeddings, books)
+    got = codes.collect()
+    assert len(got) == embeddings.count()
+    for r in got:
+        assert len(r["codes"]) == similarity.PQ_M
+        assert all(0 <= c < similarity.PQ_K for c in r["codes"])
+        assert r["approx_norm"] > 0
+
+
+def test_ivf_pq_recall_vs_brute_force(spark, embeddings):
+    """The compressed pipeline (IVF probe → ADC over codes → exact rerank)
+    must hold a usable recall floor and keep every join equi (no cartesian
+    product anywhere in the plan)."""
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    approx_df = similarity.ivf_pq_topk(embeddings, queries, k=5)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = approx_df.collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe/cells = 1/4 of the corpus probed, ADC shortlists within it
+    assert recall >= 0.25, f"recall {recall}"
+
+
+def test_ivf_pq_deterministic(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") % 100 == 0)
+    a = similarity.ivf_pq_topk(embeddings, queries, k=3).collect()
+    b = similarity.ivf_pq_topk(embeddings, queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
