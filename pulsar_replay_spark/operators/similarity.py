@@ -452,30 +452,45 @@ def pq_encode(embeddings: DataFrame, books: DataFrame) -> DataFrame:
     )
 
 
+def pq_index(embeddings: DataFrame, n_iter: int = 1) -> dict:
+    """Build-once serving index: PQ codebooks, per-vector codes, IVF
+    centroids and cell assignments — every piece ``localCheckpoint``-ed so
+    the (expensive) build runs exactly once no matter how many query
+    batches are served against it. At 100 TB this is a write-once parquet
+    artifact; the checkpoint is the in-session analogue. The codes table
+    is the only N-row piece, and it is the 32×-compressed one."""
+    books = pq_codebooks(embeddings, n_iter)
+    codes = pq_encode(embeddings, books).localCheckpoint(eager=True)
+    cents = ivf_centroids(embeddings).localCheckpoint(eager=True)
+    cells = ivf_assign(embeddings, cents, n_probe=1).localCheckpoint(eager=True)
+    return {"books": books, "codes": codes, "cents": cents, "cells": cells}
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_probe: int = N_PROBE,
-    rerank: int = 20,
+    rerank: int = 50,
+    index: dict | None = None,
 ) -> DataFrame:
     """The full compressed-serving pipeline: IVF candidate generation
     (equi-join on cell_id) → ADC scoring against PQ codes — per candidate,
     PQ_M lookups into the query's broadcast LUT, full vectors untouched —
     → exact rerank of the top ``rerank`` per query → top-k. Same output
     contract as ``brute_force_topk`` (the recall oracle; recall floor is
-    pinned in tests).
+    pinned in tests). Pass a prebuilt ``pq_index`` to amortize the build
+    across query batches (the serving shape); without one the index is
+    built inline.
 
     Scale: the scored relation is (vec_id, 8 nibbles), 32× smaller than the
     vectors; every join is equi (cell_id; (q_id, m, cell)); the only full-
     vector access is the ≤ rerank·|Q| row exact pass at the end."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
-    books = pq_codebooks(embeddings)
-    codes = pq_encode(embeddings, books)
-
-    cents = ivf_centroids(embeddings)
-    corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
+    idx = index if index is not None else pq_index(embeddings)
+    books, codes = idx["books"], idx["codes"]
+    cents, corpus_cells = idx["cents"], idx["cells"]
     query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 
     # Query LUT: partial dot of each query sub-vector with every centroid —

@@ -173,10 +173,11 @@ def test_pq_encode_compresses_and_reconstructs(spark, embeddings):
 def test_ivf_pq_recall_vs_brute_force(spark, embeddings):
     """The compressed pipeline (IVF probe → ADC over codes → exact rerank)
     must hold a usable recall floor and keep every join equi (no cartesian
-    product anywhere in the plan)."""
+    product anywhere in the plan). Uses the prebuilt-index serving shape."""
     queries = embeddings.filter(F.col("vec_id") % 50 == 0)
     exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
-    approx_df = similarity.ivf_pq_topk(embeddings, queries, k=5)
+    idx = similarity.pq_index(embeddings)
+    approx_df = similarity.ivf_pq_topk(embeddings, queries, k=5, index=idx)
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     approx = approx_df.collect()
