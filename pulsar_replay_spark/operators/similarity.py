@@ -613,3 +613,107 @@ def embedding_near_dup_pairs_lsh(
     return pairs.filter(F.col("sim6") >= threshold).select(
         "vec_a", "vec_b", F.round("sim6", 3).alias("sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup at corpus scale.
+# Cluster the embedding space (k-means), compare vectors ONLY within their
+# cluster, and drop any vector near-identical (cos >= tau) to a cell-mate
+# with higher keep priority. The cluster partition turns the |N|^2 pair space
+# into a sum of per-cell squares with bounded cell size — the published scale
+# recipe for embedding-level dedup of pretraining corpora.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.6,
+    n_cells: int = N_CELLS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vector keep/drop verdict: (vec_id, cell_id, centroid_sim, keep).
+
+    Keep rule (deterministic, order-free): within a cell, vector v is dropped
+    iff some cell-mate u with higher keep priority has cos(u, v) >= threshold.
+    Keep priority follows the paper: LOWER similarity-to-centroid ranks first
+    (keeps each cluster's outliers, drops redundant near-centroid mass);
+    vec_id breaks ties. "Exists a higher-priority near-duplicate" is the
+    triangular-matrix scan of the reference implementation expressed as a
+    semi-join; every candidate pair comes from an equi-join on cell_id —
+    never an all-pairs cross (cross-join plan gate in tests).
+
+    Scale: centroid assignment broadcasts n_cells rows; the verdict join
+    shuffles on cell_id only, and the largest cell bounds the worst
+    partition. At 100 TB, n_cells grows to hold cell size ~constant (the
+    paper runs ~100k clusters on LAION); a skewed giant cell is split with
+    the salting pattern in ``operators/skew``. Default ``centroids`` is the
+    deterministic seed pick (oracle-reproducible); pass ``kmeans_refine``
+    output for production-quality cells — the verdict plan is unchanged.
+    """
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
+    csim = dot(F.col("embedding"), F.col("centroid")) / (
+        F.col("v_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim6"), "cell_id")
+    # Assignment keeps centroid_sim (ivf_assign drops it): nearest cell by
+    # cosine, deterministic cell_id tie-break.
+    member = (
+        embeddings.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("v_norm")
+        )
+        .join(
+            F.broadcast(
+                cents.select(
+                    "cell_id", "centroid", norm(F.col("centroid")).alias("c_norm")
+                )
+            )
+        )
+        .withColumn("csim6", F.round(csim, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("csim6").alias("centroid_sim"),
+            "embedding",
+            "v_norm",
+        )
+        # feeds both sides of the self-join: cut lineage so the assignment
+        # subtree executes once, not once per side
+        .localCheckpoint(eager=True)
+    )
+    a, b = member.alias("a"), member.alias("b")
+    prio = (F.col("a.centroid_sim") < F.col("b.centroid_sim")) | (
+        (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.v_norm") * F.col("b.v_norm")
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & prio)
+        .filter(F.round(pair_sim, 6) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return member.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        "centroid_sim",
+        F.col("dropped").isNull().alias("keep"),
+    )
+
+
+def semantic_dedup_stats(verdicts: DataFrame) -> DataFrame:
+    """Per-cell funnel over ``semantic_dedup`` output: members, kept, drop
+    rate — the monitoring face of the operator (one n_cells-row aggregate)."""
+    return verdicts.groupBy("cell_id").agg(
+        F.count("*").alias("members"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("kept"),
+        F.round(1.0 - F.sum(F.col("keep").cast("int")) / F.count("*"), 4).alias(
+            "drop_rate"
+        ),
+    )

@@ -193,3 +193,60 @@ def test_ivf_pq_deterministic(spark, embeddings):
     a = similarity.ivf_pq_topk(embeddings, queries, k=3).collect()
     b = similarity.ivf_pq_topk(embeddings, queries, k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _semdedup_numpy(ids, mat, n_cells, threshold):
+    """Literal mirror of operators/similarity.semantic_dedup: seed centroids
+    = lowest n_cells vec_ids, nearest-cell assignment on round-6 cosine
+    (cell_id tie-break), then the per-cell triangular scan in keep-priority
+    order (centroid_sim asc, vec_id asc): v drops iff ANY earlier u has
+    round-6 cos(u, v) >= threshold."""
+    ordv = np.argsort(ids)
+    cent_pos = ordv[:n_cells]
+    cent_ids = ids[cent_pos]
+    C = mat[cent_pos]
+    nm = np.linalg.norm(mat, axis=1)
+    cs = np.round(
+        (mat @ C.T) / (nm[:, None] * np.linalg.norm(C, axis=1)[None, :]), 6
+    )
+    cell_ix = cs.argmax(axis=1)  # first max = lowest cell_id (cent_ids asc)
+    cell = cent_ids[cell_ix]
+    csim = cs[np.arange(len(ids)), cell_ix]
+    keep = {}
+    for c in np.unique(cell):
+        members = sorted(
+            np.where(cell == c)[0], key=lambda i: (csim[i], ids[i])
+        )
+        for pos, v in enumerate(members):
+            dropped = any(
+                round(float(mat[u] @ mat[v] / (nm[u] * nm[v])), 6) >= threshold
+                for u in members[:pos]
+            )
+            keep[int(ids[v])] = not dropped
+    return keep
+
+
+def test_semantic_dedup_matches_numpy(spark, embeddings, emb_np):
+    ids, mat = emb_np
+    got = similarity.semantic_dedup(embeddings, threshold=0.4).collect()
+    expect = _semdedup_numpy(ids, mat, similarity.N_CELLS, 0.4)
+    assert len(got) == len(ids)
+    for r in got:
+        assert r["keep"] == expect[r["vec_id"]], r
+    # the rule actually fires at this tau — otherwise the test is vacuous
+    assert any(not r["keep"] for r in got)
+
+
+def test_semantic_dedup_plan_and_stats(spark, embeddings):
+    v = similarity.semantic_dedup(embeddings, threshold=0.4)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    stats = similarity.semantic_dedup_stats(v).collect()
+    assert sum(r["members"] for r in stats) == embeddings.count()
+    assert sum(r["kept"] for r in stats) == v.filter("keep").count()
+
+
+def test_semantic_dedup_threshold_monotone(spark, embeddings):
+    lo = similarity.semantic_dedup(embeddings, threshold=0.3).filter("keep").count()
+    hi = similarity.semantic_dedup(embeddings, threshold=0.9).filter("keep").count()
+    assert lo <= hi
