@@ -44,6 +44,10 @@ HEADLINE = [
 ]
 
 
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -58,33 +62,52 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Every query (warm-up included) is individually fenced: one broken query
+    # records {"err": ...} for itself and can never blank the whole artifact —
+    # the JSON line always prints (round-2 lesson: an events-schema shift in
+    # the warm-up zeroed the entire BENCH file).
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def timed(name: str, thunk) -> None:
+        t0 = time.perf_counter()
+        try:
+            thunk()
+        except Exception as e:  # noqa: BLE001 — survive any one query
+            errors[name] = f"{type(e).__name__}: {e}"[:400]
+            return
+        times[name] = round(time.perf_counter() - t0, 3)
+
     # Warm the JVM/codegen once on a cheap query so timings measure the
     # queries, not session startup.
-    qs["per_topic_count_ratio"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        _noop_write(qs["per_topic_count_ratio"](spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["_warmup"] = f"{type(e).__name__}: {e}"[:400]
 
-    times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        timed(name, lambda name=name: _noop_write(qs[name](spark, sf_dir)))
 
     # IVF-PQ serving pair: index build is a one-time artifact (reported
     # separately, not part of the headline total); the benched headline is
     # the query-time path against the prebuilt compressed index.
-    from pyspark.sql import functions as F
+    index_build: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
 
-    from pulsar_replay_spark.operators import similarity
+        from pulsar_replay_spark.operators import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.perf_counter()
-    pq_idx = similarity.pq_index(emb)
-    index_build = {"ann_ivf_pq_index": round(time.perf_counter() - t0, 3)}
-    pq_queries = emb.filter(F.col("vec_id") % 200 == 0)
-    t0 = time.perf_counter()
-    similarity.ivf_pq_topk(emb, pq_queries, k=5, index=pq_idx).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    times["ann_ivf_pq_topk"] = round(time.perf_counter() - t0, 3)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        pq_idx = similarity.pq_index(emb)
+        index_build["ann_ivf_pq_index"] = round(time.perf_counter() - t0, 3)
+        pq_queries = emb.filter(F.col("vec_id") % 200 == 0)
+        timed(
+            "ann_ivf_pq_topk",
+            lambda: _noop_write(similarity.ivf_pq_topk(emb, pq_queries, k=5, index=pq_idx)),
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["ann_ivf_pq_index"] = f"{type(e).__name__}: {e}"[:400]
 
     total = round(sum(times.values()), 3)
 
@@ -93,38 +116,37 @@ def main() -> None:
     # documented example) and captures topics single-threaded; `generator`
     # produces the same 1 000 emailSend docs, `capture_pipeline` scans the
     # full events table.
-    events_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    # Generation throughput is measured on the generation+serialization
-    # pipeline itself (the reference's workload: produce emailSend JSON
-    # messages), not on the contract `generator` query, whose from_json
-    # parse-back legs exist for oracle parity, not production.
-    from pulsar_replay_spark.generator import generate_emailsend
+    throughput: dict[str, float] = {"baseline_publish_msgs_per_sec": 2000}
+    try:
+        # Generation throughput is measured on the generation+serialization
+        # pipeline itself (the reference's workload: produce emailSend JSON
+        # messages), not on the contract `generator` query, whose from_json
+        # parse-back legs exist for oracle parity, not production.
+        from pulsar_replay_spark.generator import generate_emailsend
 
-    gen_n = 100_000
-    t0 = time.perf_counter()
-    generate_emailsend(spark, gen_n).select("id", "json").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    gen_sec = time.perf_counter() - t0
-    throughput = {
-        "generator_msgs_per_sec": round(gen_n / gen_sec),
-        "capture_events_per_sec": round(events_n / times["capture_pipeline"]),
-        "baseline_publish_msgs_per_sec": 2000,
+        gen_n = 100_000
+        t0 = time.perf_counter()
+        _noop_write(generate_emailsend(spark, gen_n).select("id", "json"))
+        gen_sec = time.perf_counter() - t0
+        throughput["generator_msgs_per_sec"] = round(gen_n / gen_sec)
+        if times.get("capture_pipeline"):
+            events_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+            throughput["capture_events_per_sec"] = round(events_n / times["capture_pipeline"])
+    except Exception as e:  # noqa: BLE001
+        errors["throughput"] = f"{type(e).__name__}: {e}"[:400]
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "index_build": index_build,
+        "throughput": throughput,
+        "sf": sf,
     }
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "index_build": index_build,
-                "throughput": throughput,
-                "sf": sf,
-            }
-        )
-    )
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

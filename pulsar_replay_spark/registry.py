@@ -8,8 +8,9 @@ driver sorts columns by name before hashing values).
 
 Conventions that keep the oracle comparison exact:
 - timestamps are emitted as epoch-millis BIGINT (``unix_millis`` /
-  ``epoch_ms``) — events.ts is nanos in parquet, which Spark truncates to
-  micros on read; millis is the common granularity;
+  ``epoch_ms``) — events.ts has shipped as both parquet TIMESTAMP(NANOS)
+  and TIMESTAMP(MICROS); ``session.load_events`` normalizes either to
+  TimestampType, and millis is the common oracle granularity;
 - floating aggregates are ``round(x, 2..6)`` on both sides (summation order
   differs between engines in the last bits);
 - DuckDB ``SUM(integer)`` returns HUGEINT → always cast to BIGINT;

@@ -36,8 +36,10 @@ def get_spark(app_name: str = "pulsar-replay-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-        # rejects; read as raw nanos long and normalize in load_tables().
+        # events.ts has shipped both as parquet TIMESTAMP(NANOS) (which the
+        # vectorized reader only accepts as a raw long under this conf) and as
+        # TIMESTAMP(MICROS) (read natively). Setting nanosAsLong is harmless in
+        # the micros era; load_events() dispatches on the observed dtype.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -47,21 +49,30 @@ def get_spark(app_name: str = "pulsar-replay-spark", cpus: int | None = None) ->
 
 
 def load_events(spark: SparkSession, sf_dir: str):
-    """events with `ts` as a proper TimestampType.
+    """events with `ts` as a proper TimestampType, whatever the fixture era.
 
-    The parquet column is TIMESTAMP(NANOS); with `nanosAsLong` it arrives as
-    epoch-nanos long. `ts div 1000` is exact integer division (a double
-    division would lose precision at 1.7e18), truncating nanos → micros the
-    same way DuckDB's epoch_ms later truncates — oracle outputs always compare
-    at millisecond granularity.
+    The fixture's parquet physical type for ``ts`` has changed across
+    environments and may change again, so dispatch on the *observed* dtype
+    rather than assuming either era:
+
+    - TIMESTAMP(NANOS): under ``nanosAsLong`` it scans as epoch-nanos BIGINT;
+      ``ts div 1000`` is exact integer division (a double division would lose
+      precision at 1.7e18), truncating nanos → micros the same way DuckDB's
+      epoch_ms later truncates — oracles compare at millisecond granularity.
+    - TIMESTAMP(MICROS) (pyspark ≥4.1 fixtures): scans natively as
+      TIMESTAMP/TIMESTAMP_NTZ; just cast to session-zone TimestampType.
     """
     from pyspark.sql import functions as F
 
     # Runtime-settable; required even when the session wasn't built by
-    # get_spark() (e.g. the verification driver's vanilla session).
+    # get_spark() (e.g. the verification driver's vanilla session). Only
+    # affects the nanos era; never assume it took effect — check the dtype.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
