@@ -31,10 +31,11 @@ HEADLINE = [
     "minhash_pairs",
     # df-capped index is the serving path (exact stays as the oracle twin)
     "ngram_jaccard_pairs_capped",
-    # ANN is the serving path for similarity (brute-force embedding_topk is
-    # the recall oracle, not the headline); LSH candidate generation is pure
-    # equi-joins — no nested-loop operator anywhere in the benched plan
-    "ann_lsh_topk",
+    # ANN serving is benched below with corpus-scaled IVF params (build/serve
+    # split); brute-force embedding_topk is the recall oracle and the fixed-
+    # constant contract rows (ann_lsh_topk, ann_ivf_topk) stay oracle-gated
+    # but are not the perf headline — r2 verdict: 4-bucket LSH tables scan
+    # ~68% of the corpus, an anti-pattern at 100 TB.
     # dedup end-products: the steepest-scaling family, benched so regressions
     # are visible round over round
     "near_dup_clusters",
@@ -88,9 +89,9 @@ def main() -> None:
     for name in HEADLINE:
         timed(name, lambda name=name: _noop_write(qs[name](spark, sf_dir)))
 
-    # IVF-PQ serving pair: index build is a one-time artifact (reported
+    # ANN serving benches: index build is a one-time artifact (reported
     # separately, not part of the headline total); the benched headline is
-    # the query-time path against the prebuilt compressed index.
+    # the query-time path against the prebuilt index.
     index_build: dict[str, float] = {}
     try:
         from pyspark.sql import functions as F
@@ -98,10 +99,35 @@ def main() -> None:
         from pulsar_replay_spark.operators import similarity
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pq_queries = emb.filter(F.col("vec_id") % 200 == 0)
+
+        # IVF with corpus-scaled (n_cells, n_probe) and Lloyd-refined
+        # centroids — candidate fraction bounded by n_probe/n_cells (~6%),
+        # the partitioning that survives 100×; gated in test_similarity.
+        n = emb.count()
+        n_cells, n_probe = similarity.ivf_params(n)
+        t0 = time.perf_counter()
+        cents = similarity.kmeans_refine(emb, n_cells, n_iter=2)
+        ivf_cells = similarity.ivf_assign(emb, cents, n_probe=1).localCheckpoint(eager=True)
+        index_build["ann_ivf_scaled_index"] = round(time.perf_counter() - t0, 3)
+        timed(
+            "ann_ivf_scaled_topk",
+            lambda: _noop_write(
+                similarity.ivf_topk(
+                    emb,
+                    pq_queries,
+                    k=5,
+                    n_cells=n_cells,
+                    n_probe=n_probe,
+                    centroids=cents,
+                    corpus_cells=ivf_cells,
+                )
+            ),
+        )
+
         t0 = time.perf_counter()
         pq_idx = similarity.pq_index(emb)
         index_build["ann_ivf_pq_index"] = round(time.perf_counter() - t0, 3)
-        pq_queries = emb.filter(F.col("vec_id") % 200 == 0)
         timed(
             "ann_ivf_pq_topk",
             lambda: _noop_write(similarity.ivf_pq_topk(emb, pq_queries, k=5, index=pq_idx)),

@@ -189,6 +189,47 @@ N_CELLS = 16
 N_PROBE = 4
 
 
+def ivf_params(n: int, target_frac: float = 1 / 16) -> tuple[int, int]:
+    """Corpus-scaled IVF tuning: (n_cells, n_probe) for an N-vector corpus.
+
+    ``n_cells`` follows the standard √N rule (rounded up to a power of two,
+    floor 64 so small fixtures still exercise fine cells), and ``n_probe`` is
+    set so the *nominal* candidate fraction n_probe/n_cells ≤ target_frac.
+    The round-2 lesson this encodes: fixed tiny constants (4-bucket LSH
+    tables) silently degrade to a ~68% corpus scan as N grows; deriving the
+    partition count from N keeps the scanned fraction bounded at every scale
+    (N=2k → 64 cells/4 probes ≈ 6%; N=1e9 → 2^15 cells, same ratio, and
+    target_frac is the production knob to push the fraction down further).
+    Measured fraction and the recall floor are pinned in
+    tests/test_similarity.py::test_benched_ann_candidate_fraction_and_recall.
+    """
+    import math
+
+    n_cells = max(64, 2 ** math.ceil(math.log2(max(2.0, math.sqrt(n)))))
+    n_probe = max(2, int(n_cells * target_frac))
+    return n_cells, n_probe
+
+
+def candidate_fraction(
+    embeddings: DataFrame, queries: DataFrame, centroids: DataFrame, n_probe: int
+) -> float:
+    """Measured fraction of the corpus a query's IVF probe actually scans
+    (cell populations are skewed, so the nominal n_probe/n_cells bound is
+    checked against reality). Diagnostic — collects only per-cell counts."""
+    sizes = {
+        r.cell_id: r.c
+        for r in ivf_assign(embeddings, centroids, n_probe=1)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n = sum(sizes.values())
+    per_q: dict = {}
+    for r in ivf_assign(queries, centroids, n_probe=n_probe).collect():
+        per_q[r.vec_id] = per_q.get(r.vec_id, 0) + sizes.get(r.cell_id, 0)
+    return sum(per_q.values()) / (len(per_q) * n)
+
+
 def ivf_centroids(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     """Deterministic centroid pick: the n_cells lowest vec_ids (fixture ids
     are a random permutation of the space, so this is a uniform sample that
@@ -301,16 +342,20 @@ def ivf_topk(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     centroids: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: corpus vectors live in their 1 nearest cell; each
     query probes its ``n_probe`` nearest cells. Candidate generation is an
     equi-join on cell_id — shuffle on a 16-value key here, a ~2^14-value key
     at 100 TB — never a cross join. Same output contract as
-    ``brute_force_topk`` (the recall oracle)."""
+    ``brute_force_topk`` (the recall oracle). Pass prebuilt ``centroids`` /
+    ``corpus_cells`` (the build-once index) so serving only assigns the
+    query batch."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
-    corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
+    if corpus_cells is None:
+        corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
     query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 
     cand = embeddings.join(corpus_cells, "vec_id").select(

@@ -250,3 +250,29 @@ def test_semantic_dedup_threshold_monotone(spark, embeddings):
     lo = similarity.semantic_dedup(embeddings, threshold=0.3).filter("keep").count()
     hi = similarity.semantic_dedup(embeddings, threshold=0.9).filter("keep").count()
     assert lo <= hi
+
+
+def test_benched_ann_candidate_fraction_and_recall(spark, embeddings):
+    """Gate on the BENCHED ANN configuration (bench.py's ann_ivf_scaled_topk):
+    corpus-scaled (n_cells, n_probe) must keep the MEASURED candidate-scan
+    fraction under 10% of the corpus while holding the recall floor — the r2
+    verdict's fix for the 4-bucket LSH headline that scanned ~68%."""
+    n = embeddings.count()
+    n_cells, n_probe = similarity.ivf_params(n)
+    assert n_probe / n_cells <= 0.10  # nominal bound by construction
+    cents = similarity.kmeans_refine(embeddings, n_cells, n_iter=2)
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+
+    frac = similarity.candidate_fraction(embeddings, queries, cents, n_probe)
+    assert frac < 0.10, f"measured candidate fraction {frac:.3f} >= 10%"
+
+    approx_df = similarity.ivf_topk(
+        embeddings, queries, k=5, n_cells=n_cells, n_probe=n_probe, centroids=cents
+    )
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    exact = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"recall {recall} below floor at frac {frac:.3f}"
