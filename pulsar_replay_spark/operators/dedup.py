@@ -249,8 +249,14 @@ def ngram_jaccard_pairs(
         # of the index and no join at all. This is also why the cap is the
         # 100 TB default: the posting list per shingle is bounded, so both
         # memory and fan-out are O(cap²) however hot the shingle is.
+        #
+        # The shuffle key is a 16-hex-char md5 slice, not the shingle string:
+        # shingle text is unbounded (and long in real corpora) while the
+        # slice is a fixed 16 bytes — the same keyed-shuffle trick as
+        # chunk-level dedup below. DuckDB mirrors substr(md5(shingle),1,16)
+        # exactly, so the oracle stays value-identical.
         ids = (
-            sh.groupBy("shingle")
+            sh.groupBy(F.substring(F.md5("shingle"), 1, 16).alias("hkey"))
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
             .filter(F.size("ids").between(2, max_shingle_df))
         )

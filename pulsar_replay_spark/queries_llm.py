@@ -52,15 +52,32 @@ def _emb(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Exact dedup.
 # ---------------------------------------------------------------------------
+# The registered query plants deterministic duplicates (every doc_id % 100
+# re-added under doc_id+1e6) so the driver row always exercises real group
+# formation — the fixtures carry no natural byte-dups at small SF, and a
+# 0-rows == 0-rows green is vacuous (r2 verdict). The operator itself is
+# unchanged; natural-corpus behavior stays covered by dedup_corpus_stats.
 @register(
     "exact_dup_groups",
     """
+WITH planted AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 100 = 0
+)
 SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM planted GROUP BY 1 HAVING COUNT(*) > 1
 """,
 )
 def q_exact_dup_groups(spark, sf_dir):
-    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    return dedup.exact_dup_groups(planted)
 
 
 # Not registered: corpus-level dup counts are covered by exact_dup_groups
@@ -371,11 +388,14 @@ MAX_SHINGLE_DF = 20
     + SHINGLES_SQL
     + f"""
 , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
-idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
+-- the engine shuffles a fixed-width md5 slice instead of shingle text;
+-- mirror the identical key so the comparison stays exact
+hsh AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS hkey FROM sh),
+dfc AS (SELECT hkey FROM hsh GROUP BY hkey HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+idx AS (SELECT hsh.doc_id, hsh.hkey FROM hsh JOIN dfc USING (hkey)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.hkey = b.hkey AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_inter,
@@ -865,6 +885,47 @@ def q_ann_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup) keep/drop verdicts, oracle-checked end-to-end:
+# seed-centroid assignment → within-cell pair scan → centroid-outlier keep
+# priority — the full operator reproduced in SQL with the same rounded
+# double-cast cosine as the IVF oracle. Promoted to a contract row in r3
+# (was pytest-only; its numpy-mirror test showed it is exactly oracle-able).
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.6
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e ORDER BY vec_id LIMIT 16),
+member AS (
+  SELECT vec_id, cell_id, csim AS centroid_sim FROM (
+    SELECT v.vec_id, c.cell_id,
+           {_IVF_COS.format(a="v.emb", b="c.cent")} AS csim,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
+    FROM e v CROSS JOIN cents c) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM member a
+  JOIN member b ON a.cell_id = b.cell_id
+   AND (a.centroid_sim < b.centroid_sim
+        OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {_IVF_COS.format(a="ea.emb", b="eb.emb")} >= {_SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.cell_id, m.centroid_sim, (d.vec_id IS NULL) AS keep
+FROM member m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+"""
+
+
+@register("semantic_dedup", _SEMDEDUP_SQL)
+def q_semantic_dedup(spark, sf_dir):
+    return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=_SEMDEDUP_TAU)
 
 
 # ---------------------------------------------------------------------------

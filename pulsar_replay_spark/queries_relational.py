@@ -770,9 +770,11 @@ def q4_order_priority(spark, sf_dir):
 # to ~1/80 of rows BEFORE the join (pushed to the scan), which is what keeps
 # it cheap at 100 TB.
 # ---------------------------------------------------------------------------
-@register(
-    "q14_promo_revenue_pct",
-    """
+# Not registered since r3: its single-row conditional-aggregate shape is
+# covered by q17/q19/grouping_analytics, and the freed contract slot went to
+# semantic_dedup (queries_llm) per the r2 verdict. Still oracle-gated in
+# tests/test_oracle_parity.py::test_unregistered_q14_matches_oracle.
+Q14_ORACLE = """
 SELECT ROUND(
   100.0 * SUM(CASE WHEN p_type = 'PROMO'
                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
@@ -780,8 +782,9 @@ SELECT ROUND(
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-""",
-)
+"""
+
+
 def q14_promo_revenue_pct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01")))

@@ -58,3 +58,14 @@ def test_entry_contract(spark):
     df = m.entry(spark)
     assert df.count() > 0
     assert set(m.queries()) == set(m.oracle_sql()) | (set(m.queries()) - set(m.oracle_sql()))
+
+
+def test_unregistered_q14_matches_oracle(spark, duck):
+    """q14 lost its contract slot to semantic_dedup in r3 but stays part of
+    the engine surface — same oracle gate, pytest-side."""
+    from pulsar_replay_spark.queries_relational import Q14_ORACLE, q14_promo_revenue_pct
+
+    sdf = q14_promo_revenue_pct(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(Q14_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"q14: {problems}"
