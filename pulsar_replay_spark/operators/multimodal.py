@@ -59,15 +59,38 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        if not fake:
+            # Real path: PIL-decoded per-channel statistics. Import inside
+            # the UDF (executor-side) and fail with a named dependency so a
+            # toolchain-less cluster degrades loudly, not wrongly.
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as e:  # pragma: no cover - env-dependent
                 raise NotImplementedError(
-                    "real media decode requires image/audio libraries not in this container"
-                )
+                    "real media decode requires Pillow (PIL) on the executors"
+                ) from e
+
+            def real_decode(payload: bytes) -> list[float]:
+                img = Image.open(io.BytesIO(payload)).convert("RGB")
+                import numpy as np
+
+                arr = np.asarray(img, dtype=np.float64) / 255.0
+                # 8 deterministic features: per-channel mean+std, luminance
+                # mean, aspect ratio — stable across PIL versions.
+                means = arr.mean(axis=(0, 1))
+                stds = arr.std(axis=(0, 1))
+                lum = float(arr.mean())
+                aspect = img.width / img.height
+                return [*means.tolist(), *stds.tolist(), lum, aspect][:FEATURE_DIM]
+
+        for pdf in batches:
+            decode = _fake_decode if fake else real_decode
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "feature": [_fake_decode(bytes(p)) for p in pdf["payload"]],
+                    "feature": [decode(bytes(p)) for p in pdf["payload"]],
                 }
             )
 
@@ -88,9 +111,47 @@ def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Data
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            # Real path requires the ffmpeg binary on the executors: seek to
+            # each offset and decode one frame (subprocess per frame — the
+            # 1→N batch shape below is unchanged). Gate on availability so
+            # the smoke test runs wherever the toolchain exists.
+            import shutil
+
+            if shutil.which("ffmpeg") is None:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real frame decode requires the ffmpeg binary on the executors"
+                )
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("real frame decode requires ffmpeg")
+                import subprocess
+                import tempfile
+
+                out = {"doc_id": [], "frame_idx": [], "offset_ms": [], "frame_bytes": []}
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    with tempfile.NamedTemporaryFile(suffix=".mp4") as tf:
+                        tf.write(bytes(payload))
+                        tf.flush()
+                        probe = subprocess.run(
+                            ["ffprobe", "-v", "error", "-show_entries",
+                             "format=duration", "-of", "csv=p=0", tf.name],
+                            capture_output=True, text=True, check=True,
+                        )
+                        dur_ms = int(float(probe.stdout.strip()) * 1000)
+                        for i in range(n_frames):
+                            off = (i * dur_ms) // n_frames
+                            frame = subprocess.run(
+                                ["ffmpeg", "-v", "error", "-ss", f"{off / 1000:.3f}",
+                                 "-i", tf.name, "-frames:v", "1", "-f", "image2",
+                                 "-c:v", "png", "pipe:1"],
+                                capture_output=True, check=True,
+                            ).stdout
+                            out["doc_id"].append(doc_id)
+                            out["frame_idx"].append(i)
+                            out["offset_ms"].append(off)
+                            out["frame_bytes"].append(frame)
+                yield pd.DataFrame(out)
+                continue
             out = {"doc_id": [], "frame_idx": [], "offset_ms": [], "frame_bytes": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
@@ -115,9 +176,25 @@ def resize_thumbnail(media: DataFrame, width: int = 32, height: int = 32, fake: 
     resize is stubbed with a deterministic byte fold of the requested size."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real resize requires Pillow (PIL) on the executors"
+                ) from e
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("real resize requires an image library")
+                thumbs = []
+                for p in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
+                    thumbs.append(img.resize((width, height)).tobytes())
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "width": width, "height": height, "thumb": thumbs}
+                )
+                continue
             thumbs = [
                 bytes(
                     (hashlib.sha256(bytes(p) + bytes([width, height])).digest() * ((width * height) // 32 + 1))[: width * height]

@@ -78,8 +78,86 @@ def test_resize_thumbnail_fixed_size(spark, documents):
 
 
 def test_frame_sample_real_decode_raises(spark, documents):
+    """Without ffmpeg the real branch must fail loudly, naming the missing
+    dependency (on toolchain-equipped machines the positive twin below runs
+    instead)."""
+    import shutil
+
     import pytest as _pytest
 
+    if shutil.which("ffmpeg") is not None:
+        _pytest.skip("ffmpeg installed; covered by test_frame_sample_real_ffmpeg")
     media = multimodal.as_media(documents)
     with _pytest.raises(Exception, match="ffmpeg"):
         multimodal.frame_sample(media, fake=False).collect()
+
+
+# --- Real-decode smoke tests: skipped (not failed) where the toolchain is
+# absent; wherever PIL/ffmpeg exist the real branch is exercised end-to-end
+# through the same mapInPandas plumbing the fakes pin. ---
+
+
+def _png_media(spark):
+    """One real PNG payload shaped like as_media output (media_type image)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), (255, 0, 0)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    return spark.createDataFrame(
+        [(1, payload, "image/png", len(payload), "x")],
+        "doc_id long, payload binary, media_type string, byte_len long, sha256 string",
+    )
+
+
+def test_extract_features_real_pil(spark):
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    media = _png_media(spark)
+    rows = multimodal.extract_features(media, fake=False).collect()
+    assert len(rows) == 1
+    feat = rows[0]["feature"]
+    assert len(feat) == multimodal.FEATURE_DIM
+    # solid red 8x4: mean R=1, G=B=0, zero stds, luminance 1/3, aspect 2
+    assert abs(feat[0] - 1.0) < 1e-9 and abs(feat[1]) < 1e-9
+    assert abs(feat[7] - 2.0) < 1e-9
+
+
+def test_resize_thumbnail_real_pil(spark):
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    media = _png_media(spark)
+    rows = multimodal.resize_thumbnail(media, width=4, height=2, fake=False).collect()
+    assert len(rows) == 1
+    assert len(bytes(rows[0]["thumb"])) == 4 * 2 * 3  # RGB bytes
+    assert all(b in (0, 255) for b in bytes(rows[0]["thumb"]))  # solid red survives
+
+
+def test_frame_sample_real_ffmpeg(spark):
+    import shutil
+
+    import pytest as _pytest
+
+    if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
+        _pytest.skip("ffmpeg toolchain not installed")
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as tf:
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-y", "-f", "lavfi", "-i",
+             "testsrc=duration=1:size=64x64:rate=8", tf.name],
+            check=True,
+        )
+        payload = open(tf.name, "rb").read()
+    media = spark.createDataFrame(
+        [(1, payload, "video/mp4", len(payload), "x")],
+        "doc_id long, payload binary, media_type string, byte_len long, sha256 string",
+    )
+    rows = multimodal.frame_sample(media, n_frames=2, fake=False).collect()
+    assert len(rows) == 2
+    assert all(len(bytes(r["frame_bytes"])) > 0 for r in rows)

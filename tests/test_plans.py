@@ -146,16 +146,20 @@ def test_aqe_coalesces_small_shuffle(spark):
     assert "AQEShuffleRead coalesced" in final, final[:2000]
 
 
-def test_replay_preserves_per_topic_order(spark):
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/root/testdata/sf0.1"])
+def test_replay_preserves_per_topic_order(spark, sf_dir):
     """SURVEY §3.2 caveat: the reference replays files in order; the engine
     must keep per-topic publish order — each topic in one partition, sorted
-    within it."""
+    within it. Run at sf0.1 too: AQE coalescing merges the small shuffle
+    partitions there, and the ordering guarantee must survive the merged
+    plan (coalescing concatenates whole partitions, preserving each one's
+    internal sort — this gate is the proof, not the assumption)."""
     from pulsar_replay_spark.operators.capture import with_topics
     from pulsar_replay_spark.session import load_events
     from pulsar_replay_spark.sources.jsonio import replay_frame
     from pulsar_replay_spark.envelope import with_envelope
 
-    ev = with_topics(load_events(spark, SF_SMOKE))
+    ev = with_topics(load_events(spark, sf_dir))
     env = (
         ev.select(
             "topic",
