@@ -574,12 +574,44 @@ def q_time_bucketed_counts(spark, sf_dir):
         F.col(n).cast("bigint").alias("n"),
         (F.col(sv).cast("double") if sv else F.lit(None).cast("double")).alias("sum_value"),
     )
+    # Tumbling and sliding share ONE 30-minute pre-aggregate of the full
+    # events table (the partial-rollup trick): raw events shuffle once into
+    # the (bucket, event_type) keyspace — tiny after map-side combine — and
+    # both window legs are rollups OVER THAT, not second full-data passes.
+    # The standalone q_tumbling/q_sliding twins keep the direct window()
+    # formulation; equality of the two shapes is exactly what the driver
+    # oracle checks here. At 100 TB the direct sliding leg would expand
+    # every event ×2 BEFORE its shuffle — this shape expands the bucketed
+    # relation instead.
+    ev = load_events(spark, sf_dir)
+    base30 = (
+        ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(F.unix_millis(F.col("w.start")).alias("b30"), "event_type", "n", "sv")
+        .localCheckpoint(eager=True)  # feeds both legs; computed once
+    )
+    tumbling = (
+        base30.groupBy(
+            (F.floor(F.col("b30") / 3_600_000) * 3_600_000).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sum_value"))
+    )
+    sliding = (
+        base30.select(
+            F.explode(
+                F.array(F.col("b30"), F.col("b30") - F.lit(1_800_000))
+            ).alias("window_start_ms"),
+            "n",
+            "sv",
+        )
+        .groupBy("window_start_ms")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("sum_value"))
+    )
     return (
-        tag(q_tumbling_window_counts(spark, sf_dir), "tumbling",
-            "window_start_ms", "event_type", "n", "sum_value")
+        tag(tumbling, "tumbling", "window_start_ms", "event_type", "n", "sum_value")
         .unionByName(
-            tag(q_sliding_window_counts(spark, sf_dir), "sliding",
-                "window_start_ms", None, "n", "sum_value")
+            tag(sliding, "sliding", "window_start_ms", None, "n", "sum_value")
         )
         .unionByName(
             tag(q_gapfill_hourly_counts(spark, sf_dir), "gapfill_user_hour",
