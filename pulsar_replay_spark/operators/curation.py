@@ -140,3 +140,45 @@ def mixture_summary(selected: DataFrame, budget_tokens: int) -> DataFrame:
         F.round(F.sum("n_tokens") / F.lit(budget_tokens), 4).alias("budget_util"),
         F.min("score").alias("score_floor"),
     )
+
+
+SPLIT_BITS = 32
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: (id, split, split_frac).
+
+    The standard leakage-safe splitter for a training corpus: each document's
+    split is a pure function of (salt, id) — stable across runs, clusters,
+    partitionings, and re-ingests (a re-crawled doc keeps its split, so
+    val/test never bleed into train between dataset versions). Changing the
+    salt re-deals the whole split; nothing else does.
+
+    split_frac = first 8 md5 hex chars of ``salt:id`` as a fraction of 2^32,
+    assigned to the first split whose cumulative weight covers it. A pure
+    projection — no shuffle, no state (zero-exchange plan gate in
+    tests/test_curation.py); at 100 TB it is a free map over the scan, and
+    the same expression works as a streaming selector.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    frac = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**SPLIT_BITS))
+    )
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        branch = F.when(F.col("split_frac") < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(F.col("split_frac") < cum, F.lit(name))
+    split = (expr.otherwise(F.lit(names[-1]))) if expr is not None else F.lit(names[-1])
+    return docs.withColumn("split_frac", frac).withColumn("split", split)

@@ -171,3 +171,38 @@ def test_mixture_sample_proportions_and_determinism(documents, spark):
         ).fetchall()
     )
     assert a == oracle
+
+
+def test_hash_split_matches_hashlib_mirror_and_is_stable(spark, documents):
+    """Every split verdict must equal the driver-side hashlib mirror (the
+    exact spec), be stable across invocations, and respect weight bounds
+    loosely (binomial tolerance at n=500)."""
+    import hashlib
+
+    from pulsar_replay_spark.operators.curation import hash_split
+
+    out = hash_split(documents, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split", "split_frac"
+    )
+    rows = out.collect()
+    for r in rows:
+        h = int(hashlib.md5(f"split-v1:{r.doc_id}".encode()).hexdigest()[:8], 16) / 2**32
+        expect = "train" if h < 0.8 else ("val" if h < 0.9 else "test")
+        assert abs(r.split_frac - h) < 1e-12, (r.doc_id, r.split_frac, h)
+        assert r.split == expect, (r.doc_id, r.split, expect)
+    counts = {s: sum(1 for r in rows if r.split == s) for s in ("train", "val", "test")}
+    n = len(rows)
+    assert 0.7 * n < counts["train"] < 0.9 * n, counts
+    again = {(r.doc_id, r.split) for r in hash_split(documents, {"train": 0.8, "val": 0.1, "test": 0.1}).select("doc_id", "split").collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_hash_split_is_zero_exchange_and_salt_redeal(spark, documents):
+    from pulsar_replay_spark.operators.curation import hash_split
+
+    out = hash_split(documents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    a = {(r.doc_id, r.split) for r in hash_split(documents, salt="a").select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in hash_split(documents, salt="b").select("doc_id", "split").collect()}
+    assert a != b  # a new salt re-deals the split
