@@ -302,3 +302,74 @@ def incremental_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def embeddings_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-based stream of query vectors (one file per micro-batch) — the
+    request feed of the ANN serving pipeline."""
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def ann_serving_sink(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    results_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+):
+    """Streaming ANN serving against a build-once IVF index: the corpus-side
+    index (Lloyd-refined centroids + cell assignment, corpus-scaled
+    ``ivf_params``) is built ONCE before the stream starts and localCheckpoint
+    pins it; each micro-batch of query vectors then only assigns ITSELF to
+    its n_probe cells and ranks in-cell candidates (``ivf_topk`` with the
+    prebuilt ``centroids``/``corpus_cells``) — per-batch work is O(|batch| ·
+    cell population), never a corpus rescan. This is the production retrieval
+    shape: index refresh is a separate slow path; serving reads it immutably.
+
+    Exactly-once: results are batch_id-partitioned dynamic overwrites (the
+    ``foreach_batch_idempotent`` discipline) — a crash-retried batch
+    overwrites its own partition. At 100 TB the index lives as a parquet
+    artifact instead of a checkpoint, same plan."""
+    from pulsar_replay_spark.operators.similarity import (
+        ivf_assign,
+        ivf_params,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    n = corpus.count()
+    n_cells, n_probe = ivf_params(n)
+    cents = kmeans_refine(corpus, n_cells, n_iter=1)
+    cells = ivf_assign(corpus, cents, n_probe=1).localCheckpoint(eager=True)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = ivf_topk(
+            corpus,
+            batch_df,
+            k=k,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            centroids=cents,
+            corpus_cells=cells,
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(results_dir)
+        )
+
+    return (
+        query_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

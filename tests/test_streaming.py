@@ -331,3 +331,47 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path_factory):
         .parquet(index_dir)
     )
     assert spark.read.parquet(index_dir).count() == n_before
+
+
+def test_ann_serving_stream_matches_batch(spark, tmp_path):
+    """Streaming ANN serving must equal the one-shot batch ivf_topk over the
+    same queries and the same prebuilt index: the stream only shards WHEN
+    queries arrive, never WHAT they retrieve."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators import similarity
+    from pulsar_replay_spark.streaming.pipelines import ann_serving_sink, embeddings_stream
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+
+    # two query files → two micro-batches
+    qdir = tmp_path / "queries"
+    queries.filter(F.col("vec_id") % 200 == 0).coalesce(1).write.mode("append").parquet(str(qdir))
+    queries.filter(F.col("vec_id") % 200 != 0).coalesce(1).write.mode("append").parquet(str(qdir))
+
+    q = ann_serving_sink(
+        embeddings_stream(spark, str(qdir)),
+        corpus,
+        str(tmp_path / "results"),
+        str(tmp_path / "ckpt"),
+        k=5,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.q_id, r.neighbor_id, r.rk)
+        for r in spark.read.parquet(str(tmp_path / "results")).collect()
+    }
+    n_cells, n_probe = similarity.ivf_params(corpus.count())
+    cents = similarity.kmeans_refine(corpus, n_cells, n_iter=1)
+    cells = similarity.ivf_assign(corpus, cents, n_probe=1)
+    batch = {
+        (r.q_id, r.neighbor_id, r.rk)
+        for r in similarity.ivf_topk(
+            corpus, queries, k=5, n_cells=n_cells, n_probe=n_probe,
+            centroids=cents, corpus_cells=cells,
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
