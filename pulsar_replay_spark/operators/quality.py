@@ -79,3 +79,90 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         ).alias("dup_bigram_ratio"),
         F.round(top_token_count(text) / n_tok, 4).alias("top_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram language-model scoring (perplexity-style quality
+# filtering — the CCNet/RefinedWeb pipeline step): train token/bigram counts
+# on the corpus itself, score each document by mean negative log-probability
+# of its bigrams under add-k smoothing. Low-score docs read like the corpus;
+# high-score docs are noise/outliers — the standard LM-filter signal without
+# an external model artifact.
+# ---------------------------------------------------------------------------
+
+LM_K = 0.5  # add-k smoothing
+
+
+def lm_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """(unigram counts, bigram counts, vocab size) trained on the corpus.
+
+    Scale shape: both count tables reduce to the VOCABULARY keyspace
+    (map-side combined), not the corpus — at 100 TB the token explode is the
+    map work and the shuffled relation is |vocab| / |distinct bigrams| rows.
+    vocab_size is one scalar action on the already-aggregated unigram frame.
+    """
+    from pulsar_replay_spark.functions.text import bigrams, tokens
+
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)  # feeds the score join AND vocab count
+    )
+    bi = (
+        docs.select(F.explode(bigrams(F.col("text"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+    )
+    return uni, bi, uni.count()
+
+
+def lm_doc_scores(
+    docs: DataFrame,
+    uni: DataFrame | None = None,
+    bi: DataFrame | None = None,
+    vocab: int | None = None,
+    k: float = LM_K,
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll): mean −ln P(w2|w1) per document under the
+    corpus bigram LM with add-k smoothing:
+
+        P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)
+
+    Join shape: the doc's exploded bigrams equi-join the bigram count table
+    on the bigram string and the unigram table on the first token — both
+    shuffles are on vocabulary-sized keys (hot stop-words combine map-side
+    on the count side; the per-doc mean shuffles doc_id only). Docs with <2
+    tokens score NULL (no bigrams), surfaced not dropped.
+    """
+    from pulsar_replay_spark.functions.text import bigrams
+
+    if uni is None or bi is None or vocab is None:
+        uni, bi, vocab = lm_counts(docs)
+    doc_bg = docs.select(
+        "doc_id", F.explode(bigrams(F.col("text"))).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    scored = (
+        doc_bg.join(bi, "bg", "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .withColumn(
+            "nll_term",
+            -F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * vocab))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("nll_term"), 6).alias("nll"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("nll"),
+        )
+    )
