@@ -182,3 +182,50 @@ def hash_split(
         expr = branch if expr is None else expr.when(F.col("split_frac") < cum, F.lit(name))
     split = (expr.otherwise(F.lit(names[-1]))) if expr is not None else F.lit(names[-1])
     return docs.withColumn("split_frac", frac).withColumn("split", split)
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap_tokens: int = 8
+) -> DataFrame:
+    """Overlapping token-window chunker: (doc_id, chunk_idx, chunk_text,
+    n_tokens) — the RAG-indexing / long-doc-pretraining segmenter (distinct
+    from ``dedup.chunk_dedup_marks``'s non-overlapping dedup windows:
+    these chunks are user-facing retrieval units with stride
+    chunk_tokens − overlap_tokens, and the final partial window is kept).
+
+    Pure map projection — tokenize, posexplode the stride-sequence of start
+    offsets, slice, re-join — no shuffle at any size (plan-gated); at 100 TB
+    it is free map work over the scan, and the output order (doc_id,
+    chunk_idx) reassembles the document by dropping each chunk's first
+    ``overlap_tokens`` tokens after chunk 0 (property-tested).
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    from pulsar_replay_spark.functions.text import tokens
+
+    stride = chunk_tokens - overlap_tokens
+    t = tokens(F.col("text"))
+    # start offsets: 0, stride, 2*stride, ... covering every token once;
+    # a doc shorter than chunk_tokens yields exactly one (partial) chunk
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((F.size(t) - F.lit(chunk_tokens)) / F.lit(stride)), F.lit(0)).cast("int")
+        * F.lit(stride),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(stride)).cast("int").alias("chunk_idx"),
+            F.slice(t, s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+            F.size(F.col("c.toks")).alias("n_tokens"),
+        )
+    )

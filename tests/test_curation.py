@@ -206,3 +206,47 @@ def test_hash_split_is_zero_exchange_and_salt_redeal(spark, documents):
     a = {(r.doc_id, r.split) for r in hash_split(documents, salt="a").select("doc_id", "split").collect()}
     b = {(r.doc_id, r.split) for r in hash_split(documents, salt="b").select("doc_id", "split").collect()}
     assert a != b  # a new salt re-deals the split
+
+
+def test_chunk_documents_matches_duckdb_twin_and_reassembles(spark, documents):
+    """Overlap chunker: exact DuckDB-twin equality of every (doc_id,
+    chunk_idx, chunk_text, n_tokens); dropping each chunk's first
+    overlap_tokens tokens after chunk 0 reassembles the document; and the
+    whole thing is a zero-exchange projection."""
+    import duckdb
+
+    from pulsar_replay_spark.operators.curation import chunk_documents
+
+    C, O, S = 16, 4, 12
+    out = chunk_documents(documents, chunk_tokens=C, overlap_tokens=O)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, GREATEST(CAST(CEIL((len(toks) - {C}) / {S}.0) AS BIGINT), 0) + 1)) AS i
+  FROM t
+)
+SELECT doc_id, i AS chunk_idx,
+       list_aggregate(toks[i*{S}+1 : i*{S}+{C}], 'string_agg', ' ') AS chunk_text,
+       len(toks[i*{S}+1 : i*{S}+{C}]) AS n_tokens
+FROM starts
+""").fetchall()
+    expect = {(int(r[0]), int(r[1])): (r[2], int(r[3])) for r in rows}
+    assert got == expect
+
+    # reassembly: drop the first O tokens of every chunk after the first
+    by_doc = {}
+    for (d, i), (text, _n) in sorted(got.items()):
+        toks = text.split(" ")
+        by_doc.setdefault(d, []).extend(toks if i == 0 else toks[O:])
+    originals = {r.doc_id: r.text for r in documents.collect()}
+    for d, toks in by_doc.items():
+        assert " ".join(toks) == originals[d], d
