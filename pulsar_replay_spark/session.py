@@ -84,3 +84,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
     out["events"] = load_events(spark, sf_dir)
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Expose every fixture table as a temp view (``events`` normalized via
+    load_events) so the whole engine surface is reachable from plain
+    ``spark.sql`` — the second query API next to the DataFrame layer (the
+    monthly_orders contract leg already pins that both run the same Catalyst
+    pipeline). Returns the registered view names."""
+    names = []
+    for t, df in load_tables(spark, sf_dir).items():
+        name = f"{prefix}{t}"
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names

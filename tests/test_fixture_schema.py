@@ -99,3 +99,23 @@ def test_load_events_normalizes_both_ts_eras(spark, tmp_path, era):
         datetime.datetime.utcfromtimestamp(m / 1e6) for m in micros
     )
     assert got == want, f"era={era}: normalized values differ: {got} vs {want}"
+
+
+def test_register_views_sql_surface(spark):
+    """register_views makes every table reachable from plain spark.sql, with
+    events already dtype-normalized (the SQL twin of load_tables)."""
+    from pulsar_replay_spark.session import register_views
+
+    names = register_views(spark, SF_SMOKE, prefix="v_")
+    assert len(names) == len(TABLES)
+    n = spark.sql("SELECT COUNT(*) AS n FROM v_events WHERE ts IS NOT NULL").first().n
+    assert n == 1000
+    joined = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM v_nation nt JOIN v_region r ON nt.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    assert len(joined) == 5
+    assert dict(spark.sql("SELECT * FROM v_events").dtypes)["ts"] == "timestamp"
