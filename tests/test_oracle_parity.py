@@ -69,3 +69,23 @@ def test_unregistered_q14_matches_oracle(spark, duck):
     ddf = duck.execute(Q14_ORACLE).df()
     problems = compare(sdf, ddf)
     assert not problems, f"q14: {problems}"
+
+
+@pytest.mark.parametrize("qname", ["q7", "q13", "q15", "q21"])
+def test_extra_tpch_shapes_match_oracle(spark, duck, qname):
+    """The r3 breadth shapes (alias-pair dim join, outer count-of-counts,
+    agg-view + scalar MAX, EXISTS/NOT-EXISTS chain) — pytest-oracle-gated
+    because the 50-slot contract is full."""
+    from pulsar_replay_spark import queries_relational as qr
+
+    fn, oracle = {
+        "q7": (qr.q7_volume_shipping, qr.Q7_ORACLE),
+        "q13": (qr.q13_customer_distribution, qr.Q13_ORACLE),
+        "q15": (qr.q15_top_supplier, qr.Q15_ORACLE),
+        "q21": (qr.q21_waiting_supplier, qr.Q21_ORACLE),
+    }[qname]
+    sdf = fn(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(oracle).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{qname}: {problems}"
+    assert len(sdf) > 0, f"{qname}: vacuous (0 rows) — pick different constants"
