@@ -125,8 +125,11 @@ def main() -> None:
             ),
         )
 
+        # PQ shares the scaled refined coarse quantizer built above — one
+        # coarse index serves both ANN paths; this build adds only the
+        # codebooks + 32x-compressed codes.
         t0 = time.perf_counter()
-        pq_idx = similarity.pq_index(emb)
+        pq_idx = similarity.pq_index(emb, centroids=cents, corpus_cells=ivf_cells)
         index_build["ann_ivf_pq_index"] = round(time.perf_counter() - t0, 3)
         timed(
             "ann_ivf_pq_topk",

@@ -497,17 +497,30 @@ def pq_encode(embeddings: DataFrame, books: DataFrame) -> DataFrame:
     )
 
 
-def pq_index(embeddings: DataFrame, n_iter: int = 1) -> dict:
+def pq_index(
+    embeddings: DataFrame,
+    n_iter: int = 1,
+    centroids: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
+) -> dict:
     """Build-once serving index: PQ codebooks, per-vector codes, IVF
     centroids and cell assignments — every piece ``localCheckpoint``-ed so
     the (expensive) build runs exactly once no matter how many query
     batches are served against it. At 100 TB this is a write-once parquet
     artifact; the checkpoint is the in-session analogue. The codes table
-    is the only N-row piece, and it is the 32×-compressed one."""
+    is the only N-row piece, and it is the 32×-compressed one.
+
+    Pass prebuilt ``centroids``/``corpus_cells`` (e.g. the corpus-scaled
+    Lloyd-refined IVF index the plain-IVF serving path already built) to
+    share ONE coarse quantizer across both serving paths — then this build
+    only trains codebooks and encodes codes."""
     books = pq_codebooks(embeddings, n_iter)
     codes = pq_encode(embeddings, books).localCheckpoint(eager=True)
-    cents = ivf_centroids(embeddings).localCheckpoint(eager=True)
-    cells = ivf_assign(embeddings, cents, n_probe=1).localCheckpoint(eager=True)
+    if centroids is not None and corpus_cells is not None:
+        cents, cells = centroids, corpus_cells
+    else:
+        cents = ivf_centroids(embeddings).localCheckpoint(eager=True)
+        cells = ivf_assign(embeddings, cents, n_probe=1).localCheckpoint(eager=True)
     return {"books": books, "codes": codes, "cents": cents, "cells": cells}
 
 
