@@ -1,0 +1,38 @@
+"""Bench-harness robustness: one broken query can never blank the whole
+perf artifact again (the r2 failure mode: an events-schema shift in the
+warm-up zeroed the entire BENCH file)."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_bench_survives_single_query_failure(monkeypatch, capsys, spark):
+    import __spark_entry__ as entrymod
+
+    import bench
+
+    real_queries = entrymod.queries
+
+    def sabotaged():
+        qs = dict(real_queries())
+
+        def boom(s, d):
+            raise RuntimeError("deliberately broken for the harness gate")
+
+        qs["q1_pricing_summary"] = boom
+        return qs
+
+    monkeypatch.setattr(entrymod, "queries", sabotaged)
+    monkeypatch.setattr(bench, "HEADLINE", ["q1_pricing_summary", "doc_profile"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(line)  # the JSON line must always parse
+    assert d["metric"] == "headline_queries_total"
+    assert "q1_pricing_summary" in d.get("errors", {}), d
+    assert "deliberately broken" in d["errors"]["q1_pricing_summary"]
+    assert "doc_profile" in d["queries"] and d["queries"]["doc_profile"] > 0
+    # throughput/index sections still present despite the failure
+    assert "generator_msgs_per_sec" in d["throughput"]
