@@ -103,15 +103,22 @@ def lm_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     """
     from pulsar_replay_spark.functions.text import bigrams, tokens
 
+    # Count-table keys are fixed 16-byte md5 slices of the token/bigram, not
+    # the strings themselves — the same bounded-shuffle-key trick as the
+    # n-gram dedup index (the corpus-wide explode is the biggest shuffle in
+    # this operator, and raw bigram strings are unbounded). The DuckDB twin
+    # mirrors the identical slice, so the gate stays exact.
     uni = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("w")
+        .select(F.substring(F.md5("w"), 1, 16).alias("wh"))
+        .groupBy("wh")
         .agg(F.count("*").alias("c1"))
         .localCheckpoint(eager=True)  # feeds the score join AND vocab count
     )
     bi = (
         docs.select(F.explode(bigrams(F.col("text"))).alias("bg"))
-        .groupBy("bg")
+        .select(F.substring(F.md5("bg"), 1, 16).alias("bgh"))
+        .groupBy("bgh")
         .agg(F.count("*").alias("c2"))
     )
     return uni, bi, uni.count()
@@ -139,12 +146,15 @@ def lm_doc_scores(
 
     if uni is None or bi is None or vocab is None:
         uni, bi, vocab = lm_counts(docs)
-    doc_bg = docs.select(
-        "doc_id", F.explode(bigrams(F.col("text"))).alias("bg")
-    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    doc_bg = (
+        docs.select("doc_id", F.explode(bigrams(F.col("text"))).alias("bg"))
+        .withColumn("bgh", F.substring(F.md5("bg"), 1, 16))
+        .withColumn("wh", F.substring(F.md5(F.split(F.col("bg"), " ")[0]), 1, 16))
+        .drop("bg")
+    )
     scored = (
-        doc_bg.join(bi, "bg", "left")
-        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        doc_bg.join(bi, "bgh", "left")
+        .join(uni, "wh", "left")
         .withColumn(
             "nll_term",
             -F.log(

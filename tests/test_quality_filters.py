@@ -95,18 +95,20 @@ def test_lm_doc_scores_match_duckdb_twin(spark, documents):
     )
     sql = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT UNNEST(toks) AS w FROM t) GROUP BY w),
+uni AS (SELECT substr(md5(w), 1, 16) AS wh, COUNT(*) AS c1
+        FROM (SELECT UNNEST(toks) AS w FROM t) GROUP BY 1),
 v AS (SELECT COUNT(*) AS vocab FROM uni),
 bg AS (
   SELECT doc_id, UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
   FROM t WHERE len(toks) >= 2
 ),
-bic AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+bic AS (SELECT substr(md5(bg), 1, 16) AS bgh, COUNT(*) AS c2 FROM bg GROUP BY 1),
 scored AS (
   SELECT bg.doc_id,
          -ln((bic.c2 + {LM_K}) / (uni.c1 + {LM_K} * v.vocab)) AS nll_term
-  FROM bg JOIN bic USING (bg)
-  JOIN uni ON uni.w = string_split(bg.bg, ' ')[1]
+  FROM bg
+  JOIN bic ON bic.bgh = substr(md5(bg.bg), 1, 16)
+  JOIN uni ON uni.wh = substr(md5(string_split(bg.bg, ' ')[1]), 1, 16)
   CROSS JOIN v
 )
 SELECT d.doc_id,
@@ -142,7 +144,17 @@ def test_lm_scores_rank_noise_above_corpus_text(spark, documents):
 
     # the corpus's most over-represented bigram is the strongest
     # in-distribution signal this (near-uniform synthetic) corpus carries
-    top_bg = bi.orderBy(F.desc("c2"), "bg").first().bg
+    # (recomputed from raw text: the count tables carry hashed keys only)
+    from pulsar_replay_spark.functions.text import bigrams as bigrams_expr
+
+    top_bg = (
+        documents.select(F.explode(bigrams_expr(F.col("text"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "bg")
+        .first()
+        .bg
+    )
     probe = documents.sparkSession.createDataFrame(
         [
             (900001, top_bg, "en", "probe", len(top_bg)),
