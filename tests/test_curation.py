@@ -95,9 +95,12 @@ def test_corpus_window_partitions_on_source_and_score(documents):
         .executedPlan()
         .toString()
     )
-    assert "hashpartitioning(source" in plan and "score" in plan.split(
-        "hashpartitioning(source", 1
-    )[1][:60]
+    # score may be wrapped (knownfloatingpointnormalized(normalizenanandzero(
+    # score#N))) and expression ids grow with session age — match by regex,
+    # not a fixed character window
+    import re
+
+    assert re.search(r"hashpartitioning\(source#\d+, [^)]*score#\d+", plan), plan[:2000]
 
 
 def test_mixture_summary(documents):
