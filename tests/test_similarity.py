@@ -276,3 +276,17 @@ def test_benched_ann_candidate_fraction_and_recall(spark, embeddings):
     approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx_df.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.3, f"recall {recall} below floor at frac {frac:.3f}"
+
+
+def test_ivf_params_scaling_rule():
+    """Pure-unit pin of the corpus-scaled tuning rule: power-of-two sqrt-N
+    cells (floor 64), nominal candidate fraction never above target at any
+    magnitude, and the production target_frac knob honored."""
+    for n in (1, 100, 500, 2_000, 1_000_000, 1_000_000_000):
+        cells, probe = similarity.ivf_params(n)
+        assert cells >= 64 and (cells & (cells - 1)) == 0, (n, cells)
+        assert probe >= 2
+        assert probe / cells <= 1 / 16 + 1e-12, (n, cells, probe)
+    assert similarity.ivf_params(1_000_000_000)[0] == 2**15
+    cells, probe = similarity.ivf_params(1_000_000, target_frac=0.01)
+    assert probe / cells <= 0.01 + 1e-12
