@@ -184,6 +184,144 @@ def hash_split(
     return docs.withColumn("split_frac", frac).withColumn("split", split)
 
 
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw documents that distributionally resemble a
+# small target corpus. Features are hashed n-grams (unigrams + bigrams →
+# B buckets); each corpus induces a smoothed bucket distribution; a raw
+# doc's log importance weight is Σ_b count_b·(ln p̂_target(b) − ln p̂_raw(b));
+# selection is Gumbel top-k over the weights (importance *resampling*, not
+# a hard threshold). No reference analog — this is the targeted-selection
+# step of an LLM data pipeline (e.g. "select web text that looks like
+# Wikipedia") and composes with the budget/mixture machinery above.
+# ---------------------------------------------------------------------------
+
+DSIR_HEX = 3  # bucket id = first 3 md5 hex chars → B = 16^3 = 4096 buckets
+DSIR_ALPHA = 1.0  # Laplace smoothing pseudo-count per bucket
+
+
+def dsir_features(docs: DataFrame, hex_chars: int = DSIR_HEX) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed n-gram features — unigrams + bigrams
+    bucketed by md5 hex prefix. The bucket keyspace is 16^hex_chars by
+    construction (4096 at the default), so every downstream per-bucket
+    relation is broadcast-sized no matter the corpus; the only corpus-sized
+    shuffle is this per-(doc, bucket) combine, map-side aggregated."""
+    from pulsar_replay_spark.functions.text import bigrams, tokens
+
+    grams = F.concat(tokens(F.col("text")), bigrams(F.col("text")))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.substring(F.md5("g"), 1, hex_chars).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_bucket_log_ratio(
+    target_feats: DataFrame,
+    raw_feats: DataFrame,
+    hex_chars: int = DSIR_HEX,
+    alpha: float = DSIR_ALPHA,
+) -> tuple[DataFrame, float]:
+    """Per-bucket ln(p̂_target/p̂_raw) under Laplace smoothing:
+    p̂(b) = (c_b + α) / (total + α·B).
+
+    Returns (ratio frame (bucket, log_ratio), default log-ratio for buckets
+    unseen in BOTH corpora — the constant an unseen bucket's smoothed
+    probabilities reduce to, used when scoring future/held-out docs against
+    a prebuilt ratio table). The two corpus totals are build-time scalars
+    (same posture as ``quality.lm_counts``' vocab size); the ratio frame is
+    ≤ 16^hex_chars rows — an always-broadcastable model artifact."""
+    import math
+
+    n_buckets = 16**hex_chars
+    t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    t_total = t.agg(F.sum("tc")).first()[0] or 0
+    r_total = r.agg(F.sum("rc")).first()[0] or 0
+    log_ratio = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+        / F.lit(float(t_total + alpha * n_buckets))
+    ) - F.log(
+        (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha))
+        / F.lit(float(r_total + alpha * n_buckets))
+    )
+    ratio = t.join(r, "bucket", "full").select(
+        "bucket", log_ratio.alias("log_ratio")
+    )
+    default = math.log(alpha / (t_total + alpha * n_buckets)) - math.log(
+        alpha / (r_total + alpha * n_buckets)
+    )
+    return ratio, default
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    hex_chars: int = DSIR_HEX,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(doc_id, source, logw): per-raw-doc log importance weight.
+
+    Join shape: per-doc bucket counts ⋈ broadcast(ratio) — the corpus side
+    never shuffles beyond its own feature combine; the model side is the
+    bounded bucket table. Docs whose every n-gram is unseen (empty text)
+    still return a row (logw 0.0 for zero features)."""
+    raw_feats = dsir_features(raw_docs, hex_chars)
+    ratio, default = dsir_bucket_log_ratio(
+        dsir_features(target_docs, hex_chars), raw_feats, hex_chars, alpha
+    )
+    per_doc = (
+        raw_feats.join(F.broadcast(ratio), "bucket", "left")
+        .withColumn("lr", F.coalesce(F.col("log_ratio"), F.lit(default)))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("lr")), 6).alias("logw"))
+    )
+    return (
+        raw_docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw")
+        )
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_select: int,
+    hex_chars: int = DSIR_HEX,
+    alpha: float = DSIR_ALPHA,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Gumbel top-k importance resampling (the paper's sampling-without-
+    replacement trick): key = logw + Gumbel(u), u the md5 fraction of
+    ``salt:doc_id`` — per-doc, deterministic, stable under repartitioning
+    and retries like every sample in this engine. The top-k is a
+    distributed TakeOrdered (per-partition heaps + driver merge of k), not
+    a global sort. Returns (doc_id, source, logw, key) for the k winners."""
+    w = dsir_log_weights(raw_docs, target_docs, hex_chars, alpha)
+    # (h + 0.5) / 2^32 keeps u strictly inside (0,1) so ln(ln) is finite
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = F.round(F.col("logw") - F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("key", key)
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(n_select)
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap_tokens: int = 8
 ) -> DataFrame:
