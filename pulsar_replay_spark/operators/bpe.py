@@ -1,0 +1,197 @@
+"""BPE tokenizer training at corpus scale (Sennrich et al. 2016,
+arXiv:1508.07909) — learn the merge table an LLM tokenizer ships with.
+
+Scale shape — the classic trainer trick, distributed: BPE statistics are a
+function of the WORD FREQUENCY table, not the corpus. The corpus is touched
+exactly once (`word_freqs`: explode + count, map-side combined into the
+vocabulary keyspace); every merge iteration then runs over the vocab-sized
+(word, freq, syms) frame — bounded and zipfian however large the corpus.
+Each iteration is: adjacent-pair count (groupBy over ≤ Σ|word| pairs),
+argmax (driver scalar — same posture as k-means' per-round action), and an
+in-place HOF merge fold (whole-stage codegen, no Python). Per-round eager
+``localCheckpoint`` keeps the logical plan flat (see ``bpe_train``).
+
+Segmentation (`bpe_segment_words`) applies a learned merge list with one
+Arrow-batched Pandas UDF over the VOCAB — Python cost is vocab-sized, never
+corpus-sized; corpus token counts then equi-join the segmented vocab on the
+word (`bpe_token_counts`).
+
+No reference analog (the reference moves opaque messages); this is the
+tokenizer-training step of the LLM data pipeline, next to packing/curation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-scope so pandas_udf type hints resolve
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"  # end-of-word marker symbol (Sennrich's original formulation)
+
+
+def word_freqs(docs: DataFrame, min_freq: int = 1) -> DataFrame:
+    """(word, freq) over whitespace tokens — the ONLY corpus-scale job in
+    training. ``min_freq`` prunes hapax noise (standard trainer knob); empty
+    tokens are dropped."""
+    from pulsar_replay_spark.functions.text import tokens
+
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return wf.filter(F.col("freq") >= min_freq) if min_freq > 1 else wf
+
+
+def _initial_syms(word: Column) -> Column:
+    """word → its character symbols + the end-of-word marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) → a+b inside a
+    symbol array — a single ``aggregate`` fold, pure codegen. Matches the
+    reference scan exactly, including runs ("a a a" under (a,a) → "aa a")."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    wf: DataFrame, n_merges: int, min_pair_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from a (word, freq) table.
+
+    Deterministic: the winning pair each round is (max total freq, then
+    lexicographically smallest (a, b)) — stable across partitionings and
+    retries. Stops early when no adjacent pair reaches ``min_pair_freq``.
+    Returns the ordered merge list (the tokenizer artifact).
+
+    Per-round ``localCheckpoint`` rather than persist: the merge fold is a
+    LARGE expression (aggregate + when + slice per element), so without
+    truncating the LOGICAL plan each round, analysis/codegen re-walks every
+    previous round's fold and training time grows superlinearly in merges
+    (measured 5.6× on the 15-merge test suite). Checkpointing keeps each
+    round's plan flat: scan-of-checkpoint + one fold."""
+    vocab = wf.select(
+        "word", "freq", _initial_syms(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.element_at(F.col("syms"), i + 1).alias("a"),
+                                F.element_at(F.col("syms"), i + 2).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not best or best[0].cnt < min_pair_freq:
+            break
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        vocab = vocab.withColumn(
+            "syms", _merge_fold(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word, bpe: array<string>): apply a learned merge list to each word.
+
+    One Arrow-batched Pandas UDF over the vocab frame — the merge table
+    rides the closure (broadcast-sized: it IS the tokenizer artifact), and
+    the per-word scan is the same left-to-right fold as training, so
+    ``bpe_segment_words(vocab, bpe_train(vocab, n))`` reproduces training's
+    final symbol state exactly (pinned in tests)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        def one(word: str) -> list[str]:
+            syms = list(word) + [EOW]
+            while len(syms) >= 2:
+                # lowest-rank (earliest-learned) applicable merge first —
+                # exactly the order training applied them
+                cand = [
+                    (ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks
+                ]
+                if not cand:
+                    break
+                rank = min(c[0] for c in cand)
+                a, b = merges[rank]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return col.map(one)
+
+    return words.withColumn("bpe", seg(F.col("word")))
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, n_bpe_tokens) under a TRAINED tokenizer (the honest version
+    of the regex stand-in in ``queries_functions.q_bpe_token_counts``).
+
+    Corpus side: explode to (doc_id, word) and equi-join the segmented
+    vocab on the word — a vocabulary-keyspace shuffle (hot words combine
+    map-side), never a Python call per corpus row."""
+    from pulsar_replay_spark.functions.text import tokens
+
+    vocab = word_freqs(docs)
+    seg = bpe_segment_words(vocab, merges).select(
+        "word", F.size("bpe").alias("n_word_tokens")
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.select("doc_id")
+        .join(
+            doc_words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_word_tokens").alias("n_bpe_tokens")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

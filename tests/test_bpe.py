@@ -1,0 +1,122 @@
+"""BPE trainer gates: the distributed trainer must equal a pure-Python
+reference implementation of Sennrich-style BPE (exact merge-list equality,
+on the paper's toy corpus AND the documents fixture); segmentation must
+reproduce training's final symbol state and round-trip to the word;
+corpus token counts must equal the per-word sums; training is
+deterministic under repartition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import bpe
+
+N_MERGES = 15
+
+
+# --- pure-Python reference (Sennrich et al. 2016, algorithm 1) -------------
+
+
+def ref_train(freqs: dict[str, int], n_merges: int, min_pair_freq: int = 2):
+    vocab = {w: list(w) + [bpe.EOW] for w in freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freqs[w]
+        if not counts:
+            break
+        best_cnt = max(counts.values())
+        if best_cnt < min_pair_freq:
+            break
+        pair = min(p for p, c in counts.items() if c == best_cnt)
+        merges.append(pair)
+        vocab = {w: ref_merge(syms, pair) for w, syms in vocab.items()}
+    return merges, vocab
+
+
+def ref_merge(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    a, b = pair
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word) + [bpe.EOW]
+    for pair in merges:
+        syms = ref_merge(syms, pair)
+    return syms
+
+
+# --- gates -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fixture_freqs(documents):
+    return {
+        r.word: r.freq for r in bpe.word_freqs(documents).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def merges(spark, documents):
+    return bpe.bpe_train(bpe.word_freqs(documents), N_MERGES)
+
+
+def test_trainer_matches_reference_on_paper_toy(spark):
+    # the corpus from the paper's running example
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    wf = spark.createDataFrame(list(freqs.items()), "word string, freq long")
+    got = bpe.bpe_train(wf, 10)
+    expect, _ = ref_train(freqs, 10)
+    assert got == expect
+    # the famous first merges: 'es' (9), then 'est' (9)
+    assert got[0] == ("e", "s") and got[1] == ("es", "t")
+
+
+def test_trainer_matches_reference_on_fixture(merges, fixture_freqs):
+    expect, _ = ref_train(fixture_freqs, N_MERGES)
+    assert merges == expect
+    assert len(merges) == N_MERGES  # fixture vocab is rich enough to go deep
+
+
+def test_segmentation_reproduces_training_state(documents, merges, fixture_freqs):
+    seg = {
+        r.word: list(r.bpe)
+        for r in bpe.bpe_segment_words(
+            bpe.word_freqs(documents), merges
+        ).collect()
+    }
+    assert set(seg) == set(fixture_freqs)
+    for w, got in seg.items():
+        assert got == ref_segment(w, merges), w
+        # round-trip: symbols concatenate back to the word + marker
+        assert "".join(got) == w + bpe.EOW
+
+
+def test_token_counts_match_per_word_sums(documents, merges):
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.bpe_token_counts(documents, merges).collect()
+    }
+    docs = documents.select("doc_id", "text").collect()
+    for r in docs:
+        words = [w for w in r.text.split(" ") if w != ""]
+        expect = sum(len(ref_segment(w, merges)) for w in words)
+        assert got[r.doc_id] == expect, r.doc_id
+    assert len(got) == len(docs)
+
+
+def test_deterministic_under_repartition(documents, merges):
+    again = bpe.bpe_train(bpe.word_freqs(documents.repartition(7)), N_MERGES)
+    assert again == merges
