@@ -235,8 +235,10 @@ def dsir_bucket_log_ratio(
     import math
 
     n_buckets = 16**hex_chars
-    t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
-    r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc")).persist()
+    r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc")).persist()
+    # totals come from the already-persisted bucket aggregates, so each
+    # corpus's feature explode runs exactly once in here
     t_total = t.agg(F.sum("tc")).first()[0] or 0
     r_total = r.agg(F.sum("rc")).first()[0] or 0
     log_ratio = F.log(
@@ -246,13 +248,47 @@ def dsir_bucket_log_ratio(
         (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha))
         / F.lit(float(r_total + alpha * n_buckets))
     )
-    ratio = t.join(r, "bucket", "full").select(
-        "bucket", log_ratio.alias("log_ratio")
+    # the ratio table IS the trained model artifact (≤ 16^hex rows): pin it
+    # so every downstream scoring plan broadcasts a materialized tiny frame
+    # instead of re-running both corpus aggregations per consumer
+    ratio = (
+        t.join(r, "bucket", "full")
+        .select("bucket", log_ratio.alias("log_ratio"))
+        .localCheckpoint(eager=True)
     )
+    t.unpersist()
+    r.unpersist()
     default = math.log(alpha / (t_total + alpha * n_buckets)) - math.log(
         alpha / (r_total + alpha * n_buckets)
     )
     return ratio, default
+
+
+def dsir_score(
+    docs: DataFrame,
+    ratio: DataFrame,
+    default: float,
+    hex_chars: int = DSIR_HEX,
+) -> DataFrame:
+    """(doc_id, source, logw): score ANY document frame against a prebuilt
+    ratio table — the serving-side half of DSIR (train the ratio offline,
+    score batches/streams at ingest). One feature pass over ``docs`` plus a
+    broadcast join of the bounded ratio; unseen buckets take the closed-form
+    ``default``."""
+    feats = dsir_features(docs, hex_chars)
+    per_doc = (
+        feats.join(F.broadcast(ratio), "bucket", "left")
+        .withColumn("lr", F.coalesce(F.col("log_ratio"), F.lit(default)))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("lr")), 6).alias("logw"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw")
+        )
+    )
 
 
 def dsir_log_weights(
@@ -265,25 +301,16 @@ def dsir_log_weights(
 
     Join shape: per-doc bucket counts ⋈ broadcast(ratio) — the corpus side
     never shuffles beyond its own feature combine; the model side is the
-    bounded bucket table. Docs whose every n-gram is unseen (empty text)
-    still return a row (logw 0.0 for zero features)."""
-    raw_feats = dsir_features(raw_docs, hex_chars)
+    bounded, pinned bucket table. Docs whose every n-gram is unseen (empty
+    text) still return a row (logw 0.0 for zero features). Total corpus
+    passes: one over target + two over raw (ratio aggregation, scoring)."""
     ratio, default = dsir_bucket_log_ratio(
-        dsir_features(target_docs, hex_chars), raw_feats, hex_chars, alpha
+        dsir_features(target_docs, hex_chars),
+        dsir_features(raw_docs, hex_chars),
+        hex_chars,
+        alpha,
     )
-    per_doc = (
-        raw_feats.join(F.broadcast(ratio), "bucket", "left")
-        .withColumn("lr", F.coalesce(F.col("log_ratio"), F.lit(default)))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("cnt") * F.col("lr")), 6).alias("logw"))
-    )
-    return (
-        raw_docs.select("doc_id", "source")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id", "source", F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw")
-        )
-    )
+    return dsir_score(raw_docs, ratio, default, hex_chars)
 
 
 def dsir_select(
@@ -301,7 +328,18 @@ def dsir_select(
     distributed TakeOrdered (per-partition heaps + driver merge of k), not
     a global sort. Returns (doc_id, source, logw, key) for the k winners."""
     w = dsir_log_weights(raw_docs, target_docs, hex_chars, alpha)
-    # (h + 0.5) / 2^32 keeps u strictly inside (0,1) so ln(ln) is finite
+    return (
+        w.withColumn("key", dsir_gumbel_key(salt))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(n_select)
+    )
+
+
+def dsir_gumbel_key(salt: str = "dsir-v1") -> Column:
+    """The resampling key logw + Gumbel(u) with u the md5 fraction of
+    ``salt:doc_id``; (h + 0.5)/2^32 keeps u strictly inside (0, 1) so
+    ln(−ln u) is finite. Shared by offline ``dsir_select`` and the streaming
+    threshold selector so their selections agree exactly."""
     u = (
         F.conv(
             F.substring(
@@ -314,12 +352,7 @@ def dsir_select(
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(2**32))
-    key = F.round(F.col("logw") - F.log(-F.log(u)), 6)
-    return (
-        w.withColumn("key", key)
-        .orderBy(F.desc("key"), "doc_id")
-        .limit(n_select)
-    )
+    return F.round(F.col("logw") - F.log(-F.log(u)), 6)
 
 
 def chunk_documents(

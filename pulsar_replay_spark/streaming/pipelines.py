@@ -373,3 +373,52 @@ def ann_serving_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dsir_scoring_sink(
+    doc_stream: DataFrame,
+    ratio: DataFrame,
+    default: float,
+    threshold: float,
+    results_dir: str,
+    checkpoint_dir: str,
+    salt: str = "dsir-v1",
+):
+    """Streaming DSIR selection against an offline-trained model: the
+    bucket log-ratio table (``curation.dsir_bucket_log_ratio`` — the ≤16^hex
+    pinned model artifact) is built ONCE before the stream starts; each
+    micro-batch of documents scores only ITSELF (one feature pass +
+    broadcast ratio join) and keeps docs whose Gumbel resampling key clears
+    ``threshold``.
+
+    Selection key = the SAME ``curation.dsir_gumbel_key`` expression as the
+    offline ``dsir_select`` — a pure function of (salt, doc_id, logw) — so
+    streaming with τ = the offline top-k's minimum key admits EXACTLY the
+    offline winners regardless of how ingest shards the docs (pinned in
+    tests). This is how resampling deploys at ingest: global top-k is
+    calibrated offline into a threshold, the stream applies it statelessly.
+
+    Exactly-once: batch_id-partitioned dynamic overwrites (the
+    ``foreach_batch_idempotent`` discipline)."""
+    from pulsar_replay_spark.operators.curation import dsir_gumbel_key, dsir_score
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = (
+            dsir_score(batch_df, ratio, default)
+            .withColumn("key", dsir_gumbel_key(salt))
+            .filter(F.col("key") >= threshold)
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(results_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

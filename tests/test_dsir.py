@@ -147,6 +147,42 @@ def test_deterministic_under_repartition(documents, target, weights):
     assert again == weights
 
 
+def test_streaming_threshold_selects_offline_topk(
+    spark, documents, target, tmp_path
+):
+    """The streaming selector with τ = the offline top-k's minimum Gumbel
+    key must admit exactly the offline winners, however ingest is sharded."""
+    from pulsar_replay_spark.streaming.pipelines import (
+        documents_stream,
+        dsir_scoring_sink,
+    )
+
+    offline = curation.dsir_select(documents, target, N_SELECT).collect()
+    tau = min(r.key for r in offline)
+
+    ratio, default = curation.dsir_bucket_log_ratio(
+        curation.dsir_features(target), curation.dsir_features(documents)
+    )
+    src = str(tmp_path / "docs_stream")
+    documents.repartition(3).write.mode("overwrite").parquet(src)
+    q = dsir_scoring_sink(
+        documents_stream(spark, src),
+        ratio,
+        default,
+        tau,
+        str(tmp_path / "results"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(str(tmp_path / "results"))
+    assert {r.doc_id for r in got.collect()} == {r.doc_id for r in offline}
+    # stream scores agree with offline weights doc-for-doc
+    offline_w = {r.doc_id: r.logw for r in offline}
+    for r in got.collect():
+        assert abs(r.logw - offline_w[r.doc_id]) < 1e-9
+
+
 def test_plan_broadcasts_ratio_no_cartesian(documents, target):
     plan = (
         curation.dsir_log_weights(documents, target)
