@@ -343,6 +343,7 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     centroids: DataFrame | None = None,
     corpus_cells: DataFrame | None = None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: corpus vectors live in their 1 nearest cell; each
     query probes its ``n_probe`` nearest cells. Candidate generation is an
@@ -350,13 +351,16 @@ def ivf_topk(
     at 100 TB — never a cross join. Same output contract as
     ``brute_force_topk`` (the recall oracle). Pass prebuilt ``centroids`` /
     ``corpus_cells`` (the build-once index) so serving only assigns the
-    query batch."""
+    query batch; pass ``query_cells`` too when cell assignment happens in a
+    DIFFERENT space than the rerank (e.g. ``pca.pca_ivf_topk`` assigns in
+    the reduced space but reranks with the original vectors here)."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
     if corpus_cells is None:
         corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
-    query_cells = ivf_assign(queries, cents, n_probe=n_probe)
+    if query_cells is None:
+        query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 
     cand = embeddings.join(corpus_cells, "vec_id").select(
         F.col("vec_id").alias("n_id"),

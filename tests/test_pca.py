@@ -92,6 +92,30 @@ def test_deterministic_under_repartition(embeddings, model):
     assert np.allclose(again["eigvals"], model["eigvals"], atol=1e-8)
 
 
+def test_pca_ivf_recall_and_plan(spark, embeddings):
+    """Reduced-space candidate generation + full-vector rerank must hold
+    the same recall bar as plain IVF at the same (cells, probes), with no
+    cartesian product anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators import similarity
+
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    approx_df = pca.pca_ivf_topk(
+        embeddings, queries, k=5, n_components=16, n_cells=16, n_probe=4
+    )
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = {(r.q_id, r.neighbor_id) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    # same bar as test_ivf_recall_vs_brute_force: nprobe/cells = 1/4
+    assert recall >= 0.3, f"recall {recall}"
+
+
 def test_moments_plan_single_bounded_exchange(embeddings):
     plan = (
         embeddings.select("embedding")
