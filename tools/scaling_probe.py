@@ -58,6 +58,35 @@ def main() -> None:
             "ratio_100x_data": round(times[2] / max(times[0], 0.01), 1),
         }
 
+    # New-tier ops across the same SFs (pytest-gated, not contract rows):
+    # DSIR weight scoring, PCA moments, BPE training (10 merges — training
+    # cost past the word-freq pass is vocab-sized, so its ratio isolates
+    # the single corpus pass)
+    from pulsar_replay_spark.operators import bpe, curation, pca
+
+    extra = {
+        "dsir_log_weights": lambda spark, sf: curation.dsir_log_weights(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("lang") == "es"),
+        ).write.format("noop").mode("overwrite").save(),
+        "pca_moments": lambda spark, sf: pca.embedding_moments(
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+        ),
+        "bpe_train_10": lambda spark, sf: bpe.bpe_train(
+            bpe.word_freqs(spark.read.parquet(f"{sf}/documents.parquet")), 10
+        ),
+    }
+    for name, fn in extra.items():
+        times = []
+        for sf in SFS:
+            t0 = time.perf_counter()
+            fn(spark, sf)
+            times.append(round(time.perf_counter() - t0, 2))
+        out[name] = {
+            "sec_at_sf": dict(zip(["0.001", "0.01", "0.1"], times)),
+            "ratio_100x_data": round(times[2] / max(times[0], 0.01), 1),
+        }
+
     # as-of designed plan vs naive explode-prune at sf0.1
     from pulsar_replay_spark.operators.asof import asof_join, latest_per
     from pulsar_replay_spark.session import load_events
