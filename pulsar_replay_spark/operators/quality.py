@@ -176,3 +176,54 @@ def lm_doc_scores(
             F.col("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group adaptive quantile thresholds — "drop each source's bottom q
+# fraction by score" (the CCNet head/middle/tail split generalized): the
+# cutoff adapts to every source's own score distribution instead of one
+# global constant, which is how LM-filter thresholds are actually applied.
+# ---------------------------------------------------------------------------
+
+
+def quantile_thresholds(
+    scored: DataFrame, q: float, score_col: str = "score", by: str = "source"
+) -> DataFrame:
+    """(by, threshold): each group's q-quantile of ``score_col`` via
+    ``approx_percentile`` — one aggregation over the |groups| keyspace,
+    map-side combined sketches, no per-group sort. The scale path for any
+    group size; accuracy is the standard knob (10k ≈ 0.01% rank error)."""
+    return scored.groupBy(by).agg(
+        F.expr(f"approx_percentile({score_col}, {q}, 10000)").alias("threshold")
+    )
+
+
+def drop_bottom_quantile(
+    scored: DataFrame, q: float, score_col: str = "score", by: str = "source"
+) -> DataFrame:
+    """Scale path: keep rows at or above their group's approximate
+    q-quantile. The thresholds relation is |groups| rows → broadcast; the
+    corpus side is filtered in place with no shuffle beyond the sketch agg."""
+    th = quantile_thresholds(scored, q, score_col, by)
+    return scored.join(F.broadcast(th), by).filter(
+        F.col(score_col) >= F.col("threshold")
+    )
+
+
+def drop_bottom_quantile_exact(
+    scored: DataFrame, q: float, score_col: str = "score", by: str = "source"
+) -> DataFrame:
+    """Spec twin (and the DuckDB-oracle formulation): keep rows whose
+    ``percent_rank`` within their group is ≥ q. Exact, but one window sort
+    per group — correct wherever a group fits a task's sort, which is the
+    same caveat as every exact-quantile engine; the approx path above is
+    what ships at 100 TB. Ties share a percent_rank, so threshold-value
+    ties are kept by both paths identically."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by).orderBy(score_col)
+    return (
+        scored.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") >= q)
+        .drop("_pr")
+    )

@@ -168,3 +168,107 @@ def test_lm_scores_rank_noise_above_corpus_text(spark, documents):
     }
     assert scores[900002] > scores[900001]
     assert abs(scores[900002] - round(math.log(vocab), 6)) < 1e-6
+
+
+# --- per-source adaptive quantile thresholds -------------------------------
+
+Q = 0.25
+
+_QUANTILE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS score
+  FROM documents
+),
+r AS (
+  SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY score) AS pr
+  FROM scored
+)
+SELECT doc_id, source, score FROM r WHERE pr >= {Q}
+"""
+
+
+def _ttr_scored(documents):
+    from pulsar_replay_spark.operators.curation import default_quality_score
+
+    return documents.select(
+        "doc_id", "source", default_quality_score(F.col("text")).alias("score")
+    )
+
+
+def test_exact_quantile_filter_matches_duckdb(documents):
+    import duckdb
+
+    from pulsar_replay_spark.operators import quality
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        map(
+            tuple,
+            quality.drop_bottom_quantile_exact(_ttr_scored(documents), Q).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    assert got == sorted(map(tuple, con.execute(_QUANTILE_ORACLE).fetchall()))
+
+
+def test_approx_path_agrees_up_to_threshold_ties(documents):
+    """The broadcast-threshold scale path may differ from the exact
+    percent_rank spec ONLY on rows tied with their group's threshold value
+    (keep-side inclusive vs rank-fractional) — never anywhere else."""
+    from pulsar_replay_spark.operators import quality
+
+    scored = _ttr_scored(documents)
+    approx = {
+        (r.doc_id, r.source, r.score)
+        for r in quality.drop_bottom_quantile(scored, Q)
+        .select("doc_id", "source", "score")
+        .collect()
+    }
+    exact = {
+        tuple(r)
+        for r in quality.drop_bottom_quantile_exact(scored, Q).collect()
+    }
+    th = {
+        r[0]: r.threshold
+        for r in quality.quantile_thresholds(scored, Q).collect()
+    }
+    for row in approx ^ exact:
+        assert row[2] == th[row[1]], row
+    # and the filter actually bites: every group kept 60-90% of its docs
+    from collections import Counter
+
+    kept = Counter(s for _, s, _ in approx)
+    total = Counter(s for r in scored.collect() for s in [r.source])
+    for s in total:
+        frac = kept[s] / total[s]
+        assert 0.5 <= frac <= 0.95, (s, frac)
+
+
+def test_quantile_filter_plan_broadcasts_thresholds(documents):
+    from pulsar_replay_spark.operators import quality
+
+    plan = _plan(quality.drop_bottom_quantile(_ttr_scored(documents), Q))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_thresholds_deterministic(documents):
+    from pulsar_replay_spark.operators import quality
+
+    a = sorted(
+        map(tuple, quality.quantile_thresholds(_ttr_scored(documents), Q).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            quality.quantile_thresholds(
+                _ttr_scored(documents).repartition(7), Q
+            ).collect(),
+        )
+    )
+    assert a == b
