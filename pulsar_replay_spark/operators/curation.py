@@ -275,7 +275,12 @@ def dsir_score(
     score batches/streams at ingest). One feature pass over ``docs`` plus a
     broadcast join of the bounded ratio; unseen buckets take the closed-form
     ``default``."""
-    feats = dsir_features(docs, hex_chars)
+    return _score_feats(docs, dsir_features(docs, hex_chars), ratio, default)
+
+
+def _score_feats(
+    docs: DataFrame, feats: DataFrame, ratio: DataFrame, default: float
+) -> DataFrame:
     per_doc = (
         feats.join(F.broadcast(ratio), "bucket", "left")
         .withColumn("lr", F.coalesce(F.col("log_ratio"), F.lit(default)))
@@ -302,15 +307,25 @@ def dsir_log_weights(
     Join shape: per-doc bucket counts ⋈ broadcast(ratio) — the corpus side
     never shuffles beyond its own feature combine; the model side is the
     bounded, pinned bucket table. Docs whose every n-gram is unseen (empty
-    text) still return a row (logw 0.0 for zero features). Total corpus
-    passes: one over target + two over raw (ratio aggregation, scoring)."""
+    text) still return a row (logw 0.0 for zero features).
+
+    The raw corpus's n-gram explode (md5 per gram — the dominant CPU) runs
+    ONCE: the per-doc feature frame is persisted, the ratio aggregation
+    reduces it (materializing the cache via its own totals actions), the
+    scoring join reuses it, and the weights are pinned before release —
+    the ``minhash_candidate_pairs`` cache discipline (measured ~20% off
+    weight-computation wall time at sf0.1 — the explode partly pipelines
+    with its aggregations, so the saved pass isn't free-standing). Scoring
+    NEW docs against this model is ``dsir_score`` (declarative, no cache)."""
+    raw_feats = dsir_features(raw_docs, hex_chars).persist()
     ratio, default = dsir_bucket_log_ratio(
-        dsir_features(target_docs, hex_chars),
-        dsir_features(raw_docs, hex_chars),
-        hex_chars,
-        alpha,
+        dsir_features(target_docs, hex_chars), raw_feats, hex_chars, alpha
     )
-    return dsir_score(raw_docs, ratio, default, hex_chars)
+    out = _score_feats(raw_docs, raw_feats, ratio, default).localCheckpoint(
+        eager=True
+    )
+    raw_feats.unpersist()
+    return out
 
 
 def dsir_select(

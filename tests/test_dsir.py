@@ -184,8 +184,13 @@ def test_streaming_threshold_selects_offline_topk(
 
 
 def test_plan_broadcasts_ratio_no_cartesian(documents, target):
+    # the serving path stays fully declarative (dsir_log_weights pins its
+    # output after a cached single feature pass — its plan is a scan)
+    ratio, default = curation.dsir_bucket_log_ratio(
+        curation.dsir_features(target), curation.dsir_features(documents)
+    )
     plan = (
-        curation.dsir_log_weights(documents, target)
+        curation.dsir_score(documents, ratio, default)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
