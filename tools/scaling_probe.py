@@ -77,6 +77,9 @@ def main() -> None:
         ),
     }
     for name, fn in extra.items():
+        fn(spark, SFS[0])  # warm codegen/Arrow for THIS op before timing,
+        # like the contract warm-up does for the OPS loop — otherwise the
+        # sf0.001 cell absorbs the one-time cost and deflates the ratio
         times = []
         for sf in SFS:
             t0 = time.perf_counter()
