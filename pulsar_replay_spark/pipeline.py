@@ -1,0 +1,116 @@
+"""End-to-end corpus curation — the composition a training-data user
+actually runs, wiring the engine's stages in their production order:
+
+    near-dup dedup → decontamination → per-source quality-quantile filter
+    → scoring (DSIR when a target corpus is given, else type-token ratio)
+    → per-source token-budget selection → leakage-safe hash split
+    → sequence packing of the train split
+
+Every stage is an existing gated operator; this module adds the glue, the
+stage-by-stage funnel report, and nothing else — so the composition's
+correctness follows from the per-stage gates plus the invariants pinned in
+``tests/test_pipeline.py`` (monotone funnel, no loser/contaminated doc
+survives, budget respected, splits partition the selection, packed tokens
+conserve the train split).
+
+Scale posture: stages communicate by doc_id frames (anti-join / semi-join
+joins on the primary key); no stage re-reads text it does not need, and the
+expensive artifacts (dedup clusters, DSIR ratio) are built once by their
+own operators' cache discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import curation, dedup, packing, quality
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    target: DataFrame | None = None,
+    drop_quantile: float = 0.25,
+    budget_tokens: int = 20_000,
+    seq_len: int = 64,
+    n_shards: int = 8,
+    min_overlap: int = 8,
+) -> dict:
+    """Run the full funnel; returns every stage frame plus a funnel report.
+
+    Keys: deduped, decontaminated, filtered, scored, selected, split,
+    packed, report (stage, n_docs rows in pipeline order)."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    deduped = dedup.dedup_corpus(docs)
+    stages.append(("deduped", deduped))
+
+    if benchmark is not None:
+        overlap = dedup.benchmark_overlap(deduped, benchmark, min_overlap)
+        clean_ids = overlap.filter(~F.col("contaminated")).select("doc_id")
+        decontaminated = deduped.join(clean_ids, "doc_id", "left_semi")
+    else:
+        decontaminated = deduped
+    stages.append(("decontaminated", decontaminated))
+
+    # per-source quality floor on TTR — cheap, text-local, runs before any
+    # model scoring so the scorer never sees the bottom tail
+    ttr = decontaminated.select(
+        "doc_id",
+        "source",
+        curation.default_quality_score(F.col("text")).alias("score"),
+    )
+    kept_ids = quality.drop_bottom_quantile(ttr, drop_quantile).select("doc_id")
+    filtered = decontaminated.join(kept_ids, "doc_id", "left_semi")
+    stages.append(("filtered", filtered))
+
+    # selection score: DSIR log importance weight against the target corpus
+    # when given (round to 4 decimals — the bounded-cardinality property
+    # select_within_token_budget's phase-1 bucketing relies on), else TTR
+    if target is not None:
+        w = curation.dsir_log_weights(filtered, target)
+        scored = filtered.join(
+            w.select("doc_id", F.round("logw", 4).alias("_score")), "doc_id"
+        )
+        score_col = F.col("_score")
+    else:
+        scored = filtered
+        score_col = None
+    selected = curation.select_within_token_budget(
+        scored, budget_tokens, score=score_col
+    )
+    stages.append(("selected", selected))
+
+    split = curation.hash_split(selected)
+    train_ids = split.filter(F.col("split") == "train").select("doc_id")
+    train_docs = filtered.join(train_ids, "doc_id", "left_semi")
+    packed = packing.pack_token_stream(train_docs, seq_len=seq_len, n_shards=n_shards)
+
+    report = _funnel_report(stages + [("train", train_docs)])
+    return {
+        "deduped": deduped,
+        "decontaminated": decontaminated,
+        "filtered": filtered,
+        "selected": selected,
+        "split": split,
+        "packed": packed,
+        "report": report,
+    }
+
+
+def _funnel_report(stages: list[tuple[str, DataFrame]]) -> DataFrame:
+    """(stage_idx, stage, n_docs): one count per stage, unioned in pipeline
+    order — the curation funnel a data card reports."""
+    parts = [
+        df.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

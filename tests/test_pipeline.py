@@ -1,0 +1,107 @@
+"""End-to-end curation funnel gates: the composition must satisfy the
+cross-stage invariants no single-operator gate can see — the funnel only
+shrinks, no near-dup loser or contaminated doc survives its stage, the
+budget holds per source, the split partitions the selection, and packing
+conserves exactly the train split's tokens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark import pipeline
+from pulsar_replay_spark.operators import dedup
+
+BUDGET = 15_000
+
+
+@pytest.fixture(scope="module")
+def result(documents):
+    benchmark = documents.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    target = documents.filter(F.col("lang") == "es")
+    return (
+        pipeline.curate_corpus(
+            documents, benchmark=benchmark, target=target, budget_tokens=BUDGET
+        ),
+        documents,
+        benchmark,
+    )
+
+
+def test_funnel_is_monotone_and_complete(result):
+    res, docs, _ = result
+    rows = sorted(
+        ((r.stage_idx, r.stage, r.n_docs) for r in res["report"].collect())
+    )
+    names = [r[1] for r in rows]
+    assert names == [
+        "input",
+        "deduped",
+        "decontaminated",
+        "filtered",
+        "selected",
+        "train",
+    ]
+    counts = [r[2] for r in rows]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0  # the funnel must not starve
+
+
+def test_no_near_dup_loser_survives(result):
+    res, docs, _ = result
+    cc = dedup.connected_components(dedup.minhash_candidate_pairs(docs))
+    losers = {
+        r.doc_id for r in cc.filter(F.col("doc_id") != F.col("cluster_id")).collect()
+    }
+    for frame in ("deduped", "selected"):
+        ids = {r.doc_id for r in res[frame].select("doc_id").collect()}
+        assert not (ids & losers), frame
+
+
+def test_no_contaminated_doc_survives(result):
+    res, _, benchmark = result
+    flagged = {
+        r.doc_id
+        for r in dedup.benchmark_overlap(res["deduped"], benchmark)
+        .filter("contaminated")
+        .collect()
+    }
+    ids = {r.doc_id for r in res["decontaminated"].select("doc_id").collect()}
+    assert not (ids & flagged)
+    assert flagged  # the planted benchmark must actually flag something
+
+
+def test_budget_respected_per_source(result):
+    res, _, _ = result
+    per_source = (
+        res["selected"].groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    assert per_source and all(r.t <= BUDGET for r in per_source)
+
+
+def test_split_partitions_selection(result):
+    res, _, _ = result
+    sel = {r.doc_id for r in res["selected"].select("doc_id").collect()}
+    split_rows = res["split"].select("doc_id", "split").collect()
+    assert {r.doc_id for r in split_rows} == sel
+    assert len(split_rows) == len(sel)
+    assert {r.split for r in split_rows} <= {"train", "val", "test"}
+
+
+def test_packing_conserves_train_tokens(result):
+    res, _, _ = result
+    train = {
+        r.doc_id
+        for r in res["split"].filter("split = 'train'").select("doc_id").collect()
+    }
+    packed = res["packed"].collect()
+    assert {r.doc_id for r in packed} == train
+    expect_tokens = sum(
+        r.n_tokens
+        for r in res["selected"].collect()
+        if r.doc_id in train
+    )
+    assert sum(r.end_tok - r.start_tok for r in packed) == expect_tokens
