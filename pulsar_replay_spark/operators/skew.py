@@ -54,3 +54,41 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Pre-shuffle skew diagnosis for a prospective join/agg key: the top-N
+    hottest keys with their share of all rows and the share a perfectly
+    uniform key would carry — the decision input for "plain groupBy vs
+    salted vs AQE-split" before paying the shuffle.
+
+    One aggregation on the candidate keyspace (map-side combined) plus two
+    scalar actions on the aggregated frame; the report is top_n rows.
+    ``skew_x`` is the key's multiple of the uniform share — the straggler
+    multiplier an unsalted shuffle would hand that key's reducer.
+
+    Returns (key, n_rows, share, skew_x) ordered hottest first."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").alias("n_rows")
+    ).persist()
+    totals = counts.agg(
+        F.sum("n_rows").alias("total"), F.count("*").alias("n_keys")
+    ).first()
+    out = (
+        counts.orderBy(F.desc("n_rows"), "key")
+        .limit(top_n)
+        .select(
+            "key",
+            "n_rows",
+            # unrounded: a diagnosis report, not an oracle row — rounding is
+            # presentation, and HALF_UP vs half-even engine edges (1.005)
+            # would manufacture false cross-engine diffs
+            (F.col("n_rows") / F.lit(float(totals.total))).alias("share"),
+            (
+                F.col("n_rows") / F.lit(float(totals.total) / totals.n_keys)
+            ).alias("skew_x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts.unpersist()
+    return out

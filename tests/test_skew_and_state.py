@@ -87,3 +87,38 @@ def test_foreach_batch_sink(spark, tmp_path_factory):
     written = spark.read.parquet(out)
     assert written.count() == spark.read.parquet(src).count()
     assert written.select("batch_id").distinct().count() >= 2  # real micro-batches
+
+
+def test_key_skew_report_matches_duckdb(spark, events):
+    """The diagnosis report must equal the exact DuckDB formulation
+    (per-key counts, shares, uniform-multiple) on the events key that IS
+    the engine's canonical skew case (event_type)."""
+    import duckdb
+
+    got = sorted(
+        map(tuple, skew.key_skew_report(events, "event_type", top_n=5).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    sql = """
+WITH c AS (SELECT event_type AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total, COUNT(*) AS n_keys FROM c)
+SELECT key, n_rows, n_rows / total AS share,
+       n_rows / (total / n_keys) AS skew_x
+FROM c CROSS JOIN t ORDER BY n_rows DESC, key LIMIT 5
+"""
+    expect = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[0] == e[0] and g[1] == e[1], (g, e)
+        assert abs(g[2] - e[2]) < 1e-12 and abs(g[3] - e[3]) < 1e-12, (g, e)
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    rows = [(i, "hot" if i % 10 else "cold%d" % i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = {r.key: r for r in skew.key_skew_report(df, "k", top_n=3).collect()}
+    assert rep["hot"].skew_x > 50  # 900 rows over ~101 keys ≈ 91x uniform
+    assert abs(rep["hot"].share - 0.9) < 0.01
