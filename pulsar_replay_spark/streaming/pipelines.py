@@ -422,3 +422,39 @@ def dsir_scoring_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_ingest_sink(
+    emb_stream: DataFrame, centroids: DataFrame, index_dir: str, checkpoint_dir: str
+):
+    """Incremental IVF index maintenance — the daily-embedding-ingest shape
+    (symmetric to ``incremental_dedup_sink``): each micro-batch of new
+    vectors assigns to the FIXED coarse quantizer and appends its cell rows
+    as one idempotent batch_id partition of the cells store; the corpus is
+    never re-assigned. Centroid refresh (``kmeans_refine``) is the separate
+    slow path — after a refresh the cells store is rebuilt once, exactly
+    like any index rebuild.
+
+    Assignment is a pure function of (vector, centroids), so the
+    incrementally-grown store equals a full one-shot ``ivf_assign`` over
+    the union of all batches (pinned in tests, including serving equality
+    through ``ivf_topk``). Exactly-once: batch_id-partitioned dynamic
+    overwrites — a crash-retried batch overwrites itself."""
+    from pulsar_replay_spark.operators.similarity import ivf_assign
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cells = ivf_assign(batch_df, centroids, n_probe=1)
+        (
+            cells.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -375,3 +375,43 @@ def test_ann_serving_stream_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_ivf_ingest_stream_equals_full_assignment(spark, tmp_path):
+    """The incrementally-grown cells store must equal one-shot ivf_assign
+    over the whole corpus (same fixed centroids), and serving through the
+    grown store must equal serving through the full recompute."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators import similarity
+    from pulsar_replay_spark.streaming.pipelines import (
+        embeddings_stream,
+        ivf_ingest_sink,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.kmeans_refine(corpus, 16, n_iter=1)
+
+    src = str(tmp_path / "emb_stream")
+    corpus.repartition(3).write.mode("overwrite").parquet(src)
+    q = ivf_ingest_sink(
+        embeddings_stream(spark, src),
+        cents,
+        str(tmp_path / "index"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+
+    grown = spark.read.parquet(str(tmp_path / "index")).select("vec_id", "cell_id")
+    full = similarity.ivf_assign(corpus, cents, n_probe=1)
+    assert sorted(map(tuple, grown.collect())) == sorted(map(tuple, full.collect()))
+
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    a = similarity.ivf_topk(
+        corpus, queries, k=5, n_probe=4, centroids=cents,
+        corpus_cells=grown.localCheckpoint(eager=True),
+    )
+    b = similarity.ivf_topk(
+        corpus, queries, k=5, n_probe=4, centroids=cents, corpus_cells=full
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
