@@ -148,6 +148,23 @@ def main() -> None:
     similarity.lsh_topk(emb, queries, k=5).write.format("noop").mode("overwrite").save()
     out["lsh_topk_20k_vecs"] = round(time.perf_counter() - t, 2)
 
+    # new tier at rehearsal volume: DSIR weights over 50k docs (the clone
+    # structure makes raw≈target-heavy — fine, the timing is the point),
+    # BPE training (corpus pass + vocab-frame rounds), PCA moments
+    from pulsar_replay_spark.operators import bpe, curation, pca
+
+    t = time.perf_counter()
+    curation.dsir_log_weights(docs, docs.filter(F.col("lang") == "es")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["dsir_weights_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    n_merges = len(bpe.bpe_train(bpe.word_freqs(docs), 10))
+    out["bpe_train10_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    pca.embedding_moments(emb)
+    out["pca_moments_20k_vecs"] = round(time.perf_counter() - t, 2)
+
     print(json.dumps({
         "replicas": n, "build_sec": build_s, "rows": sizes,
         "timings_sec": out,
