@@ -114,6 +114,45 @@ def pca_project(
     return emb.withColumn(out_col, proj(F.col(col)))
 
 
+def random_projection(
+    emb: DataFrame,
+    k: int,
+    dim: int = 64,
+    seed: str = "jl-v1",
+    col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sparse random projection (Achlioptas 2003):
+    x → x·R/√k with R a dim×k Rademacher (±1) matrix — the data-INDEPENDENT
+    complement to PCA for when even one moments pass over the corpus is too
+    expensive: no training, no actions, just a broadcast matmul riding the
+    scan (zero exchanges, same Arrow seam as ``pca_project``).
+
+    R is md5-derived from ``seed`` (bit 0 of md5("seed:i:j")) — the same
+    determinism discipline as every sample in the engine: any worker, any
+    engine, any retry rebuilds the identical matrix, and changing the seed
+    re-deals the projection."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    signs = np.array(
+        [
+            1.0 if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] & 1 else -1.0
+            for i in range(dim)
+            for j in range(k)
+        ]
+    ).reshape(dim, k)
+    mat = signs / np.sqrt(k)
+
+    @pandas_udf("array<double>")
+    def proj(s: pd.Series) -> pd.Series:
+        x = np.asarray(s.tolist(), dtype=np.float64)
+        return pd.Series(list(x @ mat))
+
+    return emb.withColumn(out_col, proj(F.col(col)))
+
+
 def pca_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -116,6 +116,56 @@ def test_pca_ivf_recall_and_plan(spark, embeddings):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_random_projection_jl_distortion_and_determinism(spark, embeddings, x):
+    """The md5-Rademacher projection must be a numpy-exact deterministic
+    map, preserve pairwise distances within an empirical JL band at k=32,
+    and stay a zero-exchange Arrow projection."""
+    import hashlib
+
+    xs, ids = x
+    k = 32
+    got_df = pca.random_projection(embeddings, k)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
+    got = {r.vec_id: np.asarray(r.proj) for r in got_df.select("vec_id", "proj").collect()}
+
+    # numpy mirror of the md5 matrix
+    signs = np.array(
+        [
+            1.0 if hashlib.md5(f"jl-v1:{i}:{j}".encode()).digest()[0] & 1 else -1.0
+            for i in range(64)
+            for j in range(k)
+        ]
+    ).reshape(64, k)
+    expect = xs @ (signs / np.sqrt(k))
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], expect[i], atol=1e-10), vid
+
+    # empirical JL distortion band on sampled pairs (deterministic seed →
+    # stable statistic): relative error of pairwise distance mostly small
+    rng = np.random.default_rng(1)
+    pick = rng.choice(len(ids), size=40, replace=False)
+    dist = []
+    for i in pick[:20]:
+        for j in pick[20:]:
+            d0 = np.linalg.norm(xs[i] - xs[j])
+            d1 = np.linalg.norm(expect[i] - expect[j])
+            if d0 > 0:
+                dist.append(abs(d1 - d0) / d0)
+    dist = np.sort(dist)
+    assert dist[int(0.9 * len(dist))] < 0.35  # 90th pct distortion
+    assert float(np.median(dist)) < 0.2
+
+    # seed re-deal: a different seed gives a different (but equally valid) map
+    other = {
+        r.vec_id: np.asarray(r.proj)
+        for r in pca.random_projection(embeddings, k, seed="jl-v2")
+        .select("vec_id", "proj")
+        .collect()
+    }
+    assert any(not np.allclose(got[v], other[v]) for v in got)
+
+
 def test_moments_plan_single_bounded_exchange(embeddings):
     plan = (
         embeddings.select("embedding")
