@@ -131,6 +131,35 @@ def mixture_sample(docs: DataFrame, target_weights: dict[str, float]) -> DataFra
     return scored.filter(frac < rate_col).select("doc_id", "source", "n_tokens")
 
 
+def temperature_weights(
+    docs: DataFrame, alpha: float = 0.3, by: str = "source"
+) -> dict[str, float]:
+    """Temperature-based mixture weights p_s ∝ n_s^α (Conneau et al. 2020,
+    XLM-R §3.1 / mT5's language-sampling rule): α=1 reproduces natural
+    proportions, α→0 flattens toward uniform — the standard knob for
+    upweighting low-resource sources without drowning high-resource ones.
+    One |groups|-key token-count agg; returns weights summing to 1, ready
+    for ``mixture_sample``."""
+    sizes = {
+        r[by]: r.t
+        for r in _scored(docs, None)
+        .groupBy(by)
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    raised = {s: float(t) ** alpha for s, t in sizes.items()}
+    total = sum(raised.values())
+    return {s: v / total for s, v in raised.items()}
+
+
+def temperature_mixture(
+    docs: DataFrame, alpha: float = 0.3, by: str = "source"
+) -> DataFrame:
+    """``mixture_sample`` under temperature weights — the deterministic
+    md5-acceptance sampler targets the α-flattened proportions."""
+    return mixture_sample(docs, temperature_weights(docs, alpha, by))
+
+
 def mixture_summary(selected: DataFrame, budget_tokens: int) -> DataFrame:
     """Per-source mixture report: docs kept, tokens kept, budget utilization
     and the score floor that made the cut."""

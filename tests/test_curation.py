@@ -253,3 +253,57 @@ FROM starts
     originals = {r.doc_id: r.text for r in documents.collect()}
     for d, toks in by_doc.items():
         assert " ".join(toks) == originals[d], d
+
+
+# --- temperature mixture ---------------------------------------------------
+
+
+def test_temperature_weights_limits(documents):
+    """alpha=1 must reproduce natural token proportions exactly; alpha=0
+    must be uniform; intermediate alpha must sit strictly between for the
+    largest and smallest sources."""
+    nat = curation.temperature_weights(documents, alpha=1.0)
+    sizes = {
+        r.source: r.t
+        for r in curation._scored(documents, None)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    for s in sizes:
+        assert abs(nat[s] - sizes[s] / total) < 1e-12
+    flat = curation.temperature_weights(documents, alpha=0.0)
+    for s in sizes:
+        assert abs(flat[s] - 1 / len(sizes)) < 1e-12
+
+    mid = curation.temperature_weights(documents, alpha=0.3)
+    big = max(sizes, key=sizes.get)
+    small = min(sizes, key=sizes.get)
+    assert flat[big] < mid[big] < nat[big]
+    assert nat[small] < mid[small] < flat[small]
+    assert abs(sum(mid.values()) - 1) < 1e-12
+
+
+def test_temperature_mixture_flattens_proportions(documents):
+    """The alpha-flattened sample must give the smallest source a LARGER
+    share of kept tokens than the natural corpus gives it, and stay
+    deterministic (md5 acceptance)."""
+    kept = curation.temperature_mixture(documents, alpha=0.3)
+    kept_tokens = {
+        r.source: r.t
+        for r in kept.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    sizes = {
+        r.source: r.t
+        for r in curation._scored(documents, None)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    small = min(sizes, key=sizes.get)
+    nat_share = sizes[small] / sum(sizes.values())
+    kept_share = kept_tokens.get(small, 0) / sum(kept_tokens.values())
+    assert kept_share > nat_share
+    again = curation.temperature_mixture(documents, alpha=0.3)
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
