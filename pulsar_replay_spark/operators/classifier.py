@@ -1,0 +1,163 @@
+"""Linear quality classifier over hashed n-gram features, trained in-engine.
+
+The CCNet/RefinedWeb curation recipe scores documents with a fastText-style
+linear classifier (Joulin et al., arXiv:1607.01759) trained on weak labels
+("looks like Wikipedia" vs "looks like raw crawl"). This is that filter
+re-expressed as the engine's own distributed training loop — no external
+model artifact, no MLlib dependency, exactly mirrorable by numpy for tests:
+
+- **features** are the same hashed unigram+bigram buckets DSIR uses
+  (`curation.dsir_features`, keyspace = 16^hex ≤ 4096), length-normalized
+  per doc so the feature matrix row is a distribution, not a count vector.
+  One corpus-sized map-side-combined shuffle, identical to DSIR's cost.
+- **training** is full-batch gradient descent on logistic loss + L2. Each
+  iteration: per-doc margin = one broadcast join of the bounded weight
+  table + one doc_id groupBy; per-bucket gradient = one bucket groupBy
+  whose keyspace is the FIXED bucket count — the collect that follows is
+  ≤ 16^hex rows per iteration regardless of corpus size (same bounded-
+  collect posture as DSIR's ratio table and k-means' (cell,dim) reduce).
+  The weight vector lives on the driver between iterations and rides back
+  as a broadcast literal frame: the corpus shuffles once (the cached
+  feature build); iterations touch only doc_id- and bucket-keyed
+  aggregates of it.
+- **serving** is one broadcast join + groupBy per scored batch, the same
+  shape as `curation.dsir_score` — and like DSIR the trained weight table
+  is a persistable model artifact.
+
+Weak labels come from anywhere: a curated positive corpus vs a random
+crawl sample (the classic recipe), or any (doc_id, label) frame.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators.curation import DSIR_HEX, dsir_features
+
+
+def doc_features(docs: DataFrame, hex_chars: int = DSIR_HEX) -> DataFrame:
+    """(doc_id, bucket, x): length-normalized hashed-n-gram features.
+
+    x_b = cnt_b / Σ_b cnt_b per document, so every doc contributes unit
+    mass to the gradient no matter its length (the fastText bag-average).
+    """
+    feats = dsir_features(docs, hex_chars)
+    total = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return feats.select("doc_id", "bucket", (F.col("cnt") / total).alias("x"))
+
+
+def lr_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_iter: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> tuple[DataFrame, float]:
+    """Full-batch logistic regression; returns (weights(bucket, w), bias).
+
+    ``labels`` is (doc_id, label∈{0.0, 1.0}). Deterministic: gradient
+    per bucket is a floating sum over docs — Spark's combine order can
+    differ run-to-run, so exact bit-equality is not promised, but tests
+    pin equality to a numpy mirror within 1e-6 (30 iterations keep the
+    conditioning benign).
+    """
+    spark = feats.sparkSession
+    # One materialization feeds every iteration; labels ride along so the
+    # per-doc join happens once, not per iteration.
+    fl = (
+        feats.join(labels, "doc_id")
+        .select("doc_id", "bucket", "x", F.col("label").cast("double").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = fl.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("lr_train: empty training set")
+
+    w: dict[str, float] = {}
+    bias = 0.0
+    for _ in range(n_iter):
+        if w:
+            wdf = spark.createDataFrame(list(w.items()), "bucket string, w double")
+            joined = fl.join(F.broadcast(wdf), "bucket", "left").withColumn(
+                "w", F.coalesce(F.col("w"), F.lit(0.0))
+            )
+        else:
+            joined = fl.withColumn("w", F.lit(0.0))
+        per_doc = joined.groupBy("doc_id", "y").agg(
+            F.sum(F.col("w") * F.col("x")).alias("margin")
+        )
+        resid = per_doc.select(
+            "doc_id",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("margin") + F.lit(bias))))
+                - F.col("y")
+            ).alias("r"),
+        )
+        # Gradient keyspace = bucket count (bounded by 16^hex), so this
+        # groupBy + collect is constant-sized in the corpus.
+        grad_rows = (
+            fl.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+            .collect()
+        )
+        grad_b = resid.agg(F.avg("r")).first()[0]
+        for row in grad_rows:
+            b = row["bucket"]
+            w[b] = w.get(b, 0.0) - lr * (row["g"] / n_docs + l2 * w.get(b, 0.0))
+        bias -= lr * grad_b
+    weights = spark.createDataFrame(
+        [(b, v) for b, v in sorted(w.items())], "bucket string, w double"
+    ).localCheckpoint(eager=True)
+    return weights, bias
+
+
+def lr_score(feats: DataFrame, weights: DataFrame, bias: float) -> DataFrame:
+    """(doc_id, score): P(label=1) for each doc — one broadcast join +
+    one doc_id groupBy, the serving shape shared with dsir_score."""
+    margin = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(0.0)))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("margin"))
+    )
+    return margin.select(
+        "doc_id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("margin") + F.lit(bias))))).alias(
+            "score"
+        ),
+    )
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    hex_chars: int = DSIR_HEX,
+    n_iter: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> tuple[DataFrame, float]:
+    """The classic weak-label recipe: positives (curated corpus) vs
+    negatives (crawl sample) → (weights, bias). Doc ids from the two
+    frames are namespaced so collisions between corpora cannot cross-label.
+    """
+    pos = positive.select(
+        F.concat(F.lit("p:"), F.col("doc_id").cast("string")).alias("doc_id"), "text"
+    )
+    neg = negative.select(
+        F.concat(F.lit("n:"), F.col("doc_id").cast("string")).alias("doc_id"), "text"
+    )
+    docs = pos.unionByName(neg)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id").startswith("p:"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("label"),
+    )
+    feats = doc_features(docs, hex_chars)
+    return lr_train(feats, labels, n_iter=n_iter, lr=lr, l2=l2)
+
+
+def sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

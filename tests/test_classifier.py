@@ -1,0 +1,148 @@
+"""Gates for the in-engine linear quality classifier.
+
+The load-bearing check is the numpy mirror: the distributed training loop
+(broadcast-join margins, bounded bucket-keyed gradient collects) must
+compute THE SAME gradient descent a single-machine numpy implementation
+does on the same feature matrix — within floating tolerance, since group
+summation order differs between engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import classifier
+
+
+@pytest.fixture(scope="module")
+def weak_corpus(spark):
+    # Planted separable vocabularies: "good" docs share clean-prose tokens,
+    # "spam" docs share junk tokens; a linear bag model must separate them.
+    pos_rows = [
+        (i, f"the quiet library holds many careful essays volume {i % 7}")
+        for i in range(40)
+    ]
+    neg_rows = [
+        (i, f"click winner free prize now claim bonus code {i % 7}") for i in range(40)
+    ]
+    pos = spark.createDataFrame(pos_rows, "doc_id int, text string")
+    neg = spark.createDataFrame(neg_rows, "doc_id int, text string")
+    return pos, neg
+
+
+def _collect_feats(feats):
+    return [(r["doc_id"], r["bucket"], r["x"]) for r in feats.collect()]
+
+
+def _numpy_train(rows, labels, n_iter, lr, l2):
+    """Reference GD on the exact same (doc, bucket, x) triples."""
+    docs = sorted({d for d, _, _ in rows})
+    buckets = sorted({b for _, b, _ in rows})
+    di = {d: i for i, d in enumerate(docs)}
+    bi = {b: i for i, b in enumerate(buckets)}
+    X = np.zeros((len(docs), len(buckets)))
+    for d, b, x in rows:
+        X[di[d], bi[b]] += x
+    y = np.array([labels[d] for d in docs])
+    w = np.zeros(len(buckets))
+    bias = 0.0
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + bias)))
+        r = p - y
+        grad = X.T @ r / len(docs) + l2 * w
+        w -= lr * grad
+        bias -= lr * r.mean()
+    return {b: w[bi[b]] for b in buckets}, bias
+
+
+def test_training_matches_numpy_mirror(spark, weak_corpus):
+    pos, neg = weak_corpus
+    docs = pos.select(
+        F.concat(F.lit("p:"), F.col("doc_id").cast("string")).alias("doc_id"), "text"
+    ).unionByName(
+        neg.select(
+            F.concat(F.lit("n:"), F.col("doc_id").cast("string")).alias("doc_id"),
+            "text",
+        )
+    )
+    feats = classifier.doc_features(docs)
+    labels_df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id").startswith("p:"), 1.0).otherwise(0.0).alias("label"),
+    )
+    n_iter, lr, l2 = 15, 2.0, 1e-4
+    weights, bias = classifier.lr_train(feats, labels_df, n_iter=n_iter, lr=lr, l2=l2)
+
+    rows = _collect_feats(feats)
+    labels = {r["doc_id"]: r["label"] for r in labels_df.collect()}
+    want_w, want_b = _numpy_train(rows, labels, n_iter, lr, l2)
+
+    got_w = {r["bucket"]: r["w"] for r in weights.collect()}
+    assert abs(bias - want_b) < 1e-6
+    assert set(got_w) == set(want_w)
+    for b in want_w:
+        assert abs(got_w[b] - want_w[b]) < 1e-6, b
+
+
+def test_separates_planted_vocabularies(spark, weak_corpus):
+    pos, neg = weak_corpus
+    weights, bias = classifier.train_quality_classifier(pos, neg, n_iter=30)
+    docs = pos.select(
+        F.concat(F.lit("p:"), F.col("doc_id").cast("string")).alias("doc_id"), "text"
+    ).unionByName(
+        neg.select(
+            F.concat(F.lit("n:"), F.col("doc_id").cast("string")).alias("doc_id"),
+            "text",
+        )
+    )
+    scored = classifier.lr_score(classifier.doc_features(docs), weights, bias)
+    verdicts = {r["doc_id"]: r["score"] for r in scored.collect()}
+    assert all(v > 0.5 for d, v in verdicts.items() if d.startswith("p:"))
+    assert all(v < 0.5 for d, v in verdicts.items() if d.startswith("n:"))
+
+
+def test_scoring_generalizes_to_held_out_docs(spark, weak_corpus):
+    pos, neg = weak_corpus
+    weights, bias = classifier.train_quality_classifier(pos, neg, n_iter=30)
+    held_out = spark.createDataFrame(
+        [
+            ("h-good", "careful essays in the quiet library"),
+            ("h-spam", "free bonus prize click now"),
+        ],
+        "doc_id string, text string",
+    )
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in classifier.lr_score(
+            classifier.doc_features(held_out), weights, bias
+        ).collect()
+    }
+    assert scored["h-good"] > 0.5 > scored["h-spam"]
+
+
+def test_training_deterministic_under_repartitioning(spark, weak_corpus):
+    pos, neg = weak_corpus
+    w1, b1 = classifier.train_quality_classifier(pos, neg, n_iter=5)
+    w2, b2 = classifier.train_quality_classifier(
+        pos.repartition(7), neg.repartition(3), n_iter=5
+    )
+    g1 = {r["bucket"]: r["w"] for r in w1.collect()}
+    g2 = {r["bucket"]: r["w"] for r in w2.collect()}
+    assert abs(b1 - b2) < 1e-9
+    assert set(g1) == set(g2)
+    for b in g1:
+        assert abs(g1[b] - g2[b]) < 1e-9
+
+
+def test_serving_plan_broadcasts_weights_no_cartesian(spark, weak_corpus):
+    pos, neg = weak_corpus
+    weights, bias = classifier.train_quality_classifier(pos, neg, n_iter=2)
+    scored = classifier.lr_score(
+        classifier.doc_features(pos.select("doc_id", "text")), weights, bias
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
