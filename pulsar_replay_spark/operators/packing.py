@@ -133,3 +133,42 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             1 - F.sum(capped) / (F.count("*") * F.lit(seq_len)), 4
         ).alias("padding_frac"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    order_col: str = "doc_id",
+    max_records_per_file: int = 0,
+) -> None:
+    """Deterministic sharded export — the dataset layout trainers consume.
+
+    Shard assignment is the same md5 deal the packers use (a pure function
+    of doc_id — stable across re-runs, retries, and cluster sizes), rows
+    inside each shard file are in ``order_col`` order, and each shard is one
+    ``shard=k`` parquet partition directory. One repartition on the shard
+    key + sortWithinPartitions — never a global sort: shards write in
+    parallel, and the per-file row order is the per-task sort order, so the
+    bytes a trainer streams are reproducible. ``max_records_per_file``
+    splits oversized shards into sequentially-named files whose
+    lexicographic order preserves the sort (left at 0 = one file per shard
+    per task).
+
+    This is the batch twin of the reference's per-topic backup-file layout
+    (pulsar_backup_restore.py:146-183: one ordered JSON file per topic) at
+    training-corpus scale.
+    """
+    shard = F.conv(
+        F.substring(F.md5(F.col(order_col).cast("string")), 1, 2), 16, 10
+    ).cast("int") % n_shards
+    writer = (
+        docs.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(out_dir)

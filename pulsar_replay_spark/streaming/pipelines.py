@@ -458,3 +458,96 @@ def ivf_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def continuous_rollup_sink(
+    event_stream: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    bucket: str = "1 hour",
+):
+    """Continuous time-bucketed aggregate — the hypertable/continuous-
+    aggregate shape (TimescaleDB's "continuous aggregates", materialized
+    incrementally, served merge-on-read):
+
+    Each micro-batch reduces to a PARTIAL aggregate over its own rows —
+    (bucket_start, event_type) → (cnt, sum_value) — and appends it as one
+    idempotent batch_id partition. The store therefore grows with
+    #batches × bucket-keyspace, never with raw events, and no batch ever
+    reads or rewrites previous state: commutative+associative partials make
+    the sink O(batch) regardless of table history — the only rollup shape
+    that holds at 100 TB of events. Serving is ``rollup_read`` (final-merge
+    of the partials); ``rollup_compact`` folds history into a single
+    partial partition when the batch count grows (identical semantics,
+    pinned in tests).
+
+    Exactly-once: batch_id-partitioned dynamic overwrite (the
+    ``foreach_batch_idempotent`` discipline) — a crash-retried batch
+    overwrites its own partials, never double-counts.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(
+                F.window("ts", bucket).start.alias("bucket_start"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("value").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        (
+            partial.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(rollup_dir)
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rollup_read(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Serve the continuous aggregate: final-merge the stored partials.
+
+    count/sum/min/max all merge associatively, and avg derives as
+    sum/cnt at read time (never store avg partials — they don't merge).
+    The scan is bucket-keyspace-sized, not event-sized.
+    """
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
+    )
+
+
+def rollup_compact(spark: SparkSession, rollup_dir: str, compact_dir: str) -> None:
+    """Fold all partial partitions into one (batch_id=-1) partial store.
+
+    Run on the slow path when #batches grows; ``rollup_read`` over the
+    compacted store returns identical results (merge is associative)."""
+    merged = (
+        spark.read.parquet(rollup_dir)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+    )
+    merged.write.mode("overwrite").partitionBy("batch_id").parquet(compact_dir)
