@@ -136,3 +136,39 @@ def load_pca_model(spark: SparkSession, path: str) -> dict:
         "explained_var_ratio": np.asarray(r.evr),
         "whiten": r.whiten,
     }
+
+
+# --- Linear quality classifier (weights + bias) ----------------------------
+
+
+def save_lr_model(weights: DataFrame, bias: float, path: str) -> None:
+    _write(weights, f"{path}/weights")
+    spark = weights.sparkSession
+    _write(
+        spark.createDataFrame([(float(bias),)], "bias double"), f"{path}/_meta"
+    )
+
+
+def load_lr_model(spark: SparkSession, path: str) -> tuple[DataFrame, float]:
+    """(weights, bias) — feed straight into ``classifier.lr_score``."""
+    weights = _read(spark, f"{path}/weights")
+    bias = spark.read.parquet(f"{path}/_meta").first()["bias"]
+    return weights, bias
+
+
+# --- Bloom filter (history-membership state) -------------------------------
+
+
+def save_bloom(spark: SparkSession, bitmap: bytes, n_hashes: int, path: str) -> None:
+    """The filter is one binary blob + its hash count; stored as a one-row
+    table so it lives next to the other artifacts (and ORs with a re-built
+    filter on merge, should the caller shard by ingest era)."""
+    _write(
+        spark.createDataFrame([(bitmap, n_hashes)], "bitmap binary, n_hashes int"),
+        f"{path}/bloom",
+    )
+
+
+def load_bloom(spark: SparkSession, path: str) -> tuple[bytes, int]:
+    row = spark.read.parquet(f"{path}/bloom").first()
+    return bytes(row["bitmap"]), row["n_hashes"]

@@ -32,10 +32,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pulsar_replay_spark.operators.curation import DSIR_HEX, dsir_features
+from pulsar_replay_spark.operators.curation import DSIR_HEX
 
 
 def doc_features(docs: DataFrame, hex_chars: int = DSIR_HEX) -> DataFrame:
@@ -43,10 +43,30 @@ def doc_features(docs: DataFrame, hex_chars: int = DSIR_HEX) -> DataFrame:
 
     x_b = cnt_b / Σ_b cnt_b per document, so every doc contributes unit
     mass to the gradient no matter its length (the fastText bag-average).
+
+    Normalization costs zero extra shuffles: each exploded gram carries its
+    per-gram increment ``1/size(grams)`` (a pure projection computed BEFORE
+    the explode) and the single (doc, bucket) combine sums it — so x_b
+    arrives normalized out of the one map-side-combined aggregation.
+    Measured at the 10× rehearsal (50k docs): 12 s vs 20 s for the
+    doc_id-Window-over-exploded-relation formulation (which re-shuffles and
+    sorts the whole feature table) and 28 s for carrying the total through
+    the aggregate as a ``first()`` column.
     """
-    feats = dsir_features(docs, hex_chars)
-    total = F.sum("cnt").over(Window.partitionBy("doc_id"))
-    return feats.select("doc_id", "bucket", (F.col("cnt") / total).alias("x"))
+    from pulsar_replay_spark.functions.text import bigrams, tokens
+
+    grams = F.concat(tokens(F.col("text")), bigrams(F.col("text")))
+    return (
+        docs.select("doc_id", grams.alias("gs"))
+        .select(
+            "doc_id",
+            (F.lit(1.0) / F.size("gs")).alias("inc"),
+            F.explode("gs").alias("g"),
+        )
+        .select("doc_id", "inc", F.substring(F.md5("g"), 1, hex_chars).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("inc").alias("x"))
+    )
 
 
 def lr_train(

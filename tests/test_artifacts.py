@@ -84,3 +84,39 @@ def test_pca_model_roundtrip_and_projection(spark, embeddings, tmp_path):
     assert _rows(
         pca.pca_project(embeddings, loaded).select("vec_id", "proj")
     ) == _rows(pca.pca_project(embeddings, model).select("vec_id", "proj"))
+
+
+def test_lr_model_roundtrip_and_serving(spark, documents, tmp_path):
+    from pulsar_replay_spark.operators import classifier
+
+    pos = documents.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    neg = documents.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    weights, bias = classifier.train_quality_classifier(pos, neg, n_iter=3)
+    artifacts.save_lr_model(weights, bias, str(tmp_path / "lr"))
+    lw, lb = artifacts.load_lr_model(spark, str(tmp_path / "lr"))
+    assert _rows(lw) == _rows(weights)
+    assert lb == bias
+
+    feats = classifier.doc_features(documents.select("doc_id", "text"))
+    built = classifier.lr_score(feats, weights, bias)
+    served = classifier.lr_score(feats, lw, lb)
+    got_b = {r["doc_id"]: round(r["score"], 9) for r in built.collect()}
+    got_s = {r["doc_id"]: round(r["score"], 9) for r in served.collect()}
+    assert got_b == got_s
+
+
+def test_bloom_roundtrip_and_serving(spark, documents, tmp_path):
+    from pulsar_replay_spark.operators import bloom
+
+    keyed = documents.select(F.md5("text").alias("content_key"))
+    n_bits, n_hashes = bloom.bloom_params(1000, fpp=0.01)
+    bitmap = bloom.bloom_build(keyed, "content_key", n_bits, n_hashes)
+    artifacts.save_bloom(spark, bitmap, n_hashes, str(tmp_path / "bloom"))
+    lbm, lk = artifacts.load_bloom(spark, str(tmp_path / "bloom"))
+    assert lbm == bitmap and lk == n_hashes
+
+    probe = keyed.limit(50)
+    built = bloom.bloom_might_contain(probe, "content_key", bitmap, n_hashes)
+    served = bloom.bloom_might_contain(probe, "content_key", lbm, lk)
+    assert _rows(built) == _rows(served)
+    assert all(r["might_contain"] for r in served.collect())
