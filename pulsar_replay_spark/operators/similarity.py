@@ -779,3 +779,133 @@ def semantic_dedup_stats(verdicts: DataFrame) -> DataFrame:
             "drop_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval post-processing: MMR diversified rerank + hard-negative mining.
+# Both consume the (q_id, neighbor_id, sim, rk) contract every top-k path in
+# this module emits, so they compose with brute force, LSH, IVF, and IVF-PQ
+# serving identically.
+# ---------------------------------------------------------------------------
+
+MMR_SCHEMA = (
+    "q_id long, neighbor_id long, relevance double, mmr_score double, mmr_rank int"
+)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    topk: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR '98)
+    of a retrieved candidate pool: greedily pick the candidate maximizing
+
+        lam * relevance(q, c)  -  (1 - lam) * max_{s in selected} cos(c, s)
+
+    so the final k trade relevance against redundancy — the standard fix for
+    near-duplicate-saturated neighbor lists feeding RAG context windows or
+    contrastive batch construction.
+
+    Spark shape: the greedy loop is inherently sequential *within* one query
+    but embarrassingly parallel *across* queries, and the per-query problem
+    is tiny (the candidate pool, |pool| x dim floats). So: two equi-joins
+    pull candidate + query vectors onto the pool rows (shuffle bounded by
+    |Q|*pool rows, never the corpus), then one Arrow batch per query via
+    applyInPandas runs the O(pool^2 * k) greedy selection in numpy. No
+    cross join anywhere; corpus vectors are touched only for pool members.
+
+    Determinism: candidates sort by neighbor_id before selection, scores
+    round to 6 decimals, ties break on neighbor_id asc — repartition- and
+    retry-stable (same discipline as every other md5/round-gated operator).
+    """
+    import pandas as pd
+
+    cand = topk.select("q_id", "neighbor_id", F.col("sim").alias("relevance")).join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+        ),
+        "neighbor_id",
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        emb = np.stack(pdf["n_emb"].to_numpy()).astype("float64")
+        nrm = np.linalg.norm(emb, axis=1)
+        nrm[nrm == 0] = 1.0
+        unit = emb / nrm[:, None]
+        pair = unit @ unit.T  # pool x pool cosine
+        rel = pdf["relevance"].to_numpy().astype("float64")
+        ids = pdf["neighbor_id"].to_numpy()
+
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(len(pdf)))
+        for _ in range(min(k, len(pdf))):
+            if selected:
+                redundancy = pair[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                redundancy = np.zeros(len(remaining))
+            mmr = np.round(lam * rel[remaining] - (1.0 - lam) * redundancy, 6)
+            # argmax with neighbor_id-asc tie-break: remaining is id-sorted,
+            # and np.argmax returns the first maximal position.
+            best = remaining[int(np.argmax(mmr))]
+            scores.append(float(mmr[remaining.index(best)]))
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[0],
+                "neighbor_id": ids[selected],
+                "relevance": rel[selected],
+                "mmr_score": scores,
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+            }
+        )
+
+    return cand.groupBy("q_id").applyInPandas(_mmr, schema=MMR_SCHEMA)
+
+
+def hard_negatives(
+    topk: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.9,
+    dup_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: from each
+    anchor's neighbor list keep the CLOSEST candidates that are *not*
+    near-duplicates of the anchor — similar enough to be informative
+    negatives, dissimilar enough to not be false negatives.
+
+    Two exclusion rules compose:
+    - score rule: drop candidates with sim >= dup_threshold (the anchor's
+      own near-dup band);
+    - pair rule (optional): anti-join against a (vec_a, vec_b) near-dup
+      pair frame (e.g. ``embedding_near_dup_pairs_lsh`` output), both
+      orientations — catches dups flagged by a different signal (MinHash,
+      SemDeDup) than raw cosine.
+
+    Pure composition of JVM ops: one filter, at most two broadcast-able
+    anti-joins on (q_id, neighbor_id), one per-anchor window renumber —
+    shuffles only the |Q|*pool candidate relation, never the corpus.
+    """
+    neg = topk.filter(F.col("sim") < dup_threshold)
+    if dup_pairs is not None:
+        for a, b in (("vec_a", "vec_b"), ("vec_b", "vec_a")):
+            neg = neg.join(
+                dup_pairs.select(
+                    F.col(a).alias("q_id"), F.col(b).alias("neighbor_id")
+                ),
+                ["q_id", "neighbor_id"],
+                "left_anti",
+            )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("q_id", "neighbor_id", "sim", "neg_rank")
+    )
