@@ -227,3 +227,82 @@ def drop_bottom_quantile_exact(
         .filter(F.col("_pr") >= q)
         .drop("_pr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics: the Zipf curve + cumulative-coverage report a
+# tokenizer/vocab decision is actually made from ("how many types cover 95%
+# of tokens?"). One corpus explode -> vocabulary-keyspace count (map-side
+# combined); the top-k cut is a distributed TakeOrdered (per-partition heaps,
+# driver merges k rows) -- never a global sort of the vocabulary; the prefix
+# sum then runs over the k-row result only.
+# ---------------------------------------------------------------------------
+
+
+def vocab_stats(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """(rank, word, cnt, cum_share) for the corpus's top_k words by
+    frequency: rank orders by (cnt desc, word asc); cum_share is the running
+    token-coverage fraction of ranks 1..r over ALL corpus tokens (not just
+    the displayed k). Whitespace tokens, exactly the `functions.text.tokens`
+    convention the DuckDB twin mirrors."""
+    from pyspark.sql.window import Window
+
+    from pulsar_replay_spark.functions.text import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds the total AND the top-k cut
+    )
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    top = counts.orderBy(F.desc("cnt"), "word").limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "word")).alias("rank"),
+        "word",
+        "cnt",
+        F.round(F.sum("cnt").over(w) / F.lit(float(total)), 6).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359): score
+# every document under the corpus bigram LM, then label each one head /
+# middle / tail by its position in its LANGUAGE's own score distribution --
+# the published recipe assigns web documents to quality tiers per language
+# before sampling, rather than dropping outright. Buckets come from the same
+# approx_percentile sketch as drop_bottom_quantile (|langs|-key agg,
+# broadcast join-back): no per-language sort of the corpus, any group size.
+# ---------------------------------------------------------------------------
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    scores: DataFrame | None = None,
+    by: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, nll, bucket): bucket is 'head' (nll <= group 1/3
+    quantile -- most fluent under the LM), 'middle', 'tail', or 'short' for
+    docs too short to score (nll NULL, surfaced not dropped). Pass a
+    prebuilt ``scores`` frame (lm_doc_scores output) to reuse a trained LM
+    across calls -- the build-once/serve-forever split every other model
+    artifact here follows."""
+    if scores is None:
+        scores = lm_doc_scores(docs)
+    scored = docs.select("doc_id", by).join(scores.select("doc_id", "nll"), "doc_id")
+    th = scored.filter(F.col("nll").isNotNull()).groupBy(by).agg(
+        F.expr("approx_percentile(nll, array(0.3333333, 0.6666667), 10000)").alias("th")
+    )
+    return scored.join(F.broadcast(th), by, "left").select(
+        "doc_id",
+        by,
+        "nll",
+        F.when(F.col("nll").isNull(), F.lit("short"))
+        .when(F.col("nll") <= F.col("th")[0], F.lit("head"))
+        .when(F.col("nll") <= F.col("th")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
