@@ -71,17 +71,31 @@ def test_unregistered_q14_matches_oracle(spark, duck):
     assert not problems, f"q14: {problems}"
 
 
-@pytest.mark.parametrize("qname", ["q7", "q13", "q15", "q21"])
+@pytest.mark.parametrize(
+    "qname",
+    ["q6", "q7", "q8", "q9", "q11", "q12", "q13", "q15", "q16", "q20", "q21"],
+)
 def test_extra_tpch_shapes_match_oracle(spark, duck, qname):
-    """The r3 breadth shapes (alias-pair dim join, outer count-of-counts,
-    agg-view + scalar MAX, EXISTS/NOT-EXISTS chain) — pytest-oracle-gated
-    because the 50-slot contract is full."""
+    """The r3 breadth shapes — pytest-oracle-gated because the 50-slot
+    contract is full. q7/q13/q15/q21: alias-pair dim join, outer
+    count-of-counts, agg-view + scalar MAX, EXISTS/NOT-EXISTS chain.
+    q6/q8/q9/q11/q12/q16/q20 complete the TPC-H sweep: pushdown scalar agg,
+    conditional market share, profit rollup, scalar-subquery fraction,
+    CASE-split counts, distinct-supplier agg, HAVING-semi chain (the last
+    four adapted to the partsupp-less fixtures via the lineitem bridge)."""
     from pulsar_replay_spark import queries_relational as qr
 
     fn, oracle = {
+        "q6": (qr.q6_forecast_revenue, qr.Q6_ORACLE),
         "q7": (qr.q7_volume_shipping, qr.Q7_ORACLE),
+        "q8": (qr.q8_market_share, qr.Q8_ORACLE),
+        "q9": (qr.q9_product_profit, qr.Q9_ORACLE),
+        "q11": (qr.q11_important_parts, qr.Q11_ORACLE),
+        "q12": (qr.q12_priority_lines, qr.Q12_ORACLE),
         "q13": (qr.q13_customer_distribution, qr.Q13_ORACLE),
         "q15": (qr.q15_top_supplier, qr.Q15_ORACLE),
+        "q16": (qr.q16_supplier_cnt, qr.Q16_ORACLE),
+        "q20": (qr.q20_excess_shipments, qr.Q20_ORACLE),
         "q21": (qr.q21_waiting_supplier, qr.Q21_ORACLE),
     }[qname]
     sdf = fn(spark, SF_SMOKE).toPandas()
