@@ -160,6 +160,21 @@ def main() -> None:
         t0 = time.perf_counter()
         bpe.bpe_train(bpe.word_freqs(docs), 20)
         llm_ops["bpe_train_20_merges"] = round(time.perf_counter() - t0, 3)
+
+        from pulsar_replay_spark.operators import quality, similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        mmr_queries = emb.filter(F.col("vec_id") % 200 == 0)
+        pool = similarity.ivf_topk(emb, mmr_queries, k=20)
+        t0 = time.perf_counter()
+        _noop_write(similarity.mmr_rerank(emb, mmr_queries, pool, k=5))
+        llm_ops["mmr_rerank_pool20"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _noop_write(quality.vocab_stats(docs, top_k=100))
+        llm_ops["vocab_stats_top100"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _noop_write(quality.ccnet_buckets(docs))
+        llm_ops["ccnet_buckets"] = round(time.perf_counter() - t0, 3)
     except Exception as e:  # noqa: BLE001
         errors["llm_ops"] = f"{type(e).__name__}: {e}"[:400]
 

@@ -62,7 +62,15 @@ def main() -> None:
     # DSIR weight scoring, PCA moments, BPE training (10 merges — training
     # cost past the word-freq pass is vocab-sized, so its ratio isolates
     # the single corpus pass)
-    from pulsar_replay_spark.operators import bpe, curation, pca
+    from pulsar_replay_spark.operators import bpe, curation, pca, quality, similarity
+
+    def _mmr_pipeline(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") % 200 == 0)
+        pool = similarity.ivf_topk(emb, queries, k=20)
+        similarity.mmr_rerank(emb, queries, pool, k=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     extra = {
         "dsir_log_weights": lambda spark, sf: curation.dsir_log_weights(
@@ -75,6 +83,15 @@ def main() -> None:
         "bpe_train_10": lambda spark, sf: bpe.bpe_train(
             bpe.word_freqs(spark.read.parquet(f"{sf}/documents.parquet")), 10
         ),
+        # serving pipeline: IVF candidate pool (k=20) + per-query Arrow MMR
+        "mmr_rerank_pipeline": _mmr_pipeline,
+        "vocab_stats_top100": lambda spark, sf: quality.vocab_stats(
+            spark.read.parquet(f"{sf}/documents.parquet"), top_k=100
+        ).write.format("noop").mode("overwrite").save(),
+        # full pipeline: bigram-LM train + score + per-lang tier assignment
+        "ccnet_buckets": lambda spark, sf: quality.ccnet_buckets(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).write.format("noop").mode("overwrite").save(),
     }
     for name, fn in extra.items():
         fn(spark, SFS[0])  # warm codegen/Arrow for THIS op before timing,
