@@ -444,3 +444,45 @@ def chunk_documents(
             F.size(F.col("c.toks")).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff: the corpus-versioning primitive ("what changed
+# between yesterday's crawl and today's?") behind incremental re-processing
+# decisions. Content hashes are computed BEFORE the join so document text
+# never shuffles — both sides reduce to (doc_id, 16-byte hash) relations,
+# one equi-join on doc_id, whatever the document sizes.
+# ---------------------------------------------------------------------------
+
+
+def dataset_diff(
+    old: DataFrame, new: DataFrame, key: str = "doc_id", cols: list[str] | None = None
+) -> DataFrame:
+    """(key, status) for every document in either snapshot: 'added' (new
+    only), 'removed' (old only), 'changed' (both, content hash differs),
+    'unchanged'. ``cols`` is the content definition (default: every shared
+    non-key column, sorted for a deterministic hash input order)."""
+    if cols is None:
+        cols = sorted((set(old.columns) & set(new.columns)) - {key})
+    content = F.substring(
+        F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])),
+        1,
+        16,
+    )
+    o = old.select(F.col(key), content.alias("old_h"))
+    n = new.select(F.col(key), content.alias("new_h"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") != F.col("new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def dataset_diff_summary(diff: DataFrame) -> DataFrame:
+    """One row per status with counts — the report face of ``dataset_diff``
+    (a 4-row aggregate; churn monitoring reads this, reprocessing joins the
+    full diff)."""
+    return diff.groupBy("status").agg(F.count("*").cast("bigint").alias("n_docs"))

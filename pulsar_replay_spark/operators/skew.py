@@ -92,3 +92,63 @@ def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     )
     counts.unpersist()
     return out
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_multiple: float = 10.0,
+) -> dict:
+    """Pre-flight join planner: predict an inner equi-join's output
+    cardinality and recommend a physical strategy BEFORE paying for the
+    join — the decision input for plain vs broadcast vs salted (the same
+    role ``key_skew_report`` plays for aggregations).
+
+    The estimate is EXACT, not a sketch: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k),
+    computed by joining the two per-key count relations — which shuffle at
+    keyspace size (map-side combined), never the fact rows themselves. For
+    a 100 TB join this costs two count aggs + one keyspace-sized join,
+    orders of magnitude below the join it prices.
+
+    Returns {rows_out, left_rows, right_rows, top_key, top_key_rows_out,
+    top_key_share, recommendation}: 'broadcast' when a side's row count is
+    under ``broadcast_threshold_rows``, 'salted' when the hottest key
+    produces more than ``skew_multiple``× the per-key mean output, else
+    'shuffle' (AQE handles the residual skew).
+    """
+    lc = left.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("ca"))
+    rc = right.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cb"))
+    per_key = (
+        lc.join(rc, "k")
+        .select("k", (F.col("ca") * F.col("cb")).alias("out_rows"))
+        .localCheckpoint(eager=True)  # feeds the total AND the argmax
+    )
+    agg = per_key.agg(
+        F.sum("out_rows").alias("rows_out"),
+        F.count("*").alias("n_keys"),
+        F.max_by("k", F.struct("out_rows", "k")).alias("top_key"),
+        F.max("out_rows").alias("top_rows"),
+    ).first()
+    sides = {
+        "left_rows": left.count(),
+        "right_rows": right.count(),
+    }
+    rows_out = int(agg.rows_out or 0)
+    top_rows = int(agg.top_rows or 0)
+    mean_per_key = rows_out / agg.n_keys if agg.n_keys else 0.0
+    if min(sides.values()) <= broadcast_threshold_rows:
+        rec = "broadcast"
+    elif mean_per_key and top_rows > skew_multiple * mean_per_key:
+        rec = "salted"
+    else:
+        rec = "shuffle"
+    return {
+        "rows_out": rows_out,
+        **sides,
+        "top_key": agg.top_key,
+        "top_key_rows_out": top_rows,
+        "top_key_share": (top_rows / rows_out) if rows_out else 0.0,
+        "recommendation": rec,
+    }

@@ -1,0 +1,126 @@
+"""Dataset snapshot diff + join-size advisor.
+
+Gates: dataset_diff vs an exact DuckDB full-outer twin (same md5 content
+hash), status partition invariants on a planted old→new mutation,
+join_size_estimate EXACT equality with the materialized join's count, and
+the recommendation thresholds.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import curation, skew
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark, documents):
+    """old = fixture docs; new = drop ids %17==0, rewrite text of %13==0,
+    add 20 fresh ids — a deterministic planted churn."""
+    old = documents
+    kept = documents.filter(F.col("doc_id") % 17 != 0)
+    mutated = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = documents.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return old, mutated.unionByName(added)
+
+
+def test_dataset_diff_matches_duckdb(spark, snapshots, tmp_path):
+    old, new = snapshots
+    old_p, new_p = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    old.write.mode("overwrite").parquet(old_p)
+    new.write.mode("overwrite").parquet(new_p)
+
+    got = sorted(map(tuple, curation.dataset_diff(old, new).collect()))
+
+    h = (
+        "substring(md5(concat_ws(chr(31), "
+        + ", ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(0))"
+            for c in sorted(["lang", "n_chars", "source", "text"])
+        )
+        + ")), 1, 16)"
+    )
+    con = duckdb.connect()
+    expect = con.execute(
+        f"""
+        WITH o AS (SELECT doc_id, {h} AS old_h FROM read_parquet('{old_p}/*.parquet')),
+             n AS (SELECT doc_id, {h} AS new_h FROM read_parquet('{new_p}/*.parquet'))
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN old_h IS NULL THEN 'added'
+                    WHEN new_h IS NULL THEN 'removed'
+                    WHEN old_h <> new_h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        ORDER BY 1
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in expect]
+
+
+def test_dataset_diff_planted_statuses(spark, snapshots):
+    old, new = snapshots
+    by_status: dict[str, set] = {}
+    for r in curation.dataset_diff(old, new).collect():
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    assert all(i >= 1_000_000 for i in by_status["added"])
+    assert len(by_status["added"]) == 20
+    assert all(i % 17 == 0 for i in by_status["removed"])
+    assert all(i % 13 == 0 and i % 17 != 0 for i in by_status["changed"])
+    n_old = old.count()
+    total = sum(len(v) for v in by_status.values())
+    assert total == n_old + 20  # every doc in either snapshot, exactly once
+    summary = {
+        r["status"]: r["n_docs"]
+        for r in curation.dataset_diff_summary(curation.dataset_diff(old, new)).collect()
+    }
+    assert summary == {k: len(v) for k, v in by_status.items()}
+
+
+def test_join_size_estimate_is_exact(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    est = skew.join_size_estimate(orders, cust, "o_custkey")
+    actual = orders.join(cust, "o_custkey").count()
+    assert est["rows_out"] == actual
+    assert est["left_rows"] == orders.count()
+    assert est["recommendation"] == "broadcast"  # fixture dims are tiny
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "k"
+    )
+    od = orders.withColumnRenamed("o_orderkey", "k")
+    est2 = skew.join_size_estimate(li, od, "k")
+    assert est2["rows_out"] == li.join(od, "k").count()
+
+
+def test_join_size_estimate_recommendations(spark):
+    # 91x hot key on both sides -> salted when broadcast is ruled out
+    hot = spark.range(0, 1000).select(
+        F.when(F.col("id") < 910, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    est = skew.join_size_estimate(hot, hot, "k", broadcast_threshold_rows=10)
+    assert est["recommendation"] == "salted"
+    assert est["top_key"] == 0
+    assert est["top_key_rows_out"] == 910 * 910
+    # uniform keys -> shuffle
+    uni = spark.range(0, 1000).select(F.col("id").alias("k"))
+    est2 = skew.join_size_estimate(uni, uni, "k", broadcast_threshold_rows=10)
+    assert est2["recommendation"] == "shuffle"
+    assert est2["rows_out"] == 1000
