@@ -175,6 +175,16 @@ def main() -> None:
         t0 = time.perf_counter()
         _noop_write(quality.ccnet_buckets(docs))
         llm_ops["ccnet_buckets"] = round(time.perf_counter() - t0, 3)
+
+        from pulsar_replay_spark.operators import unigram
+
+        wf = bpe.word_freqs(docs).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        um = unigram.unigram_train(wf, vocab_size=200, n_iters=2)
+        llm_ops["unigram_train_v200"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _noop_write(unigram.unigram_token_counts(docs, um))
+        llm_ops["unigram_token_counts"] = round(time.perf_counter() - t0, 3)
     except Exception as e:  # noqa: BLE001
         errors["llm_ops"] = f"{type(e).__name__}: {e}"[:400]
 

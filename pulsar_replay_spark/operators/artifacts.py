@@ -172,3 +172,17 @@ def save_bloom(spark: SparkSession, bitmap: bytes, n_hashes: int, path: str) -> 
 def load_bloom(spark: SparkSession, path: str) -> tuple[bytes, int]:
     row = spark.read.parquet(f"{path}/bloom").first()
     return bytes(row["bitmap"]), row["n_hashes"]
+
+
+# --- Unigram tokenizer model ----------------------------------------------
+
+
+def save_unigram_model(model: DataFrame, path: str) -> None:
+    """(piece, logp) inventory from ``unigram.unigram_train``."""
+    _write(model.select("piece", "logp"), f"{path}/pieces")
+
+
+def load_unigram_model(spark: SparkSession, path: str) -> DataFrame:
+    """Eagerly pinned — feed straight into ``unigram.unigram_segment_words``
+    / ``unigram.unigram_token_counts``."""
+    return _read(spark, f"{path}/pieces")

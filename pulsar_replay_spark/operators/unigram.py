@@ -1,0 +1,207 @@
+"""Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+SentencePiece unigram model), distributed with the same trainer trick as BPE:
+every statistic is a function of the WORD-FREQUENCY table, so the corpus is
+touched exactly once (``bpe.word_freqs``) and all EM rounds run over the
+vocab-sized (word, freq) frame — bounded and zipfian however large the corpus.
+
+Algorithm (hard-EM variant — Viterbi counts in the E-step instead of
+forward–backward marginals; deterministic, and the standard simplification
+when the goal is the piece inventory + serving segmentation):
+
+1. seed: candidate pieces = all substrings (≤ ``max_piece_len``) of vocab
+   words, scored by freq-weighted occurrence; keep the top ``seed_size``
+   plus every single character (coverage guarantee).
+2. E-step: Viterbi-segment each VOCAB WORD under current piece log-probs
+   (one Arrow batch pandas UDF over the vocab — Python cost is vocab-sized,
+   never corpus-sized; the model rides the closure, bounded by seed_size).
+3. M-step: piece counts = Σ_word freq(word)·uses(word, piece) — a
+   vocab-frame explode + groupBy; log-probs renormalize from the counts.
+4. prune: drop the lowest-count multi-char pieces (never single chars)
+   until the inventory reaches ``vocab_size``.
+
+Serving mirrors BPE: ``unigram_segment_words`` over the vocab,
+``unigram_token_counts`` equi-joins the segmented vocab on the word so no
+corpus row ever enters Python.
+
+No reference analog (the reference moves opaque messages); this is the
+second tokenizer-training path of the LLM data tier, next to operators/bpe.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd  # module-scope so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNK_LOGP = -100.0  # fallback for characters outside the piece inventory
+
+
+def seed_vocab(wf: DataFrame, seed_size: int, max_piece_len: int = 8) -> DataFrame:
+    """(piece, cnt): the top ``seed_size`` substrings of vocab words by
+    freq-weighted occurrence count, unioned with every single character —
+    the EM starting inventory. Substring generation is a pure HOF explode
+    over the vocab frame (O(len·max_piece_len) pieces per word, JVM-side);
+    the cut is a distributed TakeOrdered, not a global sort."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    i, F.least(F.length("word"), i + F.lit(max_piece_len - 1))
+                ),
+                lambda j: F.col("word").substr(i, j - i + 1),
+            ),
+        )
+    )
+    counts = (
+        wf.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds the top cut AND the char floor
+    )
+    top = counts.filter(F.length("piece") > 1).orderBy(
+        F.desc("cnt"), "piece"
+    ).limit(seed_size)
+    chars = counts.filter(F.length("piece") == 1)
+    return top.unionByName(chars).dropDuplicates(["piece"])
+
+
+def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Deterministic max-log-prob segmentation: ties prefer FEWER pieces,
+    then the segmentation reached via the longest final piece (start index
+    asc relax with strict improvement). Unknown single chars segment at
+    UNK_LOGP so every word segments."""
+    n = len(word)
+    # (score, -n_pieces) lexicographic maximization
+    best: list[tuple[float, int]] = [(0.0, 0)] + [(-math.inf, 0)] * n
+    back: list[int] = [0] * (n + 1)
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_len), end):
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if end - start > 1:
+                    continue
+                lp = UNK_LOGP
+            cand = (best[start][0] + lp, best[start][1] - 1)
+            if cand > best[end]:
+                best[end] = cand
+                back[end] = start
+    out: list[str] = []
+    end = n
+    while end > 0:
+        start = back[end]
+        out.append(word[start:end])
+        end = start
+    return out[::-1]
+
+
+def _model_dict(model: DataFrame) -> tuple[dict[str, float], int]:
+    """Collect the bounded (piece, logp) artifact for closure shipping —
+    the same posture as BPE's merge list (the model IS broadcast-sized by
+    construction: ≤ seed_size + |alphabet| rows)."""
+    rows = model.collect()
+    return {r["piece"]: r["logp"] for r in rows}, max(
+        (len(r["piece"]) for r in rows), default=1
+    )
+
+
+def unigram_segment_words(words: DataFrame, model: DataFrame) -> DataFrame:
+    """(word, pieces: array<string>) under a trained model — one Arrow batch
+    pandas UDF over the VOCAB frame (serving twin of the E-step)."""
+    from pyspark.sql.functions import pandas_udf
+
+    logp, max_len = _model_dict(model)
+
+    @pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _viterbi(w, logp, max_len))
+
+    return words.withColumn("pieces", seg(F.col("word")))
+
+
+def unigram_train(
+    wf: DataFrame,
+    vocab_size: int,
+    n_iters: int = 3,
+    seed_mult: int = 4,
+    prune_frac: float = 0.25,
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Train a unigram piece inventory from a (word, freq) table; returns
+    the model artifact (piece, logp) with ≤ max(vocab_size, |alphabet|)
+    rows (single chars are never PRUNED — though a char no Viterbi path
+    uses drops out of the counts naturally; serving then falls back to
+    ``UNK_LOGP``, so every word still segments).
+
+    Per-round ``localCheckpoint`` keeps each EM round's plan flat (the BPE
+    discipline); the argsorts are TakeOrdered cuts, never global sorts.
+    Deterministic: count ties break lexicographically on the piece
+    everywhere a cut happens.
+    """
+    seeded = seed_vocab(wf, vocab_size * seed_mult, max_piece_len)
+    total0 = seeded.agg(F.sum("cnt")).collect()[0][0]
+    model = seeded.select(
+        "piece", F.log(F.col("cnt") / F.lit(float(total0))).alias("logp")
+    ).localCheckpoint(eager=True)
+    vocab_words = wf.select("word", "freq").localCheckpoint(eager=True)
+
+    for it in range(n_iters):
+        seg = unigram_segment_words(vocab_words, model)
+        counts = (
+            seg.select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        # prune toward vocab_size: multi-char pieces ranked by expected
+        # count (ties: piece asc); chars always survive. Pieces the E-step
+        # never used drop out naturally (absent from counts).
+        n_multi = counts.filter(F.length("piece") > 1).count()
+        keep_multi = max(
+            vocab_size, int(n_multi * (1.0 - prune_frac))
+        ) if it < n_iters - 1 else vocab_size
+        kept = (
+            counts.filter(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), "piece")
+            .limit(keep_multi)
+            .unionByName(counts.filter(F.length("piece") == 1))
+        )
+        total = kept.agg(F.sum("cnt")).collect()[0][0]
+        model = kept.select(
+            "piece", F.log(F.col("cnt") / F.lit(float(total))).alias("logp")
+        ).localCheckpoint(eager=True)
+    return model
+
+
+def unigram_token_counts(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, n_pieces) under a trained model — corpus explodes to
+    (doc_id, word) and equi-joins the segmented VOCAB on the word
+    (vocabulary-keyspace shuffle, hot words combine map-side; no corpus row
+    enters Python). Same contract as ``bpe.bpe_token_counts``."""
+    from pulsar_replay_spark.functions.text import tokens
+    from pulsar_replay_spark.operators.bpe import word_freqs
+
+    vocab = word_freqs(docs)
+    seg = unigram_segment_words(vocab, model).select(
+        "word", F.size("pieces").alias("n_word_pieces")
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.select("doc_id")
+        .join(
+            doc_words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_word_pieces").alias("n_pieces")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pieces"), F.lit(0)).cast("bigint").alias("n_pieces"),
+        )
+    )

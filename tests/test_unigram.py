@@ -1,0 +1,139 @@
+"""Unigram-LM (SentencePiece-style) tokenizer trainer.
+
+Gates: Viterbi optimality vs a brute-force all-segmentations mirror,
+corpus token-count plumbing vs a pure-python recomputation, segmentation
+reassembly, compression vs the character baseline, repartition
+determinism, Arrow-only plan gate, and artifact round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import artifacts, bpe, unigram
+
+
+@pytest.fixture(scope="module")
+def wf(spark, documents):
+    return bpe.word_freqs(documents).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def model(spark, wf):
+    return unigram.unigram_train(wf, vocab_size=100, n_iters=2)
+
+
+@pytest.fixture(scope="module")
+def model_dict(model):
+    return {r["piece"]: r["logp"] for r in model.collect()}
+
+
+def _brute_force_segmentations(word):
+    if not word:
+        yield []
+        return
+    for cut in range(1, len(word) + 1):
+        for rest in _brute_force_segmentations(word[cut:]):
+            yield [word[:cut]] + rest
+
+
+def test_viterbi_is_optimal_vs_brute_force(spark, wf, model, model_dict):
+    """For every short vocab word, the served segmentation must achieve the
+    max (score, -n_pieces) over ALL possible segmentations under the same
+    model (unknown single chars at UNK_LOGP, multi-char unknowns invalid)."""
+    short = wf.filter(F.length("word") <= 6).limit(40)
+    seg = {r["word"]: r["pieces"] for r in unigram.unigram_segment_words(short, model).collect()}
+    assert seg
+
+    def score(pieces):
+        s = 0.0
+        for p in pieces:
+            if p in model_dict:
+                s += model_dict[p]
+            elif len(p) == 1:
+                s += unigram.UNK_LOGP
+            else:
+                return None
+        return (s, -len(pieces))
+
+    for word, pieces in seg.items():
+        got = score(pieces)
+        best = max(s for s in map(score, _brute_force_segmentations(word)) if s)
+        assert got is not None
+        assert abs(got[0] - best[0]) < 1e-9 and got[1] == best[1], (word, pieces)
+
+
+def test_segmentation_reassembles_and_uses_inventory(spark, wf, model, model_dict):
+    rows = unigram.unigram_segment_words(wf, model).collect()
+    assert len(rows) == wf.count()
+    for r in rows:
+        assert "".join(r["pieces"]) == r["word"]
+        for p in r["pieces"]:
+            assert p in model_dict or len(p) == 1
+
+
+def test_token_counts_match_pure_python(spark, documents, model, model_dict):
+    max_len = max(len(p) for p in model_dict)
+    got = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram.unigram_token_counts(documents, model).collect()
+    }
+    seg_cache: dict[str, int] = {}
+    for row in documents.select("doc_id", "text").collect():
+        n = 0
+        for w in row["text"].split(" "):
+            if not w:
+                continue
+            if w not in seg_cache:
+                seg_cache[w] = len(unigram._viterbi(w, model_dict, max_len))
+            n += seg_cache[w]
+        assert got[row["doc_id"]] == n, row["doc_id"]
+
+
+def test_compression_beats_character_baseline(spark, documents, model):
+    n_pieces = (
+        unigram.unigram_token_counts(documents, model).agg(F.sum("n_pieces")).first()[0]
+    )
+    n_chars = documents.select(
+        F.sum(F.length(F.regexp_replace("text", " ", ""))).alias("c")
+    ).first()["c"]
+    assert n_pieces < n_chars / 2  # trained pieces compress well past chars
+
+
+def test_train_deterministic_under_repartition(spark, wf):
+    a = sorted(map(tuple, unigram.unigram_train(wf, 60, n_iters=1).collect()))
+    b = sorted(
+        map(tuple, unigram.unigram_train(wf.repartition(7), 60, n_iters=1).collect())
+    )
+    assert [(p, round(l, 10)) for p, l in a] == [(p, round(l, 10)) for p, l in b]
+
+
+def test_probs_normalize_and_size_bounded(spark, model):
+    rows = model.collect()
+    assert sum(math.exp(r["logp"]) for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert model.filter(F.length("piece") > 1).count() <= 100
+
+
+def test_token_counts_plan_is_arrow_only(spark, documents, model):
+    plan = (
+        unigram.unigram_token_counts(documents, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_artifact_round_trip(spark, model, wf, tmp_path):
+    path = str(tmp_path / "unigram")
+    artifacts.save_unigram_model(model, path)
+    loaded = artifacts.load_unigram_model(spark, path)
+    assert sorted(map(tuple, loaded.collect())) == sorted(map(tuple, model.collect()))
+    a = unigram.unigram_segment_words(wf.limit(50), model).collect()
+    b = unigram.unigram_segment_words(wf.limit(50), loaded).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -62,7 +62,14 @@ def main() -> None:
     # DSIR weight scoring, PCA moments, BPE training (10 merges — training
     # cost past the word-freq pass is vocab-sized, so its ratio isolates
     # the single corpus pass)
-    from pulsar_replay_spark.operators import bpe, curation, pca, quality, similarity
+    from pulsar_replay_spark.operators import (
+        bpe,
+        curation,
+        pca,
+        quality,
+        similarity,
+        unigram,
+    )
 
     def _mmr_pipeline(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -92,6 +99,13 @@ def main() -> None:
         "ccnet_buckets": lambda spark, sf: quality.ccnet_buckets(
             spark.read.parquet(f"{sf}/documents.parquet")
         ).write.format("noop").mode("overwrite").save(),
+        # full pipeline: word_freqs + 1 EM round (cost past the corpus pass
+        # is vocab-bound, like BPE)
+        "unigram_train_v100": lambda spark, sf: unigram.unigram_train(
+            bpe.word_freqs(spark.read.parquet(f"{sf}/documents.parquet")),
+            100,
+            n_iters=1,
+        ),
     }
     for name, fn in extra.items():
         fn(spark, SFS[0])  # warm codegen/Arrow for THIS op before timing,

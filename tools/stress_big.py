@@ -165,6 +165,26 @@ def main() -> None:
     pca.embedding_moments(emb)
     out["pca_moments_20k_vecs"] = round(time.perf_counter() - t, 2)
 
+    # retrieval post-processing + corpus management at rehearsal volume
+    from pulsar_replay_spark.operators import quality, skew
+
+    t = time.perf_counter()
+    pool = similarity.ivf_topk(emb, queries, k=20)
+    similarity.mmr_rerank(emb, queries, pool, k=5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["mmr_rerank_20k_vecs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    quality.ccnet_buckets(docs).write.format("noop").mode("overwrite").save()
+    out["ccnet_buckets_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    diff = curation.dataset_diff(docs, docs.filter(F.col("doc_id") % 7 != 0))
+    n_churn = curation.dataset_diff_summary(diff).count()
+    out["dataset_diff_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    est = skew.join_size_estimate(li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+    out["join_advisor_6m_rows"] = round(time.perf_counter() - t, 2)
+
     print(json.dumps({
         "replicas": n, "build_sec": build_s, "rows": sizes,
         "timings_sec": out,
@@ -172,6 +192,8 @@ def main() -> None:
             "minhash_pairs": n_pairs,
             "near_dup_clusters": n_clusters,
             "docs_with_scrubbed_chunks": n_scrubbed,
+            "diff_statuses": n_churn,
+            "join_advisor": est,
         },
     }))
 
