@@ -172,3 +172,64 @@ def write_training_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(out_dir)
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    band: int = 16,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Inference/eval batching that minimizes padding waste: group documents
+    of similar token length into fixed-size batches, so each batch pads only
+    to ITS max length instead of the corpus max (the dynamic-batching step
+    every serving/eval harness runs before a forward pass).
+
+    Scale shape: a global length sort would single-thread the corpus, so
+    documents first key by (length band, md5 sub-shard) — the window sorts
+    only within one band×shard cell, and padding waste stays bounded by the
+    band width per document REGARDLESS of sharding (every batch's lengths
+    differ by < ``band`` tokens, except a cell's ragged tail batch). Batch
+    ids are globally unique via the (band, shard) prefix; assignment is an
+    md5-deterministic pure function of the input (retry/repartition-stable).
+
+    Returns (doc_id, n_tokens, band, shard, batch_id, pos_in_batch).
+    """
+    lens = _sharded_lengths(docs, n_shards)
+    banded = lens.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("n_tokens") / band).cast("int").alias("band"),
+        "shard",
+    )
+    w = Window.partitionBy("band", "shard").orderBy("n_tokens", "doc_id")
+    rn = F.row_number().over(w) - 1
+    return banded.select(
+        "doc_id",
+        "n_tokens",
+        "band",
+        "shard",
+        F.concat_ws(
+            "-",
+            F.col("band").cast("string"),
+            F.col("shard").cast("string"),
+            F.floor(rn / batch_size).cast("string"),
+        ).alias("batch_id"),
+        (rn % batch_size).cast("int").alias("pos_in_batch"),
+    )
+
+
+def batching_stats(batches: DataFrame, batch_size: int = 32) -> DataFrame:
+    """One row per batch: docs, max_len (the pad target), padding_tokens,
+    fill_ratio — the padding-waste report a serving harness watches. A
+    |batches|-key aggregate (map-side combined)."""
+    return batches.groupBy("batch_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        (F.max("n_tokens") * F.count("*") - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.round(F.sum("n_tokens") / (F.max("n_tokens") * F.count("*")), 6).alias(
+            "fill_ratio"
+        ),
+    )

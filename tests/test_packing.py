@@ -122,3 +122,93 @@ def test_packing_stats_bounds(documents, spark):
         assert 0 <= r.padding_frac < 1.0
         # greedy padding at 512 tokens on real-length docs should be modest
         assert r.padding_frac < 0.5
+
+
+# --- length-bucketed inference batching ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def batched(documents):
+    return packing.length_bucketed_batches(
+        documents, batch_size=8, band=16, n_shards=4
+    ).localCheckpoint(eager=True)
+
+
+def test_batches_match_duckdb(documents, batched):
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(map(tuple, batched.collect()))
+    con = duckdb.connect()
+    expect = con.execute(
+        f"""
+        WITH lens AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                      % 4 AS INT) AS shard
+          FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        ),
+        banded AS (
+          SELECT doc_id, n_tokens, CAST(floor(n_tokens / 16) AS INT) AS band, shard
+          FROM lens
+        ),
+        numbered AS (
+          SELECT *, row_number() OVER (PARTITION BY band, shard
+                                       ORDER BY n_tokens, doc_id) - 1 AS rn
+          FROM banded
+        )
+        SELECT doc_id, n_tokens, band, shard,
+               band || '-' || shard || '-' || CAST(floor(rn / 8) AS BIGINT) AS batch_id,
+               CAST(rn % 8 AS INT) AS pos_in_batch
+        FROM numbered ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in expect)
+
+
+def test_batches_partition_docs_and_bound_padding(documents, batched):
+    rows = batched.collect()
+    assert len(rows) == documents.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_batch: dict[str, list] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    cells: dict[tuple, list] = {}
+    for bid, members in by_batch.items():
+        assert 1 <= len(members) <= 8
+        lengths = [m["n_tokens"] for m in members]
+        assert max(lengths) - min(lengths) < 16  # band bound on padding
+        assert sorted(m["pos_in_batch"] for m in members) == list(range(len(members)))
+        cells.setdefault((members[0]["band"], members[0]["shard"]), []).append(len(members))
+    for sizes in cells.values():  # every cell: at most one ragged tail batch
+        assert sum(1 for s in sizes if s < 8) <= 1
+
+
+def test_batching_stats_consistent(batched):
+    stats = {r["batch_id"]: r for r in packing.batching_stats(batched, 8).collect()}
+    rows = batched.collect()
+    by_batch: dict[str, list] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r["n_tokens"])
+    for bid, lens in by_batch.items():
+        s = stats[bid]
+        assert s["n_docs"] == len(lens)
+        assert s["max_len"] == max(lens)
+        assert s["padding_tokens"] == max(lens) * len(lens) - sum(lens)
+        assert 0 < s["fill_ratio"] <= 1.0
+
+
+def test_batches_deterministic_and_shard_parallel(documents, batched):
+    again = packing.length_bucketed_batches(
+        documents.repartition(7), batch_size=8, band=16, n_shards=4
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, batched.collect()))
+    plan = (
+        packing.length_bucketed_batches(documents, 8, 16, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(band" in plan  # never a single-partition sort
