@@ -486,3 +486,40 @@ def dataset_diff_summary(diff: DataFrame) -> DataFrame:
     (a 4-row aggregate; churn monitoring reads this, reprocessing joins the
     full diff)."""
     return diff.groupBy("status").agg(F.count("*").cast("bigint").alias("n_docs"))
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """CDC MERGE semantics over a corpus snapshot: apply a change feed of
+    upserts and deletes to ``base`` and return the new snapshot — the
+    batch-side primitive behind incremental corpus maintenance (the diff
+    twin of ``dataset_diff``: diff reports churn, merge applies it).
+
+    Rules (standard MERGE INTO): per key, the LATEST change wins
+    (``seq_col`` desc, ties broken upsert-over-delete then arbitrary-free
+    via the struct max); 'delete' removes the key, 'upsert' replaces the
+    base row or inserts a new one; keys without changes pass through.
+
+    Scale shape: one window over the CHANGE FEED only (keyed by the change
+    keys — the feed is the small side), then one anti-join of base against
+    changed keys + one union. Base rows never shuffle beyond the anti-join
+    probe; with a broadcast-sized feed the whole merge is broadcast joins.
+    """
+    payload = [c for c in changes.columns if c not in (key, op_col, seq_col)]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)  # probes the anti-join AND the insert leg
+    )
+    survivors = base.join(latest.select(key), key, "left_anti")
+    upserts = latest.filter(F.col(op_col) == "upsert").select(key, *payload)
+    return survivors.unionByName(upserts)

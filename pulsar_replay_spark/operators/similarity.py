@@ -909,3 +909,34 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select("q_id", "neighbor_id", "sim", "neg_rank")
     )
+
+
+def dim_ablation_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: list[int] = (8, 16, 32, 64),
+    k: int = 5,
+) -> DataFrame:
+    """(dim, recall_at_k): how much retrieval quality survives truncating
+    the embedding to its first ``dim`` components — the measurement behind
+    Matryoshka-style dimension reduction decisions (store/scan fewer floats
+    if the recall holds; compare against ``pca.pca_ivf_topk``'s learned
+    reduction). Ground truth is full-dim exact top-k; each ablation reruns
+    the same exact top-k on ``F.slice``d vectors, so the report isolates the
+    representation, not the index. |dims| small scans — an offline
+    evaluation job, not a serving path."""
+    truth = brute_force_topk(embeddings, queries, k=k).select(
+        "q_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    n_truth = truth.count()
+    rows = []
+    for d in dims:
+        cut = F.slice(F.col("embedding"), 1, d).alias("embedding")
+        got = brute_force_topk(
+            embeddings.select("vec_id", cut), queries.select("vec_id", cut), k=k
+        ).select("q_id", "neighbor_id")
+        hits = got.join(truth, ["q_id", "neighbor_id"], "left_semi").count()
+        rows.append((d, round(hits / n_truth, 4) if n_truth else 0.0))
+    return embeddings.sparkSession.createDataFrame(
+        rows, "dim int, recall_at_k double"
+    )
