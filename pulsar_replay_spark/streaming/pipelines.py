@@ -551,3 +551,106 @@ def rollup_compact(spark: SparkSession, rollup_dir: str, compact_dir: str) -> No
         .withColumn("batch_id", F.lit(-1))
     )
     merged.write.mode("overwrite").partitionBy("batch_id").parquet(compact_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply (merge-on-read): the change-feed twin of the rollup
+# sink. Micro-batches of upsert/delete changes land as idempotent batch_id
+# partitions — the base snapshot is NEVER rewritten per batch (no table
+# format to rewrite it into, and at 100 TB rewriting the snapshot per
+# micro-batch is the anti-pattern anyway). Serving merges base + stored
+# changes through the batch MERGE operator (curation.merge_upsert), so
+# stream and batch share one semantics definition; compaction folds the
+# change store to its per-key winners without changing the served result.
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply_sink(
+    change_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """Append each micro-batch's per-key LATEST changes as one idempotent
+    batch_id partition. In-batch conflicts resolve exactly like the batch
+    operator (seq desc, upsert-over-delete); cross-batch conflicts resolve
+    at read time via (seq, batch_id) — the global CDC sequence is
+    authoritative, stream arrival order only breaks its ties."""
+    from pyspark.sql.window import Window
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        (
+            latest.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        change_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_read(
+    spark: SparkSession,
+    base: DataFrame,
+    store_dir: str,
+    key: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Serve the maintained snapshot: base MERGE stored changes, winners
+    chosen by (seq, batch_id) struct order — one window over the change
+    store (which holds ≤ one change per key per batch), one anti-join
+    probe, one union; the base never re-sorts."""
+    from pulsar_replay_spark.operators.curation import merge_upsert
+
+    changes = (
+        spark.read.parquet(store_dir)
+        .withColumn("_seq", F.struct(F.col(seq_col), F.col("batch_id")))
+        .drop("batch_id", seq_col)
+    )
+    return merge_upsert(base, changes, key=key, op_col=op_col, seq_col="_seq")
+
+
+def cdc_compact(
+    spark: SparkSession,
+    store_dir: str,
+    compact_dir: str,
+    key: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> None:
+    """Fold the change store to its per-key winners (the row cdc_read would
+    pick), preserving their original (batch_id, seq) so a read over the
+    compacted store serves the identical snapshot — the store stays bounded
+    by the LIVE key count however long the feed runs."""
+    from pyspark.sql.window import Window
+
+    store = spark.read.parquet(store_dir)
+    w = Window.partitionBy(key).orderBy(
+        F.desc(F.struct(F.col(seq_col), F.col("batch_id"))), F.desc(op_col)
+    )
+    winners = (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    (
+        winners.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(compact_dir)
+    )

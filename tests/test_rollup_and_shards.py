@@ -179,3 +179,128 @@ def test_shard_writer_max_records_splits_preserve_order(
     for d in glob.glob(f"{out}/shard=*"):
         for f in glob.glob(f"{d}/*.parquet"):
             assert pq.read_table(f).num_rows <= 25
+
+
+# --- streaming CDC apply (merge-on-read) -----------------------------------
+
+CDC_SCHEMA = (
+    "doc_id long, op string, seq long, text string, lang string, "
+    "source string, n_chars long"
+)
+
+
+@pytest.fixture(scope="module")
+def cdc_src(spark, tmp_path_factory):
+    """Three change-feed files (one micro-batch each) over the sf0.001 docs:
+    b0 upserts %7 (v2), b1 deletes %5, b2 re-upserts %35 (v3). Global seqs
+    are distinct (doc_id*10 + batch) so the outcome is independent of file
+    discovery order."""
+    import os
+    import time
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path_factory.mktemp("cdc_src"))
+
+    def feed(filt, op, seq_off, suffix):
+        d = docs.filter(filt)
+        if op == "delete":
+            return d.select(
+                "doc_id", F.lit("delete").alias("op"),
+                (F.col("doc_id") * 10 + seq_off).alias("seq"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("bigint").alias("n_chars"),
+            )
+        return d.select(
+            "doc_id", F.lit("upsert").alias("op"),
+            (F.col("doc_id") * 10 + seq_off).alias("seq"),
+            F.concat("text", F.lit(suffix)).alias("text"),
+            "lang", "source", "n_chars",
+        )
+
+    batches = [
+        feed(F.col("doc_id") % 7 == 0, "upsert", 1, " v2"),
+        feed(F.col("doc_id") % 5 == 0, "delete", 2, ""),
+        feed(F.col("doc_id") % 35 == 0, "upsert", 3, " v3"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("op", pa.string()),
+            ("seq", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    now = time.time()
+    for i, b in enumerate(batches):
+        pq.write_table(
+            pa.Table.from_pandas(
+                b.toPandas(), schema=arrow_schema, preserve_index=False
+            ),
+            f"{src}/b{i}.parquet",
+        )
+        os.utime(f"{src}/b{i}.parquet", (now + i, now + i))
+    return src
+
+
+@pytest.fixture(scope="module")
+def cdc_store(spark, cdc_src, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("cdc_store"))
+    ckpt = str(tmp_path_factory.mktemp("cdc_ckpt"))
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_src)
+    )
+    pipelines.cdc_apply_sink(stream, store, ckpt).awaitTermination()
+    return store
+
+
+def test_cdc_stream_equals_batch_merge(spark, cdc_src, cdc_store):
+    from pulsar_replay_spark.operators.curation import merge_upsert
+
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = pipelines.cdc_read(spark, base, cdc_store)
+    full_feed = spark.read.schema(CDC_SCHEMA).parquet(cdc_src)
+    want = merge_upsert(base, full_feed)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    probe = [i for i in texts if i % 35 == 0]
+    assert probe and all(texts[i].endswith(" v3") for i in probe)
+    assert not any(i % 5 == 0 and i % 35 != 0 for i in texts)
+
+
+def test_cdc_retry_is_idempotent(spark, cdc_store):
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    before = sorted(map(tuple, pipelines.cdc_read(spark, base, cdc_store).collect()))
+    b0 = spark.read.parquet(cdc_store).where("batch_id = 0").drop("batch_id")
+    (
+        b0.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(cdc_store)
+    )
+    after = sorted(map(tuple, pipelines.cdc_read(spark, base, cdc_store).collect()))
+    assert after == before
+
+
+def test_cdc_compaction_preserves_served_snapshot(spark, cdc_store, tmp_path_factory):
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    compact = str(tmp_path_factory.mktemp("cdc_compact"))
+    pipelines.cdc_compact(spark, cdc_store, compact)
+    a = sorted(map(tuple, pipelines.cdc_read(spark, base, cdc_store).collect()))
+    b = sorted(map(tuple, pipelines.cdc_read(spark, base, compact).collect()))
+    assert a == b
+    store_df = spark.read.parquet(cdc_store)
+    compact_df = spark.read.parquet(compact)
+    n_keys = store_df.select("doc_id").distinct().count()
+    assert compact_df.count() == n_keys  # bounded by live keys
+    assert store_df.count() > n_keys  # the fold actually folded something
