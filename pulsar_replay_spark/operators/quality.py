@@ -306,3 +306,54 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document vectors (the "hashing trick", Weinberger et al.
+# 2009): model-free dense doc embeddings from token hashes — signed counts
+# over md5 buckets. The bridge from the text tier to the vector tier: every
+# embedding operator (brute force / IVF / SemDeDup / MMR / near-dup) runs
+# unchanged over these vectors when no learned encoder exists, which is
+# exactly the bootstrap situation of a fresh 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+
+def hashed_doc_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id = doc_id, embedding: array<float>): component b sums a ±1
+    sign over every token hashing to bucket b (bucket = first 4 md5 hex
+    chars mod dim; sign = 5th hex char < '8'). Pure md5 expressions — the
+    DuckDB twin reproduces every component exactly; no Python, no model.
+
+    Scale shape: token explode → (doc_id, bucket) partial-summed shuffle
+    (map-side combined, fan-in dim per doc), then one doc_id-keyed map
+    assembly. Dense output is dim floats/doc regardless of doc length."""
+    from pulsar_replay_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int") % dim).alias("b"),
+        F.when(
+            F.conv(F.substring(F.md5("w"), 5, 1), 16, 10).cast("int") < 8, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("s"),
+    )
+    per_bucket = hashed.groupBy("doc_id", "b").agg(F.sum("s").alias("v"))
+    maps = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast("float"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(maps, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.coalesce(
+                dense, F.array_repeat(F.lit(0.0).cast("float"), dim)
+            ).alias("embedding"),
+        )
+    )
