@@ -496,6 +496,11 @@ def continuous_rollup_sink(
                 F.sum("value").alias("sum_value"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
+                # distinct users via a MERGEABLE sketch partial: HLL register
+                # maxima are order-independent, so per-batch sketches union
+                # at read time to the exact sketch one pass would build —
+                # the only distinct-count shape that survives merge-on-read
+                F.hll_sketch_agg("user_id").alias("users_hll"),
             )
         )
         (
@@ -529,6 +534,9 @@ def rollup_read(spark: SparkSession, rollup_dir: str) -> DataFrame:
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias(
+                "approx_users"
+            ),
         )
         .withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
     )
@@ -547,6 +555,8 @@ def rollup_compact(spark: SparkSession, rollup_dir: str, compact_dir: str) -> No
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+            # fold sketches with union — stays a PARTIAL (re-servable)
+            F.hll_union_agg("users_hll").alias("users_hll"),
         )
         .withColumn("batch_id", F.lit(-1))
     )

@@ -40,6 +40,7 @@ def _batch_rollup(spark, events_src):
             F.sum("value").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
         )
         .withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
     )
@@ -55,6 +56,9 @@ def _canon(df):
             round(r["min_value"], 6),
             round(r["max_value"], 6),
             round(r["avg_value"], 9),
+            # unioned per-batch sketches must equal the one-pass sketch
+            # (register maxima are order-independent)
+            r["approx_users"],
         )
         for r in df.collect()
     )
@@ -304,3 +308,28 @@ def test_cdc_compaction_preserves_served_snapshot(spark, cdc_store, tmp_path_fac
     n_keys = store_df.select("doc_id").distinct().count()
     assert compact_df.count() == n_keys  # bounded by live keys
     assert store_df.count() > n_keys  # the fold actually folded something
+
+
+def test_rollup_distinct_users_sketch(spark, events_src, tmp_path_factory):
+    """The merged per-batch HLL partials must estimate distinct users like a
+    one-pass sketch (register maxima are order-independent) and land within
+    the standard HLL error of the exact count."""
+    rollup_dir = str(tmp_path_factory.mktemp("rollup_hll"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_hll"))
+    pipelines.continuous_rollup_sink(
+        pipelines.events_stream(spark, events_src), rollup_dir, ckpt
+    ).awaitTermination()
+    got = {
+        (r["bucket_start"], r["event_type"]): r["approx_users"]
+        for r in pipelines.rollup_read(spark, rollup_dir).collect()
+    }
+    exact = {
+        (r["bucket_start"], r["event_type"]): r["du"]
+        for r in spark.read.parquet(events_src)
+        .groupBy(F.window("ts", "1 hour").start.alias("bucket_start"), "event_type")
+        .agg(F.countDistinct("user_id").alias("du"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
