@@ -117,3 +117,60 @@ def test_dim_ablation_recall(spark, embeddings):
     assert rep[64] == 1.0  # full dim reproduces the ground truth exactly
     assert rep[8] <= rep[32] + 0.05 <= 1.05  # ~monotone in dim
     assert 0.0 <= rep[8] < 1.0  # truncation must actually cost something
+
+
+# --- property-based merge model check --------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_CHANGE = st.tuples(
+    st.integers(0, 9),  # key
+    st.sampled_from(["upsert", "delete"]),
+    st.integers(0, 5),  # seq
+    st.text("ab", min_size=0, max_size=3),  # payload
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    base=st.dictionaries(st.integers(0, 9), st.text("ab", max_size=3), max_size=6),
+    # a CDC feed's (key, seq, op) identifies a change — equal triples with
+    # different payloads are out of contract (no deterministic winner exists)
+    changes=st.lists(_CHANGE, max_size=12, unique_by=lambda c: (c[0], c[2], c[1])),
+)
+def test_merge_upsert_matches_dict_model(spark_global, base, changes):
+    """merge_upsert == a driver-side replay model: per key, the (seq, op)
+    max change wins ('upsert' > 'delete' lexicographically — the operator's
+    documented tie-break); upserts write the dict, deletes remove."""
+    spark = spark_global
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)],
+        "doc_id long, payload string",
+    ).filter(F.col("doc_id").isNotNull())
+    ch_df = spark.createDataFrame(
+        changes or [(None, None, None, None)],
+        "doc_id long, op string, seq long, payload string",
+    ).filter(F.col("doc_id").isNotNull())
+
+    got = {
+        r["doc_id"]: r["payload"]
+        for r in curation.merge_upsert(base_df, ch_df).collect()
+    }
+
+    model = dict(base)
+    winners: dict[int, tuple] = {}
+    for k, op, seq, payload in changes:
+        if k not in winners or (seq, op) > winners[k][:2]:
+            winners[k] = (seq, op, payload)
+    for k, (seq, op, payload) in winners.items():
+        if op == "delete":
+            model.pop(k, None)
+        else:
+            model[k] = payload
+    assert got == model
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
