@@ -54,19 +54,58 @@ def generate_flat(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def generate_emailsend(spark: SparkSession, n: int, topic: str = "persistent://eventbus/org-1/ingestion-495") -> DataFrame:
+def generate_emailsend(
+    spark: SparkSession,
+    n: int,
+    topic: str = "persistent://eventbus/org-1/ingestion-495",
+    project_id: int | None = None,
+    campaign_ids: list[int] | None = None,
+    campaign_start: int | None = None,
+    campaign_count: int | None = None,
+    auto_detect_project: bool = False,
+) -> DataFrame:
     """Full nested emailSend document matching the reference's shape
     (``pulsar_remote_inspector.py:208-256``): 4 levels of struct nesting and
     the reference's three distinct timestamp string formats (`:218` ISO-Z,
     `:228` millis-truncated ISO-Z, `:234` ``%Y-%m-%d %H:%M:%S +00:00``).
+
+    The reference's publish knobs (``:258-332``) are honored: an explicit
+    ``project_id`` wins, else ``auto_detect_project`` parses the trailing
+    integer off the topic name (``extract_project_id_from_topic``, `:188`);
+    ``campaign_ids`` pins the campaign pool, ``campaign_start`` +
+    ``campaign_count`` generate the reference's contiguous range (`:197`).
+    Defaults keep the oracle-pinned varied pools (campaign/template/project
+    as deterministic id-derived picks), so the contract rows are unchanged.
     """
+    import re
+
     flat = generate_flat(spark, n)
     id_ = F.col("id")
     created = F.timestamp_millis(F.lit(BASE_TS_MS) + id_ * 1000)
     iso_z = F.date_format(created, "yyyy-MM-dd'T'HH:mm:ss'Z'")
     iso_millis_z = F.date_format(created, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     spaced = F.date_format(created, "yyyy-MM-dd HH:mm:ss '+00:00'")
-    project_id = F.col("project_id")
+
+    if project_id is not None:
+        project_expr = F.lit(int(project_id))
+    elif auto_detect_project:
+        m = re.search(r"(\d+)$", topic)
+        project_expr = F.lit(int(m.group(1))) if m else F.lit(1)
+    else:
+        project_expr = F.col("project_id")
+
+    if campaign_start is not None and campaign_count is not None:
+        campaign_ids = list(range(campaign_start, campaign_start + campaign_count))
+    if campaign_ids:
+        # deterministic pick from the configured pool (the reference's
+        # random.choice made reproducible, same posture as _pick)
+        campaign_expr = F.element_at(
+            F.array(*[F.lit(int(c)) for c in campaign_ids]),
+            ((id_ * 37) % len(campaign_ids)).cast("int") + 1,
+        )
+        flat = flat.withColumn("campaign_id", campaign_expr)
+
+    project_id = project_expr
     doc = F.struct(
         F.col("event_id_hex").alias("eventId"),
         F.md5(F.concat(F.lit("corr-"), id_.cast("string"))).alias("correlationId"),

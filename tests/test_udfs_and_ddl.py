@@ -159,3 +159,39 @@ def test_check_suite_catches_planted_violations(spark):
     # clean frame -> empty suite
     clean = spark.createDataFrame([(1, 1.0)], "id long, v double")
     assert check_suite(clean, {"null_id": F.col("id").isNull()}).count() == 0
+
+
+# --- reference publish knobs on the generator ------------------------------
+
+
+def test_generator_publish_knobs(spark):
+    from pulsar_replay_spark.generator import generate_emailsend
+
+    # explicit campaign pool: every campaignId drawn from it, deterministically
+    pool = [7, 11, 13]
+    doc = generate_emailsend(spark, 50, campaign_ids=pool)
+    camps = {r[0] for r in doc.select("doc.payload.data.diff.campaignId").collect()}
+    assert camps <= set(pool) and len(camps) == len(pool)
+
+    # campaign range generation (reference --campaign-start/--campaign-count)
+    doc = generate_emailsend(spark, 50, campaign_start=2000, campaign_count=4)
+    camps = {r[0] for r in doc.select("doc.payload.data.diff.campaignId").collect()}
+    assert camps <= set(range(2000, 2004)) and len(camps) == 4
+
+    # explicit project id wins everywhere it lands in the doc
+    doc = generate_emailsend(spark, 10, project_id=42)
+    rows = doc.select(
+        "doc.payload.projectId", "doc.payload.metadata.esContext.esProjectId"
+    ).collect()
+    assert all(r[0] == 42 and r[1] == 42 for r in rows)
+
+    # auto-detect parses the trailing int off the topic (reference :188)
+    doc = generate_emailsend(
+        spark, 5, topic="persistent://eventbus/org-1/post-ingestion-495",
+        auto_detect_project=True,
+    )
+    assert {r[0] for r in doc.select("doc.payload.projectId").collect()} == {495}
+
+    # no knobs -> the oracle-pinned varied pools are untouched
+    doc = generate_emailsend(spark, 20)
+    assert doc.select("doc.payload.projectId").distinct().count() > 1
