@@ -664,3 +664,24 @@ def cdc_compact(
         .partitionBy("batch_id")
         .parquet(compact_dir)
     )
+
+
+def rollup_topk(
+    spark: SparkSession, rollup_dir: str, k: int = 3
+) -> DataFrame:
+    """Trending report over the continuous aggregate: the top-k event types
+    per time bucket by merged count (plus each one's share of the bucket)
+    — the serving face of a "what's trending now" dashboard, computed
+    entirely from the bucket-keyspace-sized partial store; raw events are
+    never touched."""
+    from pyspark.sql.window import Window
+
+    merged = rollup_read(spark, rollup_dir)
+    w = Window.partitionBy("bucket_start").orderBy(F.desc("cnt"), "event_type")
+    tot = Window.partitionBy("bucket_start")
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .withColumn("share", F.round(F.col("cnt") / F.sum("cnt").over(tot), 6))
+        .filter(F.col("rk") <= k)
+        .select("bucket_start", "event_type", "cnt", "share", "rk")
+    )

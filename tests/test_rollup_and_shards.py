@@ -333,3 +333,27 @@ def test_rollup_distinct_users_sketch(spark, events_src, tmp_path_factory):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_rollup_topk_trending(spark, events_src, tmp_path_factory):
+    """Trending serve: per bucket, exactly the k highest merged counts (ties
+    by event_type), with shares summing the bucket's full distribution."""
+    rollup_dir = str(tmp_path_factory.mktemp("rollup_topk"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_topk"))
+    pipelines.continuous_rollup_sink(
+        pipelines.events_stream(spark, events_src), rollup_dir, ckpt
+    ).awaitTermination()
+    got = pipelines.rollup_topk(spark, rollup_dir, k=2).collect()
+    full = {
+        (r["bucket_start"], r["event_type"]): r["cnt"]
+        for r in pipelines.rollup_read(spark, rollup_dir).collect()
+    }
+    by_bucket: dict = {}
+    for (b, t), c in full.items():
+        by_bucket.setdefault(b, []).append((-c, t))
+    for r in got:
+        expect = sorted(by_bucket[r["bucket_start"]])[: 2]
+        assert (-r["cnt"], r["event_type"]) == expect[r["rk"] - 1]
+        bucket_total = sum(-c for c, _ in by_bucket[r["bucket_start"]])
+        assert r["share"] == round(r["cnt"] / bucket_total, 6)
+    assert all(r["rk"] <= 2 for r in got)
