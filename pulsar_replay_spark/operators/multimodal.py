@@ -215,3 +215,30 @@ def resize_thumbnail(media: DataFrame, width: int = 32, height: int = 32, fake: 
         .select("doc_id", "payload")
         .mapInPandas(run, schema=THUMB_SCHEMA)
     )
+
+
+def frame_dedup(frames: DataFrame) -> DataFrame:
+    """Exact frame dedup across the corpus (the multimodal face of the
+    chunk-dedup shape): per frame, (doc_id, frame_idx, frame_hash, keep)
+    where the keeper is the (doc_id, frame_idx)-min owner of each distinct
+    frame hash — static intros/outros and black frames collapse to one
+    representative before any expensive per-frame model runs.
+
+    Scale: the md5 is computed BEFORE the shuffle, so frame bytes never
+    move — the groupBy reduces (hash → min owner) with map-side combine
+    and joins back on the 16-byte hash key only."""
+    hashed = frames.select(
+        "doc_id", "frame_idx", F.md5(F.col("frame_bytes")).alias("frame_hash")
+    )
+    keepers = hashed.groupBy("frame_hash").agg(
+        F.min(F.struct("doc_id", "frame_idx")).alias("keeper")
+    )
+    return hashed.join(F.broadcast(keepers), "frame_hash").select(
+        "doc_id",
+        "frame_idx",
+        "frame_hash",
+        (
+            (F.col("doc_id") == F.col("keeper.doc_id"))
+            & (F.col("frame_idx") == F.col("keeper.frame_idx"))
+        ).alias("keep"),
+    )

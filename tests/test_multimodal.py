@@ -161,3 +161,30 @@ def test_frame_sample_real_ffmpeg(spark):
     rows = multimodal.frame_sample(media, n_frames=2, fake=False).collect()
     assert len(rows) == 2
     assert all(len(bytes(r["frame_bytes"])) > 0 for r in rows)
+
+
+def test_frame_dedup_collapses_planted_duplicates(spark, documents):
+    """Two cloned videos must share every frame hash; the dedup keeps exactly
+    one owner per distinct hash (the (doc_id, frame_idx) minimum) and keeps
+    every unique frame."""
+    from pyspark.sql import functions as F
+
+    base = multimodal.as_media(documents).filter(F.col("media_type") == "video/mp4")
+    clone = base.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    frames = multimodal.frame_sample(base.unionByName(clone), n_frames=3)
+    verdicts = multimodal.frame_dedup(frames).collect()
+    assert len(verdicts) == frames.count()
+
+    by_hash: dict = {}
+    for r in verdicts:
+        by_hash.setdefault(r["frame_hash"], []).append(r)
+    for members in by_hash.values():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        assert min((m["doc_id"], m["frame_idx"]) for m in members) == (
+            keepers[0]["doc_id"],
+            keepers[0]["frame_idx"],
+        )
+    # every cloned frame is a duplicate of its source frame -> dropped
+    dropped_clone = [r for r in verdicts if r["doc_id"] >= 1_000_000 and not r["keep"]]
+    assert len(dropped_clone) == 9  # 3 clones x 3 frames
