@@ -32,6 +32,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     target: DataFrame | None = None,
     drop_quantile: float = 0.25,
+    drop_lm_tail: bool = False,
     budget_tokens: int = 20_000,
     seq_len: int = 64,
     n_shards: int = 8,
@@ -64,6 +65,15 @@ def curate_corpus(
     kept_ids = quality.drop_bottom_quantile(ttr, drop_quantile).select("doc_id")
     filtered = decontaminated.join(kept_ids, "doc_id", "left_semi")
     stages.append(("filtered", filtered))
+
+    # optional CCNet LM tier filter: train a corpus bigram LM over the
+    # surviving docs and drop each language's least-fluent tertile ('tail');
+    # 'short' (unscoreable) docs pass through — surfaced, never dropped
+    if drop_lm_tail:
+        buckets = quality.ccnet_buckets(filtered)
+        keep_ids = buckets.filter(F.col("bucket") != "tail").select("doc_id")
+        filtered = filtered.join(keep_ids, "doc_id", "left_semi")
+        stages.append(("lm_filtered", filtered))
 
     # selection score: DSIR log importance weight against the target corpus
     # when given (round to 4 decimals — the bounded-cardinality property

@@ -105,3 +105,34 @@ def test_packing_conserves_train_tokens(result):
         if r.doc_id in train
     )
     assert sum(r.end_tok - r.start_tok for r in packed) == expect_tokens
+
+
+def test_funnel_lm_tail_filter(spark, documents):
+    from pulsar_replay_spark.operators import quality
+
+    out = pipeline.curate_corpus(documents, drop_lm_tail=True, budget_tokens=10_000)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert "lm_filtered" in report
+    assert report["lm_filtered"] <= report["filtered"]
+    assert report["lm_filtered"] < report["filtered"]  # the tier filter bites
+    # no surviving doc may sit in its language's tail tier OF THE FILTERED
+    # set the LM was trained on
+    filtered_before = out["decontaminated"].join(
+        quality.drop_bottom_quantile(
+            out["decontaminated"].select(
+                "doc_id", "source",
+                __import__("pulsar_replay_spark.operators.curation",
+                           fromlist=["default_quality_score"])
+                .default_quality_score(F.col("text")).alias("score"),
+            ),
+            0.25,
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in quality.ccnet_buckets(filtered_before).collect()
+    }
+    survivors = {r["doc_id"] for r in out["filtered"].select("doc_id").collect()}
+    assert survivors and all(buckets[i] != "tail" for i in survivors)
