@@ -523,3 +523,31 @@ def merge_upsert(
     survivors = base.join(latest.select(key), key, "left_anti")
     upserts = latest.filter(F.col(op_col) == "upsert").select(key, *payload)
     return survivors.unionByName(upserts)
+
+
+def split_leakage_report(docs: DataFrame, split: DataFrame) -> DataFrame:
+    """Eval-hygiene check: near-duplicate pairs that CROSS split boundaries
+    (a train doc near-identical to a val/test doc leaks the eval). Returns
+    (doc_a, split_a, doc_b, split_b) for every crossing MinHash candidate
+    pair — run after ``hash_split`` before any eval number is trusted.
+
+    Pure composition: the persisted band-bucket self-join from the dedup
+    tier (shuffles the compact bucket relation, never text) + two
+    broadcast-able split joins + one inequality filter.
+    """
+    from pulsar_replay_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs)
+    s = split.select("doc_id", "split")
+    return (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b")
+    )

@@ -124,3 +124,39 @@ def test_join_size_estimate_recommendations(spark):
     est2 = skew.join_size_estimate(uni, uni, "k", broadcast_threshold_rows=10)
     assert est2["recommendation"] == "shuffle"
     assert est2["rows_out"] == 1000
+
+
+def test_split_leakage_report(spark, documents):
+    """Planted near-dup clone forced into the opposite split must surface as
+    a crossing pair; same-split near-dups must NOT."""
+    from pyspark.sql.window import Window  # noqa: F401
+
+    clone = documents.filter(F.col("doc_id") == 7).select(
+        F.lit(3_000_007).cast("bigint").alias("doc_id"),
+        F.concat("text", F.lit(" x")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = documents.unionByName(clone)
+    split = curation.hash_split(corpus)
+    # force the clone into the opposite split of its source
+    src_split = split.filter(F.col("doc_id") == 7).collect()[0]["split"]
+    other = "test" if src_split == "train" else "train"
+    forced = split.withColumn(
+        "split",
+        F.when(F.col("doc_id") == 3_000_007, F.lit(other)).otherwise(F.col("split")),
+    )
+    leaks = curation.split_leakage_report(corpus, forced).collect()
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {7, 3_000_007} for r in leaks
+    )
+    for r in leaks:
+        assert r["split_a"] != r["split_b"]
+    # same-split placement must silence that pair
+    same = split.withColumn(
+        "split",
+        F.when(F.col("doc_id") == 3_000_007, F.lit(src_split)).otherwise(F.col("split")),
+    )
+    silent = curation.split_leakage_report(corpus, same).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {7, 3_000_007} for r in silent)
