@@ -141,6 +141,7 @@ def write_training_shards(
     n_shards: int = 16,
     order_col: str = "doc_id",
     max_records_per_file: int = 0,
+    shuffle_salt: str | None = None,
 ) -> None:
     """Deterministic sharded export — the dataset layout trainers consume.
 
@@ -158,14 +159,25 @@ def write_training_shards(
     This is the batch twin of the reference's per-topic backup-file layout
     (pulsar_backup_restore.py:146-183: one ordered JSON file per topic) at
     training-corpus scale.
+
+    ``shuffle_salt`` switches the within-shard order from ``order_col`` to
+    md5(salt ‖ id) — epoch reshuffling: a new salt per epoch re-deals the
+    read order deterministically while shard ASSIGNMENT (and therefore data
+    placement) never moves. The sort key is a pure expression, so the
+    written schema is unchanged.
     """
     shard = F.conv(
         F.substring(F.md5(F.col(order_col).cast("string")), 1, 2), 16, 10
     ).cast("int") % n_shards
+    order_key = (
+        F.md5(F.concat(F.lit(shuffle_salt), F.col(order_col).cast("string")))
+        if shuffle_salt is not None
+        else F.col(order_col)
+    )
     writer = (
         docs.withColumn("shard", shard)
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", order_col)
+        .sortWithinPartitions("shard", order_key)
         .write.mode("overwrite")
         .partitionBy("shard")
     )

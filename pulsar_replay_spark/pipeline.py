@@ -33,6 +33,7 @@ def curate_corpus(
     target: DataFrame | None = None,
     drop_quantile: float = 0.25,
     drop_lm_tail: bool = False,
+    check_leakage: bool = False,
     budget_tokens: int = 20_000,
     seq_len: int = 64,
     n_shards: int = 8,
@@ -98,7 +99,7 @@ def curate_corpus(
     packed = packing.pack_token_stream(train_docs, seq_len=seq_len, n_shards=n_shards)
 
     report = _funnel_report(stages + [("train", train_docs)])
-    return {
+    out = {
         "deduped": deduped,
         "decontaminated": decontaminated,
         "filtered": filtered,
@@ -107,6 +108,14 @@ def curate_corpus(
         "packed": packed,
         "report": report,
     }
+    if check_leakage:
+        # eval hygiene: near-dup pairs crossing the split boundary among the
+        # SELECTED docs (post-dedup this should be empty — surfacing it is
+        # the point: a nonzero row here means a leaked eval). The selection
+        # frame is budget-shaped (no text), so re-attach text via semi-join.
+        sel_docs = filtered.join(selected.select("doc_id"), "doc_id", "left_semi")
+        out["leakage"] = curation.split_leakage_report(sel_docs, split)
+    return out
 
 
 def _funnel_report(stages: list[tuple[str, DataFrame]]) -> DataFrame:

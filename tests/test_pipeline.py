@@ -136,3 +136,11 @@ def test_funnel_lm_tail_filter(spark, documents):
     }
     survivors = {r["doc_id"] for r in out["filtered"].select("doc_id").collect()}
     assert survivors and all(buckets[i] != "tail" for i in survivors)
+
+
+def test_funnel_leakage_check_is_empty_after_dedup(spark, documents):
+    out = pipeline.curate_corpus(documents, check_leakage=True, budget_tokens=10_000)
+    leaks = out["leakage"]
+    assert set(leaks.columns) == {"doc_a", "split_a", "doc_b", "split_b"}
+    # the funnel deduped before splitting — no near-dup pair should cross
+    assert leaks.count() == 0

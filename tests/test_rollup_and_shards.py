@@ -357,3 +357,28 @@ def test_rollup_topk_trending(spark, events_src, tmp_path_factory):
         bucket_total = sum(-c for c, _ in by_bucket[r["bucket_start"]])
         assert r["share"] == round(r["cnt"] / bucket_total, 6)
     assert all(r["rk"] <= 2 for r in got)
+
+
+def test_shard_writer_epoch_reshuffle(spark, documents, tmp_path_factory):
+    """A shuffle salt re-deals within-shard READ order (md5(salt||id),
+    python-mirrored) without moving any document between shards; each salt
+    is deterministic."""
+    from pulsar_replay_spark.operators.packing import write_training_shards
+
+    out_a = str(tmp_path_factory.mktemp("ep_a")) + "/t"
+    out_b = str(tmp_path_factory.mktemp("ep_b")) + "/t"
+    out_a2 = str(tmp_path_factory.mktemp("ep_a2")) + "/t"
+    write_training_shards(documents, out_a, n_shards=4, shuffle_salt="epoch-0")
+    write_training_shards(documents, out_b, n_shards=4, shuffle_salt="epoch-1")
+    write_training_shards(documents, out_a2, n_shards=4, shuffle_salt="epoch-0")
+    a, b, a2 = _read_shard_files(out_a), _read_shard_files(out_b), _read_shard_files(out_a2)
+    assert a == a2  # same salt -> identical bytes order
+    assert {k: sorted(v) for k, v in a.items()} == {
+        k: sorted(v) for k, v in b.items()
+    }  # placement never moves
+    assert a != b  # read order re-dealt
+    for shard, ids in a.items():
+        expect = sorted(
+            ids, key=lambda i: hashlib.md5(f"epoch-0{i}".encode()).hexdigest()
+        )
+        assert ids == expect, shard
