@@ -212,3 +212,41 @@ def test_batches_deterministic_and_shard_parallel(documents, batched):
         .toString()
     )
     assert "hashpartitioning(band" in plan  # never a single-partition sort
+
+
+def test_batches_property_model(documents, spark):
+    """Degenerate-shape model check (hypothesis-style over crafted cases
+    rather than the fixture): single doc, all-equal lengths, and lengths
+    straddling a band edge all follow the pure-python model."""
+    import hashlib
+
+    def model(rows, batch_size, band, n_shards):
+        cells: dict[tuple, list] = {}
+        for doc_id, n in rows:
+            shard = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % n_shards
+            cells.setdefault((n // band, shard), []).append((n, doc_id))
+        out = {}
+        for (b, s), members in cells.items():
+            for rn, (n, doc_id) in enumerate(sorted(members)):
+                out[doc_id] = (n, b, s, f"{b}-{s}-{rn // batch_size}", rn % batch_size)
+        return out
+
+    cases = [
+        [(1, 5)],                                  # single doc
+        [(i, 10) for i in range(20)],              # all-equal lengths
+        [(i, 15 + (i % 2)) for i in range(10)],    # straddle band edge 16
+        [(i, i) for i in range(1, 40)],            # strictly increasing
+    ]
+    for rows in cases:
+        docs = spark.createDataFrame(
+            [(i, "w " * (n - 1) + "w") for i, n in rows], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["band"], r["shard"], r["batch_id"], r["pos_in_batch"]
+            )
+            for r in packing.length_bucketed_batches(
+                docs, batch_size=4, band=16, n_shards=4
+            ).collect()
+        }
+        assert got == model(rows, 4, 16, 4), rows
