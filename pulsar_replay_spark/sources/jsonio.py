@@ -206,3 +206,40 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n).write.mode("overwrite").parquet(dst_dir)
     return n
+
+
+def write_jsonl_corpus(
+    docs: DataFrame, out_dir: str, n_shards: int = 16, compression: str | None = "gzip"
+) -> None:
+    """Document-corpus export in the LLM-interchange format: JSON Lines, one
+    object per line, sharded deterministically — ``spark.write.json`` IS
+    JSONL per part file, so this is the native zero-copy path (no UDF, no
+    driver serialization). Shard assignment and in-file order reuse the
+    md5(doc_id) discipline of ``packing.write_training_shards``, so the
+    bytes downstream tooling streams are reproducible across reruns and
+    cluster sizes."""
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int") % n_shards
+    writer = (
+        docs.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(out_dir)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession, in_dir: str, schema: str | None = None
+) -> DataFrame:
+    """Read a JSONL corpus (ours or anyone's). Pass an explicit ``schema``
+    string in production — schema inference scans the data twice and types
+    drift with content; the permissive default is for exploration."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(in_dir).drop("shard")
