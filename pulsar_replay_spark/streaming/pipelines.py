@@ -582,6 +582,7 @@ def cdc_apply_sink(
     key: str = "doc_id",
     op_col: str = "op",
     seq_col: str = "seq",
+    processing_time: str | None = None,
 ):
     """Append each micro-batch's per-key LATEST changes as one idempotent
     batch_id partition. In-batch conflicts resolve exactly like the batch
@@ -605,12 +606,16 @@ def cdc_apply_sink(
             .parquet(store_dir)
         )
 
-    return (
-        change_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = change_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        # continuous mode for restart/chaos tests (the
+        # foreach_batch_idempotent convention)
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def cdc_read(

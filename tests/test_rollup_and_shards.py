@@ -382,3 +382,61 @@ def test_shard_writer_epoch_reshuffle(spark, documents, tmp_path_factory):
             ids, key=lambda i: hashlib.md5(f"epoch-0{i}".encode()).hexdigest()
         )
         assert ids == expect, shard
+
+
+def test_cdc_chaos_kill_restart_exactly_once(spark, cdc_src, tmp_path_factory):
+    """CDC chaos recovery: kill the apply stream mid-run, delete the newest
+    commit marker (crash between sink write and checkpoint commit), restart
+    from the same checkpoint — the re-delivered batch overwrites its own
+    partition, and the served snapshot equals the one-shot batch merge."""
+    import os
+    import time
+
+    from pulsar_replay_spark.operators.curation import merge_upsert
+
+    store = str(tmp_path_factory.mktemp("cdc_chaos_store"))
+    ck = str(tmp_path_factory.mktemp("cdc_chaos_ck"))
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_src)
+    )
+    q = pipelines.cdc_apply_sink(stream, store, ck, processing_time="1 seconds")
+    commits = os.path.join(ck, "commits")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [f for f in os.listdir(commits)] if os.path.isdir(commits) else []
+        if len([f for f in done if not f.startswith(".")]) >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass
+    deadline = time.time() + 60
+    while time.time() < deadline and any(aq.id == q.id for aq in spark.streams.active):
+        time.sleep(0.2)
+    committed = sorted(int(f) for f in os.listdir(commits) if not f.startswith("."))
+    assert committed, "no batch committed before the kill"
+    offsets_dir = os.path.join(ck, "offsets")
+    planned = sorted(int(f) for f in os.listdir(offsets_dir) if not f.startswith("."))
+    if planned and planned[-1] in committed:
+        os.remove(os.path.join(commits, str(planned[-1])))
+        crc = os.path.join(commits, f".{planned[-1]}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    q2 = pipelines.cdc_apply_sink(
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_src),
+        store,
+        ck,
+    )
+    q2.awaitTermination()
+
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = pipelines.cdc_read(spark, base, store)
+    want = merge_upsert(base, spark.read.schema(CDC_SCHEMA).parquet(cdc_src))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
