@@ -690,3 +690,65 @@ def rollup_topk(
         .filter(F.col("rk") <= k)
         .select("bucket_start", "event_type", "cnt", "share", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming uniform sample (bottom-k by md5 priority): maintain a fixed-size
+# uniform-without-replacement sample of an unbounded stream. The priority
+# md5(salt || id) is a deterministic uniform deal, so "the k smallest
+# priorities seen so far" IS a uniform k-sample of everything seen — and
+# bottom-k is exactly mergeable: each batch contributes its own bottom-k,
+# and bottom-k of the stored candidates equals bottom-k of the full stream.
+# No randomness state, no reservoir mutation, retry-safe by construction.
+# ---------------------------------------------------------------------------
+
+
+def sample_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    k: int = 100,
+    key: str = "doc_id",
+    salt: str = "sample-v1",
+):
+    """Each micro-batch appends its own bottom-k (by md5 priority) as one
+    idempotent batch_id partition — O(k) rows stored per batch whatever the
+    batch size; a crash-retried batch overwrites itself."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pick = (
+            batch_df.withColumn(
+                "_pri", F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+            )
+            .orderBy("_pri", key)
+            .limit(k)
+        )
+        (
+            pick.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sample_read(
+    spark: SparkSession, store_dir: str, k: int = 100, key: str = "doc_id"
+) -> DataFrame:
+    """Serve the maintained sample: bottom-k of the stored per-batch
+    candidates (≤ k·batches rows — the only data this read touches) ==
+    bottom-k of every row the stream ever carried. Drops the bookkeeping
+    columns; the result is a plain uniform k-sample frame."""
+    store = spark.read.parquet(store_dir)
+    return (
+        store.orderBy("_pri", key)
+        .limit(k)
+        .drop("_pri", "batch_id")
+    )

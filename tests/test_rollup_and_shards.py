@@ -440,3 +440,58 @@ def test_cdc_chaos_kill_restart_exactly_once(spark, cdc_src, tmp_path_factory):
     got = pipelines.cdc_read(spark, base, store)
     want = merge_upsert(base, spark.read.schema(CDC_SCHEMA).parquet(cdc_src))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --- streaming uniform sample (mergeable bottom-k) -------------------------
+
+
+def test_sample_stream_equals_batch_bottom_k(spark, tmp_path_factory):
+    """The maintained stream sample must equal the bottom-k (by the same md5
+    priority) of the WHOLE corpus — exact, not approximate — and the store
+    must hold ≤ k·batches rows."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path_factory.mktemp("sample_src"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    store = str(tmp_path_factory.mktemp("sample_store"))
+    ck = str(tmp_path_factory.mktemp("sample_ck"))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pipelines.sample_sink(stream, store, ck, k=20).awaitTermination()
+
+    got = sorted(
+        r["doc_id"] for r in pipelines.sample_read(spark, store, k=20).collect()
+    )
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expect = sorted(
+        sorted(
+            all_ids, key=lambda i: hashlib.md5(f"sample-v1{i}".encode()).hexdigest()
+        )[:20]
+    )
+    assert got == expect
+
+    stored = spark.read.parquet(store)
+    n_batches = stored.select("batch_id").distinct().count()
+    assert stored.count() <= 20 * n_batches
+    assert n_batches >= 2  # the merge actually crossed batches
+
+    # crash-retry: rewriting batch 0's partition must not change the sample
+    b0 = stored.where("batch_id = 0").drop("batch_id")
+    (
+        b0.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store)
+    )
+    again = sorted(
+        r["doc_id"] for r in pipelines.sample_read(spark, store, k=20).collect()
+    )
+    assert again == expect
