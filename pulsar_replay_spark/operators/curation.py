@@ -551,3 +551,34 @@ def split_leakage_report(docs: DataFrame, split: DataFrame) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b")
     )
+
+
+def dsir_select_per_group(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k_per_group: int,
+    by: str = "source",
+    hex_chars: int = DSIR_HEX,
+    alpha: float = DSIR_ALPHA,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Balanced DSIR selection: Gumbel top-k WITHIN each group (source,
+    language, domain) instead of globally — the cap that stops one dominant
+    source from eating the whole budget while still picking each group's
+    most target-like docs. Same md5-Gumbel key as ``dsir_select``, so the
+    per-group winners are a deterministic refinement of the global order.
+
+    One window per group key (rank, then filter ≤ k) — Spark's
+    WindowGroupLimit pushes the rank-filter into the shuffle, so each
+    group's candidates beyond k are dropped before the full sort completes.
+    """
+    from pyspark.sql.window import Window
+
+    w = dsir_log_weights(raw_docs, target_docs, hex_chars, alpha)
+    keyed = w.withColumn("key", dsir_gumbel_key(salt))
+    win = Window.partitionBy(by).orderBy(F.desc("key"), "doc_id")
+    return (
+        keyed.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k_per_group)
+        .drop("_rk")
+    )

@@ -198,3 +198,36 @@ def test_plan_broadcasts_ratio_no_cartesian(documents, target):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_select_per_group_balances_and_refines(spark, documents):
+    """Per-group top-k: exactly min(k, |group|) winners per source, each
+    group's winners are ITS OWN k highest Gumbel keys (mirrored from the
+    global keyed frame), and the union is deterministic."""
+    target = documents.filter(F.col("lang") == "es")
+    got = curation.dsir_select_per_group(documents, target, k_per_group=5)
+    rows = got.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+
+    keyed = curation.dsir_log_weights(documents, target).withColumn(
+        "key", curation.dsir_gumbel_key()
+    )
+    all_rows = keyed.collect()
+    sizes = {}
+    for r in all_rows:
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+    for src, members in by_src.items():
+        assert len(members) == min(5, sizes[src])
+        expect = sorted(
+            [r for r in all_rows if r["source"] == src],
+            key=lambda r: (-r["key"], r["doc_id"]),
+        )[:5]
+        assert sorted(m["doc_id"] for m in members) == sorted(
+            e["doc_id"] for e in expect
+        )
+    again = curation.dsir_select_per_group(
+        documents.repartition(7), target, k_per_group=5
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))

@@ -185,6 +185,19 @@ def main() -> None:
     est = skew.join_size_estimate(li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
     out["join_advisor_6m_rows"] = round(time.perf_counter() - t, 2)
 
+    from pulsar_replay_spark.operators import bpe as _bpe
+    from pulsar_replay_spark.operators import packing, unigram
+
+    t = time.perf_counter()
+    um = unigram.unigram_train(_bpe.word_freqs(docs), vocab_size=200, n_iters=1)
+    out["unigram_train_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    unigram.unigram_token_counts(docs, um).write.format("noop").mode("overwrite").save()
+    out["unigram_counts_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    packing.length_bucketed_batches(docs).write.format("noop").mode("overwrite").save()
+    out["length_batches_50k_docs"] = round(time.perf_counter() - t, 2)
+
     print(json.dumps({
         "replicas": n, "build_sec": build_s, "rows": sizes,
         "timings_sec": out,
