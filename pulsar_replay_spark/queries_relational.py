@@ -1372,3 +1372,66 @@ def q20_excess_shipments(spark, sf_dir):
         .join(nat, F.col("s_nationkey") == F.col("s_nk"))
         .select("s_name", "n_name")
     )
+
+
+WINDOW_EXTRAS_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd,
+       nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS second_order,
+       first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS first_order,
+       last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_window_extras(spark, sf_dir):
+    """§2.5 breadth legs beyond the contract query: percent_rank, cume_dist,
+    nth_value, and unbounded-frame first/last — pytest-oracle-gated (the
+    50-slot contract is full; `window_analytics` carries the driver row)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+    )
+
+
+AGG_EXTRAS_ORACLE = """
+SELECT l_linestatus,
+       ROUND(median(l_quantity), 4) AS med_qty,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS deep_discounts,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       arg_max(l_orderkey, l_extendedprice) AS priciest_order
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def q_agg_extras(spark, sf_dir):
+    """§2.4 breadth legs beyond the contract queries: exact median,
+    count_if, bool_and/bool_or, and max_by under a deterministic composite
+    ordering (price, orderkey) — pytest-oracle-gated."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.count_if(F.col("l_discount") > 0.05).cast("bigint").alias("deep_discounts"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        # fixture has a unique max price per group (probed), so the
+        # scalar ordering is deterministic in both engines
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+    )

@@ -103,3 +103,33 @@ def test_extra_tpch_shapes_match_oracle(spark, duck, qname):
     problems = compare(sdf, ddf)
     assert not problems, f"{qname}: {problems}"
     assert len(sdf) > 0, f"{qname}: vacuous (0 rows) — pick different constants"
+
+
+def test_window_extras_match_oracle(spark, duck):
+    """§2.5 breadth: percent_rank / cume_dist / nth_value / unbounded-frame
+    first+last — pytest-oracle-gated."""
+    from pulsar_replay_spark.queries_relational import (
+        WINDOW_EXTRAS_ORACLE,
+        q_window_extras,
+    )
+
+    sdf = q_window_extras(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(WINDOW_EXTRAS_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, problems
+    assert len(sdf) > 0
+
+
+def test_agg_extras_match_oracle(spark, duck):
+    """§2.4 breadth: median / count_if / bool_and / bool_or / composite
+    max_by — pytest-oracle-gated."""
+    from pulsar_replay_spark.queries_relational import (
+        AGG_EXTRAS_ORACLE,
+        q_agg_extras,
+    )
+
+    sdf = q_agg_extras(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(AGG_EXTRAS_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, problems
+    assert len(sdf) > 0
