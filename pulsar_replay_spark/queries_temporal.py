@@ -13,6 +13,7 @@ exactly).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pulsar_replay_spark.operators.asof import asof_join, latest_per
 from pulsar_replay_spark.registry import register
@@ -324,3 +325,178 @@ def q_dq_events_contract(spark, sf_dir):
         F.count("*").cast("bigint").alias("dup_event_ids")
     )
     return single_pass.join(dups)
+
+
+ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         ROUND(SUM(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, bucket, v,
+         avg(v) OVER w AS mu,
+         stddev_samp(v) OVER w AS sd,
+         count(*) OVER w AS n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, v,
+       ROUND(mu, 6) AS mu,
+       ROUND(sd, 6) AS sd,
+       (n >= 12 AND sd > 0 AND abs(v - mu) > 3 * sd) AS is_anomaly
+FROM stats
+"""
+
+
+def q_rolling_anomaly_flags(spark, sf_dir):
+    """Rolling 3-sigma anomaly detection over the hourly per-type series:
+    each bucket is scored against the PRECEDING 24 buckets' mean/stddev
+    (trailing frame — the current point never contaminates its own
+    baseline; <12 prior points = not enough history, never flagged).
+    Shuffle shape: one (type, bucket) agg + one window per type — the
+    as-of/window discipline; at 100 TB the hourly frame is
+    bucket-keyspace-sized, not event-sized. Pytest-oracle-gated."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-24, -1)
+    )
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "v",
+        F.round(F.avg("v").over(w), 6).alias("mu"),
+        F.round(F.stddev_samp("v").over(w), 6).alias("sd"),
+        (
+            (F.count("*").over(w) >= 12)
+            & (F.stddev_samp("v").over(w) > 0)
+            & (F.abs(F.col("v") - F.avg("v").over(w)) > 3 * F.stddev_samp("v").over(w))
+        ).alias("is_anomaly"),
+    )
+
+
+INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         ROUND(SUM(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT s.event_type, g.bucket
+  FROM spans s, LATERAL (
+    SELECT unnest(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS bucket
+  ) g
+),
+joined AS (
+  SELECT g.event_type, g.bucket, h.v FROM grid g
+  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
+),
+bounded AS (
+  SELECT event_type, bucket, v,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         CAST(max(CASE WHEN v IS NOT NULL THEN bucket END) OVER
+           (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS TIMESTAMP) AS prev_t,
+         CAST(min(CASE WHEN v IS NOT NULL THEN bucket END) OVER
+           (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS TIMESTAMP) AS next_t
+  FROM joined
+)
+SELECT event_type, bucket,
+       CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         -- scaled-integer interpolation: exact in both engines (values are
+         -- nonnegative, so floor division == truncation)
+         ELSE (CAST(round(prev_v * 10000) AS BIGINT)
+               * ((epoch(next_t)::BIGINT - epoch(bucket)::BIGINT) // 3600)
+               + CAST(round(next_v * 10000) AS BIGINT)
+               * ((epoch(bucket)::BIGINT - epoch(prev_t)::BIGINT) // 3600))
+              // ((epoch(next_t)::BIGINT - epoch(prev_t)::BIGINT) // 3600)
+              / 10000.0
+       END AS v_filled,
+       (v IS NULL) AS interpolated
+FROM bounded
+"""
+
+
+def q_linear_interpolation(spark, sf_dir):
+    """Linear gap-fill interpolation (the hypertable `interpolate()` shape):
+    densify each type's hourly grid, then fill missing buckets by linear
+    interpolation between the nearest real points (edges clamp to the
+    nearest real value). All windows: last/first IGNORE NULLS for the
+    bounding values, max/min-of-bucket for their positions — one grid
+    broadcast + one window pass per direction, no self-join per gap.
+    Pytest-oracle-gated."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["event_type", "bucket"], "left")
+    back = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    prev_t = F.max(F.when(F.col("v").isNotNull(), F.col("bucket"))).over(back)
+    next_t = F.min(F.when(F.col("v").isNotNull(), F.col("bucket"))).over(fwd)
+    # scaled-integer interpolation: both engines fold the same exact bigint
+    # arithmetic, so no HALF_UP-vs-half-even split can appear at linear
+    # midpoints of 4-decimal inputs (values are nonnegative, so floor
+    # division == truncation in both engines)
+    prev4 = F.round(prev_v * 10000).cast("bigint")
+    next4 = F.round(next_v * 10000).cast("bigint")
+    h_left = ((F.unix_timestamp(next_t) - F.unix_timestamp("bucket")) / 3600).cast(
+        "bigint"
+    )
+    h_right = ((F.unix_timestamp("bucket") - F.unix_timestamp(prev_t)) / 3600).cast(
+        "bigint"
+    )
+    h_span = ((F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)) / 3600).cast(
+        "bigint"
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            F.floor((prev4 * h_left + next4 * h_right) / h_span) / F.lit(10000.0)
+        )
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        filled.alias("v_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )

@@ -133,3 +133,20 @@ def test_agg_extras_match_oracle(spark, duck):
     problems = compare(sdf, ddf)
     assert not problems, problems
     assert len(sdf) > 0
+
+
+@pytest.mark.parametrize("qname", ["anomaly", "interp"])
+def test_timeseries_extras_match_oracle(spark, duck, qname):
+    """Time-series breadth: trailing-window 3-sigma anomaly flags and
+    linear gap-fill interpolation — pytest-oracle-gated."""
+    from pulsar_replay_spark import queries_temporal as qt
+
+    fn, oracle = {
+        "anomaly": (qt.q_rolling_anomaly_flags, qt.ANOMALY_ORACLE),
+        "interp": (qt.q_linear_interpolation, qt.INTERP_ORACLE),
+    }[qname]
+    sdf = fn(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(oracle).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{qname}: {problems}"
+    assert len(sdf) > 0
