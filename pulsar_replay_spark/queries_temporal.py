@@ -500,3 +500,157 @@ def q_linear_interpolation(spark, sf_dir):
         filled.alias("v_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  -- epoch-anchored 7d buckets (DuckDB's time_bucket anchors to 2000-01-03;
+  -- the engine buckets on raw epoch — mirror that arithmetic exactly)
+  SELECT user_id,
+         to_timestamp((epoch(min(ts))::BIGINT // 604800) * 604800)::TIMESTAMP
+           AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(((epoch(e.ts)::BIGINT // 604800) * 604800
+               - epoch(f.cohort_week)::BIGINT) // 604800 AS INT) AS week_n
+  FROM events e JOIN firsts f USING (user_id)
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY 1
+)
+SELECT a.cohort_week, a.week_n,
+       CAST(count(*) AS BIGINT) AS n_active,
+       s.cohort_size,
+       ROUND(count(*) * 1.0 / s.cohort_size, 4) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_n, s.cohort_size
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week, then
+    the fraction of each cohort active N weeks later — the canonical
+    product-analytics rollup. Shuffle shape: one per-user min (map-side
+    combined), one distinct over (user, week) pairs, one |cohorts|-key agg
+    with the cohort sizes broadcast back. Pytest-oracle-gated. 7-day
+    buckets are epoch-anchored (`timestampdiff`-free: integer division of
+    epoch seconds — identical in both engines)."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    week = lambda c: F.timestamp_seconds(  # noqa: E731 — epoch-anchored 7d bucket
+        (F.unix_timestamp(c) / 604800).cast("bigint") * 604800
+    )
+    firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (F.unix_timestamp(week(F.col("ts"))) - F.unix_timestamp("cohort_week"))
+                / 604800
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_n")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_n",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )
+
+
+FUNNEL_ORACLE = """
+WITH steps AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase_any
+  FROM events GROUP BY user_id
+),
+ordered AS (
+  SELECT user_id, t_signup,
+         CASE WHEN t_signup IS NOT NULL THEN
+           (SELECT min(ts) FROM events e
+            WHERE e.user_id = steps.user_id AND e.event_type = 'click'
+              AND e.ts >= t_signup) END AS t_click,
+         NULL AS placeholder
+  FROM steps
+),
+o2 AS (
+  SELECT user_id, t_signup, t_click,
+         CASE WHEN t_click IS NOT NULL THEN
+           (SELECT min(ts) FROM events e
+            WHERE e.user_id = o2_in.user_id AND e.event_type = 'purchase'
+              AND e.ts >= t_click) END AS t_purchase
+  FROM ordered o2_in
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_signup) AS BIGINT) AS step1_signup,
+       CAST(count(t_click) AS BIGINT) AS step2_click,
+       CAST(count(t_purchase) AS BIGINT) AS step3_purchase
+FROM o2
+"""
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel: signup → (click at-or-after signup) → (purchase
+    at-or-after that click), counting users reaching each step IN ORDER —
+    the sequence constraint a naive per-type min gets wrong. One
+    conditional-min pass per step over the per-user sequence: step k's
+    threshold is step k-1's time, expressed as min(CASE WHEN type AND ts >=
+    prev THEN ts) in the SAME grouped pass via a two-round agg (no
+    per-user explode, no join per step). Pytest-oracle-gated."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return s3.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("t_signup").cast("bigint").alias("step1_signup"),
+        F.count("t_click").cast("bigint").alias("step2_click"),
+        F.count("t_purchase").cast("bigint").alias("step3_purchase"),
+    )

@@ -150,3 +150,20 @@ def test_timeseries_extras_match_oracle(spark, duck, qname):
     problems = compare(sdf, ddf)
     assert not problems, f"{qname}: {problems}"
     assert len(sdf) > 0
+
+
+@pytest.mark.parametrize("qname", ["cohort", "funnel"])
+def test_product_analytics_match_oracle(spark, duck, qname):
+    """Product-analytics breadth: cohort retention matrix and ordered
+    funnel — pytest-oracle-gated."""
+    from pulsar_replay_spark import queries_temporal as qt
+
+    fn, oracle = {
+        "cohort": (qt.q_cohort_retention, qt.COHORT_ORACLE),
+        "funnel": (qt.q_funnel_steps, qt.FUNNEL_ORACLE),
+    }[qname]
+    sdf = fn(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(oracle).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{qname}: {problems}"
+    assert len(sdf) > 0
