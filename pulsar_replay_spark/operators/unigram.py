@@ -205,3 +205,43 @@ def unigram_token_counts(docs: DataFrame, model: DataFrame) -> DataFrame:
             F.coalesce(F.col("n_pieces"), F.lit(0)).cast("bigint").alias("n_pieces"),
         )
     )
+
+
+def tokenizer_report(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    model: DataFrame,
+) -> DataFrame:
+    """Side-by-side tokenizer evaluation: per source, corpus fertility
+    (pieces per whitespace word) and chars-per-piece under the trained BPE
+    merge list vs the trained unigram model — the comparison a tokenizer
+    choice is actually made from. Both counting paths share the
+    segmented-VOCAB equi-join shape, so the report costs two vocab
+    segmentations + two corpus joins, never a corpus-sized Python pass."""
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.operators.bpe import bpe_token_counts
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_chars"),
+    )
+    b = bpe_token_counts(docs, merges).withColumnRenamed("n_bpe_tokens", "bpe")
+    u = unigram_token_counts(docs, model).withColumnRenamed("n_pieces", "uni")
+    return (
+        base.join(b, "doc_id")
+        .join(u, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("uni").alias("unigram_tokens"),
+            F.round(F.sum("bpe") / F.sum("n_words"), 4).alias("bpe_fertility"),
+            F.round(F.sum("uni") / F.sum("n_words"), 4).alias("unigram_fertility"),
+            F.round(F.sum("n_chars") / F.sum("bpe"), 4).alias("bpe_chars_per_token"),
+            F.round(F.sum("n_chars") / F.sum("uni"), 4).alias(
+                "unigram_chars_per_token"
+            ),
+        )
+    )

@@ -654,3 +654,46 @@ def q_funnel_steps(spark, sf_dir):
         F.count("t_click").cast("bigint").alias("step2_click"),
         F.count("t_purchase").cast("bigint").alias("step3_purchase"),
     )
+
+
+TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM counts
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix between event types: per-user
+    ordered sequences (lead window, event_id tie-break), pair counts, and
+    row-normalized probabilities — the behavioral-model input next to the
+    funnel/cohort reports. One window shuffle on user_id + one
+    |types|²-key agg. Pytest-oracle-gated."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wn = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 4).alias("p"),
+    )

@@ -167,3 +167,19 @@ def test_product_analytics_match_oracle(spark, duck, qname):
     problems = compare(sdf, ddf)
     assert not problems, f"{qname}: {problems}"
     assert len(sdf) > 0
+
+
+def test_event_transitions_match_oracle(spark, duck):
+    """First-order event-type transition matrix — pytest-oracle-gated; rows
+    normalize to 1 per from_type."""
+    from pulsar_replay_spark.queries_temporal import (
+        TRANSITIONS_ORACLE,
+        q_event_transitions,
+    )
+
+    sdf = q_event_transitions(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(TRANSITIONS_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, problems
+    sums = sdf.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 0.01).all()

@@ -137,3 +137,34 @@ def test_artifact_round_trip(spark, model, wf, tmp_path):
     a = unigram.unigram_segment_words(wf.limit(50), model).collect()
     b = unigram.unigram_segment_words(wf.limit(50), loaded).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_tokenizer_report_consistent(spark, documents, wf, model):
+    """The report's totals must equal the two counters' own sums per source,
+    and fertility must sit in (0, chars-per-word] for both tokenizers."""
+    merges = bpe.bpe_train(wf, 15)
+    rep = {r["source"]: r for r in unigram.tokenizer_report(documents, merges, model).collect()}
+    b = bpe.bpe_token_counts(documents, merges)
+    u = unigram.unigram_token_counts(documents, model)
+    per_src_b = {
+        r["source"]: r["s"]
+        for r in documents.select("doc_id", "source")
+        .join(b, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_bpe_tokens").alias("s"))
+        .collect()
+    }
+    per_src_u = {
+        r["source"]: r["s"]
+        for r in documents.select("doc_id", "source")
+        .join(u, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_pieces").alias("s"))
+        .collect()
+    }
+    assert rep and set(rep) == set(per_src_b)
+    for src, row in rep.items():
+        assert row["bpe_tokens"] == per_src_b[src]
+        assert row["unigram_tokens"] == per_src_u[src]
+        assert 0 < row["unigram_fertility"] <= row["unigram_chars_per_token"] * row["unigram_fertility"] + 1
+        assert row["bpe_fertility"] >= 1.0  # BPE never merges across words
