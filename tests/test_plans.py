@@ -322,3 +322,34 @@ def test_doc_profile_is_single_scan_no_exchange(spark):
 
     plan = _plan(q_doc_profile(spark, SF_SMOKE))
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_r3_tpch_sweep_plan_shapes(spark):
+    """The r3 TPC-H sweep's physical shapes: q6 is a pure pushdown scan+agg
+    (zero joins); q8/q9/q20 broadcast every dim (no SMJ anywhere — the only
+    fact⋈fact edges ride broadcast candidates at fixture scale); q11's one
+    BroadcastNestedLoopJoin is the 1-row scalar-cutoff crossJoin, never a
+    pair blowup."""
+    import re
+
+    from pulsar_replay_spark import queries_relational as qr
+
+    def shapes(name):
+        plan = getattr(qr, name)(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        return re.findall(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        ), plan
+
+    joins, plan = shapes("q6_forecast_revenue")
+    assert joins == []
+    assert "PushedFilters: [IsNotNull" in plan  # predicates reach the scan
+
+    for name in ("q8_market_share", "q9_product_profit", "q20_excess_shipments"):
+        joins, _ = shapes(name)
+        assert joins and set(joins) == {"BroadcastHashJoin"}, (name, joins)
+
+    joins, _ = shapes("q11_important_parts")
+    assert joins.count("BroadcastNestedLoopJoin") == 1  # the 1-row cutoff
+    assert "CartesianProduct" not in joins
