@@ -181,3 +181,28 @@ def train_quality_classifier(
 
 def sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def calibration_report(
+    scored: DataFrame, labels: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Reliability diagram data for a trained classifier: bucket P(y=1)
+    scores into ``n_bins`` equal-width bins and report each bin's mean
+    predicted probability vs observed positive rate (+ Brier contribution)
+    — the calibration evidence a quality-filter threshold is set from.
+
+    ``scored`` = lr_score output; ``labels`` = (doc_id, label∈{0,1}).
+    One equi-join + one |bins|-key agg (map-side combined) — report cost is
+    bin-keyspace-sized at any corpus size."""
+    joined = scored.join(labels, "doc_id").withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("score") * n_bins).cast("int"), F.lit(n_bins - 1)
+        ),
+    )
+    return joined.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_predicted"),
+        F.round(F.avg(F.col("label").cast("double")), 6).alias("observed_rate"),
+        F.round(F.avg(F.pow(F.col("score") - F.col("label"), 2)), 6).alias("brier"),
+    )

@@ -146,3 +146,40 @@ def test_serving_plan_broadcasts_weights_no_cartesian(spark, weak_corpus):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_calibration_report(spark, documents):
+    """On the planted-vocabulary training task the classifier must be
+    directionally calibrated: high-score bins observe higher positive rates
+    than low-score bins, bin counts partition the labeled set, and each
+    bin's Brier term equals its members' mean squared error (cross-checked
+    in python)."""
+    pos = documents.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zebrafied zebrafied"))
+    )
+    neg = documents.filter(F.col("doc_id") % 2 == 1)
+    weights, bias = classifier.train_quality_classifier(pos, neg, n_iter=30)
+    corpus = pos.unionByName(neg)
+    scored = classifier.lr_score(classifier.doc_features(corpus), weights, bias)
+    labels = corpus.select(
+        "doc_id", (F.col("doc_id") % 2 == 0).cast("int").alias("label")
+    )
+    rep = classifier.calibration_report(scored, labels, n_bins=10).collect()
+    assert sum(r["n"] for r in rep) == corpus.count()
+    by_bin = sorted(rep, key=lambda r: r["bin"])
+    assert len(by_bin) >= 2
+    # directional calibration: the lowest occupied bin observes a lower
+    # positive rate than the highest occupied bin, and predicted means
+    # increase with the bin index by construction
+    assert by_bin[0]["observed_rate"] < by_bin[-1]["observed_rate"]
+    preds = [r["mean_predicted"] for r in by_bin]
+    assert preds == sorted(preds)
+    rows = {r["doc_id"]: (r["score"], ) for r in scored.collect()}
+    lab = {r["doc_id"]: r["label"] for r in labels.collect()}
+    import collections
+    agg = collections.defaultdict(list)
+    for d, (s,) in rows.items():
+        b = min(int(s * 10), 9)
+        agg[b].append((s - lab[d]) ** 2)
+    for r in rep:
+        assert abs(r["brier"] - round(sum(agg[r["bin"]]) / len(agg[r["bin"]]), 6)) < 2e-6
