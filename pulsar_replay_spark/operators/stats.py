@@ -62,3 +62,60 @@ def zscore_by_group_sql(events: DataFrame) -> DataFrame:
             (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
         ).alias("zscore"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key series:
+    s_t = alpha*x_t + (1-alpha)*s_{t-1}, s_0 = x_0 — the smoothing recursion
+    window functions can't express (each value depends on the previous
+    OUTPUT). Shape: collect each key's series into one array (sorted
+    in-array — no window sort), run the recursion as a single ``aggregate``
+    fold (whole-stage codegen, no Python), explode back.
+
+    A key's full series must fit one row — which is the nature of the
+    operator (bounded by the time-bucket keyspace, not raw events; at
+    100 TB the input should be a rollup/hourly frame, not raw data).
+    Returns (key, order_col, val_col, ewma)."""
+    series = df.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(val_col).alias("x")))
+        ).alias("s")
+    )
+    state_t = "array<struct<o:timestamp,x:double,ewma:double>>"
+    folded = series.select(
+        key,
+        F.aggregate(
+            "s",
+            F.expr(f"cast(array() as {state_t})"),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        e["o"].alias("o"),
+                        e["x"].cast("double").alias("x"),
+                        F.when(
+                            F.size(acc) == 0, e["x"].cast("double")
+                        )
+                        .otherwise(
+                            F.lit(alpha) * e["x"].cast("double")
+                            + F.lit(1.0 - alpha) * F.element_at(acc, -1)["ewma"]
+                        )
+                        .alias("ewma"),
+                    )
+                ),
+            ),
+        ).alias("f"),
+    )
+    out = folded.select(key, F.explode("f").alias("e")).select(
+        key,
+        F.col("e.o").alias(order_col),
+        F.col("e.x").alias(val_col),
+        F.round("e.ewma", 6).alias("ewma"),
+    )
+    return out
