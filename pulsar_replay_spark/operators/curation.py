@@ -582,3 +582,51 @@ def dsir_select_per_group(
         .filter(F.col("_rk") <= k_per_group)
         .drop("_rk")
     )
+
+
+def corpus_drift(
+    old: DataFrame, new: DataFrame, by: str = "source", hex_chars: int = 3
+) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots: per group,
+    the Jensen–Shannon divergence between the snapshots' hashed-word-bucket
+    distributions (the DSIR feature space: a FIXED 16^hex_chars keyspace,
+    so the comparison costs two bucket-count aggs + one bucket-keyed join
+    whatever the corpus size). 0 = identical word mix; ln(2) ≈ 0.693 =
+    disjoint. The monitoring twin of ``dataset_diff``: diff says WHICH docs
+    changed, drift says whether the LANGUAGE changed."""
+    from pulsar_replay_spark.functions.text import tokens
+
+    def dist(df, col):
+        return (
+            df.select(F.col(by), F.explode(tokens(F.col("text"))).alias("w"))
+            .filter(F.col("w") != "")
+            .select(
+                by,
+                F.conv(F.substring(F.md5("w"), 1, hex_chars), 16, 10)
+                .cast("int")
+                .alias("b"),
+            )
+            .groupBy(by, "b")
+            .agg(F.count("*").cast("double").alias(col))
+        )
+
+    p = dist(old, "c_old")
+    q = dist(new, "c_new")
+    joined = p.join(q, [by, "b"], "full_outer").fillna(
+        0.0, subset=["c_old", "c_new"]
+    )
+    totals = joined.groupBy(by).agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    z = joined.join(F.broadcast(totals), by).select(
+        by,
+        (F.col("c_old") / F.col("t_old")).alias("pp"),
+        (F.col("c_new") / F.col("t_new")).alias("qq"),
+    )
+    m = (F.col("pp") + F.col("qq")) / 2
+    term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    return z.groupBy(by).agg(
+        F.round(
+            0.5 * F.sum(term(F.col("pp"))) + 0.5 * F.sum(term(F.col("qq"))), 6
+        ).alias("js_divergence")
+    )

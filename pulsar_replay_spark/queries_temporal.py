@@ -697,3 +697,61 @@ def q_event_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(wn), 4).alias("p"),
     )
+
+
+STICKINESS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY 1),
+mau AS (
+  SELECT d1.d,
+         CAST((SELECT count(DISTINCT user_id) FROM days d2
+               WHERE d2.d > d1.d - INTERVAL 30 DAY AND d2.d <= d1.d) AS BIGINT)
+           AS mau
+  FROM (SELECT DISTINCT d FROM days) d1
+)
+SELECT dau.d, dau.dau, mau.mau,
+       ROUND(dau.dau * 1.0 / mau.mau, 4) AS stickiness
+FROM dau JOIN mau USING (d)
+"""
+
+
+def q_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day: daily actives over trailing-30-day
+    actives — the classic engagement ratio. A RANGE-frame window would have
+    to buffer user ids per frame (collect_set of users), so instead each
+    active (user, day) contributes to every day in [d, d+29] via a 30-row
+    explode of DAYS (bounded fan-out, never a user-id window buffer), then
+    one distinct-count per day. Shuffles:
+    (user, day) distinct + a 30× day fan-out agg — both bounded by
+    users×days, independent of raw event volume. Pytest-oracle-gated."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    dau = days.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    # each active (user, day) counts toward MAU of days d..d+29 that EXIST
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.expr("interval 29 days"), F.expr("interval 1 day"))
+        ).alias("d_target"),
+    ).distinct()
+    real_days = days.select("d").distinct()
+    mau = (
+        contrib.join(real_days, contrib.d_target == real_days.d)
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
+        )
+    )

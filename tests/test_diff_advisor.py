@@ -160,3 +160,69 @@ def test_split_leakage_report(spark, documents):
     )
     silent = curation.split_leakage_report(corpus, same).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {7, 3_000_007} for r in silent)
+
+
+def test_corpus_drift_properties(spark, documents):
+    """JS divergence: 0 for identical snapshots; small for a mild rewrite;
+    large (near ln 2) against a vocabulary-disjoint corpus; symmetric; and
+    exactly matching a python mirror of the same bucketed arithmetic."""
+    import hashlib
+    import math
+
+    same = {
+        r["source"]: r["js_divergence"]
+        for r in curation.corpus_drift(documents, documents).collect()
+    }
+    assert same and all(abs(v) < 1e-9 for v in same.values())
+
+    mild = documents.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" drifted"))
+        ).otherwise(F.col("text")),
+    )
+    mild_js = {
+        r["source"]: r["js_divergence"]
+        for r in curation.corpus_drift(documents, mild).collect()
+    }
+    disjoint = documents.withColumn(
+        "text", F.concat(F.lit("zzq"), F.regexp_replace("text", " ", " zzq"))
+    )
+    far_js = {
+        r["source"]: r["js_divergence"]
+        for r in curation.corpus_drift(documents, disjoint).collect()
+    }
+    assert any(v > 0 for v in mild_js.values())
+    for s in mild_js:
+        assert 0 <= mild_js[s] < 0.05
+        assert far_js[s] > 0.3
+        assert far_js[s] <= math.log(2) + 1e-6
+
+    # symmetry
+    rev = {
+        r["source"]: r["js_divergence"]
+        for r in curation.corpus_drift(mild, documents).collect()
+    }
+    assert all(abs(rev[s] - mild_js[s]) < 1e-9 for s in rev)
+
+    # python mirror on one source
+    src = sorted(mild_js)[0]
+    def counts(df):
+        out: dict[int, float] = {}
+        for r in df.filter(F.col("source") == src).select("text").collect():
+            for w in r["text"].split(" "):
+                if w:
+                    b = int(hashlib.md5(w.encode()).hexdigest()[:3], 16)
+                    out[b] = out.get(b, 0.0) + 1
+        return out
+    cp, cq = counts(documents), counts(mild)
+    tp, tq = sum(cp.values()), sum(cq.values())
+    js = 0.0
+    for b in set(cp) | set(cq):
+        pp, qq = cp.get(b, 0.0) / tp, cq.get(b, 0.0) / tq
+        m = (pp + qq) / 2
+        if pp > 0:
+            js += 0.5 * pp * math.log(pp / m)
+        if qq > 0:
+            js += 0.5 * qq * math.log(qq / m)
+    assert abs(mild_js[src] - round(js, 6)) < 2e-6

@@ -183,3 +183,17 @@ def test_event_transitions_match_oracle(spark, duck):
     assert not problems, problems
     sums = sdf.groupby("from_type")["p"].sum()
     assert ((sums - 1.0).abs() < 0.01).all()
+
+
+def test_dau_mau_stickiness_matches_oracle(spark, duck):
+    from pulsar_replay_spark.queries_temporal import (
+        STICKINESS_ORACLE,
+        q_dau_mau_stickiness,
+    )
+
+    sdf = q_dau_mau_stickiness(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(STICKINESS_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, problems
+    assert len(sdf) > 0
+    assert (sdf["stickiness"] <= 1.0).all() and (sdf["dau"] <= sdf["mau"]).all()
