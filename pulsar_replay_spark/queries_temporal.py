@@ -755,3 +755,56 @@ def q_dau_mau_stickiness(spark, sf_dir):
             F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
         )
     )
+
+
+ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.purchase_id, p.user_id, p.p_ts, e.event_type, e.ts, e.event_id
+  FROM purchases p JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type IN ('view', 'click')
+   AND e.ts >= p.p_ts - INTERVAL 1 DAY AND e.ts < p.p_ts
+),
+ranked AS (
+  SELECT purchase_id, user_id, event_type,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY ts, event_id) AS rk_first,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY ts DESC, event_id DESC) AS rk_last
+  FROM touches
+)
+SELECT f.purchase_id, f.user_id,
+       f.event_type AS first_touch, l.event_type AS last_touch
+FROM ranked f JOIN ranked l USING (purchase_id)
+WHERE f.rk_first = 1 AND l.rk_last = 1
+"""
+
+
+def q_conversion_attribution(spark, sf_dir):
+    """First- and last-touch attribution: for every purchase, the earliest
+    and latest view/click in the trailing 24h lookback window. The lookback
+    is the range-join shape (equi on user + time band — shuffle on user_id
+    only, fan-out bounded by touches-per-day-per-user); both touches
+    resolve in ONE window pass via min_by/max_by over (ts, event_id) struct
+    ordering instead of two ranked self-joins. Pytest-oracle-gated."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    touches = purchases.join(
+        ev.filter(F.col("event_type").isin("view", "click")).select(
+            "user_id", F.col("event_type").alias("t_type"), "ts", "event_id"
+        ),
+        ["user_id"],
+    ).filter(
+        (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("ts") < F.col("p_ts"))
+    )
+    return touches.groupBy("purchase_id", "user_id").agg(
+        F.min_by("t_type", F.struct("ts", "event_id")).alias("first_touch"),
+        F.max_by("t_type", F.struct("ts", "event_id")).alias("last_touch"),
+    )

@@ -197,3 +197,16 @@ def test_dau_mau_stickiness_matches_oracle(spark, duck):
     assert not problems, problems
     assert len(sdf) > 0
     assert (sdf["stickiness"] <= 1.0).all() and (sdf["dau"] <= sdf["mau"]).all()
+
+
+def test_conversion_attribution_matches_oracle(spark, duck):
+    from pulsar_replay_spark.queries_temporal import (
+        ATTRIBUTION_ORACLE,
+        q_conversion_attribution,
+    )
+
+    sdf = q_conversion_attribution(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(ATTRIBUTION_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, problems
+    assert len(sdf) > 0
