@@ -752,3 +752,133 @@ def sample_read(
         .limit(k)
         .drop("_pri", "batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation ingest: the production shape of "a feed of documents
+# arrives; admit only novel, non-near-duplicate, above-threshold docs" —
+# chaining the exact-dup hash probe, the incremental MinHash index probe,
+# and a pluggable quality scorer into ONE exactly-once foreachBatch sink.
+# Every stage reuses an existing oracle/pytest-gated operator; this sink
+# contributes the orchestration + idempotent storage layout only.
+# ---------------------------------------------------------------------------
+
+
+def curation_ingest_sink(
+    doc_stream: DataFrame,
+    accepted_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    score_fn,
+    threshold: float,
+):
+    """Per micro-batch:
+
+    1. exact dedup — md5(normalize_text) probe against the ACCEPTED store's
+       hash column (anti-join on 16-byte keys; at 100 TB put the Bloom
+       prefilter of ``operators/bloom`` in front so the store isn't scanned
+       per batch) + keep-min-doc_id within the batch;
+    2. near dedup — probe the persisted LSH band index
+       (``incremental_minhash_pairs``): a batch doc pairing with ANY prior
+       accepted doc is dropped, within-batch pairs keep the smaller doc_id;
+    3. quality — ``score_fn(docs) -> (doc_id, score)`` (e.g. a pinned
+       ``dsir_score`` or ``lr_score`` artifact); admit ``score >= threshold``.
+
+    Writes two idempotent batch_id partitions: accepted docs (+ text hash)
+    and the accepted docs' OWN index buckets — rejected docs are never
+    indexed, so the store represents exactly the admitted corpus. Crash
+    retries overwrite themselves and never self-probe (batch_id excluded
+    from both reads).
+    """
+    from pulsar_replay_spark.functions.text import normalize_text
+    from pulsar_replay_spark.operators.dedup import incremental_minhash_pairs
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            "_h", F.md5(normalize_text(F.col("text")))
+        ).localCheckpoint(eager=True)
+
+        try:
+            seen = (
+                spark.read.parquet(accepted_dir)
+                .where(F.col("batch_id") != batch_id)
+                .select("_h")
+                .distinct()
+            )
+        except Exception:  # first batch: no store yet
+            seen = spark.createDataFrame([], "_h string")
+        from pyspark.sql.window import Window
+
+        wh = Window.partitionBy("_h").orderBy("doc_id")
+        fresh = (
+            batch.join(seen, "_h", "left_anti")
+            .withColumn("_rn", F.row_number().over(wh))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+
+        try:
+            idx = (
+                spark.read.parquet(index_dir)
+                .where(F.col("batch_id") != batch_id)
+                .select("doc_id", "band", "band_key")
+            )
+        except Exception:
+            idx = spark.createDataFrame([], "doc_id long, band int, band_key string")
+        pairs, buckets = incremental_minhash_pairs(
+            fresh.select("doc_id", "text"), idx
+        )
+        ids = fresh.select("doc_id")
+        flagged = (
+            pairs.join(
+                ids.select(F.col("doc_id").alias("doc_a"), F.lit(True).alias("a_in")),
+                "doc_a",
+                "left",
+            )
+            .join(
+                ids.select(F.col("doc_id").alias("doc_b"), F.lit(True).alias("b_in")),
+                "doc_b",
+                "left",
+            )
+        )
+        dropped = flagged.select(
+            F.when(F.col("a_in") & F.col("b_in"), F.col("doc_b"))
+            .when(F.col("b_in") & F.col("a_in").isNull(), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id")
+        ).distinct()
+        survivors = fresh.join(dropped, "doc_id", "left_anti")
+
+        scores = score_fn(survivors)
+        accepted = survivors.join(
+            scores.filter(F.col("score") >= threshold).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).localCheckpoint(eager=True)
+
+        (
+            accepted.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(accepted_dir)
+        )
+        acc_buckets = buckets.join(
+            accepted.select("doc_id"), "doc_id", "left_semi"
+        )
+        (
+            acc_buckets.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -415,3 +415,103 @@ def test_ivf_ingest_stream_equals_full_assignment(spark, tmp_path):
         corpus, queries, k=5, n_probe=4, centroids=cents, corpus_cells=full
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_curation_ingest_sink_end_to_end(spark, tmp_path_factory):
+    """Composed ingest: across three micro-batches, planted exact dups,
+    cross-batch near-dups, and below-threshold docs are all rejected; the
+    accepted store ends exact-dup-free AND near-dup-candidate-free; a
+    crash-retry of a batch partition leaves the store unchanged."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = {r["doc_id"]: r for r in docs.collect()}
+
+    def rows(ids, id_off=0, suffix=""):
+        return [
+            {
+                "doc_id": i + id_off,
+                "text": base[i]["text"] + suffix,
+                "lang": base[i]["lang"],
+                "source": base[i]["source"],
+                "n_chars": base[i]["n_chars"],
+            }
+            for i in ids
+        ]
+
+    junk = [
+        {"doc_id": 7_000_000 + j, "text": "zz", "lang": "en", "source": "junk",
+         "n_chars": 2}
+        for j in range(3)
+    ]
+    b0 = rows(range(1, 101))
+    b1 = (
+        rows([5, 7], id_off=5_000_000)            # exact dups of b0
+        + rows([11], id_off=6_000_000, suffix=" tail")  # near dup of b0
+        + rows(range(101, 161))                    # novel
+        + junk                                     # below threshold
+    )
+    # 121/131 chosen free of NATURAL fixture near-dups (probed: ids 120,
+    # 144, 157, 161, 174, 176 collide with earlier docs and get dropped)
+    b2 = (
+        rows([121], id_off=5_000_000)              # exact dup of b1 novel
+        + rows([131], id_off=6_000_000, suffix=" tail")  # near dup of b1 novel
+        + rows(range(161, 201))                    # novel
+    )
+
+    src = str(tmp_path_factory.mktemp("ingest_src"))
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+         ("source", pa.string()), ("n_chars", pa.int64())]
+    )
+    now = time.time()
+    for i, b in enumerate([b0, b1, b2]):
+        pq.write_table(pa.Table.from_pylist(b, schema=schema), f"{src}/b{i}.parquet")
+        os.utime(f"{src}/b{i}.parquet", (now + i, now + i))
+
+    accepted_dir = str(tmp_path_factory.mktemp("ingest_accepted"))
+    index_dir = str(tmp_path_factory.mktemp("ingest_index"))
+    ck = str(tmp_path_factory.mktemp("ingest_ck"))
+
+    def score_fn(df):
+        return df.select("doc_id", token_count(F.col("text")).cast("double").alias("score"))
+
+    pipelines.curation_ingest_sink(
+        pipelines.documents_stream(spark, src), accepted_dir, index_dir, ck,
+        score_fn, threshold=5.0,
+    ).awaitTermination()
+
+    accepted = spark.read.parquet(accepted_dir)
+    ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+
+    # every planted reject is out
+    assert not any(i >= 5_000_000 for i in ids)
+    # the clean majority is in (natural fixture near-dups may drop a few)
+    assert len(ids & set(range(1, 201))) > 150
+    assert 121 in ids and 131 in ids  # originals beat their later dups
+    # store invariants: exact-dup-free and near-dup-candidate-free
+    assert accepted.select("_h").distinct().count() == accepted.count()
+    assert minhash_candidate_pairs(accepted.select("doc_id", "text")).count() == 0
+    # index covers exactly the accepted corpus
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(index_dir).select("doc_id").distinct().collect()}
+    assert idx_ids == ids
+
+    # crash-retry: rewriting batch 1's partitions must change nothing
+    before = sorted(map(tuple, accepted.drop("batch_id").collect()))
+    b1_part = spark.read.parquet(accepted_dir).where("batch_id = 1").drop("batch_id")
+    (
+        b1_part.withColumn("batch_id", F.lit(1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(accepted_dir)
+    )
+    after = sorted(map(tuple, spark.read.parquet(accepted_dir).drop("batch_id").collect()))
+    assert after == before
