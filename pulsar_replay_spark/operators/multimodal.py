@@ -242,3 +242,57 @@ def frame_dedup(frames: DataFrame) -> DataFrame:
             & (F.col("frame_idx") == F.col("keeper.frame_idx"))
         ).alias("keep"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, window_idx int, start_ms long, end_ms long, window_bytes binary"
+)
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500, fake: bool = True
+) -> DataFrame:
+    """Audio windowing: overlapping fixed-length windows per audio payload —
+    the 1→N mapInPandas shape (same discipline as ``frame_sample``; the
+    audio tier's segmentation step before any feature extractor runs).
+    Stride = hop_ms, final partial window kept. The real decode needs an
+    audio toolchain on the executors; the deterministic fake (1 ms per
+    byte) drives the row-multiplication plumbing end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real audio decode requires an audio toolchain (ffmpeg/soundfile)"
+                " on the executors"
+            )
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "window_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "window_bytes": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                dur = max(len(raw), 1)  # fake: 1 ms per byte
+                idx = 0
+                start = 0
+                while start < dur:
+                    end = min(start + window_ms, dur)
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(idx)
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(end)
+                    out["window_bytes"].append(raw[start:end])
+                    if end == dur:
+                        break
+                    idx += 1
+                    start += hop_ms
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("media_type") == "audio/wav")
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+    )

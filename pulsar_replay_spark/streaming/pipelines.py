@@ -882,3 +882,18 @@ def curation_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rollup_ewma(
+    spark: SparkSession, rollup_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Smoothed serve over the continuous aggregate: EWMA of each type's
+    merged per-bucket sum (``stats.ewma`` codegen fold over the
+    bucket-keyspace-sized rollup — raw events never touched). The
+    dashboard's smoothed line next to ``rollup_topk``'s trending table."""
+    from pulsar_replay_spark.operators.stats import ewma
+
+    merged = rollup_read(spark, rollup_dir).select(
+        "event_type", "bucket_start", F.round("sum_value", 4).alias("v")
+    )
+    return ewma(merged, "event_type", "bucket_start", "v", alpha=alpha)

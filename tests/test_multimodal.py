@@ -188,3 +188,32 @@ def test_frame_dedup_collapses_planted_duplicates(spark, documents):
     # every cloned frame is a duplicate of its source frame -> dropped
     dropped_clone = [r for r in verdicts if r["doc_id"] >= 1_000_000 and not r["keep"]]
     assert len(dropped_clone) == 9  # 3 clones x 3 frames
+
+
+def test_audio_windows_cover_payload(spark, documents):
+    """Windows tile each audio payload with the configured hop: correct
+    count, monotone offsets, exact byte slices (python mirror), overlap =
+    window - hop, final partial window kept."""
+    media = multimodal.as_media(documents.limit(60))
+    audio = {r["doc_id"]: bytes(r["payload"]) for r in media.filter("media_type = 'audio/wav'").collect()}
+    assert audio
+    rows = multimodal.audio_windows(media, window_ms=40, hop_ms=25).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(audio)
+    for doc_id, ws in by_doc.items():
+        raw = audio[doc_id]
+        ws.sort(key=lambda r: r["window_idx"])
+        expect_starts = []
+        s = 0
+        while s < len(raw):
+            expect_starts.append(s)
+            if min(s + 40, len(raw)) == len(raw):
+                break
+            s += 25
+        assert [w["start_ms"] for w in ws] == expect_starts
+        for w in ws:
+            assert bytes(w["window_bytes"]) == raw[w["start_ms"]:w["end_ms"]]
+            assert w["end_ms"] - w["start_ms"] <= 40
+        assert ws[-1]["end_ms"] == len(raw)

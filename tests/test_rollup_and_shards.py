@@ -495,3 +495,30 @@ def test_sample_stream_equals_batch_bottom_k(spark, tmp_path_factory):
         r["doc_id"] for r in pipelines.sample_read(spark, store, k=20).collect()
     )
     assert again == expect
+
+
+def test_rollup_ewma_matches_batch_fold(spark, events_src, tmp_path_factory):
+    """Smoothed serve over the partial store == the same EWMA fold over the
+    one-shot batch rollup."""
+    rollup_dir = str(tmp_path_factory.mktemp("rollup_ewma"))
+    ck = str(tmp_path_factory.mktemp("ck_ewma"))
+    pipelines.continuous_rollup_sink(
+        pipelines.events_stream(spark, events_src), rollup_dir, ck
+    ).awaitTermination()
+    got = sorted(map(tuple, pipelines.rollup_ewma(spark, rollup_dir).collect()))
+    from pulsar_replay_spark.operators.stats import ewma
+
+    want = sorted(
+        map(
+            tuple,
+            ewma(
+                _batch_rollup(spark, events_src).select(
+                    "event_type", "bucket_start", F.round("sum_value", 4).alias("v")
+                ),
+                "event_type",
+                "bucket_start",
+                "v",
+            ).collect(),
+        )
+    )
+    assert got == want and got
