@@ -33,6 +33,7 @@ def curate_corpus(
     target: DataFrame | None = None,
     drop_quantile: float = 0.25,
     drop_lm_tail: bool = False,
+    semantic: bool = False,
     check_leakage: bool = False,
     budget_tokens: int = 20_000,
     seq_len: int = 64,
@@ -75,6 +76,21 @@ def curate_corpus(
         keep_ids = buckets.filter(F.col("bucket") != "tail").select("doc_id")
         filtered = filtered.join(keep_ids, "doc_id", "left_semi")
         stages.append(("lm_filtered", filtered))
+
+    # optional SemDeDup stage without a learned encoder: feature-hashed doc
+    # vectors feed the embedding-level semantic dedup (the bootstrap
+    # composition the hashing trick exists for) — catches paraphrase-level
+    # redundancy MinHash's shingle overlap misses
+    if semantic:
+        from pulsar_replay_spark.operators import similarity
+
+        vecs = quality.hashed_doc_vectors(filtered)
+        verdicts = similarity.semantic_dedup(vecs, threshold=0.95)
+        keep_vec = verdicts.filter(F.col("keep")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        filtered = filtered.join(keep_vec, "doc_id", "left_semi")
+        stages.append(("semantic_deduped", filtered))
 
     # selection score: DSIR log importance weight against the target corpus
     # when given (round to 4 decimals — the bounded-cardinality property

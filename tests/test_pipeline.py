@@ -144,3 +144,27 @@ def test_funnel_leakage_check_is_empty_after_dedup(spark, documents):
     assert set(leaks.columns) == {"doc_a", "split_a", "doc_b", "split_b"}
     # the funnel deduped before splitting — no near-dup pair should cross
     assert leaks.count() == 0
+
+
+def test_funnel_semantic_stage(spark, documents):
+    """semantic=True adds the hashed-vector SemDeDup stage: the funnel
+    reports it, planted paraphrase-heavy clones get collapsed (only one of
+    each identical-text pair survives), and every survivor is a keep
+    verdict of the stage's own dedup run."""
+    clones = documents.limit(8).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        "text",  # identical text == cosine 1.0 in hashed space
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = documents.unionByName(clones)
+    out = pipeline.curate_corpus(corpus, semantic=True, budget_tokens=10_000)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert "semantic_deduped" in report
+    assert report["semantic_deduped"] <= report["filtered"]
+    ids = {r["doc_id"] for r in out["filtered"].select("doc_id").collect()}
+    for i in range(8):
+        orig = documents.limit(8).collect()[i]["doc_id"]
+        # identical-text pair: at most one of (orig, clone) survives
+        assert not ({orig, orig + 4_000_000} <= ids)
