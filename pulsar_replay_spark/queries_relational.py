@@ -1435,3 +1435,59 @@ def q_agg_extras(spark, sf_dir):
         # scalar ordering is deterministic in both engines
         F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
     )
+
+
+RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         CAST((epoch(ref.mx) - epoch(max(o_orderdate))) // 86400 AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders, (SELECT max(o_orderdate) AS mx FROM orders) ref
+  GROUP BY o_custkey, ref.mx
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+       ntile(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+FROM base
+"""
+
+
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency / frequency / monetary quintiles
+    (5 = best), tie-broken on custkey so both engines deal identical
+    scores. One per-customer agg (the reference max-date rides along as a
+    broadcast scalar) + three single-partition ntile windows over the
+    CUSTOMER frame — fine at |customers| scale; for billions of customers
+    the quantile-threshold sketch (`quality.quantile_thresholds`) replaces
+    ntile, same semantics up to ties. Pytest-oracle-gated."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.crossJoin(broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "mx")
+        .agg(
+            F.floor(
+                (F.unix_timestamp(F.max("o_orderdate")) * -1 + F.unix_timestamp(F.first("mx")))
+                / 86400
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .drop("mx")
+    )
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), "c_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "c_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "c_custkey")).alias("m_score"),
+    )

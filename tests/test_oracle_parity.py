@@ -210,3 +210,15 @@ def test_conversion_attribution_matches_oracle(spark, duck):
     problems = compare(sdf, ddf)
     assert not problems, problems
     assert len(sdf) > 0
+
+
+def test_rfm_segmentation_matches_oracle(spark, duck):
+    from pulsar_replay_spark.queries_relational import RFM_ORACLE, q_rfm_segmentation
+
+    sdf = q_rfm_segmentation(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(RFM_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, problems
+    assert len(sdf) > 0
+    for c in ("r_score", "f_score", "m_score"):
+        assert set(sdf[c].unique()) <= set(range(1, 6))
