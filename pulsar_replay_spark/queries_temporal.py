@@ -808,3 +808,69 @@ def q_conversion_attribution(spark, sf_dir):
         F.min_by("t_type", F.struct("ts", "event_id")).alias("first_touch"),
         F.max_by("t_type", F.struct("ts", "event_id")).alias("last_touch"),
     )
+
+
+SESSION_PATHS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+HAVING count(*) >= 2
+"""
+
+
+def q_session_paths(spark, sf_dir):
+    """Session path mining: the event-type sequence of every 30-min-gap
+    session (the sessionize contract) collapsed to a '>'-joined path, then
+    the paths occurring in ≥2 sessions — the behavioral sequence report on
+    top of the funnel/transition family. One window pass shares the
+    sessionize partitioning; the path string is built with an IN-ARRAY sort
+    (array_sort on (ts, event_id, type) structs), never a second window.
+    Pytest-oracle-gated."""
+    from pulsar_replay_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w_order)) > 1_800_000,
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w_cum))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 2)
+    )

@@ -222,3 +222,16 @@ def test_rfm_segmentation_matches_oracle(spark, duck):
     assert len(sdf) > 0
     for c in ("r_score", "f_score", "m_score"):
         assert set(sdf[c].unique()) <= set(range(1, 6))
+
+
+def test_session_paths_match_oracle(spark, duck):
+    from pulsar_replay_spark.queries_temporal import (
+        SESSION_PATHS_ORACLE,
+        q_session_paths,
+    )
+
+    sdf = q_session_paths(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(SESSION_PATHS_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, problems
+    assert len(sdf) > 0
