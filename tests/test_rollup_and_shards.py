@@ -522,3 +522,53 @@ def test_rollup_ewma_matches_batch_fold(spark, events_src, tmp_path_factory):
         )
     )
     assert got == want and got
+
+
+def test_rollup_absorbs_late_data(spark, events_src, tmp_path_factory):
+    """Late arrivals: after the stream drains, a new file carrying events
+    for OLD time buckets arrives and a second availableNow run drains it —
+    the merged serve must equal the batch rollup over everything, with the
+    late partials landing as NEW batch partitions (old partials untouched)."""
+    import shutil
+    import glob as _glob
+    import os
+
+    src2 = str(tmp_path_factory.mktemp("events_late_src"))
+    for f in _glob.glob(f"{events_src}/*.parquet"):
+        shutil.copy(f, src2)
+    rollup_dir = str(tmp_path_factory.mktemp("rollup_late"))
+    ck = str(tmp_path_factory.mktemp("ck_late"))
+    pipelines.continuous_rollup_sink(
+        pipelines.events_stream(spark, src2), rollup_dir, ck
+    ).awaitTermination()
+    n_parts_before = len(
+        spark.read.parquet(rollup_dir).select("batch_id").distinct().collect()
+    )
+
+    # late file: re-timestamped copies of early events (same old buckets)
+    late = (
+        spark.read.parquet(src2)
+        .limit(200)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path_factory.mktemp("tmp_late")))
+    lf = _glob.glob(f"{tmp_path_factory.getbasetemp()}/tmp_late*/*.parquet")[0]
+    shutil.copy(lf, f"{src2}/zz_late.parquet")
+
+    pipelines.continuous_rollup_sink(
+        pipelines.events_stream(spark, src2), rollup_dir, ck
+    ).awaitTermination()
+
+    want = (
+        spark.read.parquet(src2)
+        .groupBy(F.window("ts", "1 hour").start.alias("bucket_start"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    got = pipelines.rollup_read(spark, rollup_dir)
+    assert sorted(
+        (r["bucket_start"], r["event_type"], r["cnt"]) for r in got.collect()
+    ) == sorted((r["bucket_start"], r["event_type"], r["cnt"]) for r in want.collect())
+    n_parts_after = len(
+        spark.read.parquet(rollup_dir).select("batch_id").distinct().collect()
+    )
+    assert n_parts_after > n_parts_before  # late data = new partials only
