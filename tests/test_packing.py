@@ -250,3 +250,26 @@ def test_batches_property_model(documents, spark):
             ).collect()
         }
         assert got == model(rows, 4, 16, 4), rows
+
+
+def test_pack_with_trained_tokenizer_lengths(documents, spark):
+    """Packing under a TRAINED tokenizer's counts: spans conserve the
+    trained totals per shard, the plan is still shard-parallel, and the
+    default path is unchanged when lengths is omitted."""
+    from pulsar_replay_spark.operators import bpe, unigram
+
+    wf = bpe.word_freqs(documents)
+    model = unigram.unigram_train(wf, vocab_size=80, n_iters=1)
+    lens = unigram.unigram_token_counts(documents, model)
+    packed = packing.pack_token_stream(documents, SEQ_LEN, 4, lengths=lens)
+    rows = packed.collect()
+    total = lens.agg(F.sum("n_pieces")).first()[0]
+    assert sum(r["n_tokens"] for r in rows) == total
+    per_doc = {r["doc_id"]: r["n_pieces"] for r in lens.collect()}
+    for r in rows:
+        assert r["n_tokens"] == per_doc[r["doc_id"]]
+        assert r["end_tok"] - r["start_tok"] == r["n_tokens"]
+    plan = packing.pack_token_stream(
+        documents, SEQ_LEN, 4, lengths=lens
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
