@@ -198,6 +198,30 @@ def main() -> None:
     packing.length_bucketed_batches(docs).write.format("noop").mode("overwrite").save()
     out["length_batches_50k_docs"] = round(time.perf_counter() - t, 2)
 
+    # composed streaming ingest at rehearsal volume: the replicated corpus
+    # arrives as 4 micro-batches; every batch pays exact-hash + LSH-index
+    # probes against everything admitted before it (clone replicas = planted
+    # cross-batch dups, so the dedup path does real work)
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.streaming import pipelines as sp
+
+    ingest_src = f"{DST}/ingest_src"
+    docs.repartition(4).write.mode("overwrite").parquet(ingest_src)
+    acc_dir, idx_dir, ck_dir = f"{DST}/ing_acc", f"{DST}/ing_idx", f"{DST}/ing_ck"
+    t = time.perf_counter()
+    sp.curation_ingest_sink(
+        sp.documents_stream(spark, ingest_src),
+        acc_dir,
+        idx_dir,
+        ck_dir,
+        lambda df: df.select(
+            "doc_id", token_count(F.col("text")).cast("double").alias("score")
+        ),
+        threshold=5.0,
+    ).awaitTermination()
+    out["curation_ingest_4_batches"] = round(time.perf_counter() - t, 2)
+    n_accepted = spark.read.parquet(acc_dir).count()
+
     print(json.dumps({
         "replicas": n, "build_sec": build_s, "rows": sizes,
         "timings_sec": out,
@@ -207,6 +231,7 @@ def main() -> None:
             "docs_with_scrubbed_chunks": n_scrubbed,
             "diff_statuses": n_churn,
             "join_advisor": est,
+            "ingest_accepted_docs": n_accepted,
         },
     }))
 
