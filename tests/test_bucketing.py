@@ -86,3 +86,84 @@ def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
         assert hi_prev <= lo_next, f"overlapping file ranges: {spans}"
     # and nothing was lost
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def _file_spans(path, col):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        lo = min(md.row_group(r).column(idx).statistics.min for r in range(md.num_row_groups))
+        hi = max(md.row_group(r).column(idx).statistics.max for r in range(md.num_row_groups))
+        spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_value_matches_python_mirror(spark):
+    from pulsar_replay_spark.operators.bucketing import zorder_value
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1000)],
+        "a long, b long",
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.select("a", "b", zorder_value("a", "b").alias("z")).collect()}
+
+    def mirror(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == mirror(a, b), (a, b)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must carve BOTH dimensions: each file's footer span
+    covers a small fraction of each column's global range — versus the
+    single-column range layout, whose second column spans ~everything in
+    every file."""
+    from pulsar_replay_spark.operators.bucketing import (
+        write_range_clustered,
+        write_zordered,
+    )
+    from pulsar_replay_spark.session import load_events
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        load_events(spark, SF_SMOKE)
+        .withColumn("hour_n", (F.unix_timestamp("ts") / 3600).cast("bigint"))
+        .select(
+            (F.col("hour_n") - F.min("hour_n").over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(F.lit(1)))).alias("h"),
+            "user_id",
+            "value",
+        )
+    )
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    write_zordered(ev, zpath, "h", "user_id", n_files=8)
+    write_range_clustered(ev, rpath, "h", n_files=8)
+
+    def avg_frac(path, col):
+        spans = _file_spans(path, col)
+        glo = min(s[0] for s in spans)
+        ghi = max(s[1] for s in spans)
+        width = max(ghi - glo, 1)
+        return sum((hi - lo) / width for lo, hi in spans) / len(spans)
+
+    # both dims carved by the z layout…
+    assert avg_frac(zpath, "h") < 0.6
+    assert avg_frac(zpath, "user_id") < 0.6
+    # …while the 1-D layout leaves the second dimension unpruned
+    assert avg_frac(rpath, "user_id") > 0.9
+    # and the z layout still loses nothing: same rows round-trip
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(rpath).count()
+        == ev.count()
+    )
