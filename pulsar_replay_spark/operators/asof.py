@@ -91,3 +91,41 @@ def asof_join(
         *[F.col(c) for c in out_cols],
         *[F.col("_asof_p").getField(c).alias(c) for c in payload],
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) enrichment: attach the dimension
+    version whose validity interval covers each fact's timestamp — the
+    warehouse pattern behind "what was this customer's segment WHEN the
+    order happened".
+
+    Pure composition over :func:`asof_join` (same one-shuffle union+window
+    plan, no interval pair explosion): pick the latest version with
+    ``valid_from <= fact_time``, then null the payload out when the fact
+    falls at/after that version's ``valid_to`` (a gap between versions —
+    with the standard gapless open-ended SCD2 dim, the filter never fires).
+    NULL ``valid_to`` = current open version.
+    """
+    if payload is None:
+        payload = [c for c in dim.columns if c not in (key, valid_from, valid_to)]
+    joined = asof_join(
+        facts,
+        dim,
+        key=key,
+        left_time=fact_time,
+        right_time=valid_from,
+        payload=payload + [valid_to],
+    )
+    in_window = F.col(valid_to).isNull() | (F.col(fact_time) < F.col(valid_to))
+    out = joined
+    for c in payload:
+        out = out.withColumn(c, F.when(in_window, F.col(c)))
+    return out.drop(valid_to)

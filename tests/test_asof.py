@@ -123,3 +123,55 @@ def test_matched_right_row_is_atomic(spark):
     row = asof_join(left, right, "key", "t", "rt", ["px", "tag"]).collect()[0]
     assert row["tag"] == "new"
     assert row["px"] is None  # NOT back-filled from the older row
+
+
+def test_scd2_lookup_matches_duckdb(spark):
+    """SCD2 enrichment vs the interval-join oracle: versioned user segments
+    (two closed versions + a gap + an open current version) attach to
+    events exactly where the validity interval covers ts."""
+    import duckdb
+
+    from pulsar_replay_spark.operators.asof import scd2_lookup
+    from pulsar_replay_spark.session import load_events
+    from tests.conftest import SF_SMOKE
+
+    ev = load_events(spark, SF_SMOKE).select("event_id", "user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    import datetime as dt
+
+    third = (hi - lo) / 3
+    t1, t2, t3 = lo + third, lo + 2 * third, lo + 2 * third + dt.timedelta(days=1)
+    dim_rows = []
+    for uid in range(0, 20):
+        dim_rows.append((uid, lo, t1, f"seg-a-{uid % 3}"))
+        # gap between t1 and t2: no valid version
+        dim_rows.append((uid, t2, t3, f"seg-b-{uid % 3}"))
+        dim_rows.append((uid, t3, None, f"seg-c-{uid % 3}"))
+    dim = spark.createDataFrame(
+        dim_rows, "user_id long, valid_from timestamp, valid_to timestamp, segment string"
+    )
+
+    got = scd2_lookup(ev, dim, "user_id", "ts").toPandas()
+
+    ev.createOrReplaceTempView("_ev_scd")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    con.register("dim", dim.toPandas())
+    expect = con.execute(
+        """
+        SELECT e.event_id, e.user_id, e.ts, d.segment
+        FROM (SELECT event_id, user_id, ts FROM events) e
+        LEFT JOIN dim d
+          ON e.user_id = d.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        """
+    ).df()
+    from tools.parity import compare
+
+    problems = compare(got, expect)
+    assert not problems, problems
+    # the gap really exercises the null-out path
+    assert got["segment"].isna().any() and got["segment"].notna().any()
