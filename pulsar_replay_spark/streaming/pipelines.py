@@ -897,3 +897,28 @@ def rollup_ewma(
         "event_type", "bucket_start", F.round("sum_value", 4).alias("v")
     )
     return ewma(merged, "event_type", "bucket_start", "v", alpha=alpha)
+
+
+def rollup_read_coarse(
+    spark: SparkSession, rollup_dir: str, unit: str = "day"
+) -> DataFrame:
+    """Hierarchical serve: fold the stored HOUR partials up to a coarser
+    bucket (day/week/...) at read time — counts/sums/min/max merge
+    associatively and the HLL sketches union, so every level of the
+    hierarchy serves from the same single store (the hypertable multi-level
+    continuous-aggregate shape without materializing each level)."""
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy(
+            F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("approx_users"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
+    )

@@ -572,3 +572,27 @@ def test_rollup_absorbs_late_data(spark, events_src, tmp_path_factory):
         spark.read.parquet(rollup_dir).select("batch_id").distinct().collect()
     )
     assert n_parts_after > n_parts_before  # late data = new partials only
+
+
+def test_rollup_coarse_serve_matches_batch_day_rollup(spark, events_src, tmp_path_factory):
+    """Day-level serve over the HOUR partial store == a one-shot day-level
+    batch rollup over the raw events (incl. the unioned distinct sketch)."""
+    rollup_dir = str(tmp_path_factory.mktemp("rollup_day"))
+    ck = str(tmp_path_factory.mktemp("ck_day"))
+    pipelines.continuous_rollup_sink(
+        pipelines.events_stream(spark, events_src), rollup_dir, ck
+    ).awaitTermination()
+    got = pipelines.rollup_read_coarse(spark, rollup_dir, "day")
+    want = (
+        spark.read.parquet(events_src)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_start"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
+    )
+    assert _canon(got) == _canon(want)
