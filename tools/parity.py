@@ -5,6 +5,11 @@ parquet tables, then compares row count, column names, and order-insensitive
 values. This is the local feedback loop for the driver's CORRECTNESS gate.
 
 Usage: python tools/parity.py [sf_dir] [query ...]
+       python tools/parity.py [sf_dir] --extras   # ALSO run the pytest-only
+                                                  # oracle tier (TPC-H sweep,
+                                                  # window/agg extras,
+                                                  # time-series + product
+                                                  # analytics, RFM)
 """
 
 from __future__ import annotations
@@ -69,9 +74,44 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     return problems
 
 
+def extra_oracles() -> dict:
+    """The pytest-only oracle tier (the 50-slot contract is full): every
+    breadth query with a DuckDB twin, runnable here as one sweep."""
+    from pulsar_replay_spark import queries_relational as qr
+    from pulsar_replay_spark import queries_temporal as qt
+
+    return {
+        "x_q6": (qr.q6_forecast_revenue, qr.Q6_ORACLE),
+        "x_q7": (qr.q7_volume_shipping, qr.Q7_ORACLE),
+        "x_q8": (qr.q8_market_share, qr.Q8_ORACLE),
+        "x_q9": (qr.q9_product_profit, qr.Q9_ORACLE),
+        "x_q11": (qr.q11_important_parts, qr.Q11_ORACLE),
+        "x_q12": (qr.q12_priority_lines, qr.Q12_ORACLE),
+        "x_q13": (qr.q13_customer_distribution, qr.Q13_ORACLE),
+        "x_q14": (qr.q14_promo_revenue_pct, qr.Q14_ORACLE),
+        "x_q15": (qr.q15_top_supplier, qr.Q15_ORACLE),
+        "x_q16": (qr.q16_supplier_cnt, qr.Q16_ORACLE),
+        "x_q20": (qr.q20_excess_shipments, qr.Q20_ORACLE),
+        "x_q21": (qr.q21_waiting_supplier, qr.Q21_ORACLE),
+        "x_window_extras": (qr.q_window_extras, qr.WINDOW_EXTRAS_ORACLE),
+        "x_agg_extras": (qr.q_agg_extras, qr.AGG_EXTRAS_ORACLE),
+        "x_rfm": (qr.q_rfm_segmentation, qr.RFM_ORACLE),
+        "x_anomaly": (qt.q_rolling_anomaly_flags, qt.ANOMALY_ORACLE),
+        "x_interp": (qt.q_linear_interpolation, qt.INTERP_ORACLE),
+        "x_cohort": (qt.q_cohort_retention, qt.COHORT_ORACLE),
+        "x_funnel": (qt.q_funnel_steps, qt.FUNNEL_ORACLE),
+        "x_transitions": (qt.q_event_transitions, qt.TRANSITIONS_ORACLE),
+        "x_stickiness": (qt.q_dau_mau_stickiness, qt.STICKINESS_ORACLE),
+        "x_attribution": (qt.q_conversion_attribution, qt.ATTRIBUTION_ORACLE),
+        "x_session_paths": (qt.q_session_paths, qt.SESSION_PATHS_ORACLE),
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    extras = "--extras" in args
+    only = {a for a in args if a != "--extras"}
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entrymod
@@ -108,6 +148,25 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"OK    {name} ({len(sdf)} rows)")
+
+    if extras:
+        for name, (fn, sql) in extra_oracles().items():
+            if only and name not in only:
+                continue
+            try:
+                sdf = fn(spark, sf_dir).toPandas()
+                ddf = con.execute(sql).df()
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                failures.append(name)
+                print(f"FAIL  {name}: {e}")
+                continue
+            problems = compare(sdf, ddf)
+            if problems:
+                failures.append(name)
+                print(f"FAIL  {name}: " + "; ".join(problems))
+            else:
+                print(f"OK    {name} ({len(sdf)} rows)")
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
