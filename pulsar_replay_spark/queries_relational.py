@@ -904,7 +904,10 @@ def q22_idle_rich_customers(spark, sf_dir):
 # ---------------------------------------------------------------------------
 Q7_ORACLE = """
 SELECT supp_nation, cust_nation, yr, CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(SUM(volume), 2) AS revenue
+       -- scaled-integer sum: per-row products are identical doubles in both
+       -- engines, so rounding them to int ten-thousandths then summing
+       -- BIGINTs is order-independent — no float-sum .005 boundary splits
+       SUM(CAST(ROUND(volume * 10000) AS BIGINT)) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          EXTRACT(year FROM l_shipdate) AS yr,
@@ -956,9 +959,18 @@ def q7_volume_shipping(spark, sf_dir):
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # scaled-integer sum (see Q7_ORACLE comment)
+            # no outer round: BIGINT/10000.0 is the identical double in
+            # both engines — a final round(2) would reintroduce the .005
+            # boundary this formulation exists to remove
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0
+            ).alias("revenue"),
         )
     )
 
@@ -1170,7 +1182,8 @@ def q8_market_share(spark, sf_dir):
 
 
 Q9_ORACLE = """
-SELECT nation, yr, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, yr,
+       SUM(CAST(ROUND(amount * 10000) AS BIGINT)) / 10000.0 AS sum_profit
 FROM (
   SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS yr,
          l_extendedprice * (1 - l_discount) AS amount
@@ -1211,8 +1224,14 @@ def q9_product_profit(spark, sf_dir):
         .join(nat, F.col("s_nationkey") == F.col("s_nk"))
         .groupBy("nation", F.year("o_orderdate").alias("yr"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # scaled-integer sum, no outer round (see Q7_ORACLE comment)
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0
             ).alias("sum_profit")
         )
     )
