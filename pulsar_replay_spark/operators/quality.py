@@ -357,3 +357,27 @@ def hashed_doc_vectors(docs: DataFrame, dim: int = 64) -> DataFrame:
             ).alias("embedding"),
         )
     )
+
+
+def quarantine(
+    df: DataFrame, checks: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level side-output split over the same violation predicates
+    ``check_suite`` aggregates: (clean, quarantined) where quarantined rows
+    carry a ``violations`` array naming every failed expectation — the
+    bad-record channel an ingest pipeline writes next to the main sink
+    instead of dropping silently. One projection, zero shuffles; the checks
+    evaluate once via a shared array column."""
+    viol = F.filter(
+        F.array(
+            *[
+                F.when(pred, F.lit(name)).otherwise(F.lit(None))
+                for name, pred in checks.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    marked = df.withColumn("violations", viol)
+    clean = marked.filter(F.size("violations") == 0).drop("violations")
+    bad = marked.filter(F.size("violations") > 0)
+    return clean, bad

@@ -272,3 +272,33 @@ def test_quantile_thresholds_deterministic(documents):
         )
     )
     assert a == b
+
+
+def test_quarantine_splits_and_names_violations(spark, documents):
+    from pulsar_replay_spark.operators.quality import check_suite, quarantine
+
+    planted = documents.unionByName(
+        spark.createDataFrame(
+            [(9_000_001, "", "xx", "junk", -5), (9_000_002, "ok text here", None, "junk", 12)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    checks = {
+        "empty_text": F.length("text") == 0,
+        "null_lang": F.col("lang").isNull(),
+        "negative_chars": F.col("n_chars") < 0,
+    }
+    clean, bad = quarantine(planted, checks)
+    assert clean.count() + bad.count() == planted.count()
+    assert clean.count() == documents.count()  # fixture rows all pass
+    got = {r["doc_id"]: sorted(r["violations"]) for r in bad.collect()}
+    assert got == {
+        9_000_001: ["empty_text", "negative_chars"],
+        9_000_002: ["null_lang"],
+    }
+    # totals agree with the aggregate suite
+    suite = {r["check"]: r["n_violations"] for r in check_suite(planted, checks).collect()}
+    assert suite == {"empty_text": 1, "negative_chars": 1, "null_lang": 1}
+    # zero-shuffle: pure projection + filter
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
