@@ -167,7 +167,7 @@ def main() -> None:
         mmr_queries = emb.filter(F.col("vec_id") % 200 == 0)
         pool = similarity.ivf_topk(emb, mmr_queries, k=20)
         t0 = time.perf_counter()
-        _noop_write(similarity.mmr_rerank(emb, mmr_queries, pool, k=5))
+        _noop_write(similarity.mmr_rerank(emb, pool, k=5))
         llm_ops["mmr_rerank_pool20"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         _noop_write(quality.vocab_stats(docs, top_k=100))

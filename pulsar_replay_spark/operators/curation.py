@@ -501,8 +501,9 @@ def merge_upsert(
     twin of ``dataset_diff``: diff reports churn, merge applies it).
 
     Rules (standard MERGE INTO): per key, the LATEST change wins
-    (``seq_col`` desc, ties broken upsert-over-delete then arbitrary-free
-    via the struct max); 'delete' removes the key, 'upsert' replaces the
+    (``seq_col`` desc, ties broken upsert-over-delete, then a payload-hash
+    tie-break so equal (seq, op) rows resolve identically across retries
+    and repartitions); 'delete' removes the key, 'upsert' replaces the
     base row or inserts a new one; keys without changes pass through.
 
     Scale shape: one window over the CHANGE FEED only (keyed by the change
@@ -513,7 +514,10 @@ def merge_upsert(
     payload = [c for c in changes.columns if c not in (key, op_col, seq_col)]
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+    # final payload-hash tie-break: two upserts with equal (seq, op) must
+    # resolve identically across retries/repartitions, not by arrival order
+    tie = [F.desc(F.xxhash64(*payload))] if payload else []
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col), *tie)
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

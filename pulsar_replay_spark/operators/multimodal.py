@@ -226,14 +226,17 @@ def frame_dedup(frames: DataFrame) -> DataFrame:
 
     Scale: the md5 is computed BEFORE the shuffle, so frame bytes never
     move — the groupBy reduces (hash → min owner) with map-side combine
-    and joins back on the 16-byte hash key only."""
+    and joins back on the 16-byte hash key only. ``keepers`` is one row
+    per DISTINCT frame hash — corpus-scale, so no broadcast hint: both
+    sides hash-partition on frame_hash (AQE may still broadcast a small
+    keeper set at runtime, which is the right call only when it IS small)."""
     hashed = frames.select(
         "doc_id", "frame_idx", F.md5(F.col("frame_bytes")).alias("frame_hash")
     )
     keepers = hashed.groupBy("frame_hash").agg(
         F.min(F.struct("doc_id", "frame_idx")).alias("keeper")
     )
-    return hashed.join(F.broadcast(keepers), "frame_hash").select(
+    return hashed.join(keepers, "frame_hash").select(
         "doc_id",
         "frame_idx",
         "frame_hash",

@@ -795,7 +795,6 @@ MMR_SCHEMA = (
 
 def mmr_rerank(
     embeddings: DataFrame,
-    queries: DataFrame,
     topk: DataFrame,
     k: int = 5,
     lam: float = 0.7,
@@ -809,10 +808,14 @@ def mmr_rerank(
     near-duplicate-saturated neighbor lists feeding RAG context windows or
     contrastive batch construction.
 
+    Relevance comes from the retrieval scores already on ``topk`` (its
+    ``sim`` column) — query vectors are not needed, only the candidate
+    vectors for the pairwise-redundancy term.
+
     Spark shape: the greedy loop is inherently sequential *within* one query
     but embarrassingly parallel *across* queries, and the per-query problem
-    is tiny (the candidate pool, |pool| x dim floats). So: two equi-joins
-    pull candidate + query vectors onto the pool rows (shuffle bounded by
+    is tiny (the candidate pool, |pool| x dim floats). So: one equi-join
+    pulls candidate vectors onto the pool rows (shuffle bounded by
     |Q|*pool rows, never the corpus), then one Arrow batch per query via
     applyInPandas runs the O(pool^2 * k) greedy selection in numpy. No
     cross join anywhere; corpus vectors are touched only for pool members.

@@ -671,15 +671,20 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- CAST: DuckDB's windowed SUM yields HUGEINT (decimal128 over the
+         -- driver wire) while Spark emits int64 — same values, different
+         -- arrow type, hash mismatch.  BIGINT pins both to int64.
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
        COUNT(*) AS n_events,
        epoch_ms(MIN(ts)) AS session_start_ms,
        epoch_ms(MAX(ts)) AS session_end_ms,
-       ROUND(SUM(value), 2) AS sum_value
+       -- scaled-integer sum: order-independent (see Q7_ORACLE recipe)
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM sess GROUP BY user_id, session_id
 """,
 )
@@ -702,5 +707,8 @@ def q_sessionize(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.unix_millis(F.min("ts")).alias("session_start_ms"),
         F.unix_millis(F.max("ts")).alias("session_end_ms"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # scaled-integer sum, order-independent (see Q7_ORACLE recipe)
+        (F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0).alias(
+            "sum_value"
+        ),
     )

@@ -491,7 +491,11 @@ def q_linear_interpolation(spark, sf_dir):
         .when(prev_v.isNull(), next_v)
         .when(next_v.isNull(), prev_v)
         .otherwise(
-            F.floor((prev4 * h_left + next4 * h_right) / h_span) / F.lit(10000.0)
+            # `div` is exact bigint-domain integral division, matching the
+            # oracle's `//`; floor(`/`) rounds through double and can differ
+            # once the numerator passes 2^53
+            F.call_function("div", prev4 * h_left + next4 * h_right, h_span)
+            / F.lit(10000.0)
         )
     )
     return joined.select(

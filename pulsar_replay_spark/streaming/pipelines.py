@@ -22,6 +22,26 @@ from pyspark.sql import functions as F
 EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
 
+def read_parquet_or_empty(spark: SparkSession, path: str, empty_schema: str) -> DataFrame:
+    """Read a parquet store that may not exist yet (first micro-batch);
+    ``empty_schema`` shapes the empty frame when the path is absent.
+
+    Only a missing path (PATH_NOT_FOUND) or a pre-created-but-empty
+    directory (UNABLE_TO_INFER_SCHEMA: no parquet footers to read) means
+    "no store yet" — any OTHER read failure (corrupt file, permission,
+    transient FS error) must re-raise, or an incremental-dedup sink would
+    silently admit the batch without probing prior state, breaking its
+    no-duplicate contract."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], empty_schema)
+        raise
+
+
 def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-based stream of the events fixture (one file per micro-batch) —
     the broker-free stand-in for a Pulsar topic subscription."""
@@ -274,12 +294,13 @@ def incremental_dedup_sink(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            idx = spark.read.parquet(index_dir).where(
-                F.col("batch_id") != batch_id  # retry safety: never self-probe
-            ).select("doc_id", "band", "band_key")
-        except Exception:  # first batch: no index yet
-            idx = spark.createDataFrame([], "doc_id long, band int, band_key string")
+        idx = (
+            read_parquet_or_empty(
+                spark, index_dir, "doc_id long, band int, band_key string, batch_id long"
+            )
+            .where(F.col("batch_id") != batch_id)  # retry safety: never self-probe
+            .select("doc_id", "band", "band_key")
+        )
         pairs, new_buckets = incremental_minhash_pairs(batch_df, idx)
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
@@ -592,7 +613,11 @@ def cdc_apply_sink(
     from pyspark.sql.window import Window
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+        payload = [c for c in batch_df.columns if c not in (key, op_col, seq_col)]
+        # payload-hash tie-break: equal (seq, op) must resolve identically
+        # across retries/repartitions (same discipline as merge_upsert)
+        tie = [F.desc(F.xxhash64(*payload))] if payload else []
+        w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col), *tie)
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -655,8 +680,12 @@ def cdc_compact(
     from pyspark.sql.window import Window
 
     store = spark.read.parquet(store_dir)
+    payload = [c for c in store.columns if c not in (key, op_col, seq_col, "batch_id")]
+    # (seq, batch_id) is unique per key when the store came from
+    # cdc_apply_sink; the payload-hash tie-break covers hand-built stores
+    tie = [F.desc(F.xxhash64(*payload))] if payload else []
     w = Window.partitionBy(key).orderBy(
-        F.desc(F.struct(F.col(seq_col), F.col("batch_id"))), F.desc(op_col)
+        F.desc(F.struct(F.col(seq_col), F.col("batch_id"))), F.desc(op_col), *tie
     )
     winners = (
         store.withColumn("_rn", F.row_number().over(w))
@@ -799,15 +828,12 @@ def curation_ingest_sink(
             "_h", F.md5(normalize_text(F.col("text")))
         ).localCheckpoint(eager=True)
 
-        try:
-            seen = (
-                spark.read.parquet(accepted_dir)
-                .where(F.col("batch_id") != batch_id)
-                .select("_h")
-                .distinct()
-            )
-        except Exception:  # first batch: no store yet
-            seen = spark.createDataFrame([], "_h string")
+        seen = (
+            read_parquet_or_empty(spark, accepted_dir, "_h string, batch_id long")
+            .where(F.col("batch_id") != batch_id)
+            .select("_h")
+            .distinct()
+        )
         from pyspark.sql.window import Window
 
         wh = Window.partitionBy("_h").orderBy("doc_id")
@@ -819,14 +845,13 @@ def curation_ingest_sink(
             .localCheckpoint(eager=True)
         )
 
-        try:
-            idx = (
-                spark.read.parquet(index_dir)
-                .where(F.col("batch_id") != batch_id)
-                .select("doc_id", "band", "band_key")
+        idx = (
+            read_parquet_or_empty(
+                spark, index_dir, "doc_id long, band int, band_key string, batch_id long"
             )
-        except Exception:
-            idx = spark.createDataFrame([], "doc_id long, band int, band_key string")
+            .where(F.col("batch_id") != batch_id)
+            .select("doc_id", "band", "band_key")
+        )
         pairs, buckets = incremental_minhash_pairs(
             fresh.select("doc_id", "text"), idx
         )

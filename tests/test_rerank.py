@@ -66,7 +66,7 @@ def _mmr_numpy(ids, mat, pool_rows, k, lam):
 def test_mmr_matches_numpy_mirror(spark, embeddings, emb_np, pool):
     ids, mat = emb_np
     topk, queries = pool
-    got = similarity.mmr_rerank(embeddings, queries, topk, k=5, lam=0.7).collect()
+    got = similarity.mmr_rerank(embeddings, topk, k=5, lam=0.7).collect()
     by_q: dict[int, list] = {}
     for r in got:
         by_q.setdefault(r["q_id"], []).append((r["mmr_rank"], r["neighbor_id"]))
@@ -80,7 +80,7 @@ def test_mmr_lam_one_is_relevance_order(spark, embeddings, pool):
     """lam=1 removes the redundancy term: MMR must equal the pool's own
     relevance order (sim desc, neighbor_id tie-break)."""
     topk, queries = pool
-    got = similarity.mmr_rerank(embeddings, queries, topk, k=5, lam=1.0).collect()
+    got = similarity.mmr_rerank(embeddings, topk, k=5, lam=1.0).collect()
     by_q: dict[int, list] = {}
     for r in got:
         by_q.setdefault(r["q_id"], []).append((r["mmr_rank"], r["neighbor_id"]))
@@ -107,7 +107,7 @@ def test_mmr_diversity_bites_on_planted_duplicates(spark):
     )
     queries = emb.filter(F.col("vec_id") == 0)
     topk = similarity.brute_force_topk(emb, queries, k=3)
-    out = similarity.mmr_rerank(emb, queries, topk, k=2, lam=0.5).collect()
+    out = similarity.mmr_rerank(emb, topk, k=2, lam=0.5).collect()
     picked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
     assert picked[0] == 1  # most relevant first, always
     assert picked[1] == 3  # duplicate (2) skipped for the diverse candidate
@@ -115,13 +115,13 @@ def test_mmr_diversity_bites_on_planted_duplicates(spark):
 
 def test_mmr_plan_no_cartesian_and_deterministic(spark, embeddings, pool):
     topk, queries = pool
-    out = similarity.mmr_rerank(embeddings, queries, topk, k=5, lam=0.7)
+    out = similarity.mmr_rerank(embeddings, topk, k=5, lam=0.7)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, similarity.mmr_rerank(
-        embeddings.repartition(7), queries, topk.repartition(5), k=5, lam=0.7
+        embeddings.repartition(7), topk.repartition(5), k=5, lam=0.7
     ).collect()))
     assert a == b
 

@@ -515,3 +515,31 @@ def test_curation_ingest_sink_end_to_end(spark, tmp_path_factory):
     )
     after = sorted(map(tuple, spark.read.parquet(accepted_dir).drop("batch_id").collect()))
     assert after == before
+
+
+def test_read_parquet_or_empty_distinguishes_missing_from_broken(spark, tmp_path):
+    """The incremental sinks' store probe: a missing or empty store means
+    'first batch', but a BROKEN store must raise — silently treating a
+    corrupt read as empty would admit duplicates past the dedup probe."""
+    schema = "doc_id long, band int"
+
+    # missing path -> empty frame with the requested shape
+    out = pipelines.read_parquet_or_empty(spark, str(tmp_path / "nope"), schema)
+    assert out.count() == 0 and out.columns == ["doc_id", "band"]
+
+    # pre-created empty dir (no parquet footers yet) -> same
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert pipelines.read_parquet_or_empty(spark, str(empty), schema).count() == 0
+
+    # a real store reads through untouched
+    real = tmp_path / "real"
+    spark.createDataFrame([(1, 2)], schema).write.parquet(str(real))
+    assert pipelines.read_parquet_or_empty(spark, str(real), schema).count() == 1
+
+    # corrupt store -> must raise, not silently empty
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        pipelines.read_parquet_or_empty(spark, str(broken), schema).collect()

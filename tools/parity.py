@@ -14,6 +14,7 @@ Usage: python tools/parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
@@ -43,10 +44,34 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _is_decimal_col(s: pd.Series) -> bool:
+    """True when the column carries decimal.Decimal values — the pandas face
+    of an arrow decimal128 column (e.g. DuckDB HUGEINT from windowed SUM).
+
+    The driver's value hash sees the raw arrow type, so Decimal('3') vs
+    int64 3 is a hash mismatch even though str-canonicalization equates
+    them; catch it here so local parity matches the driver's verdict."""
+    if s.dtype != object:
+        return False
+    nn = s.dropna()
+    return len(nn) > 0 and isinstance(nn.iloc[0], decimal.Decimal)
+
+
 def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(f"columns: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    for c in sorted(spark_df.columns):
+        sd, dd = _is_decimal_col(spark_df[c]), _is_decimal_col(duck_df[c])
+        if sd != dd:
+            which = "duck" if dd else "spark"
+            problems.append(
+                f"col {c}: TYPE divergence — {which} side is decimal128 "
+                f"(DuckDB HUGEINT?) vs plain numeric; driver hash will fail. "
+                f"CAST the oracle (or Spark) side to BIGINT/DOUBLE."
+            )
+    if problems:
         return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount: spark={len(spark_df)} duck={len(duck_df)}")

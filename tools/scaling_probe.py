@@ -75,7 +75,7 @@ def main() -> None:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") % 200 == 0)
         pool = similarity.ivf_topk(emb, queries, k=20)
-        similarity.mmr_rerank(emb, queries, pool, k=5).write.format("noop").mode(
+        similarity.mmr_rerank(emb, pool, k=5).write.format("noop").mode(
             "overwrite"
         ).save()
 

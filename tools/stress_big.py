@@ -170,7 +170,7 @@ def main() -> None:
 
     t = time.perf_counter()
     pool = similarity.ivf_topk(emb, queries, k=20)
-    similarity.mmr_rerank(emb, queries, pool, k=5).write.format("noop").mode(
+    similarity.mmr_rerank(emb, pool, k=5).write.format("noop").mode(
         "overwrite"
     ).save()
     out["mmr_rerank_20k_vecs"] = round(time.perf_counter() - t, 2)
