@@ -23,7 +23,9 @@ HEADLINE = [
     "sessionize",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
+    # r4: q5_region_revenue rotated out of the contract (pack_sequences in);
+    # q3/q10 keep the broadcast-dim-join shape in the headline
+    "pack_sequences",
     "q10_returned_item_customers",
     "window_analytics",
     "asof_latest_order",
@@ -214,6 +216,10 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["throughput"] = f"{type(e).__name__}: {e}"[:400]
 
+    import platform
+
+    import pyspark
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -223,6 +229,12 @@ def main() -> None:
         "llm_ops": llm_ops,
         "throughput": throughput,
         "sf": sf,
+        # round-over-round deltas are only comparable on the same runtime
+        # (pyspark 4.1.0 -> 4.1.2 shifted small-query constants ~3x)
+        "runtime": {
+            "pyspark": pyspark.__version__,
+            "python": platform.python_version(),
+        },
     }
     if errors:
         out["errors"] = errors

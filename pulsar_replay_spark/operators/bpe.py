@@ -69,7 +69,7 @@ def _merge_fold(syms: Column, a: str, b: str) -> Column:
 
 
 def bpe_train(
-    wf: DataFrame, n_merges: int, min_pair_freq: int = 2
+    wf: DataFrame, n_merges: int, min_pair_freq: int = 2, ckpt_every: int = 4
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from a (word, freq) table.
 
@@ -78,16 +78,24 @@ def bpe_train(
     retries. Stops early when no adjacent pair reaches ``min_pair_freq``.
     Returns the ordered merge list (the tokenizer artifact).
 
-    Per-round ``localCheckpoint`` rather than persist: the merge fold is a
-    LARGE expression (aggregate + when + slice per element), so without
-    truncating the LOGICAL plan each round, analysis/codegen re-walks every
-    previous round's fold and training time grows superlinearly in merges
-    (measured 5.6× on the 15-merge test suite). Checkpointing keeps each
-    round's plan flat: scan-of-checkpoint + one fold."""
+    Job shape: ONE Spark job per merge round — the argmax runs as
+    TakeOrderedAndProject on the pair-count agg (orderBy+limit(1) fuses;
+    no separate sort), and the merge fold is appended LAZILY so the next
+    round's count job computes it in-line instead of paying a dedicated
+    materialization job per round.
+
+    ``ckpt_every``: the merge fold is a LARGE expression (aggregate + when
+    + slice per element), so an unbounded lazy chain makes analysis/codegen
+    re-walk every previous fold and training grows superlinearly in merges
+    (measured 5.6× on the 15-merge suite). A ``localCheckpoint`` every K
+    rounds truncates the logical plan, bounding every job to ≤ K folds —
+    K couples plan depth against job count (K=1 is the old
+    checkpoint-per-round shape)."""
     vocab = wf.select(
         "word", "freq", _initial_syms(F.col("word")).alias("syms")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    pending = 0  # lazy folds since the last plan truncation
     for _ in range(n_merges):
         pairs = (
             vocab.select(
@@ -113,9 +121,11 @@ def bpe_train(
             break
         a, b = best[0].a, best[0].b
         merges.append((a, b))
-        vocab = vocab.withColumn(
-            "syms", _merge_fold(F.col("syms"), a, b)
-        ).localCheckpoint(eager=True)
+        vocab = vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        pending += 1
+        if pending >= ckpt_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
     return merges
 
 

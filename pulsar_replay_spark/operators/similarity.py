@@ -247,12 +247,17 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
     """(vec_id, cell_id) for each vector's ``n_probe`` nearest centroids by
-    cosine. The centroid set is tiny → broadcast nested-loop, map-side
-    O(N·cells·dim) compute, then a per-vec_id top-n_probe — the shuffle is
-    only on vec_id. This is the inherent IVF assignment cost; at real scale
-    the constant is cut with PQ codes, not a different join shape."""
+    RAW cosine (cell_id tie-break). ``n_probe == 1`` — the corpus/build side,
+    the O(N·cells·dim) term of every IVF/PQ/k-means build — routes through
+    the Arrow-vectorized ``nearest_cells`` (bit-identical to the JVM fold,
+    gated in tests). The multi-probe query side keeps the broadcast join +
+    window form: |Q| is small, and the shuffle carries only
+    (vec_id, cell_id, sim) — Catalyst prunes the vectors out before the
+    exchange."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
+    if n_probe == 1:
+        return nearest_cells(embeddings, centroids)
     pairs = embeddings.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("v_norm")
     ).join(
@@ -263,9 +268,9 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) ->
         )
     )
     sim = dot(F.col("embedding"), F.col("centroid")) / (F.col("v_norm") * F.col("c_norm"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim6"), "cell_id")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell_id")
     return (
-        pairs.withColumn("sim6", F.round(sim, 6))
+        pairs.withColumn("sim", sim)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= n_probe)
         .select("vec_id", "cell_id")
@@ -687,6 +692,112 @@ def embedding_near_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def nearest_cells(
+    embeddings: DataFrame, cents: DataFrame, impl: str = "arrow"
+) -> DataFrame:
+    """(vec_id, cell_id): each vector's nearest centroid by RAW cosine,
+    exact float ties broken by lowest cell_id.
+
+    ``impl="arrow"``: the production path. Centroids collect to the driver —
+    bounded by n_cells (the same already-broadcast-sized relation every IVF
+    path holds in memory) — and ship to executors inside a mapInPandas
+    closure. Per Arrow batch, numpy folds the dot SEQUENTIALLY over dims
+    (``acc += V[:,d]*C[:,d]``) — the identical IEEE-754 add order as the JVM
+    HOF fold and the DuckDB ``list_inner_product`` loop, so the two impls
+    are bit-identical (gated in tests), while vectorizing over the N·cells
+    pair axis: ~100ns/element interpreted HOF becomes SIMD, a measured
+    order-of-magnitude win that GROWS with n_cells (the assignment is the
+    O(N·cells·dim) term every IVF/k-means/SemDeDup build pays). Cells are
+    scanned in ascending-cell_id chunks with a strict ``>`` running argmax,
+    so chunking never changes the tie-break; chunk size bounds memory at
+    batch_rows × 4096 doubles however many cells exist.
+
+    ``impl="jvm"``: the oracle-reference formulation (broadcast join + HOF
+    dot + max(struct) argmax) — kept for the bit-equality gate and for
+    environments without Arrow."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    if impl == "jvm":
+        raw = dot(F.col("embedding"), F.col("centroid")) / (
+            F.col("v_norm") * F.col("c_norm")
+        )
+        return (
+            embeddings.select(
+                "vec_id", "embedding", norm(F.col("embedding")).alias("v_norm")
+            )
+            .join(
+                F.broadcast(
+                    cents.select(
+                        "cell_id", "centroid", norm(F.col("centroid")).alias("c_norm")
+                    )
+                )
+            )
+            .select("vec_id", "cell_id", raw.alias("csim"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.struct(F.col("csim"), (-F.col("cell_id")).alias("negc"))).alias("m")
+            )
+            .select("vec_id", (-F.col("m.negc")).alias("cell_id"))
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.select("cell_id", "centroid").orderBy("cell_id").collect()
+    cell_ids = np.array([r["cell_id"] for r in rows], dtype="int64")
+    C = np.stack([np.asarray(r["centroid"], dtype="float64") for r in rows])
+    dim = C.shape[1]
+    # centroid norms: same sequential fold as norm() (sqrt of fold-dot)
+    c_acc = np.zeros(len(rows))
+    for d in range(dim):
+        c_acc += C[:, d] * C[:, d]
+    c_norm = np.sqrt(c_acc)
+    CHUNK = 4096
+
+    def run(batches):
+        for pdf in batches:
+            V = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf["embedding"]]
+            )
+            v_acc = np.zeros(len(V))
+            for d in range(dim):
+                v_acc += V[:, d] * V[:, d]
+            v_norm = np.sqrt(v_acc)
+            best_sim = np.full(len(V), -np.inf)
+            best_cell = np.zeros(len(V), dtype="int64")
+            for lo in range(0, len(cell_ids), CHUNK):
+                Cc, cn = C[lo : lo + CHUNK], c_norm[lo : lo + CHUNK]
+                acc = np.zeros((len(V), len(Cc)))
+                for d in range(dim):
+                    acc += V[:, d : d + 1] * Cc[None, :, d]
+                sims = acc / (v_norm[:, None] * cn[None, :])
+                arg = np.argmax(sims, axis=1)  # first max = lowest cell_id
+                chunk_best = sims[np.arange(len(V)), arg]
+                upd = chunk_best > best_sim  # strict: earlier chunk keeps ties
+                best_sim[upd] = chunk_best[upd]
+                best_cell[upd] = cell_ids[lo + arg[upd]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell_id": best_cell})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, cell_id long"
+    )
+
+
+def semdedup_cells(n: int, target_cell: int = 256) -> int:
+    """Cell count for ``semantic_dedup`` at corpus size ``n``: hold the
+    expected CELL SIZE ~constant, i.e. cells grow LINEARLY with N.
+
+    This is deliberately NOT ``ivf_params``'s √N rule — that rule bounds the
+    *scanned fraction* for serving, but SemDeDup's verdict join is Σ cell²
+    pairs, so √N cells make per-cell size grow √N and total pair work grow
+    N^1.5 (measured 22× at a 10× rehearsal before this helper existed;
+    linear-cell re-measure in SCALE.md). Power-of-two, floor 64; the paper
+    runs ~100k clusters on LAION — same posture."""
+    import math
+
+    return max(64, 2 ** math.ceil(math.log2(max(1.0, n / target_cell))))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.6,
@@ -706,39 +817,43 @@ def semantic_dedup(
 
     Scale: centroid assignment broadcasts n_cells rows; the verdict join
     shuffles on cell_id only, and the largest cell bounds the worst
-    partition. At 100 TB, n_cells grows to hold cell size ~constant (the
-    paper runs ~100k clusters on LAION); a skewed giant cell is split with
-    the salting pattern in ``operators/skew``. Default ``centroids`` is the
+    partition. At 100 TB, pass ``n_cells=semdedup_cells(N)`` — cells must
+    grow LINEARLY with the corpus to hold cell size (and so Σ cell² pair
+    work) constant per vector; the √N ``ivf_params`` rule is wrong here
+    (measured N^1.5 blowup, see ``semdedup_cells``). A skewed giant cell is
+    split with the salting pattern in ``operators/skew``. Default ``centroids`` is the
     deterministic seed pick (oracle-reproducible); pass ``kmeans_refine``
     output for production-quality cells — the verdict plan is unchanged.
     """
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
+    # Assignment: Arrow-vectorized nearest-centroid (raw-cosine argmax,
+    # cell_id tie-break — see nearest_cells). The rounded centroid_sim the
+    # verdict priority and the output carry is then recomputed JVM-side for
+    # the N winner pairs only (HOF dot + F.round — bit-exact with the
+    # oracle), so the hot O(N·cells·dim) term runs in numpy while every
+    # float that crosses the driver comes from the oracle-exact expression.
     csim = dot(F.col("embedding"), F.col("centroid")) / (
         F.col("v_norm") * F.col("c_norm")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim6"), "cell_id")
-    # Assignment keeps centroid_sim (ivf_assign drops it): nearest cell by
-    # cosine, deterministic cell_id tie-break.
     member = (
         embeddings.select(
             "vec_id", "embedding", norm(F.col("embedding")).alias("v_norm")
         )
+        .join(nearest_cells(embeddings, cents), "vec_id")
         .join(
             F.broadcast(
                 cents.select(
                     "cell_id", "centroid", norm(F.col("centroid")).alias("c_norm")
                 )
-            )
+            ),
+            "cell_id",
         )
-        .withColumn("csim6", F.round(csim, 6))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
         .select(
             "vec_id",
             "cell_id",
-            F.col("csim6").alias("centroid_sim"),
+            F.round(csim, 6).alias("centroid_sim"),
             "embedding",
             "v_norm",
         )

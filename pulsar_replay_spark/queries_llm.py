@@ -845,6 +845,13 @@ _IVF_COS = (
     "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
 )
 
+# Raw (un-rounded) cosine: assignment argmax ordering mirrors ivf_assign /
+# nearest_cells, which rank on the raw fold (the r4 Arrow assignment path).
+_RAW_COS = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
 _IVF_SQL = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            FROM embeddings),
@@ -853,14 +860,14 @@ ca AS (
   SELECT vec_id, cell_id FROM (
     SELECT v.vec_id, c.cell_id,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-             ORDER BY {_IVF_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
+             ORDER BY {_RAW_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
     FROM e v CROSS JOIN cents c) WHERE rn <= 1
 ),
 qa AS (
   SELECT vec_id, cell_id FROM (
     SELECT v.vec_id, c.cell_id,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-             ORDER BY {_IVF_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
+             ORDER BY {_RAW_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
     FROM e v CROSS JOIN cents c WHERE v.vec_id % 100 = 0) WHERE rn <= 4
 ),
 cand AS (
@@ -901,11 +908,13 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
 cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e ORDER BY vec_id LIMIT 16),
 member AS (
-  SELECT vec_id, cell_id, csim AS centroid_sim FROM (
+  -- assignment argmax runs on the RAW cosine (cell_id tie-break), mirroring
+  -- nearest_cells; the carried/output sim is the winner's ROUND(...,6)
+  SELECT vec_id, cell_id, ROUND(csim, 6) AS centroid_sim FROM (
     SELECT v.vec_id, c.cell_id,
-           {_IVF_COS.format(a="v.emb", b="c.cent")} AS csim,
+           {_RAW_COS.format(a="v.emb", b="c.cent")} AS csim,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
-             ORDER BY {_IVF_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
+             ORDER BY {_RAW_COS.format(a="v.emb", b="c.cent")} DESC, c.cell_id) AS rn
     FROM e v CROSS JOIN cents c) WHERE rn = 1
 ),
 dropped AS (
@@ -1082,6 +1091,43 @@ GROUP BY doc_id
 )
 def q_scrubbed_corpus(spark, sf_dir):
     return dedup.scrub_repeated_chunks(_docs(spark, sf_dir), chunk_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-cut): each document's half-open token span in
+# its shard's packed stream + the sequence ids containing its first/last
+# token. Integer-only (md5 hex-prefix shard, window cumsum, exact //) so the
+# oracle is hash-exact. Rotated INTO the contract in r4 (replacing
+# q5_region_revenue, whose broadcast-dim-join shape q3/q10 triple-cover) to
+# put the packing tier under the driver gate.
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences",
+    """
+WITH lens AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+              % 16 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              AS BIGINT) AS end_tok
+  FROM lens
+)
+SELECT doc_id, shard, n_tokens,
+       end_tok - n_tokens AS start_tok, end_tok,
+       (end_tok - n_tokens) // 512 AS first_seq,
+       (end_tok - 1) // 512 AS last_seq
+FROM spans
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    from pulsar_replay_spark.operators.packing import pack_token_stream
+
+    return pack_token_stream(_docs(spark, sf_dir), seq_len=512, n_shards=16)
 
 
 # source_profile's oracle is built here because it reuses _REP_SIG_SQL,

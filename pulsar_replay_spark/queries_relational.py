@@ -107,10 +107,11 @@ def q3_shipping_priority(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Q5-style local-supplier revenue: 6-way star join, dims broadcast.
+# Un-registered in r4: the broadcast-dim-join shape is triply covered by
+# q3/q10, so this slot rotated to pack_sequences (queries_llm.py) — q5 stays
+# oracle-gated via test_oracle_parity.py + parity --extras (x_q5).
 # ---------------------------------------------------------------------------
-@register(
-    "q5_region_revenue",
-    """
+Q5_ORACLE = """
 SELECT r_name, n_name,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        COUNT(*) AS n_items
@@ -121,8 +122,9 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
-""",
-)
+"""
+
+
 def q5_region_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")

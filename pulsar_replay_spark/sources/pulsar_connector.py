@@ -195,29 +195,84 @@ def write_replay_paced(
 # ---------------------------------------------------------------------------
 
 
-def admin_list_topics(
-    spark: SparkSession, admin_url: str, tenant: str, namespace: str, token: str | None = None
-) -> DataFrame:
-    """S2: union of base/partitioned topic listings via Admin REST v2
-    (reference ``pulsar_remote_inspector.py:394-458``), deduped, partition
-    children collapsed."""
+def _admin_get(admin_url: str, path: str, token: str | None, ok_404: bool = False):
+    """One Admin REST v2 GET (reference ``pulsar_remote_inspector.py:92-114``).
+
+    ``ok_404=True`` mirrors the reference's silently-ignore-404 behavior for
+    empty namespaces during the all-tenants walk; every other failure raises
+    ``PulsarUnavailable`` (the reference prints-and-continues — swallowing a
+    real outage as an empty catalog is the one behavior we don't copy)."""
     try:
         import requests
     except ImportError as e:  # pragma: no cover
         raise PulsarUnavailable("requests not installed") from e
 
     headers = {"Authorization": f"Bearer {token}"} if token else {}
+    try:
+        resp = requests.get(
+            f"{admin_url.rstrip('/')}/{path.lstrip('/')}", headers=headers, timeout=3
+        )
+        if ok_404 and resp.status_code == 404:
+            return None
+        resp.raise_for_status()
+        return resp.json()
+    except Exception as e:
+        raise PulsarUnavailable(str(e)) from e
+
+
+def admin_list_tenants(
+    spark: SparkSession, admin_url: str, token: str | None = None
+) -> DataFrame:
+    """S1/S2: live tenant listing via Admin REST v2
+    (reference ``pulsar_remote_inspector.py:341-356``) — the cluster-backed
+    twin of the fixture-derived catalog's tenant level."""
+    result = _admin_get(admin_url, "admin/v2/tenants", token)
+    tenants = result if isinstance(result, list) else []
+    return spark.createDataFrame([(t,) for t in sorted(tenants)], "tenant string")
+
+
+def admin_list_namespaces(
+    spark: SparkSession,
+    admin_url: str,
+    tenant: str | None = None,
+    token: str | None = None,
+) -> DataFrame:
+    """S1/S2: live namespace listing via Admin REST v2
+    (reference ``pulsar_remote_inspector.py:358-392``): one tenant's
+    namespaces, or — with no tenant — the walk over every tenant. A 404 on
+    one tenant's listing means an empty tenant and is skipped, like the
+    reference; any other failure raises.
+
+    The walk is a driver-side loop over the TENANT list (tens of rows on
+    any real cluster), not data-plane work — same shape as the reference."""
+    if tenant is not None:
+        result = _admin_get(admin_url, f"admin/v2/namespaces/{tenant}", token)
+        namespaces = result if isinstance(result, list) else []
+    else:
+        tenants = _admin_get(admin_url, "admin/v2/tenants", token)
+        namespaces = []
+        for t in tenants if isinstance(tenants, list) else []:
+            ns = _admin_get(admin_url, f"admin/v2/namespaces/{t}", token, ok_404=True)
+            if ns:
+                namespaces.extend(ns)
+    return spark.createDataFrame(
+        [(n,) for n in sorted(set(namespaces))], "namespace string"
+    )
+
+
+def admin_list_topics(
+    spark: SparkSession, admin_url: str, tenant: str, namespace: str, token: str | None = None
+) -> DataFrame:
+    """S2: union of base/partitioned topic listings via Admin REST v2
+    (reference ``pulsar_remote_inspector.py:394-458``), deduped, partition
+    children collapsed."""
     names: set[str] = set()
-    for endpoint in (
-        f"{admin_url}/admin/v2/persistent/{tenant}/{namespace}",
-        f"{admin_url}/admin/v2/persistent/{tenant}/{namespace}/partitioned",
+    for path in (
+        f"admin/v2/persistent/{tenant}/{namespace}",
+        f"admin/v2/persistent/{tenant}/{namespace}/partitioned",
     ):
-        try:
-            resp = requests.get(endpoint, headers=headers, timeout=3)
-            resp.raise_for_status()
-            names.update(resp.json())
-        except Exception as e:
-            raise PulsarUnavailable(str(e)) from e
+        result = _admin_get(admin_url, path, token)
+        names.update(result if isinstance(result, list) else [])
     from pulsar_replay_spark.functions.codecs import collapse_partition
 
     df = spark.createDataFrame([(n,) for n in sorted(names)], "topic string")

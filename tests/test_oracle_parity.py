@@ -71,6 +71,18 @@ def test_unregistered_q14_matches_oracle(spark, duck):
     assert not problems, f"q14: {problems}"
 
 
+def test_unregistered_q5_matches_oracle(spark, duck):
+    """q5 lost its contract slot to pack_sequences in r4 (broadcast-dim-join
+    shape triple-covered by q3/q10) but stays part of the engine surface —
+    same oracle gate, pytest-side; plan shape still pinned in test_plans.py."""
+    from pulsar_replay_spark.queries_relational import Q5_ORACLE, q5_region_revenue
+
+    sdf = q5_region_revenue(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(Q5_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"q5: {problems}"
+
+
 @pytest.mark.parametrize(
     "qname",
     ["q6", "q7", "q8", "q9", "q11", "q12", "q13", "q15", "q16", "q20", "q21"],

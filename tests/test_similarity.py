@@ -197,7 +197,7 @@ def test_ivf_pq_deterministic(spark, embeddings):
 
 def _semdedup_numpy(ids, mat, n_cells, threshold):
     """Literal mirror of operators/similarity.semantic_dedup: seed centroids
-    = lowest n_cells vec_ids, nearest-cell assignment on round-6 cosine
+    = lowest n_cells vec_ids, nearest-cell assignment on RAW cosine
     (cell_id tie-break), then the per-cell triangular scan in keep-priority
     order (centroid_sim asc, vec_id asc): v drops iff ANY earlier u has
     round-6 cos(u, v) >= threshold."""
@@ -206,12 +206,12 @@ def _semdedup_numpy(ids, mat, n_cells, threshold):
     cent_ids = ids[cent_pos]
     C = mat[cent_pos]
     nm = np.linalg.norm(mat, axis=1)
-    cs = np.round(
-        (mat @ C.T) / (nm[:, None] * np.linalg.norm(C, axis=1)[None, :]), 6
-    )
+    # assignment argmax on RAW cosine (nearest_cells semantics); the carried
+    # sim is the winner's round-6 value
+    cs = (mat @ C.T) / (nm[:, None] * np.linalg.norm(C, axis=1)[None, :])
     cell_ix = cs.argmax(axis=1)  # first max = lowest cell_id (cent_ids asc)
     cell = cent_ids[cell_ix]
-    csim = cs[np.arange(len(ids)), cell_ix]
+    csim = np.round(cs[np.arange(len(ids)), cell_ix], 6)
     keep = {}
     for c in np.unique(cell):
         members = sorted(
@@ -235,6 +235,36 @@ def test_semantic_dedup_matches_numpy(spark, embeddings, emb_np):
         assert r["keep"] == expect[r["vec_id"]], r
     # the rule actually fires at this tau — otherwise the test is vacuous
     assert any(not r["keep"] for r in got)
+
+
+def test_nearest_cells_arrow_bitwise_equals_jvm(spark, embeddings):
+    """The Arrow assignment's sequential-over-dims numpy fold must reproduce
+    the JVM HOF fold bit-for-bit — the gate that lets the fast path carry
+    the oracle-checked semantics. Probed at two cell counts (chunked argmax
+    path included via many cells)."""
+    for n_cells in (4, 64):
+        cents = similarity.ivf_centroids(embeddings, n_cells).localCheckpoint(
+            eager=True
+        )
+        a = {
+            r["vec_id"]: r["cell_id"]
+            for r in similarity.nearest_cells(embeddings, cents, "arrow").collect()
+        }
+        j = {
+            r["vec_id"]: r["cell_id"]
+            for r in similarity.nearest_cells(embeddings, cents, "jvm").collect()
+        }
+        assert a == j
+
+
+def test_semdedup_cells_linear_rule():
+    from pulsar_replay_spark.operators.similarity import semdedup_cells
+
+    assert semdedup_cells(1_000) == 64          # floor
+    assert semdedup_cells(256 * 1024) == 1024   # N/target, pow2
+    # linear: 10x corpus -> 10x cells (up to pow2 rounding), cell size flat
+    a, b = semdedup_cells(10**6), semdedup_cells(10**7)
+    assert 8 <= b / a <= 16
 
 
 def test_semantic_dedup_plan_and_stats(spark, embeddings):

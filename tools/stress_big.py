@@ -76,7 +76,26 @@ def build(spark, n: int) -> None:
     D = read("documents").agg(F.max("doc_id")).first()[0] + 1
     replicate(read("documents"), {"doc_id": D}).write.parquet(f"{DST}/documents.parquet")
     V = read("embeddings").agg(F.max("vec_id")).first()[0] + 1
-    replicate(read("embeddings"), {"vec_id": V}).write.parquet(f"{DST}/embeddings.parquet")
+    # Embedding replicas are circularly dim-shifted by replica index — a
+    # norm-preserving rotation that makes replicas DISTINCT vectors occupying
+    # new regions of space. Exact clones would all share a nearest centroid
+    # forever (identical vectors can never split across cells), so clone
+    # replication measures duplication density, not corpus growth — and
+    # SemDeDup is intrinsically quadratic in duplication (the pipeline runs
+    # exact dedup first for exactly that reason).
+    dim = len(read("embeddings").first()["embedding"])
+    shifted = F.expr(
+        f"concat(slice(embedding, (rep % {dim}) + 1, {dim} - (rep % {dim})), "
+        f"slice(embedding, 1, rep % {dim}))"
+    )
+    (
+        read("embeddings")
+        .crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * V)
+        .withColumn("embedding", shifted)
+        .drop("rep")
+        .write.parquet(f"{DST}/embeddings.parquet")
+    )
 
 
 def main() -> None:
@@ -142,7 +161,29 @@ def main() -> None:
     scrub = dedup.scrub_repeated_chunks(docs)
     n_scrubbed = scrub.filter(F.col("n_kept_chunks") < F.col("n_chunks")).count()
     out["chunk_scrub_50k_docs"] = round(time.perf_counter() - t, 2)
+    # the two worst 100×-ratio scalers from SCALE.md, probed at rehearsal
+    # volume. n-gram Jaccard runs twice: production cap (clones push every
+    # shingle past df=20, so the pair stage is starved — the cap doing its
+    # job) and cap scaled ×replicas (per-clone-group fan-out comparable to
+    # the sf0.1 baseline, so the pair stage does real work).
+    t = time.perf_counter()
+    n_ngram = dedup.ngram_jaccard_pairs(docs, 0.5, max_shingle_df=20).count()
+    out["ngram_jaccard_cap20_50k_docs"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    n_ngram_scaled = dedup.ngram_jaccard_pairs(
+        docs, 0.5, max_shingle_df=20 * n
+    ).count()
+    out["ngram_jaccard_cap_scaled_50k_docs"] = round(time.perf_counter() - t, 2)
+    # SemDeDup with cells ∝ N (semdedup_cells): per-cell pair work constant
+    # per vector — the √N ivf_params rule measured 22× at 10× volume (N^1.5)
     emb = read("embeddings")
+    n_vecs = emb.count()
+    t = time.perf_counter()
+    sd = similarity.semantic_dedup(
+        emb, threshold=0.6, n_cells=similarity.semdedup_cells(n_vecs)
+    )
+    n_semdrop = sd.filter(~F.col("keep")).count()
+    out["semantic_dedup_20k_vecs"] = round(time.perf_counter() - t, 2)
     queries = emb.filter(F.col("vec_id") % 1000 == 0)
     t = time.perf_counter()
     similarity.lsh_topk(emb, queries, k=5).write.format("noop").mode("overwrite").save()
@@ -227,6 +268,9 @@ def main() -> None:
         "timings_sec": out,
         "sanity": {
             "minhash_pairs": n_pairs,
+            "ngram_jaccard_cap20_pairs": n_ngram,
+            "ngram_jaccard_cap_scaled_pairs": n_ngram_scaled,
+            "semantic_dedup_dropped": n_semdrop,
             "near_dup_clusters": n_clusters,
             "docs_with_scrubbed_chunks": n_scrubbed,
             "diff_statuses": n_churn,
