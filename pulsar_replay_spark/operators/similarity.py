@@ -861,18 +861,58 @@ def semantic_dedup(
         # subtree executes once, not once per side
         .localCheckpoint(eager=True)
     )
-    a, b = member.alias("a"), member.alias("b")
-    prio = (F.col("a.centroid_sim") < F.col("b.centroid_sim")) | (
-        (F.col("a.centroid_sim") == F.col("b.centroid_sim"))
-        & (F.col("a.vec_id") < F.col("b.vec_id"))
-    )
-    pair_sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.v_norm") * F.col("b.v_norm")
-    )
+    # Within-cell pair scan — the Σ cell²·dim term — Arrow-vectorized with
+    # an EXACT two-phase filter: per cell, numpy computes every ordered
+    # (higher-priority u, candidate v) pair's RAW cosine (sequential-dim
+    # fold, bit-identical to the JVM HOF / DuckDB loop) and emits only pairs
+    # with raw >= threshold - 1e-6 — a safe superset, since round-6(x) >=
+    # tau implies x > tau - 5e-7. The JVM then applies the oracle-exact
+    # F.round(sim, 6) >= tau to the emitted doubles, so every value that
+    # decides a verdict comes from the oracle-checked expression. Priority
+    # ((rounded centroid_sim asc, vec_id asc)) orders on JVM-rounded values
+    # carried into the batch — no Python rounding anywhere.
+    import numpy as np
+    import pandas as pd
+
+    margin = threshold - 1e-6
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["centroid_sim", "vec_id"]).reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_id": [], "pair_sim": []}).astype(
+                {"vec_id": "int64", "pair_sim": "float64"}
+            )
+        V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+        dim = V.shape[1]
+        nrm = pdf["v_norm"].to_numpy(dtype="float64")
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        out_v, out_s = [], []
+        BLOCK = 1024  # bounds the sims slab at BLOCK×m doubles in a huge cell
+        for lo in range(0, m, BLOCK):
+            hi = min(lo + BLOCK, m)
+            acc = np.zeros((hi - lo, m))
+            for d in range(dim):
+                acc += V[lo:hi, d : d + 1] * V[None, :, d]
+            sims = acc / (nrm[lo:hi, None] * nrm[None, :])
+            # u (row, priority index lo+i) must precede v (col j): j > lo+i
+            for i in range(hi - lo):
+                row = sims[i, lo + i + 1 :]
+                hit = np.nonzero(row >= margin)[0]
+                out_v.append(ids[lo + i + 1 :][hit])
+                out_s.append(row[hit])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v) if out_v else np.array([], "int64"),
+                "pair_sim": np.concatenate(out_s) if out_s else np.array([], "float64"),
+            }
+        )
+
     dropped = (
-        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & prio)
-        .filter(F.round(pair_sim, 6) >= threshold)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        member.groupBy("cell_id")
+        .applyInPandas(scan, schema="vec_id long, pair_sim double")
+        .filter(F.round(F.col("pair_sim"), 6) >= threshold)
+        .select("vec_id")
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
