@@ -204,12 +204,62 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 def simhash_dup_clusters(docs: DataFrame) -> DataFrame:
     """Documents sharing an identical SimHash signature (hamming-0 clusters;
-    hamming≤k pairing is exercised in tests via bit_count)."""
+    hamming≤k pairing is ``simhash_near_pairs``)."""
     return (
         simhash(docs)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within ``max_hamming`` signature bits —
+    the Manku et al. (WWW '07) web-dedup shape, the SimHash analog of
+    MinHash banding.
+
+    Pigeonhole banding: the signature splits into ``max_hamming + 1``
+    blocks; any pair within hamming k differs in ≤ k blocks, so it agrees
+    EXACTLY on at least one — candidate generation is an equi-join on
+    (block_idx, block_value), verified post-join with one XOR+bit_count.
+    Nothing all-pairs ever runs, and the shuffle carries (doc_id, sig,
+    block key) only. At corpus scale the knob is signature WIDTH: wider
+    signatures (SIMHASH_BITS) make block values more selective, shrinking
+    buckets — same role the band count plays for MinHash."""
+    sigs = simhash(docs).localCheckpoint(eager=True)  # tiny: (doc_id, long)
+    n_blocks = max_hamming + 1
+    width = SIMHASH_BITS // n_blocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned("simhash", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    idx = sigs.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

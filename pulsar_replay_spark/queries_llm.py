@@ -440,6 +440,35 @@ def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Banded hamming≤k oracle: same block pigeonhole as the engine."""
+    n_blocks = max_hamming + 1
+    width = dedup.SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    return f"""
+WITH sims AS ({_simhash_sql()}),
+idx AS (
+  SELECT doc_id, simhash, CAST(b.blk AS INT) AS blk,
+         (simhash >> (CAST(b.blk AS INT) * {width})) & {mask} AS val
+  FROM sims, UNNEST(range({n_blocks})) AS b(blk)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM idx a JOIN idx b
+  ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SIMHASH_PAIRS_ORACLE = _simhash_pairs_sql()
+
+
+# Not registered (contract full): the Manku banded hamming<=3 pair operator,
+# oracle-gated in pytest + parity --extras (x_simhash_pairs).
+def q_simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: exact brute-force cosine top-k (baseline path).
 # ---------------------------------------------------------------------------

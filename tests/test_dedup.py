@@ -271,3 +271,38 @@ def test_incremental_minhash_equals_full_recompute(spark, documents):
         base_idx.unionAll(new_buckets).count()
         == dedup.minhash_band_buckets(documents).count()
     )
+
+
+def test_simhash_near_pairs_matches_oracle_and_bands_are_lossless(spark, documents):
+    """The Manku banded hamming<=k pair operator: (1) exact DuckDB-twin
+    equality (banding + verify reproduced in SQL), (2) the pigeonhole is
+    LOSSLESS — banding finds exactly the pairs a brute-force hamming scan
+    finds (recall 1.0 by construction, not approximation)."""
+    import duckdb
+
+    from pulsar_replay_spark import queries_llm as ql
+    from tests.conftest import SF_SMOKE
+    from tools.parity import compare
+
+    got = dedup.simhash_near_pairs(documents, max_hamming=3)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    problems = compare(got.toPandas(), con.execute(ql.SIMHASH_PAIRS_ORACLE).df())
+    assert not problems, problems
+
+    sig = dedup.simhash(documents)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))

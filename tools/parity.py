@@ -102,10 +102,12 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
 def extra_oracles() -> dict:
     """The pytest-only oracle tier (the 50-slot contract is full): every
     breadth query with a DuckDB twin, runnable here as one sweep."""
+    from pulsar_replay_spark import queries_llm as ql
     from pulsar_replay_spark import queries_relational as qr
     from pulsar_replay_spark import queries_temporal as qt
 
     return {
+        "x_simhash_pairs": (ql.q_simhash_near_pairs, ql.SIMHASH_PAIRS_ORACLE),
         "x_q5": (qr.q5_region_revenue, qr.Q5_ORACLE),
         "x_q6": (qr.q6_forecast_revenue, qr.Q6_ORACLE),
         "x_q7": (qr.q7_volume_shipping, qr.Q7_ORACLE),
