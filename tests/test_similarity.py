@@ -320,3 +320,19 @@ def test_ivf_params_scaling_rule():
     assert similarity.ivf_params(1_000_000_000)[0] == 2**15
     cells, probe = similarity.ivf_params(1_000_000, target_frac=0.01)
     assert probe / cells <= 0.01 + 1e-12
+
+
+def test_nearest_cells_arrow_plan_is_shuffle_free(spark, embeddings):
+    """The Arrow assignment is a pure mapInPandas projection — the centroid
+    matrix rides the closure, so the plan must contain NO Exchange and no
+    join: the O(N·cells·dim) build term reads the corpus exactly once."""
+    cents = similarity.ivf_centroids(embeddings, 16).localCheckpoint(eager=True)
+    plan = (
+        similarity.nearest_cells(embeddings, cents, "arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
