@@ -30,6 +30,10 @@ OPS = [
     "near_dup_clusters",
     "time_bucketed_counts",
     "scrubbed_corpus",
+    # r4 additions: the packing contract row and the fully-vectorized
+    # SemDeDup (contract form: default 16 cells at every SF)
+    "pack_sequences",
+    "semantic_dedup",
 ]
 
 
