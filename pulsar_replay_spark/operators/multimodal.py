@@ -97,6 +97,117 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+HEADER_SCHEMA = (
+    "doc_id long, container string, width int, height int, channels int, "
+    "sample_rate int, bit_depth int, duration_ms long, parse_ok boolean"
+)
+
+
+def parse_media_headers(media: DataFrame) -> DataFrame:
+    """REAL (library-free) container-header decode over binary payloads:
+    PNG IHDR (width/height/bit depth/channels), WAV RIFF (channels, sample
+    rate, bit depth, duration from the data chunk), MP4 ftyp/moov/mvhd
+    (duration from timescale) — pure byte arithmetic, so unlike the
+    pixel/sample decode seams this path needs NO toolchain and runs
+    anywhere. Containers are sniffed from magic bytes (never trusted from a
+    metadata column); anything unrecognized or truncated degrades to
+    ``parse_ok = false`` with null fields, one row per input row.
+
+    Scale shape: one mapInPandas projection — headers are read from the
+    payload's first bytes; nothing shuffles, and the output is a fixed
+    narrow row however large the blob."""
+    import struct
+
+    def parse_one(b: bytes) -> dict:
+        out = {
+            "container": None,
+            "width": None,
+            "height": None,
+            "channels": None,
+            "sample_rate": None,
+            "bit_depth": None,
+            "duration_ms": None,
+            "parse_ok": False,
+        }
+        try:
+            if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33 and b[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", b[16:24])
+                color_type = b[25]
+                out.update(
+                    container="png",
+                    width=w,
+                    height=h,
+                    channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
+                    bit_depth=b[24],
+                    parse_ok=True,
+                )
+            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                pos, fmt, data_len = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                    if cid == b"fmt " and pos + 24 <= len(b):
+                        fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+                    elif cid == b"data":
+                        data_len = sz
+                    pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+                if fmt:
+                    _, ch, sr, _, _, bits = fmt
+                    out.update(
+                        container="wav",
+                        channels=ch,
+                        sample_rate=sr,
+                        bit_depth=bits,
+                        parse_ok=True,
+                    )
+                    if data_len and sr and ch and bits:
+                        out["duration_ms"] = int(data_len * 8000 // (sr * ch * bits))
+            elif len(b) >= 12 and b[4:8] == b"ftyp":
+                out.update(container="mp4", parse_ok=True)
+                pos = 0
+                while pos + 8 <= len(b):
+                    sz = struct.unpack(">I", b[pos : pos + 4])[0]
+                    if b[pos + 4 : pos + 8] == b"moov":
+                        inner = pos + 8
+                        while inner + 8 <= min(pos + sz, len(b)):
+                            isz = struct.unpack(">I", b[inner : inner + 4])[0]
+                            if b[inner + 4 : inner + 8] == b"mvhd":
+                                ver = b[inner + 8]
+                                if ver == 0 and inner + 28 <= len(b):
+                                    ts, dur = struct.unpack(
+                                        ">II", b[inner + 20 : inner + 28]
+                                    )
+                                elif ver == 1 and inner + 40 <= len(b):
+                                    ts = struct.unpack(
+                                        ">I", b[inner + 28 : inner + 32]
+                                    )[0]
+                                    dur = struct.unpack(
+                                        ">Q", b[inner + 32 : inner + 40]
+                                    )[0]
+                                else:
+                                    ts = 0
+                                if ts:
+                                    out["duration_ms"] = int(dur * 1000 // ts)
+                            if isz <= 0:
+                                break
+                            inner += isz
+                    if sz <= 0:
+                        break
+                    pos += sz
+        except Exception:
+            out["parse_ok"] = False
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_one(bytes(p)) for p in pdf["payload"]]
+            frame = pd.DataFrame(rows)
+            frame.insert(0, "doc_id", pdf["doc_id"].values)
+            yield frame
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=HEADER_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, offset_ms long, frame_bytes binary"
 THUMB_SCHEMA = "doc_id long, width int, height int, thumb binary"
 

@@ -697,7 +697,11 @@ def q_hash_sample_orders(spark, sf_dir):
     "q2_min_cost_supplier",
     """
 SELECT p_partkey, l_suppkey, s_name,
-       ROUND(l_extendedprice / l_quantity, 2) AS unit_price
+       -- arithmetic half-up: ROUND(double, 2) splits at .005 boundaries
+       -- between Spark's BigDecimal HALF_UP and DuckDB's C rounding;
+       -- floor(x*100 + 0.5)/100 is the identical IEEE op sequence in both
+       -- engines (found by the sf0.1 parity sweep, invisible at sf0.01)
+       FLOOR(l_extendedprice / l_quantity * 100 + 0.5) / 100.0 AS unit_price
 FROM part
 JOIN lineitem ON l_partkey = p_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -722,7 +726,11 @@ def q2_min_cost_supplier(spark, sf_dir):
         .filter(unit == F.col("min_unit"))
         .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "p_partkey", "l_suppkey", "s_name", F.round(unit, 2).alias("unit_price")
+            "p_partkey",
+            "l_suppkey",
+            "s_name",
+            # arithmetic half-up, mirroring the oracle (see SQL comment)
+            (F.floor(unit * 100 + F.lit(0.5)) / 100.0).alias("unit_price"),
         )
     )
 

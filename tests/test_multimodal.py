@@ -217,3 +217,68 @@ def test_audio_windows_cover_payload(spark, documents):
             assert bytes(w["window_bytes"]) == raw[w["start_ms"]:w["end_ms"]]
             assert w["end_ms"] - w["start_ms"] <= 40
         assert ws[-1]["end_ms"] == len(raw)
+
+
+def test_parse_media_headers_real_containers(spark):
+    """Library-free header decode against REAL hand-crafted container bytes:
+    a 7×5 PNG IHDR, a 2ch/8kHz/16-bit WAV with exactly 0.25 s of data, an
+    MP4 ftyp+moov/mvhd with a 90s duration at timescale 600 — plus a
+    text payload that must degrade to parse_ok = false, never a wrong
+    answer."""
+    import struct
+    import zlib
+
+    from pulsar_replay_spark.operators.multimodal import parse_media_headers
+
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)  # 7x5, 8-bit, RGB
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+    sr, ch, bits = 8000, 2, 16
+    n_data = sr * ch * (bits // 8) // 4  # 0.25 s
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_data) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+    )
+
+    mvhd = b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, 600 * 90)
+    moov_body = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(moov_body)) + b"moov" + moov_body
+    mp4 = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00" + moov
+
+    rows = [(1, png), (2, wav), (3, mp4), (4, b"just some text bytes")]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in parse_media_headers(media).collect()}
+
+    assert got[1]["container"] == "png" and got[1]["parse_ok"]
+    assert (got[1]["width"], got[1]["height"]) == (7, 5)
+    assert (got[1]["channels"], got[1]["bit_depth"]) == (3, 8)
+
+    assert got[2]["container"] == "wav" and got[2]["parse_ok"]
+    assert (got[2]["channels"], got[2]["sample_rate"], got[2]["bit_depth"]) == (2, 8000, 16)
+    assert got[2]["duration_ms"] == 250
+
+    assert got[3]["container"] == "mp4" and got[3]["parse_ok"]
+    assert got[3]["duration_ms"] == 90_000
+
+    assert got[4]["container"] is None and not got[4]["parse_ok"]
+    assert all(got[4][k] is None for k in ("width", "sample_rate", "duration_ms"))
+
+
+def test_parse_media_headers_fixture_payloads_degrade_cleanly(spark, documents):
+    """Fixture payloads are text bytes, not real containers: every row must
+    come back parse_ok = false (sniffed from magic bytes — the claimed
+    media_type column is never trusted), one output row per input."""
+    from pulsar_replay_spark.operators.multimodal import as_media, parse_media_headers
+
+    media = as_media(documents)
+    got = parse_media_headers(media)
+    assert got.count() == media.count()
+    assert got.filter("parse_ok").count() == 0
