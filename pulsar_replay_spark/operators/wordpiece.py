@@ -1,0 +1,146 @@
+"""WordPiece tokenizer: greedy longest-match-first segmentation (Wu et al.
+2016, arXiv:1609.08144 — the BERT tokenizer family), completing the trained-
+tokenizer tier next to ``operators/bpe`` (merge-list BPE) and
+``operators/unigram`` (unigram-LM).
+
+Same trainer trick as both siblings: the vocabulary is a function of the
+WORD-FREQUENCY table, so the corpus is touched exactly once
+(``bpe.word_freqs``) and everything else runs over the vocab-sized frame.
+
+- ``wordpiece_vocab``: frequency-ranked piece inventory — word-initial
+  substrings rank as-is, word-internal substrings rank with the ``##``
+  continuation prefix; every single character (both forms) is always
+  included so segmentation can never fail, exactly like BERT's vocab
+  construction guarantees coverage.
+- ``wordpiece_segment_words``: the canonical greedy longest-match scan per
+  VOCAB WORD via one Arrow batch UDF (the vocab set rides the closure;
+  Python cost is vocab-sized, never corpus-sized).
+- ``wordpiece_token_counts``: corpus counts by equi-joining the segmented
+  vocab on the word — the ``bpe_token_counts`` discipline; no corpus row
+  ever enters Python.
+
+No reference analog (the reference moves opaque messages); engine extension
+for the LLM-training data tier.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-scope so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_PIECE_LEN = 8
+
+
+def wordpiece_vocab(
+    wf: DataFrame, vocab_size: int = 1000, max_piece_len: int = MAX_PIECE_LEN
+) -> DataFrame:
+    """(piece, cnt): frequency-ranked WordPiece inventory from a (word, freq)
+    table. A substring starting at position 1 contributes its plain form;
+    any other start contributes the ``##``-prefixed continuation form —
+    mirroring how matches may actually be used by the greedy scanner. The
+    top ``vocab_size`` by (cnt desc, piece asc — deterministic tie-break)
+    are kept, then unioned with every single-character piece in both forms
+    (cnt from the same counts, 0 if unseen) so coverage is total.
+
+    Scale shape: substring generation is a pure HOF explode over the VOCAB
+    frame; the count reduce keyspace is the piece inventory (map-side
+    combined); the cut is a distributed TakeOrdered via orderBy+limit —
+    Spark plans it as TakeOrderedAndProject, never a global sort."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(i, F.least(F.length("word"), i + F.lit(max_piece_len - 1))),
+                lambda j: F.when(
+                    i == 1, F.col("word").substr(i, j - i + 1)
+                ).otherwise(F.concat(F.lit("##"), F.col("word").substr(i, j - i + 1))),
+            ),
+        )
+    )
+    counts = (
+        wf.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "piece").limit(vocab_size)
+    chars = (
+        wf.select(F.explode(F.split("word", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .select(F.explode(F.array(F.col("c"), F.concat(F.lit("##"), F.col("c")))).alias("piece"))
+    )
+    char_rows = chars.join(counts, "piece", "left").select(
+        "piece", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
+    )
+    return top.unionByName(char_rows).groupBy("piece").agg(F.max("cnt").alias("cnt"))
+
+
+def _greedy_segment(word: str, vocab: set[str], max_len: int) -> list[str]:
+    """BERT's WordPieceTokenizer scan: at each position take the LONGEST
+    vocab match (## form after the first piece); single-char coverage makes
+    failure impossible by construction."""
+    out, pos = [], 0
+    while pos < len(word):
+        end = min(len(word), pos + max_len)
+        while end > pos:
+            piece = word[pos:end] if pos == 0 else "##" + word[pos:end]
+            if piece in vocab:
+                out.append(piece)
+                break
+            end -= 1
+        else:  # no match even at length 1 — unreachable with char coverage
+            out.append(word[pos] if pos == 0 else "##" + word[pos])
+            end = pos + 1
+        pos = end
+    return out
+
+
+def wordpiece_segment_words(
+    words: DataFrame, vocab: DataFrame, max_piece_len: int = MAX_PIECE_LEN
+) -> DataFrame:
+    """(word, pieces: array<string>): greedy longest-match segmentation of
+    each vocab word — one Arrow batch UDF; the piece set rides the closure
+    (it IS the tokenizer artifact, bounded by vocab_size)."""
+    from pyspark.sql.functions import pandas_udf
+
+    vset = {r["piece"] for r in vocab.select("piece").collect()}
+
+    @pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _greedy_segment(w, vset, max_piece_len))
+
+    return words.withColumn("pieces", seg(F.col("word")))
+
+
+def wordpiece_token_counts(
+    docs: DataFrame, vocab: DataFrame, max_piece_len: int = MAX_PIECE_LEN
+) -> DataFrame:
+    """(doc_id, n_wp_tokens) under a trained WordPiece vocab — corpus side
+    is explode + vocab equi-join, the ``bpe_token_counts`` shape."""
+    from pulsar_replay_spark.functions.text import tokens
+    from pulsar_replay_spark.operators.bpe import word_freqs
+
+    wf = word_freqs(docs)
+    seg = wordpiece_segment_words(wf, vocab, max_piece_len).select(
+        "word", F.size("pieces").alias("n_word_tokens")
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.select("doc_id")
+        .join(
+            doc_words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_word_tokens").alias("n_wp_tokens")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_wp_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_wp_tokens"
+            ),
+        )
+    )

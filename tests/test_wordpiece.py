@@ -1,0 +1,96 @@
+"""WordPiece gates: vocab construction vs a pure-Python mirror (exact),
+greedy longest-match segmentation vs an independent reference scan, total
+coverage (segmentation never fails), and corpus token counts vs a
+driver-side recount — the test discipline of the BPE/unigram siblings."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import bpe, wordpiece
+from tests.conftest import SF_SMOKE
+
+
+def _py_vocab(word_freqs, vocab_size, max_len=8):
+    counts = Counter()
+    for word, freq in word_freqs:
+        for i in range(len(word)):
+            for j in range(i + 1, min(len(word), i + max_len) + 1):
+                piece = word[i:j] if i == 0 else "##" + word[i:j]
+                counts[piece] += freq
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = dict(top)
+    for word, _ in word_freqs:
+        for c in word:
+            for p in (c, "##" + c):
+                vocab.setdefault(p, counts.get(p, 0))
+    return vocab
+
+
+def _py_segment(word, vset, max_len=8):
+    out, pos = [], 0
+    while pos < len(word):
+        end = min(len(word), pos + max_len)
+        while end > pos:
+            piece = word[pos:end] if pos == 0 else "##" + word[pos:end]
+            if piece in vset:
+                out.append(piece)
+                break
+            end -= 1
+        pos = max(end, pos + 1)
+    return out
+
+
+def test_wordpiece_vocab_matches_python_mirror(spark, documents):
+    wf = bpe.word_freqs(documents)
+    pairs = [(r["word"], r["freq"]) for r in wf.collect()]
+    expect = _py_vocab(pairs, vocab_size=200)
+    got = {
+        r["piece"]: r["cnt"]
+        for r in wordpiece.wordpiece_vocab(wf, vocab_size=200).collect()
+    }
+    assert got == expect
+
+
+def test_wordpiece_segmentation_greedy_and_total(spark, documents):
+    wf = bpe.word_freqs(documents).localCheckpoint(eager=True)
+    vocab = wordpiece.wordpiece_vocab(wf, vocab_size=200).localCheckpoint(eager=True)
+    vset = {r["piece"] for r in vocab.select("piece").collect()}
+    seg = wordpiece.wordpiece_segment_words(wf, vocab).collect()
+    assert len(seg) == wf.count()  # total: every word segments
+    for r in seg:
+        word, pieces = r["word"], r["pieces"]
+        assert pieces == _py_segment(word, vset)
+        # reassembly: pieces concatenate back to the word exactly
+        assert "".join(p.removeprefix("##") for p in pieces) == word
+        assert all(
+            (i == 0) != p.startswith("##") or (i > 0 and p.startswith("##"))
+            for i, p in enumerate(pieces)
+        )
+
+
+def test_wordpiece_token_counts_match_recount(spark, documents):
+    docs = documents.limit(50).localCheckpoint(eager=True)
+    wf = bpe.word_freqs(docs)
+    vocab = wordpiece.wordpiece_vocab(wf, vocab_size=300).localCheckpoint(eager=True)
+    vset = {r["piece"] for r in vocab.select("piece").collect()}
+    got = {
+        r["doc_id"]: r["n_wp_tokens"]
+        for r in wordpiece.wordpiece_token_counts(docs, vocab).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        n = sum(
+            len(_py_segment(w, vset)) for w in r["text"].split(" ") if w != ""
+        )
+        assert got[r["doc_id"]] == n
+
+
+def test_wordpiece_deterministic_across_repartition(spark, documents):
+    wf = bpe.word_freqs(documents)
+    a = sorted(map(tuple, wordpiece.wordpiece_vocab(wf, 150).collect()))
+    b = sorted(
+        map(tuple, wordpiece.wordpiece_vocab(wf.repartition(7), 150).collect())
+    )
+    assert a == b
