@@ -211,13 +211,15 @@ def tokenizer_report(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     model: DataFrame,
+    wp_vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Side-by-side tokenizer evaluation: per source, corpus fertility
     (pieces per whitespace word) and chars-per-piece under the trained BPE
-    merge list vs the trained unigram model — the comparison a tokenizer
-    choice is actually made from. Both counting paths share the
-    segmented-VOCAB equi-join shape, so the report costs two vocab
-    segmentations + two corpus joins, never a corpus-sized Python pass."""
+    merge list vs the trained unigram model (vs a WordPiece vocab when
+    given) — the comparison a tokenizer choice is actually made from. All
+    counting paths share the segmented-VOCAB equi-join shape, so the report
+    costs one vocab segmentation + one corpus join per tokenizer, never a
+    corpus-sized Python pass."""
     from pulsar_replay_spark.functions.text import token_count
     from pulsar_replay_spark.operators.bpe import bpe_token_counts
 
@@ -229,19 +231,28 @@ def tokenizer_report(
     )
     b = bpe_token_counts(docs, merges).withColumnRenamed("n_bpe_tokens", "bpe")
     u = unigram_token_counts(docs, model).withColumnRenamed("n_pieces", "uni")
-    return (
-        base.join(b, "doc_id")
-        .join(u, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.sum("n_words").alias("n_words"),
-            F.sum("bpe").alias("bpe_tokens"),
-            F.sum("uni").alias("unigram_tokens"),
-            F.round(F.sum("bpe") / F.sum("n_words"), 4).alias("bpe_fertility"),
-            F.round(F.sum("uni") / F.sum("n_words"), 4).alias("unigram_fertility"),
-            F.round(F.sum("n_chars") / F.sum("bpe"), 4).alias("bpe_chars_per_token"),
-            F.round(F.sum("n_chars") / F.sum("uni"), 4).alias(
-                "unigram_chars_per_token"
-            ),
+    joined = base.join(b, "doc_id").join(u, "doc_id")
+    aggs = [
+        F.sum("n_words").alias("n_words"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("uni").alias("unigram_tokens"),
+        F.round(F.sum("bpe") / F.sum("n_words"), 4).alias("bpe_fertility"),
+        F.round(F.sum("uni") / F.sum("n_words"), 4).alias("unigram_fertility"),
+        F.round(F.sum("n_chars") / F.sum("bpe"), 4).alias("bpe_chars_per_token"),
+        F.round(F.sum("n_chars") / F.sum("uni"), 4).alias("unigram_chars_per_token"),
+    ]
+    if wp_vocab is not None:
+        from pulsar_replay_spark.operators.wordpiece import wordpiece_token_counts
+
+        w = wordpiece_token_counts(docs, wp_vocab).withColumnRenamed(
+            "n_wp_tokens", "wp"
         )
-    )
+        joined = joined.join(w, "doc_id")
+        aggs += [
+            F.sum("wp").alias("wordpiece_tokens"),
+            F.round(F.sum("wp") / F.sum("n_words"), 4).alias("wordpiece_fertility"),
+            F.round(F.sum("n_chars") / F.sum("wp"), 4).alias(
+                "wordpiece_chars_per_token"
+            ),
+        ]
+    return joined.groupBy("source").agg(*aggs)

@@ -168,3 +168,32 @@ def test_tokenizer_report_consistent(spark, documents, wf, model):
         assert row["unigram_tokens"] == per_src_u[src]
         assert 0 < row["unigram_fertility"] <= row["unigram_chars_per_token"] * row["unigram_fertility"] + 1
         assert row["bpe_fertility"] >= 1.0  # BPE never merges across words
+
+
+def test_tokenizer_report_with_wordpiece_column(spark, documents, wf, model):
+    """The optional WordPiece leg: report totals must equal the counter's
+    own per-source sums, and fertility must be >= 1 (greedy longest-match
+    never merges across whitespace words)."""
+    from pulsar_replay_spark.operators import wordpiece
+
+    merges = bpe.bpe_train(wf, 15)
+    vocab = wordpiece.wordpiece_vocab(wf, vocab_size=200).localCheckpoint(eager=True)
+    rep = {
+        r["source"]: r
+        for r in unigram.tokenizer_report(
+            documents, merges, model, wp_vocab=vocab
+        ).collect()
+    }
+    w = wordpiece.wordpiece_token_counts(documents, vocab)
+    per_src = {
+        r["source"]: r["s"]
+        for r in documents.select("doc_id", "source")
+        .join(w, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_wp_tokens").alias("s"))
+        .collect()
+    }
+    assert rep and set(rep) == set(per_src)
+    for src, row in rep.items():
+        assert row["wordpiece_tokens"] == per_src[src]
+        assert row["wordpiece_fertility"] >= 1.0
