@@ -186,3 +186,14 @@ def load_unigram_model(spark: SparkSession, path: str) -> DataFrame:
     """Eagerly pinned — feed straight into ``unigram.unigram_segment_words``
     / ``unigram.unigram_token_counts``."""
     return _read(spark, f"{path}/pieces")
+
+
+def save_wordpiece_vocab(vocab: DataFrame, path: str) -> None:
+    """(piece, cnt) inventory from ``wordpiece.wordpiece_vocab``."""
+    _write(vocab.select("piece", "cnt"), f"{path}/pieces")
+
+
+def load_wordpiece_vocab(spark: SparkSession, path: str) -> DataFrame:
+    """Eagerly pinned — feed straight into ``wordpiece_segment_words`` /
+    ``wordpiece_token_counts``."""
+    return _read(spark, f"{path}/pieces")

@@ -94,3 +94,20 @@ def test_wordpiece_deterministic_across_repartition(spark, documents):
         map(tuple, wordpiece.wordpiece_vocab(wf.repartition(7), 150).collect())
     )
     assert a == b
+
+
+def test_wordpiece_vocab_artifact_roundtrip(spark, documents, tmp_path):
+    """serve-from-loaded == serve-from-built (the artifacts-tier contract)."""
+    from pulsar_replay_spark.operators import artifacts
+
+    wf = bpe.word_freqs(documents).localCheckpoint(eager=True)
+    vocab = wordpiece.wordpiece_vocab(wf, vocab_size=150)
+    path = str(tmp_path / "wp")
+    artifacts.save_wordpiece_vocab(vocab, path)
+    loaded = artifacts.load_wordpiece_vocab(spark, path)
+    assert sorted(map(tuple, loaded.collect())) == sorted(map(tuple, vocab.collect()))
+    a = wordpiece.wordpiece_segment_words(wf.limit(40), vocab).collect()
+    b = wordpiece.wordpiece_segment_words(wf.limit(40), loaded).collect()
+    assert sorted((r["word"], tuple(r["pieces"])) for r in a) == sorted(
+        (r["word"], tuple(r["pieces"])) for r in b
+    )
