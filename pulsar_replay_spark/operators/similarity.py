@@ -462,24 +462,61 @@ def pq_codebooks(embeddings: DataFrame, n_iter: int = 1) -> DataFrame:
 
 
 def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
-    """Nearest centroid per (id, m) by euclidean distance — broadcast the
-    PQ_M·PQ_K codebook, min-struct pick (no window needed)."""
-    d2 = F.aggregate(
-        F.zip_with("sub", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = subs.join(F.broadcast(books), "m").select(
-        subs.columns[0],
-        "m",
-        "sub",
-        F.struct(d2.alias("d2"), F.col("cell").alias("cell")).alias("sc"),
-    )
+    """Nearest centroid per (id, m) by euclidean distance.
+
+    Arrow path (the ``nearest_cells`` discipline): the PQ_M·PQ_K codebook —
+    bounded by construction — collects once and ships in the mapInPandas
+    closure; per batch, numpy folds (a−b)² SEQUENTIALLY over sub-dims
+    (bit-identical IEEE order to the old zip_with/aggregate formulation)
+    while vectorizing the rows×K axis. Ties break to the lowest cell
+    (codebooks scanned in ascending cell order, first-min argmin), matching
+    the old min(struct(d2, cell)) pick. No join, no shuffle — the
+    O(N·M·K·sublen) build term rides the scan."""
+    import numpy as np
+    import pandas as pd
+
+    rows = books.select("m", "cell", "centroid").collect()
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["cell"]), np.asarray(r["centroid"], dtype="float64"))
+        )
+    cb = {}
+    for m, lst in by_m.items():
+        lst.sort(key=lambda t: t[0])
+        cb[m] = (
+            np.array([c for c, _ in lst], dtype="int64"),
+            np.stack([v for _, v in lst]),
+        )
     id_col = subs.columns[0]
-    return (
-        scored.groupBy(id_col, "m")
-        .agg(F.min("sc").alias("best"), F.first("sub").alias("sub"))
-        .select(id_col, "m", F.col("best.cell").alias("cell"), "sub")
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ms = pdf["m"].to_numpy()
+            vecs = [np.asarray(v, dtype="float64") for v in pdf["sub"]]
+            out_cells = np.empty(len(pdf), dtype="int64")
+            for m in np.unique(ms):
+                ix = np.nonzero(ms == m)[0]
+                X = np.stack([vecs[i] for i in ix])
+                cells, C = cb[int(m)]
+                acc = np.zeros((len(ix), len(cells)))
+                for d in range(X.shape[1]):
+                    diff = X[:, d : d + 1] - C[None, :, d]
+                    acc += diff * diff
+                out_cells[ix] = cells[np.argmin(acc, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "m": pdf["m"],
+                    "cell": out_cells,
+                    "sub": pdf["sub"],
+                }
+            )
+
+    return subs.mapInPandas(
+        run, schema=f"{id_col} long, m int, cell int, sub array<double>"
     )
 
 
