@@ -69,8 +69,48 @@ def lsh_signature(vec: Column) -> Column:
     return reduce(lambda a, b: a + b, bits).cast("long")
 
 
+def lsh_signatures(embeddings: DataFrame, impl: str = "arrow") -> DataFrame:
+    """(vec_id, sig): the B-bit signature for every vector.
+
+    ``impl="arrow"`` (default): the ``nearest_cells`` discipline — the
+    constant planes matrix rides the mapInPandas closure; numpy folds each
+    projection SEQUENTIALLY over dims (identical IEEE order to the JVM
+    zip_with/aggregate, so the strict ``proj > 0`` bit decisions are
+    bit-identical — equality-gated in tests) while vectorizing the
+    N·planes axis. Signatures are integers, so downstream joins/oracles
+    are untouched. ``impl="jvm"`` keeps the expression form as the
+    oracle-reference."""
+    if impl == "jvm":
+        return embeddings.select(
+            "vec_id", lsh_signature(F.col("embedding")).alias("sig")
+        )
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(_H)  # planes × dim, ±1 constants
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+            acc = np.zeros((len(V), H.shape[0]))
+            for j in range(H.shape[1]):
+                acc += V[:, j : j + 1] * H[None, :, j]
+            sig = (
+                np.where(acc > 0, 1, 0) * (1 << np.arange(H.shape[0]))[None, :]
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "sig": sig.astype("int64")}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, sig long"
+    )
+
+
 def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    return embeddings.select("vec_id", lsh_signature(F.col("embedding")).alias("bucket"))
+    return lsh_signatures(embeddings).withColumnRenamed("sig", "bucket")
 
 
 def brute_force_topk(
@@ -119,7 +159,7 @@ def lsh_tables(embeddings: DataFrame) -> DataFrame:
     (measured recall 0 on the fixtures); multiple coarser tables trade a
     bounded candidate-scan fraction for recall — the standard production
     tuning knob (L up, b up as corpus density grows)."""
-    sig = embeddings.select("vec_id", lsh_signature(F.col("embedding")).alias("sig"))
+    sig = lsh_signatures(embeddings)
     tables = F.array(
         *[
             F.struct(

@@ -336,3 +336,18 @@ def test_nearest_cells_arrow_plan_is_shuffle_free(spark, embeddings):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_lsh_signatures_arrow_bitwise_equals_jvm(spark, embeddings):
+    """The Arrow signature path's sequential-dim fold must reproduce the JVM
+    expression's projections bit-for-bit — same gate discipline as
+    nearest_cells, here deciding the strict proj > 0 sign bits."""
+    a = {
+        r["vec_id"]: r["sig"]
+        for r in similarity.lsh_signatures(embeddings, "arrow").collect()
+    }
+    j = {
+        r["vec_id"]: r["sig"]
+        for r in similarity.lsh_signatures(embeddings, "jvm").collect()
+    }
+    assert a == j
