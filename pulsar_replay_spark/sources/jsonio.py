@@ -120,6 +120,35 @@ def read_orc_capture(spark: SparkSession, in_dir: str) -> DataFrame:
     return spark.read.orc(in_dir)
 
 
+def _require_avro(e: Exception) -> None:
+    if "Failed to find data source: avro" in str(e):
+        raise NotImplementedError(
+            "Avro capture needs the external spark-avro module on the "
+            "classpath (--packages org.apache.spark:spark-avro_2.13:<ver>); "
+            "it is not bundled with the pip pyspark distribution"
+        ) from e
+    raise e
+
+
+def write_avro_capture(env: DataFrame, out_dir: str) -> None:
+    """Avro capture sink — same topic-partitioned layout as Parquet/ORC, for
+    schema-registry/Kafka-adjacent estates standardized on Avro. Spark's
+    Avro support is the external ``spark-avro`` module: absent (as in this
+    container) the call degrades to a named NotImplementedError at the
+    format lookup, never inside the engine."""
+    try:
+        env.write.partitionBy("topic").mode("overwrite").format("avro").save(out_dir)
+    except Exception as e:  # noqa: BLE001 — re-raised, classified
+        _require_avro(e)
+
+
+def read_avro_capture(spark: SparkSession, in_dir: str) -> DataFrame:
+    try:
+        return spark.read.format("avro").load(in_dir)
+    except Exception as e:  # noqa: BLE001 — re-raised, classified
+        _require_avro(e)
+
+
 _CSV_OPTS = {"header": True, "quote": '"', "escape": '"'}
 
 

@@ -218,3 +218,32 @@ def test_jsonl_corpus_roundtrip(spark, documents, tmp_path):
                         == shard
                     )
                 assert ids == sorted(ids)  # in-file order reproducible
+
+
+def test_avro_capture_gated_or_roundtrips(spark, tmp_path):
+    """Avro capture: where the external spark-avro module exists the
+    envelope must round-trip like ORC/Parquet; in this container (module
+    absent) the call must fail at the FORMAT LOOKUP with a named
+    NotImplementedError — never a silent no-op or an engine-internal
+    error."""
+    import pytest
+
+    from pulsar_replay_spark.sources.jsonio import (
+        read_avro_capture,
+        write_avro_capture,
+    )
+
+    env = synthetic_envelope(spark, 50).drop("raw")
+    out = str(tmp_path / "avro_capture")
+    try:
+        write_avro_capture(env, out)
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)  # named dependency, actionable
+        with pytest.raises(NotImplementedError):
+            read_avro_capture(spark, out)
+        return
+    back = read_avro_capture(spark, out)
+    cols = ["topic", "content", "partition_key"]
+    assert sorted(map(tuple, env.select(cols).collect())) == sorted(
+        map(tuple, back.select(cols).collect())
+    )
