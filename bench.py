@@ -162,6 +162,11 @@ def main() -> None:
         t0 = time.perf_counter()
         bpe.bpe_train(bpe.word_freqs(docs), 20)
         llm_ops["bpe_train_20_merges"] = round(time.perf_counter() - t0, 3)
+        # the driver-side delta trainer (equality-gated to the distributed
+        # one): the production path for realistic merge counts
+        t0 = time.perf_counter()
+        bpe.bpe_train_local(bpe.word_freqs(docs), 20)
+        llm_ops["bpe_train_local_20_merges"] = round(time.perf_counter() - t0, 3)
 
         from pulsar_replay_spark.operators import quality, similarity
 

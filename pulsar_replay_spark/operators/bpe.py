@@ -129,6 +129,101 @@ def bpe_train(
     return merges
 
 
+def bpe_train_local(
+    wf: DataFrame,
+    n_merges: int,
+    min_pair_freq: int = 2,
+    max_vocab_rows: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Driver-side exact BPE trainer with delta-updated pair counts — the
+    production path for realistic merge counts (30k merges are seconds
+    here vs one Spark job per merge in ``bpe_train``), exact-equal to it
+    by construction (same argmax rule, same left-to-right non-overlapping
+    fold; equality gated in tests).
+
+    Rationale (the union-find-hybrid precedent): BPE state is VOCAB-sized
+    — the corpus was already reduced to (word, freq) by the one distributed
+    pass in ``word_freqs`` — so once the vocab fits the driver (gate:
+    ``max_vocab_rows``, explicit like the CC small-graph gate) the optimal
+    algorithm is the in-memory delta trainer: each merge touches only the
+    words containing the merged pair (tracked by an inverted index), and
+    the argmax is a lazy-deletion heap, so total work is
+    O(Σ touched-word lengths + merges·log P) instead of
+    O(merges · vocab). ``bpe_train`` remains the path for vocabularies
+    past the gate."""
+    import heapq
+    from collections import Counter
+
+    n_rows = wf.count()
+    if n_rows > max_vocab_rows:
+        raise ValueError(
+            f"vocab has {n_rows} rows > max_vocab_rows={max_vocab_rows}; "
+            "use the distributed bpe_train (or raise the gate)"
+        )
+    rows = wf.select("word", "freq").collect()
+    syms = [list(r["word"]) + [EOW] for r in rows]
+    freqs = [int(r["freq"]) for r in rows]
+
+    def word_pairs(s: list[str]) -> Counter:
+        c: Counter = Counter()
+        for i in range(len(s) - 1):
+            c[(s[i], s[i + 1])] += 1
+        return c
+
+    counts: Counter = Counter()
+    index: dict[tuple[str, str], set[int]] = {}
+    for w, s in enumerate(syms):
+        for p, k in word_pairs(s).items():
+            counts[p] += k * freqs[w]
+            index.setdefault(p, set()).add(w)
+
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -negc and -negc > 0:
+                best = (p, -negc)
+                break
+        if best is None or best[1] < min_pair_freq:
+            break
+        (a, b), _c = best
+        merges.append((a, b))
+        merged = a + b
+        touched = set()
+        for w in list(index.get((a, b), ())):
+            s = syms[w]
+            old = word_pairs(s)
+            # left-to-right non-overlapping merge (the _merge_fold scan)
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+            new = word_pairs(out)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    counts[p] += d * freqs[w]
+                    touched.add(p)
+                if new.get(p, 0):
+                    index.setdefault(p, set()).add(w)
+                elif p in index:
+                    index[p].discard(w)
+        counts.pop((a, b), None)
+        index.pop((a, b), None)
+        for p in touched:
+            if counts.get(p, 0) > 0:
+                heapq.heappush(heap, (-counts[p], p))
+    return merges
+
+
 def bpe_segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """(word, bpe: array<string>): apply a learned merge list to each word.
 

@@ -120,3 +120,33 @@ def test_token_counts_match_per_word_sums(documents, merges):
 def test_deterministic_under_repartition(documents, merges):
     again = bpe.bpe_train(bpe.word_freqs(documents.repartition(7)), N_MERGES)
     assert again == merges
+
+
+def test_local_trainer_matches_reference_and_distributed(
+    spark, documents, merges, fixture_freqs
+):
+    """bpe_train_local (driver-side delta trainer) must produce the IDENTICAL
+    merge list as both the pure-Python Sennrich reference and the
+    distributed trainer — on the paper toy, the fixture, and a deep run
+    the distributed path would pay one job per merge for."""
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    wf = spark.createDataFrame(list(freqs.items()), "word string, freq long")
+    assert bpe.bpe_train_local(wf, 10) == ref_train(freqs, 10)[0]
+
+    wf_fix = bpe.word_freqs(documents)
+    assert bpe.bpe_train_local(wf_fix, N_MERGES) == merges
+
+    deep = bpe.bpe_train_local(wf_fix, 300)
+    expect, _ = ref_train(fixture_freqs, 300)
+    assert deep == expect
+
+    # early stop: min_pair_freq above every count -> empty merge list
+    assert bpe.bpe_train_local(wf, 10, min_pair_freq=10**9) == []
+
+
+def test_local_trainer_vocab_gate(spark, documents):
+    import pytest as _pytest
+
+    wf = bpe.word_freqs(documents)
+    with _pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe.bpe_train_local(wf, 5, max_vocab_rows=10)
