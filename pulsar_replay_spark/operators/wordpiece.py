@@ -76,6 +76,104 @@ def wordpiece_vocab(
     return top.unionByName(char_rows).groupBy("piece").agg(F.max("cnt").alias("cnt"))
 
 
+def wordpiece_train_local(
+    wf: DataFrame,
+    n_merges: int,
+    min_pair_freq: int = 2,
+    max_vocab_rows: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Likelihood-scored WordPiece merge training — the actual BERT trainer
+    rule: each round merges the adjacent pair maximizing
+
+        score(a, b) = count(ab) / (count(a) · count(b))
+
+    (the pair whose merge most improves a unigram LM's corpus likelihood),
+    vs BPE's raw count(ab). Driver-side under the same explicit
+    ``max_vocab_rows`` gate as ``bpe.bpe_train_local`` — state is
+    vocab-sized — with the same delta machinery: pair AND symbol counts
+    update only for words containing the merged pair. Scores change
+    globally when a SYMBOL count changes, so the argmax is a full scan of
+    the live pair table per round (P is vocab-bounded; no heap since a
+    heap would be invalidated by every symbol-count change).
+
+    Deterministic: ties break on (higher pair count, then lexicographically
+    smallest pair). Stops when the best pair's count < ``min_pair_freq``.
+    Returns the ordered merge list; feed the resulting symbol inventory to
+    ``wordpiece_segment_words`` via the pieces it induces."""
+    from collections import Counter
+    from fractions import Fraction
+
+    n_rows = wf.count()
+    if n_rows > max_vocab_rows:
+        raise ValueError(
+            f"vocab has {n_rows} rows > max_vocab_rows={max_vocab_rows}; "
+            "reduce the vocab (min_freq) or raise the gate"
+        )
+    rows = wf.select("word", "freq").collect()
+    syms = [list(r["word"]) for r in rows]
+    freqs = [int(r["freq"]) for r in rows]
+
+    pair_counts: Counter = Counter()
+    sym_counts: Counter = Counter()
+    index: dict[tuple[str, str], set[int]] = {}
+    for w, s in enumerate(syms):
+        for x in s:
+            sym_counts[x] += freqs[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] += freqs[w]
+            index.setdefault(p, set()).add(w)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # exact rational scores: no float-ordering ambiguity in the argmax
+        best, best_key = None, None
+        for p, c in pair_counts.items():
+            if c < min_pair_freq:
+                continue
+            score = Fraction(c, sym_counts[p[0]] * sym_counts[p[1]])
+            key = (score, c)
+            if best is None or key > best_key or (key == best_key and p < best):
+                best, best_key = p, key
+        if best is None:
+            break
+        a, b = best
+        merges.append((a, b))
+        merged = a + b
+        for w in list(index.get((a, b), ())):
+            s = syms[w]
+            old_pairs = Counter(
+                (s[i], s[i + 1]) for i in range(len(s) - 1)
+            )
+            old_syms = Counter(s)
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+            new_pairs = Counter((out[i], out[i + 1]) for i in range(len(out) - 1))
+            new_syms = Counter(out)
+            for x in old_syms.keys() | new_syms.keys():
+                d = new_syms.get(x, 0) - old_syms.get(x, 0)
+                if d:
+                    sym_counts[x] += d * freqs[w]
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if d:
+                    pair_counts[p] += d * freqs[w]
+                if new_pairs.get(p, 0):
+                    index.setdefault(p, set()).add(w)
+                elif p in index:
+                    index[p].discard(w)
+        pair_counts.pop((a, b), None)
+        index.pop((a, b), None)
+    return merges
+
+
 def _greedy_segment(word: str, vocab: set[str], max_len: int) -> list[str]:
     """BERT's WordPieceTokenizer scan: at each position take the LONGEST
     vocab match (## form after the first piece); single-char coverage makes

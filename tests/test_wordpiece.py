@@ -5,6 +5,7 @@ driver-side recount — the test discipline of the BPE/unigram siblings."""
 
 from __future__ import annotations
 
+import pytest
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -111,3 +112,62 @@ def test_wordpiece_vocab_artifact_roundtrip(spark, documents, tmp_path):
     assert sorted((r["word"], tuple(r["pieces"])) for r in a) == sorted(
         (r["word"], tuple(r["pieces"])) for r in b
     )
+
+
+def _py_wp_train(word_freqs, n_merges, min_pair_freq=2):
+    """Naive reference: full recount every round, same score and tie-break."""
+    from collections import Counter
+    from fractions import Fraction
+
+    syms = {w: list(w) for w, _ in word_freqs}
+    freqs = dict(word_freqs)
+    merges = []
+    for _ in range(n_merges):
+        pc, sc = Counter(), Counter()
+        for w, s in syms.items():
+            for x in s:
+                sc[x] += freqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += freqs[w]
+        best, best_key = None, None
+        for p, c in pc.items():
+            if c < min_pair_freq:
+                continue
+            key = (Fraction(c, sc[p[0]] * sc[p[1]]), c)
+            if best is None or key > best_key or (key == best_key and p < best):
+                best, best_key = p, key
+        if best is None:
+            break
+        a, b = best
+        merges.append((a, b))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_wordpiece_train_matches_naive_reference(spark, documents):
+    """The delta-updated trainer must equal a full-recount reference exactly
+    — likelihood score, count tie-break, lexicographic tie-break, early
+    stop — at a depth where deltas have compounded many times."""
+    wf = bpe.word_freqs(documents).localCheckpoint(eager=True)
+    pairs = [(r["word"], r["freq"]) for r in wf.collect()]
+    got = wordpiece.wordpiece_train_local(wf, 100)
+    assert got == _py_wp_train(pairs, 100)
+    assert len(got) > 10  # fixture is rich enough for the gate to bite
+
+    # score rule differs from BPE: rare-symbol pairs can beat frequent ones
+    assert got != bpe.bpe_train_local(wf, len(got))
+
+
+def test_wordpiece_train_vocab_gate(spark, documents):
+    wf = bpe.word_freqs(documents)
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        wordpiece.wordpiece_train_local(wf, 5, max_vocab_rows=10)
