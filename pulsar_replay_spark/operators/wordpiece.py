@@ -174,6 +174,62 @@ def wordpiece_train_local(
     return merges
 
 
+def pieces_from_merges(
+    wf: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(piece, cnt): the serving inventory a trained merge list induces —
+    apply the merges to every vocab word (one Arrow batch UDF; the merge
+    list rides the closure) and emit each surviving symbol in the form the
+    greedy scanner will look it up: plain at word start, ``##``-prefixed
+    inside. Single characters in both forms are unioned in (cnt 0 if never
+    surviving) so segmentation stays total. Feed the result straight to
+    ``wordpiece_segment_words`` — the train→serve bridge."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = list(merges)
+
+    @pandas_udf("array<string>")
+    def apply_merges(col: pd.Series) -> pd.Series:
+        def one(word: str) -> list[str]:
+            s = list(word)
+            for a, b in ranks:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return [x if i == 0 else "##" + x for i, x in enumerate(s)]
+
+        return col.map(one)
+
+    counts = (
+        wf.withColumn("pieces", apply_merges(F.col("word")))
+        .select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = (
+        wf.select(F.explode(F.split("word", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .select(
+            F.explode(F.array(F.col("c"), F.concat(F.lit("##"), F.col("c")))).alias(
+                "piece"
+            )
+        )
+    )
+    char_rows = chars.join(counts, "piece", "left").select(
+        "piece", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
+    )
+    return counts.unionByName(char_rows).groupBy("piece").agg(
+        F.max("cnt").alias("cnt")
+    )
+
+
 def _greedy_segment(word: str, vocab: set[str], max_len: int) -> list[str]:
     """BERT's WordPieceTokenizer scan: at each position take the LONGEST
     vocab match (## form after the first piece); single-char coverage makes

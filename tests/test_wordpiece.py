@@ -171,3 +171,49 @@ def test_wordpiece_train_vocab_gate(spark, documents):
     wf = bpe.word_freqs(documents)
     with pytest.raises(ValueError, match="max_vocab_rows"):
         wordpiece.wordpiece_train_local(wf, 5, max_vocab_rows=10)
+
+
+def test_pieces_from_merges_serve_loop(spark, documents):
+    """train -> pieces -> greedy serving closes: the induced inventory
+    segments every vocab word (totality via char union), reassembles it
+    exactly, and compresses vs the char baseline; piece counts equal a
+    driver-side recount of the merge-folded vocab."""
+    wf = bpe.word_freqs(documents).localCheckpoint(eager=True)
+    merges = wordpiece.wordpiece_train_local(wf, 60)
+    pieces = wordpiece.pieces_from_merges(wf, merges).localCheckpoint(eager=True)
+
+    # counts mirror a pure-python fold over the collected vocab
+    from collections import Counter
+
+    expect = Counter()
+    seen_chars = set()
+    for r in wf.collect():
+        s = list(r["word"])
+        seen_chars.update(s)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        for i, x in enumerate(s):
+            expect[x if i == 0 else "##" + x] += r["freq"]
+    for c in seen_chars:
+        for p in (c, "##" + c):
+            expect.setdefault(p, 0)
+    got = {r["piece"]: r["cnt"] for r in pieces.collect()}
+    assert got == dict(expect)
+
+    seg = wordpiece.wordpiece_segment_words(
+        wf, pieces, max_piece_len=max(len(p.removeprefix("##")) for p in got)
+    ).collect()
+    n_pieces = n_chars = 0
+    for r in seg:
+        assert "".join(p.removeprefix("##") for p in r["pieces"]) == r["word"]
+        n_pieces += len(r["pieces"])
+        n_chars += len(r["word"])
+    assert n_pieces < n_chars  # trained merges actually compress
