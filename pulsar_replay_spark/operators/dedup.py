@@ -227,22 +227,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     signatures (SIMHASH_BITS) make block values more selective, shrinking
     buckets — same role the band count plays for MinHash."""
     sigs = simhash(docs).localCheckpoint(eager=True)  # tiny: (doc_id, long)
-    n_blocks = max_hamming + 1
-    width = SIMHASH_BITS // n_blocks
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("blk"),
-                F.shiftrightunsigned("simhash", b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("val"),
-            )
-            for b in range(n_blocks)
-        ]
-    )
-    idx = sigs.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
-        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
-    )
+    idx = _simhash_blocks(sigs, max_hamming)
     a, b = idx.alias("a"), idx.alias("b")
     return (
         a.join(
@@ -261,6 +246,86 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _simhash_blocks(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_id, simhash, blk, val): the pigeonhole block index of a
+    (doc_id, simhash) frame — shared by the batch and incremental paths."""
+    n_blocks = max_hamming + 1
+    width = SIMHASH_BITS // n_blocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned("simhash", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    return sigs.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+
+
+def incremental_simhash_pairs(
+    new_docs: DataFrame, existing_sigs: DataFrame, max_hamming: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental banded-SimHash near-dup probe — the ``incremental_minhash_pairs``
+    shape for the hamming family: signature the NEW batch only, block-join
+    it against the persisted (doc_id, simhash) store, verify with
+    XOR+bit_count. Old documents are never re-hashed; signatures are
+    deterministic expressions, so incremental == full recompute restricted
+    to pairs touching the new batch (pinned in tests).
+
+    Returns (pairs, new_sigs): hamming≤k pairs involving ≥1 new doc, and
+    the new batch's (doc_id, simhash) rows for the caller to append to its
+    store — the store is one long per doc (the most compact dedup state in
+    the engine; blocks re-derive from it as pure bit ops at probe time)."""
+    new_sigs = simhash(new_docs).localCheckpoint(eager=True)
+    nb = _simhash_blocks(new_sigs, max_hamming)
+    eb = _simhash_blocks(existing_sigs, max_hamming)
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).cast("int")
+
+    a, b = nb.alias("a"), nb.alias("b")
+    new_new = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("a_sig"),
+            F.col("b.simhash").alias("b_sig"),
+        )
+    )
+    n, e = nb.alias("n"), eb.alias("e")
+    cross = (
+        n.join(
+            e,
+            (F.col("n.blk") == F.col("e.blk")) & (F.col("n.val") == F.col("e.val")),
+        )
+        .filter(F.col("n.doc_id") != F.col("e.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_b"),
+            F.col("n.simhash").alias("a_sig"),
+            F.col("e.simhash").alias("b_sig"),
+        )
+    )
+    pairs = (
+        new_new.unionAll(cross)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return pairs, new_sigs
 
 
 def ngram_jaccard_pairs(

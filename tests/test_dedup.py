@@ -306,3 +306,30 @@ def test_simhash_near_pairs_matches_oracle_and_bands_are_lossless(spark, documen
         .filter(F.col("hamming") <= 3)
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_incremental_simhash_equals_full_recompute(spark, documents):
+    """Split the corpus into 'already ingested' and 'new batch': the
+    incremental probe (old docs never re-hashed) must find exactly the
+    hamming<=3 pairs of the full recompute that touch the new batch, and
+    appending new_sigs to the store must make the next increment see them."""
+    old = documents.filter(F.col("doc_id") % 3 != 0)
+    new = documents.filter(F.col("doc_id") % 3 == 0)
+
+    store = dedup.simhash(old).localCheckpoint(eager=True)
+    pairs, new_sigs = dedup.incremental_simhash_pairs(new, store)
+
+    full = dedup.simhash_near_pairs(documents, max_hamming=3)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expect = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in full.collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert {tuple(r) for r in pairs.collect()} == expect
+
+    # store closure: old ∪ new_sigs == signatures of the whole corpus
+    updated = store.unionByName(new_sigs)
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, dedup.simhash(documents).collect())
+    )
