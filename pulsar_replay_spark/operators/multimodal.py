@@ -164,34 +164,50 @@ def parse_media_headers(media: DataFrame) -> DataFrame:
                         out["duration_ms"] = int(data_len * 8000 // (sr * ch * bits))
             elif len(b) >= 12 and b[4:8] == b"ftyp":
                 out.update(container="mp4", parse_ok=True)
+
+                def box_size(buf: bytes, p: int, end: int) -> tuple[int, int]:
+                    # ISO 14496-12 §4.2: size==1 → 64-bit largesize follows
+                    # the type; size==0 → box extends to the end of file.
+                    # Returns (total box size, header length); (0, _) = stop.
+                    sz = struct.unpack(">I", buf[p : p + 4])[0]
+                    if sz == 1:
+                        if p + 16 > end:
+                            return 0, 16
+                        return struct.unpack(">Q", buf[p + 8 : p + 16])[0], 16
+                    if sz == 0:
+                        return end - p, 8
+                    return sz, 8
+
                 pos = 0
                 while pos + 8 <= len(b):
-                    sz = struct.unpack(">I", b[pos : pos + 4])[0]
+                    sz, hdr = box_size(b, pos, len(b))
                     if b[pos + 4 : pos + 8] == b"moov":
-                        inner = pos + 8
-                        while inner + 8 <= min(pos + sz, len(b)):
-                            isz = struct.unpack(">I", b[inner : inner + 4])[0]
+                        inner = pos + hdr
+                        end = min(pos + sz, len(b))
+                        while inner + 8 <= end:
+                            isz, ihdr = box_size(b, inner, end)
                             if b[inner + 4 : inner + 8] == b"mvhd":
-                                ver = b[inner + 8]
-                                if ver == 0 and inner + 28 <= len(b):
+                                body = inner + ihdr
+                                ver = b[body]
+                                if ver == 0 and body + 20 <= len(b):
                                     ts, dur = struct.unpack(
-                                        ">II", b[inner + 20 : inner + 28]
+                                        ">II", b[body + 12 : body + 20]
                                     )
-                                elif ver == 1 and inner + 40 <= len(b):
+                                elif ver == 1 and body + 32 <= len(b):
                                     ts = struct.unpack(
-                                        ">I", b[inner + 28 : inner + 32]
+                                        ">I", b[body + 20 : body + 24]
                                     )[0]
                                     dur = struct.unpack(
-                                        ">Q", b[inner + 32 : inner + 40]
+                                        ">Q", b[body + 24 : body + 32]
                                     )[0]
                                 else:
                                     ts = 0
                                 if ts:
                                     out["duration_ms"] = int(dur * 1000 // ts)
-                            if isz <= 0:
+                            if isz < ihdr:  # malformed/truncated — stop
                                 break
                             inner += isz
-                    if sz <= 0:
+                    if sz < hdr:
                         break
                     pos += sz
         except Exception:
@@ -200,7 +216,7 @@ def parse_media_headers(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [parse_one(bytes(p)) for p in pdf["payload"]]
+            rows = [parse_one(bytes(p) if p is not None else b"") for p in pdf["payload"]]
             frame = pd.DataFrame(rows)
             frame.insert(0, "doc_id", pdf["doc_id"].values)
             yield frame

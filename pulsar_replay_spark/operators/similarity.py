@@ -833,6 +833,8 @@ def nearest_cells(
 
     def run(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow may emit zero-row batches; np.stack raises
+                continue
             V = np.stack(
                 [np.asarray(v, dtype="float64") for v in pdf["embedding"]]
             )

@@ -251,14 +251,23 @@ def _greedy_segment(word: str, vocab: set[str], max_len: int) -> list[str]:
 
 
 def wordpiece_segment_words(
-    words: DataFrame, vocab: DataFrame, max_piece_len: int = MAX_PIECE_LEN
+    words: DataFrame, vocab: DataFrame, max_piece_len: int | None = None
 ) -> DataFrame:
     """(word, pieces: array<string>): greedy longest-match segmentation of
     each vocab word — one Arrow batch UDF; the piece set rides the closure
-    (it IS the tokenizer artifact, bounded by vocab_size)."""
+    (it IS the tokenizer artifact, bounded by vocab_size).
+
+    ``max_piece_len`` defaults to the LONGEST piece actually in the vocab
+    (``##`` prefix excluded), so a merge-trained inventory whose pieces
+    exceed ``MAX_PIECE_LEN`` still matches — a fixed default scanner bound
+    shorter than the vocab's pieces would silently never match them."""
     from pyspark.sql.functions import pandas_udf
 
     vset = {r["piece"] for r in vocab.select("piece").collect()}
+    if max_piece_len is None:
+        max_piece_len = max(
+            (len(p[2:]) if p.startswith("##") else len(p) for p in vset), default=1
+        )
 
     @pandas_udf("array<string>")
     def seg(col: pd.Series) -> pd.Series:
@@ -268,7 +277,7 @@ def wordpiece_segment_words(
 
 
 def wordpiece_token_counts(
-    docs: DataFrame, vocab: DataFrame, max_piece_len: int = MAX_PIECE_LEN
+    docs: DataFrame, vocab: DataFrame, max_piece_len: int | None = None
 ) -> DataFrame:
     """(doc_id, n_wp_tokens) under a trained WordPiece vocab — corpus side
     is explode + vocab equi-join, the ``bpe_token_counts`` shape."""
