@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 
 MAX_PIECE_LEN = 8
 
+# Relative slack for the double-precision score prefilter in
+# ``wordpiece_train``. The true score is the exact rational cnt/den; the
+# distributed plan computes it in float64, whose accumulated relative
+# rounding error is < 4·2⁻⁵³ ≈ 4.5e-16, so any pair whose TRUE score ties
+# the max has a double score within this band of the double max. 1e-9 is
+# seven orders of magnitude of headroom; the driver finish re-compares the
+# survivors exactly, so a too-wide band costs candidates, never correctness.
+_SCORE_EPS = 1e-9
+
 
 def wordpiece_vocab(
     wf: DataFrame, vocab_size: int = 1000, max_piece_len: int = MAX_PIECE_LEN
@@ -76,6 +85,115 @@ def wordpiece_vocab(
     return top.unionByName(char_rows).groupBy("piece").agg(F.max("cnt").alias("cnt"))
 
 
+def wordpiece_train(
+    wf: DataFrame, n_merges: int, min_pair_freq: int = 2, ckpt_every: int = 4
+) -> list[tuple[str, str]]:
+    """Distributed likelihood-scored WordPiece merge training — the
+    ``bpe_train`` shape (per-round vocab-sized aggs, lazy merge folds,
+    periodic ``localCheckpoint``) under the BERT trainer rule
+
+        score(a, b) = count(ab) / (count(a) · count(b))
+
+    so vocabularies past ``wordpiece_train_local``'s driver gate train
+    without ever collecting the vocab. Exact-equal to the local trainer by
+    construction (equality-gated in tests, the ``bpe_train`` discipline).
+
+    Per round, two bounded jobs over the vocab-sized (word, freq, syms)
+    frame:
+
+    1. adjacent-pair counts AND symbol counts (both vocab-keyed aggs,
+       map-side combined) join into (a, b, cnt, den=scnt(a)·scnt(b),
+       score=cnt/den); den is DECIMAL(38,0) — bigint·bigint would overflow
+       at ~3e9 total corpus tokens — and the max double score is taken.
+    2. every pair within ``_SCORE_EPS`` relative of that max is collected
+       (the tied-at-max class plus float-rounding neighbours; bounded by
+       the tie class, typically a handful of rows).
+
+    The driver then re-compares the survivors EXACTLY — Fraction(cnt, den)
+    cross-multiplication, ties on (higher cnt, then lexicographically
+    smallest pair) — the same argmax rule as the local trainer, so no
+    float-ordering ambiguity can leak into the merge list. Symbol counts
+    are per-round recomputed from the checkpointed frame (they change with
+    every merge), so no stale state is carried."""
+    vocab = wf.select(
+        "word", "freq", F.split("word", "").alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    pending = 0  # lazy folds since the last plan truncation
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.element_at(F.col("syms"), i + 1).alias("a"),
+                                F.element_at(F.col("syms"), i + 2).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .filter(F.col("cnt") >= min_pair_freq)
+        )
+        symc = (
+            vocab.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").cast("decimal(19,0)").alias("scnt"))
+        )
+        sa = symc.select(F.col("s").alias("a"), F.col("scnt").alias("scnt_a"))
+        sb = symc.select(F.col("s").alias("b"), F.col("scnt").alias("scnt_b"))
+        scored = (
+            pairs.join(F.broadcast(sa), "a")
+            .join(F.broadcast(sb), "b")
+            .select(
+                "a",
+                "b",
+                "cnt",
+                (F.col("scnt_a") * F.col("scnt_b")).alias("den"),
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("scnt_a") * F.col("scnt_b")).cast("double")
+                ).alias("score"),
+            )
+            .persist()
+        )
+        try:
+            m = scored.agg(F.max("score").alias("m")).collect()[0]["m"]
+            if m is None:
+                break
+            cands = scored.filter(
+                F.col("score") >= F.lit(m * (1 - _SCORE_EPS))
+            ).collect()
+        finally:
+            scored.unpersist()
+        from fractions import Fraction
+
+        best, best_key = None, None
+        for r in cands:
+            key = (Fraction(int(r["cnt"]), int(r["den"])), int(r["cnt"]))
+            p = (r["a"], r["b"])
+            if best is None or key > best_key or (key == best_key and p < best):
+                best, best_key = p, key
+        if best is None:
+            break
+        a, b = best
+        merges.append((a, b))
+        from pulsar_replay_spark.operators.bpe import _merge_fold
+
+        vocab = vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        pending += 1
+        if pending >= ckpt_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
+    return merges
+
+
 def wordpiece_train_local(
     wf: DataFrame,
     n_merges: int,
@@ -107,7 +225,7 @@ def wordpiece_train_local(
     if n_rows > max_vocab_rows:
         raise ValueError(
             f"vocab has {n_rows} rows > max_vocab_rows={max_vocab_rows}; "
-            "reduce the vocab (min_freq) or raise the gate"
+            "use the distributed wordpiece_train (or raise the gate)"
         )
     rows = wf.select("word", "freq").collect()
     syms = [list(r["word"]) for r in rows]
