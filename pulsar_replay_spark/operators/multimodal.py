@@ -186,26 +186,34 @@ def parse_media_headers(media: DataFrame) -> DataFrame:
                         end = min(pos + sz, len(b))
                         while inner + 8 <= end:
                             isz, ihdr = box_size(b, inner, end)
+                            # malformed/truncated box (incl. a truncated
+                            # largesize header) stops the scan BEFORE any
+                            # body read — same clean-break posture as the
+                            # outer walk, never the exception handler
+                            if isz < ihdr:
+                                break
                             if b[inner + 4 : inner + 8] == b"mvhd":
                                 body = inner + ihdr
-                                ver = b[body]
-                                if ver == 0 and body + 20 <= len(b):
-                                    ts, dur = struct.unpack(
-                                        ">II", b[body + 12 : body + 20]
-                                    )
-                                elif ver == 1 and body + 32 <= len(b):
-                                    ts = struct.unpack(
-                                        ">I", b[body + 20 : body + 24]
-                                    )[0]
-                                    dur = struct.unpack(
-                                        ">Q", b[body + 24 : body + 32]
-                                    )[0]
-                                else:
-                                    ts = 0
+                                # field reads are bounded by the mvhd box's
+                                # own end, not len(b): a too-small declared
+                                # size must not read sibling-box bytes
+                                bend = min(inner + isz, end)
+                                ts = 0
+                                if body < bend:
+                                    ver = b[body]
+                                    if ver == 0 and body + 20 <= bend:
+                                        ts, dur = struct.unpack(
+                                            ">II", b[body + 12 : body + 20]
+                                        )
+                                    elif ver == 1 and body + 32 <= bend:
+                                        ts = struct.unpack(
+                                            ">I", b[body + 20 : body + 24]
+                                        )[0]
+                                        dur = struct.unpack(
+                                            ">Q", b[body + 24 : body + 32]
+                                        )[0]
                                 if ts:
                                     out["duration_ms"] = int(dur * 1000 // ts)
-                            if isz < ihdr:  # malformed/truncated — stop
-                                break
                             inner += isz
                     if sz < hdr:
                         break

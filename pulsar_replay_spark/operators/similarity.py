@@ -817,8 +817,9 @@ def nearest_cells(
             .select("vec_id", (-F.col("m.negc")).alias("cell_id"))
         )
 
+    import functools
+
     import numpy as np
-    import pandas as pd
 
     rows = cents.select("cell_id", "centroid").orderBy("cell_id").collect()
     cell_ids = np.array([r["cell_id"] for r in rows], dtype="int64")
@@ -829,37 +830,44 @@ def nearest_cells(
     for d in range(dim):
         c_acc += C[:, d] * C[:, d]
     c_norm = np.sqrt(c_acc)
-    CHUNK = 4096
 
-    def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:  # Arrow may emit zero-row batches; np.stack raises
-                continue
-            V = np.stack(
-                [np.asarray(v, dtype="float64") for v in pdf["embedding"]]
-            )
-            v_acc = np.zeros(len(V))
-            for d in range(dim):
-                v_acc += V[:, d] * V[:, d]
-            v_norm = np.sqrt(v_acc)
-            best_sim = np.full(len(V), -np.inf)
-            best_cell = np.zeros(len(V), dtype="int64")
-            for lo in range(0, len(cell_ids), CHUNK):
-                Cc, cn = C[lo : lo + CHUNK], c_norm[lo : lo + CHUNK]
-                acc = np.zeros((len(V), len(Cc)))
-                for d in range(dim):
-                    acc += V[:, d : d + 1] * Cc[None, :, d]
-                sims = acc / (v_norm[:, None] * cn[None, :])
-                arg = np.argmax(sims, axis=1)  # first max = lowest cell_id
-                chunk_best = sims[np.arange(len(V)), arg]
-                upd = chunk_best > best_sim  # strict: earlier chunk keeps ties
-                best_sim[upd] = chunk_best[upd]
-                best_cell[upd] = cell_ids[lo + arg[upd]]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell_id": best_cell})
-
+    run = functools.partial(
+        _nearest_cells_batches, cell_ids=cell_ids, C=C, c_norm=c_norm, dim=dim
+    )
     return embeddings.select("vec_id", "embedding").mapInPandas(
         run, schema="vec_id long, cell_id long"
     )
+
+
+def _nearest_cells_batches(batches, *, cell_ids, C, c_norm, dim, chunk=4096):
+    """Arrow-batch fold behind ``nearest_cells(impl="arrow")`` — module-level
+    (not a closure) so the zero-row-batch guard and the sequential-fold
+    numerics are unit-testable without a Spark job."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf) == 0:  # Arrow may emit zero-row batches; np.stack raises
+            continue
+        V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+        v_acc = np.zeros(len(V))
+        for d in range(dim):
+            v_acc += V[:, d] * V[:, d]
+        v_norm = np.sqrt(v_acc)
+        best_sim = np.full(len(V), -np.inf)
+        best_cell = np.zeros(len(V), dtype="int64")
+        for lo in range(0, len(cell_ids), chunk):
+            Cc, cn = C[lo : lo + chunk], c_norm[lo : lo + chunk]
+            acc = np.zeros((len(V), len(Cc)))
+            for d in range(dim):
+                acc += V[:, d : d + 1] * Cc[None, :, d]
+            sims = acc / (v_norm[:, None] * cn[None, :])
+            arg = np.argmax(sims, axis=1)  # first max = lowest cell_id
+            chunk_best = sims[np.arange(len(V)), arg]
+            upd = chunk_best > best_sim  # strict: earlier chunk keeps ties
+            best_sim[upd] = chunk_best[upd]
+            best_cell[upd] = cell_ids[lo + arg[upd]]
+        yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell_id": best_cell})
 
 
 def semdedup_cells(n: int, target_cell: int = 256) -> int:

@@ -282,3 +282,70 @@ def test_parse_media_headers_fixture_payloads_degrade_cleanly(spark, documents):
     got = parse_media_headers(media)
     assert got.count() == media.count()
     assert got.filter("parse_ok").count() == 0
+
+
+def test_parse_media_headers_mp4_spec_edges(spark):
+    """Regression pins for the r5 MP4 box-walk fixes plus the r6 ADVICE
+    hardening, against hand-crafted spec-edge payloads:
+
+    - a moov carried in a 64-bit ``largesize`` box (size==1) holding a
+      VERSION-1 mvhd (64-bit duration), preceded by a sibling ``free`` box,
+      followed by a size==0 to-EOF trailer box — duration must be exact;
+    - a TRUNCATED largesize header inside moov — the walk must stop cleanly
+      (parse_ok stays true, duration null), not trip the exception handler;
+    - an mvhd whose declared size is too small for its fields, followed by
+      sibling bytes that would fake a plausible timescale/duration — the
+      reads are bounded by the box end, so duration must stay null;
+    - a NULL payload row — parse_ok false, the job survives.
+    """
+    import struct
+
+    from pulsar_replay_spark.operators.multimodal import parse_media_headers
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+
+    # 1: largesize moov + free sibling + v1 mvhd + size==0 trailer
+    mvhd_v1 = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, 1000, 1000 * 120)
+    mvhd_box = struct.pack(">I", 8 + len(mvhd_v1)) + b"mvhd" + mvhd_v1
+    free = struct.pack(">I", 12) + b"free" + b"\x00" * 4
+    moov_body = free + mvhd_box
+    moov = (
+        struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 16 + len(moov_body))
+        + moov_body
+    )
+    trailer = struct.pack(">I", 0) + b"mdat" + b"\x00" * 20  # size==0: to EOF
+    mp4_large = ftyp + moov + trailer
+
+    # 2: truncated largesize header (claims 64-bit size, payload ends first)
+    trunc_inner = struct.pack(">I", 1) + b"mvhd" + b"\x00\x00"
+    moov_trunc = struct.pack(">I", 8 + len(trunc_inner)) + b"moov" + trunc_inner
+    mp4_trunc = ftyp + moov_trunc
+
+    # 3: mvhd declares size 12 (no room for fields); the next sibling's bytes
+    # would decode as timescale=600, duration=600*90 if bounds leaked
+    small_mvhd = struct.pack(">I", 12) + b"mvhd" + b"\x00\x00\x00\x00"
+    fake_sib = (
+        struct.pack(">I", 28)
+        + b"free"
+        + struct.pack(">IIII", 0, 0, 600, 600 * 90)
+        + b"xxxx"
+    )
+    body3 = small_mvhd + fake_sib
+    mp4_small = ftyp + struct.pack(">I", 8 + len(body3)) + b"moov" + body3
+
+    rows = [(1, mp4_large), (2, mp4_trunc), (3, mp4_small), (4, None)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in parse_media_headers(media).collect()}
+
+    assert got[1]["container"] == "mp4" and got[1]["parse_ok"]
+    assert got[1]["duration_ms"] == 120_000
+
+    assert got[2]["container"] == "mp4" and got[2]["parse_ok"]
+    assert got[2]["duration_ms"] is None
+
+    assert got[3]["container"] == "mp4" and got[3]["parse_ok"]
+    assert got[3]["duration_ms"] is None
+
+    assert not got[4]["parse_ok"] and got[4]["container"] is None

@@ -351,3 +351,32 @@ def test_lsh_signatures_arrow_bitwise_equals_jvm(spark, embeddings):
         for r in similarity.lsh_signatures(embeddings, "jvm").collect()
     }
     assert a == j
+
+
+def test_nearest_cells_batch_fold_skips_zero_row_batches(spark):
+    """Regression pin for the r5 empty-Arrow-batch guard: the batch fold
+    behind nearest_cells(impl="arrow") must skip zero-row frames (np.stack
+    raises on an empty sequence) and still assign every real row — exercised
+    at the unit level because Spark plans in this environment never emit the
+    zero-row batches Arrow permits."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_replay_spark.operators.similarity import _nearest_cells_batches
+
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])
+    cell_ids = np.array([0, 1], dtype="int64")
+    c_norm = np.sqrt((C * C).sum(axis=1))
+    full = pd.DataFrame(
+        {"vec_id": [7, 8], "embedding": [[2.0, 0.1], [0.1, 3.0]]}
+    )
+    empty = full.iloc[0:0]
+
+    out = list(
+        _nearest_cells_batches(
+            [empty, full, empty], cell_ids=cell_ids, C=C, c_norm=c_norm, dim=2
+        )
+    )
+    assert len(out) == 1  # both zero-row frames skipped, no exception
+    got = dict(zip(out[0]["vec_id"], out[0]["cell_id"]))
+    assert got == {7: 0, 8: 1}
