@@ -70,16 +70,34 @@ def main() -> None:
     # the JSON line always prints (round-2 lesson: an events-schema shift in
     # the warm-up zeroed the entire BENCH file).
     times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
 
-    def timed(name: str, thunk) -> None:
-        t0 = time.perf_counter()
-        try:
-            thunk()
-        except Exception as e:  # noqa: BLE001 — survive any one query
-            errors[name] = f"{type(e).__name__}: {e}"[:400]
-            return
-        times[name] = round(time.perf_counter() - t0, 3)
+    # ≥3 reps per timed query with per-query median/min/max (r4+r5 verdicts:
+    # two rounds of single-rep phantom ±10-20% deltas on untouched code —
+    # medians make round-over-round deltas attributable). `times` carries the
+    # MEDIAN so the headline total and the driver's flat view stay scalar.
+    reps_default = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def timed(name: str, thunk, reps: int | None = None) -> None:
+        import statistics
+
+        samples: list[float] = []
+        for _ in range(reps_default if reps is None else reps):
+            t0 = time.perf_counter()
+            try:
+                thunk()
+            except Exception as e:  # noqa: BLE001 — survive any one query
+                errors[name] = f"{type(e).__name__}: {e}"[:400]
+                return
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
+        spread[name] = {
+            "median": times[name],
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+            "reps": len(samples),
+        }
 
     # Warm the JVM/codegen once on a cheap query so timings measure the
     # queries, not session startup.
@@ -230,6 +248,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_spread": spread,
         "index_build": index_build,
         "llm_ops": llm_ops,
         "throughput": throughput,

@@ -34,5 +34,13 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark):
     assert "q1_pricing_summary" in d.get("errors", {}), d
     assert "deliberately broken" in d["errors"]["q1_pricing_summary"]
     assert "doc_profile" in d["queries"] and d["queries"]["doc_profile"] > 0
+    # noise-proofing (r5 verdict): ≥3 reps with median/min/max per query, the
+    # scalar `queries` value IS the median, total sums the medians
+    sp = d["query_spread"]["doc_profile"]
+    assert sp["reps"] >= 3
+    assert sp["min"] <= sp["median"] <= sp["max"]
+    assert d["queries"]["doc_profile"] == sp["median"]
+    assert d["value"] == round(sum(d["queries"].values()), 3)
+    assert "q1_pricing_summary" not in d["query_spread"]  # failed: no spread
     # throughput/index sections still present despite the failure
     assert "generator_msgs_per_sec" in d["throughput"]
