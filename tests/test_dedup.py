@@ -133,6 +133,19 @@ def test_connected_components_matches_union_find(spark, documents):
     ]
 
 
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """Pointer jumping must collapse a DEEP chain in O(log diameter) rounds:
+    a 200-vertex path converges inside max_iter=12 (log2(200) ~ 8 + slack)
+    where plain min-label propagation needs ~200 rounds. Forced past the
+    small-graph gate so the distributed loop is the path under test."""
+    edges = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = dedup.connected_components(pairs, max_iter=12, small_graph_edges=0)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
 def test_near_dup_clusters_end_to_end(spark, documents):
     out = dedup.near_dup_clusters(documents).collect()
     assert all(r["n_docs"] >= 2 and r["keep_doc_id"] == r["cluster_id"] for r in out)
