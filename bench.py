@@ -186,6 +186,19 @@ def main() -> None:
         bpe.bpe_train_local(bpe.word_freqs(docs), 20)
         llm_ops["bpe_train_local_20_merges"] = round(time.perf_counter() - t0, 3)
 
+        # WordPiece trainers (likelihood-scored): distributed + gated local,
+        # equality-gated pair like the BPE rows above
+        from pulsar_replay_spark.operators import wordpiece
+
+        t0 = time.perf_counter()
+        wordpiece.wordpiece_train(bpe.word_freqs(docs), 20)
+        llm_ops["wordpiece_train_20_merges"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        wordpiece.wordpiece_train_local(bpe.word_freqs(docs), 20)
+        llm_ops["wordpiece_train_local_20_merges"] = round(
+            time.perf_counter() - t0, 3
+        )
+
         from pulsar_replay_spark.operators import quality, similarity
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -207,6 +220,11 @@ def main() -> None:
         t0 = time.perf_counter()
         um = unigram.unigram_train(wf, vocab_size=200, n_iters=2)
         llm_ops["unigram_train_v200"] = round(time.perf_counter() - t0, 3)
+        # the driver-side EM twin (bit-equal, gated) — the production path
+        # for vocabularies under the gate, same split as bpe_train_local
+        t0 = time.perf_counter()
+        unigram.unigram_train_local(wf, vocab_size=200, n_iters=2)
+        llm_ops["unigram_train_local_v200"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         _noop_write(unigram.unigram_token_counts(docs, um))
         llm_ops["unigram_token_counts"] = round(time.perf_counter() - t0, 3)

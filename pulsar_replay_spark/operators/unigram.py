@@ -176,6 +176,80 @@ def unigram_train(
     return model
 
 
+def unigram_train_local(
+    wf: DataFrame,
+    vocab_size: int,
+    n_iters: int = 3,
+    seed_mult: int = 4,
+    prune_frac: float = 0.25,
+    max_piece_len: int = 8,
+    max_vocab_rows: int = 5_000_000,
+) -> DataFrame:
+    """Driver-side exact twin of ``unigram_train`` — the ``bpe_train_local``
+    precedent applied to the EM trainer: unigram state is VOCAB-sized (the
+    corpus was already reduced to (word, freq) by the one distributed pass),
+    so under the explicit ``max_vocab_rows`` gate the optimal execution is
+    one collect + in-memory EM rounds instead of one Spark job per round.
+
+    Exact-equal to the distributed trainer by construction (equality-gated
+    in tests): the same ``_viterbi`` E-step, the same (cnt desc, piece asc)
+    prune cuts, and the same ``log(cnt / float(total))`` float op sequence,
+    so logp values are bit-identical, not merely close. Returns the same
+    (piece, logp) DataFrame artifact; ``unigram_train`` remains the path for
+    vocabularies past the gate."""
+    from collections import Counter
+
+    n_rows = wf.count()
+    if n_rows > max_vocab_rows:
+        raise ValueError(
+            f"vocab has {n_rows} rows > max_vocab_rows={max_vocab_rows}; "
+            "use the distributed unigram_train (or raise the gate)"
+        )
+    words = [(r["word"], int(r["freq"])) for r in wf.select("word", "freq").collect()]
+
+    # seed: freq-weighted substring counts; top multi-char + every char
+    counts: Counter = Counter()
+    for w, f in words:
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_piece_len) + 1):
+                counts[w[i : j]] += f
+    seeded = dict(
+        sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: vocab_size * seed_mult]
+    )
+    seeded.update({p: c for p, c in counts.items() if len(p) == 1})
+    total = sum(seeded.values())
+    logp = {p: math.log(c / float(total)) for p, c in seeded.items()}
+
+    for it in range(n_iters):
+        max_len = max((len(p) for p in logp), default=1)
+        cnt: Counter = Counter()
+        for w, f in words:
+            for piece in _viterbi(w, logp, max_len):
+                cnt[piece] += f
+        n_multi = sum(1 for p in cnt if len(p) > 1)
+        keep_multi = (
+            max(vocab_size, int(n_multi * (1.0 - prune_frac)))
+            if it < n_iters - 1
+            else vocab_size
+        )
+        kept = dict(
+            sorted(
+                ((p, c) for p, c in cnt.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:keep_multi]
+        )
+        kept.update({p: c for p, c in cnt.items() if len(p) == 1})
+        total = sum(kept.values())
+        logp = {p: math.log(c / float(total)) for p, c in kept.items()}
+
+    return wf.sparkSession.createDataFrame(
+        sorted(logp.items()), "piece string, logp double"
+    )
+
+
 def unigram_token_counts(docs: DataFrame, model: DataFrame) -> DataFrame:
     """(doc_id, n_pieces) under a trained model — corpus explodes to
     (doc_id, word) and equi-joins the segmented VOCAB on the word

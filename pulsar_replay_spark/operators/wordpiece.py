@@ -98,16 +98,18 @@ def wordpiece_train(
     without ever collecting the vocab. Exact-equal to the local trainer by
     construction (equality-gated in tests, the ``bpe_train`` discipline).
 
-    Per round, two bounded jobs over the vocab-sized (word, freq, syms)
-    frame:
-
-    1. adjacent-pair counts AND symbol counts (both vocab-keyed aggs,
-       map-side combined) join into (a, b, cnt, den=scnt(a)·scnt(b),
-       score=cnt/den); den is DECIMAL(38,0) — bigint·bigint would overflow
-       at ~3e9 total corpus tokens — and the max double score is taken.
-    2. every pair within ``_SCORE_EPS`` relative of that max is collected
-       (the tied-at-max class plus float-rounding neighbours; bounded by
-       the tie class, typically a handful of rows).
+    Per round, ONE bounded job over the vocab-sized (word, freq, syms)
+    frame: adjacent-pair counts AND symbol counts (both vocab-keyed aggs,
+    map-side combined) join into (a, b, cnt, den=scnt(a)·scnt(b),
+    score=cnt/den) — den is DECIMAL(38,0) because bigint·bigint would
+    overflow at ~3e9 total corpus tokens — and the top-K rows by double
+    score collect via TakeOrderedAndProject (K=128, the ``bpe_train``
+    argmax posture). Every collected row within ``_SCORE_EPS`` relative of
+    the top score is a candidate; since float rounding is ≲4.5e-16
+    relative, the true-max tie class always lands inside that band, and if
+    the band fills all K rows (a mass tie spilling past the cut) the round
+    falls back to an exact epsilon-filter collect — candidates can be
+    missed by the cut, never by the band.
 
     The driver then re-compares the survivors EXACTLY — Fraction(cnt, den)
     cross-multiplication, ties on (higher cnt, then lexicographically
@@ -161,17 +163,20 @@ def wordpiece_train(
                     / (F.col("scnt_a") * F.col("scnt_b")).cast("double")
                 ).alias("score"),
             )
-            .persist()
         )
-        try:
-            m = scored.agg(F.max("score").alias("m")).collect()[0]["m"]
-            if m is None:
-                break
+        top_k = 128
+        top = scored.orderBy(
+            F.desc("score"), F.desc("cnt"), "a", "b"
+        ).limit(top_k).collect()
+        if not top:
+            break
+        m = top[0]["score"]
+        cands = [r for r in top if r["score"] >= m * (1 - _SCORE_EPS)]
+        if len(cands) == top_k:
+            # mass tie spilling past the cut: exact epsilon filter (rare)
             cands = scored.filter(
                 F.col("score") >= F.lit(m * (1 - _SCORE_EPS))
             ).collect()
-        finally:
-            scored.unpersist()
         from fractions import Fraction
 
         best, best_key = None, None

@@ -197,3 +197,24 @@ def test_tokenizer_report_with_wordpiece_column(spark, documents, wf, model):
     for src, row in rep.items():
         assert row["wordpiece_tokens"] == per_src[src]
         assert row["wordpiece_fertility"] >= 1.0
+
+
+def test_local_trainer_bit_equals_distributed(spark, documents):
+    """unigram_train_local must return the IDENTICAL (piece, logp) artifact
+    as the distributed EM — same seed cut, same Viterbi E-step, same prune
+    tie-breaks, same float op sequence (bit equality, not tolerance) — and
+    raise past its vocab gate, where the distributed trainer remains the
+    path (the bpe_train_local precedent)."""
+    import pytest as _pytest
+
+    from pulsar_replay_spark.operators import bpe
+
+    wf = bpe.word_freqs(documents).localCheckpoint(eager=True)
+    dist = unigram.unigram_train(wf, vocab_size=150, n_iters=2)
+    local = unigram.unigram_train_local(wf, vocab_size=150, n_iters=2)
+    d = sorted(map(tuple, dist.collect()))
+    l = sorted(map(tuple, local.collect()))
+    assert l == d  # exact, including every logp bit
+
+    with _pytest.raises(ValueError, match="unigram_train"):
+        unigram.unigram_train_local(wf, 50, max_vocab_rows=10)
