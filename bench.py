@@ -24,9 +24,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     # r4: q5_region_revenue rotated out of the contract (pack_sequences in);
-    # q3/q10 keep the broadcast-dim-join shape in the headline
+    # r6: q10 rotated out (simhash_near_pairs in) — q3 keeps the broadcast-
+    # dim-join shape in the headline, simhash joins the dedup family below
     "pack_sequences",
-    "q10_returned_item_customers",
+    "simhash_near_pairs",
     "window_analytics",
     "asof_latest_order",
     "doc_profile",

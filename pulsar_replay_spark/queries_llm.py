@@ -463,8 +463,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 SIMHASH_PAIRS_ORACLE = _simhash_pairs_sql()
 
 
-# Not registered (contract full): the Manku banded hamming<=3 pair operator,
-# oracle-gated in pytest + parity --extras (x_simhash_pairs).
+# r6 rotation: the Manku banded hamming<=3 pair operator joined the contract
+# (q10's triply-covered dim-join slot ceded) — hamming-band near-dedup is a
+# capability the driver gate should see directly.
+@register("simhash_near_pairs", SIMHASH_PAIRS_ORACLE)
 def q_simhash_near_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 

@@ -509,9 +509,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 # customer→nation dimension chain. Fact⋈fact shuffles once on the orderkey;
 # customer/nation broadcast.
 # ---------------------------------------------------------------------------
-@register(
-    "q10_returned_item_customers",
-    """
+Q10_ORACLE = """
 SELECT c_custkey, c_name, n_name,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer
@@ -522,8 +520,13 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
-""",
-)
+"""
+
+
+# Not registered since r6: q10 ceded its contract slot to simhash_near_pairs
+# (the broadcast-dim-join shape stays contract-covered by q3 and benched by
+# both); q10 remains oracle-gated via test_oracle_parity.py + parity
+# --extras (x_q10).
 def q10_returned_item_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")

@@ -83,6 +83,21 @@ def test_unregistered_q5_matches_oracle(spark, duck):
     assert not problems, f"q5: {problems}"
 
 
+def test_unregistered_q10_matches_oracle(spark, duck):
+    """q10 lost its contract slot to simhash_near_pairs in r6 (broadcast-
+    dim-join shape still contract-covered by q3, still benched) but stays
+    part of the engine surface — same oracle gate, pytest-side."""
+    from pulsar_replay_spark.queries_relational import (
+        Q10_ORACLE,
+        q10_returned_item_customers,
+    )
+
+    sdf = q10_returned_item_customers(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(Q10_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"q10: {problems}"
+
+
 @pytest.mark.parametrize(
     "qname",
     ["q6", "q7", "q8", "q9", "q11", "q12", "q13", "q15", "q16", "q20", "q21"],

@@ -107,8 +107,8 @@ def extra_oracles() -> dict:
     from pulsar_replay_spark import queries_temporal as qt
 
     return {
-        "x_simhash_pairs": (ql.q_simhash_near_pairs, ql.SIMHASH_PAIRS_ORACLE),
         "x_q5": (qr.q5_region_revenue, qr.Q5_ORACLE),
+        "x_q10": (qr.q10_returned_item_customers, qr.Q10_ORACLE),
         "x_q6": (qr.q6_forecast_revenue, qr.Q6_ORACLE),
         "x_q7": (qr.q7_volume_shipping, qr.Q7_ORACLE),
         "x_q8": (qr.q8_market_share, qr.Q8_ORACLE),
