@@ -328,6 +328,26 @@ def incremental_simhash_pairs(
     return pairs, new_sigs
 
 
+def compact_simhash_store(
+    store: DataFrame, retain_docs: DataFrame | None = None
+) -> DataFrame:
+    """Lifecycle op for the (doc_id, simhash) store ``incremental_simhash_pairs``
+    grows: DISTINCT rows (a re-ingested unchanged document contributes an
+    exact duplicate — signatures are deterministic expressions) plus an
+    optional EXPIRY semi-join against ``retain_docs`` so deleted/aged-out
+    corpus members stop colliding with future batches. Probing against the
+    compacted store equals probing the original restricted to retained docs
+    (pinned in tests). A document re-ingested with EDITED text is an
+    upsert, not a duplicate — route those through the CDC store
+    (``streaming.pipelines.cdc_apply_sink``), then rebuild its signature;
+    this op never guesses a winner between two different signatures for
+    one doc_id."""
+    out = store.select("doc_id", "simhash").distinct()
+    if retain_docs is not None:
+        out = out.join(retain_docs.select("doc_id").distinct(), "doc_id", "semi")
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, max_shingle_df: int | None = None
 ) -> DataFrame:

@@ -584,6 +584,44 @@ def rollup_compact(spark: SparkSession, rollup_dir: str, compact_dir: str) -> No
     merged.write.mode("overwrite").partitionBy("batch_id").parquet(compact_dir)
 
 
+def dedup_index_compact(
+    spark: SparkSession,
+    index_dir: str,
+    compact_dir: str,
+    retain_docs: DataFrame | None = None,
+) -> None:
+    """Fold the batch_id-partitioned LSH band-bucket index grown by
+    ``incremental_dedup_sink`` into one batch_id=-1 partition — the
+    ``rollup_compact``/``cdc_compact`` lifecycle discipline applied to the
+    dedup family, closing the store's unbounded-growth gap.
+
+    Semantics: DISTINCT (doc_id, band, band_key) — a re-ingested document's
+    identical bucket rows collapse (signatures are deterministic, so rows
+    can only be exact duplicates) — then an optional EXPIRY semi-join
+    against ``retain_docs`` (doc_id): documents deleted or aged out of the
+    corpus stop colliding with future batches. Probing a new batch against
+    the compacted store returns exactly the pairs of the uncompacted store
+    restricted to retained docs (equality pinned in tests).
+
+    Run on the slow path when the partition count grows: one partition
+    instead of one per micro-batch bounds file count, distinct+expiry bound
+    store size. At 100 TB the job is one shuffle of the compact index
+    relation, never the corpus."""
+    idx = (
+        spark.read.parquet(index_dir)
+        .select("doc_id", "band", "band_key")
+        .distinct()
+    )
+    if retain_docs is not None:
+        idx = idx.join(retain_docs.select("doc_id").distinct(), "doc_id", "semi")
+    (
+        idx.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(compact_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming CDC apply (merge-on-read): the change-feed twin of the rollup
 # sink. Micro-batches of upsert/delete changes land as idempotent batch_id

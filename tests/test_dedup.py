@@ -346,3 +346,47 @@ def test_incremental_simhash_equals_full_recompute(spark, documents):
     assert sorted(map(tuple, updated.collect())) == sorted(
         map(tuple, dedup.simhash(documents).collect())
     )
+
+
+def test_compact_simhash_store_preserves_probe_and_expires(spark, documents):
+    """Store lifecycle (r6): after duplicate-appending the store (simulating
+    an unchanged re-ingest), compaction must restore the exact row set, the
+    incremental probe against the compacted store must equal the probe
+    against the original, and expiry must remove exactly the pairs touching
+    expired docs."""
+    old = documents.filter(F.col("doc_id") % 3 != 0)
+    new = documents.filter(F.col("doc_id") % 3 == 0)
+    store = dedup.simhash(old).localCheckpoint(eager=True)
+
+    # unchanged re-ingest: exact duplicate rows accumulate
+    grown = store.unionAll(store.limit(40)).localCheckpoint(eager=True)
+    compacted = dedup.compact_simhash_store(grown).localCheckpoint(eager=True)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, store.collect())
+    )
+
+    base_pairs = {
+        tuple(r) for r in dedup.incremental_simhash_pairs(new, store)[0].collect()
+    }
+    comp_pairs = {
+        tuple(r)
+        for r in dedup.incremental_simhash_pairs(new, compacted)[0].collect()
+    }
+    assert comp_pairs == base_pairs
+
+    # expiry: retain only half the old docs; pairs touching expired docs
+    # vanish, every other pair survives unchanged
+    retain = old.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    retained_ids = {r["doc_id"] for r in retain.collect()}
+    expired = dedup.compact_simhash_store(grown, retain_docs=retain)
+    exp_pairs = {
+        tuple(r)
+        for r in dedup.incremental_simhash_pairs(new, expired)[0].collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert exp_pairs == {
+        (a, b, h)
+        for (a, b, h) in base_pairs
+        if (a in new_ids or a in retained_ids)
+        and (b in new_ids or b in retained_ids)
+    }

@@ -543,3 +543,57 @@ def test_read_parquet_or_empty_distinguishes_missing_from_broken(spark, tmp_path
     (broken / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
         pipelines.read_parquet_or_empty(spark, str(broken), schema).collect()
+
+
+def test_dedup_index_compact_preserves_probe_and_expires(spark, tmp_path_factory):
+    """Store lifecycle (r6): compacting the micro-batch-partitioned LSH
+    index into one batch_id=-1 partition must leave any new batch's probe
+    result IDENTICAL, collapse duplicate rows from an unchanged re-ingest,
+    and expire documents via retain_docs so their cross pairs disappear."""
+    from pulsar_replay_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0").localCheckpoint(eager=True)
+
+    # grow the store as two batch partitions + a duplicate re-ingest of one
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    b0 = dedup.minhash_band_buckets(old.filter("doc_id % 2 = 0"))
+    b1 = dedup.minhash_band_buckets(old.filter("doc_id % 2 != 0"))
+    for bid, b in ((0, b0), (1, b1), (2, b0.limit(50))):
+        (
+            b.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    def probe(idx_dir):
+        idx = spark.read.parquet(idx_dir).select("doc_id", "band", "band_key")
+        return {
+            (r.doc_a, r.doc_b)
+            for r in dedup.incremental_minhash_pairs(new, idx)[0].collect()
+        }
+
+    base = probe(index_dir)
+
+    compact_dir = str(tmp_path_factory.mktemp("idx_compact"))
+    pipelines.dedup_index_compact(spark, index_dir, compact_dir)
+    cidx = spark.read.parquet(compact_dir)
+    assert cidx.select("batch_id").distinct().collect()[0][0] == -1
+    # duplicates collapsed: exactly the distinct index of `old`
+    assert cidx.count() == dedup.minhash_band_buckets(old).count()
+    assert probe(compact_dir) == base
+
+    # expiry: retain only even doc_ids; pairs to expired docs vanish
+    retain = old.filter("doc_id % 2 = 0").select("doc_id")
+    retained = {r.doc_id for r in retain.collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    exp_dir = str(tmp_path_factory.mktemp("idx_exp"))
+    pipelines.dedup_index_compact(spark, index_dir, exp_dir, retain_docs=retain)
+    assert probe(exp_dir) == {
+        (a, b)
+        for (a, b) in base
+        if (a in new_ids or a in retained) and (b in new_ids or b in retained)
+    }
