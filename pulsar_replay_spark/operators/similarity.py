@@ -890,6 +890,7 @@ def semantic_dedup(
     threshold: float = 0.6,
     n_cells: int = N_CELLS,
     centroids: DataFrame | None = None,
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Per-vector keep/drop verdict: (vec_id, cell_id, centroid_sim, keep).
 
@@ -907,10 +908,24 @@ def semantic_dedup(
     partition. At 100 TB, pass ``n_cells=semdedup_cells(N)`` — cells must
     grow LINEARLY with the corpus to hold cell size (and so Σ cell² pair
     work) constant per vector; the √N ``ivf_params`` rule is wrong here
-    (measured N^1.5 blowup, see ``semdedup_cells``). A skewed giant cell is
-    split with the salting pattern in ``operators/skew``. Default ``centroids`` is the
+    (measured N^1.5 blowup, see ``semdedup_cells``). Default ``centroids`` is the
     deterministic seed pick (oracle-reproducible); pass ``kmeans_refine``
     output for production-quality cells — the verdict plan is unchanged.
+
+    ``block_rows``: skew lever for a DOMINANT cell (one cell holding a
+    large corpus fraction — degenerate embeddings, template spam). Plain
+    ``operators/skew`` salting can't split this scan (u and v in different
+    salt shards would never compare, changing verdicts), so the triangular
+    pair space is BLOCK-decomposed instead: each cell's members split into
+    contiguous priority-rank blocks of ``block_rows`` rows, and every
+    ordered block pair (i ≤ j) becomes its own applyInPandas task —
+    same-block tasks run the triangular scan, cross-block tasks a bipartite
+    scan. Every ordered pair lands in exactly one task and the numpy fold
+    keeps the same sequential-dim op sequence, so verdicts are BIT-identical
+    to the unblocked scan (equality-gated in tests); the giant cell's
+    O(m²·dim) straggler becomes B(B+1)/2 tasks of (m/B)² spread across
+    executors, at the cost of replicating the cell's rows B×. Cells with
+    ≤ block_rows members stay single-task. None (default): unblocked scan.
     """
     from pulsar_replay_spark.functions.vectors import dot, norm
 
@@ -995,10 +1010,90 @@ def semantic_dedup(
             }
         )
 
+    def scan_blocked(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "pair_sim": []}).astype(
+            {"vec_id": "int64", "pair_sim": "float64"}
+        )
+        bi, bj = int(pdf["_bi"].iat[0]), int(pdf["_bj"].iat[0])
+        if bi == bj:  # diagonal task: the triangular scan on this block
+            return scan(pdf[pdf["_blk"] == bi])
+        u = pdf[pdf["_blk"] == bi].sort_values(["centroid_sim", "vec_id"])
+        v = pdf[pdf["_blk"] == bj].sort_values(["centroid_sim", "vec_id"])
+        if len(u) == 0 or len(v) == 0:
+            return empty
+        # bipartite: every u (block i) precedes every v (block j>i) in the
+        # cell's total priority order, so all u×v pairs are ordered pairs.
+        # Same sequential-dim fold as `scan` — identical floats per pair.
+        Vu = np.stack([np.asarray(x, dtype="float64") for x in u["embedding"]])
+        Vv = np.stack([np.asarray(x, dtype="float64") for x in v["embedding"]])
+        dim = Vu.shape[1]
+        nu = u["v_norm"].to_numpy(dtype="float64")
+        nv = v["v_norm"].to_numpy(dtype="float64")
+        idv = v["vec_id"].to_numpy(dtype="int64")
+        out_v, out_s = [], []
+        BLOCK = 1024
+        for lo in range(0, len(Vu), BLOCK):
+            hi = min(lo + BLOCK, len(Vu))
+            acc = np.zeros((hi - lo, len(Vv)))
+            for d in range(dim):
+                acc += Vu[lo:hi, d : d + 1] * Vv[None, :, d]
+            sims = acc / (nu[lo:hi, None] * nv[None, :])
+            for i in range(hi - lo):
+                hit = np.nonzero(sims[i] >= margin)[0]
+                out_v.append(idv[hit])
+                out_s.append(sims[i][hit])
+        if not out_v:
+            return empty
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_v), "pair_sim": np.concatenate(out_s)}
+        )
+
+    if block_rows is None:
+        scanned = member.groupBy("cell_id").applyInPandas(
+            scan, schema="vec_id long, pair_sim double"
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("cell_id").orderBy("centroid_sim", "vec_id")
+        sizes = member.groupBy("cell_id").agg(F.count("*").alias("_m"))
+        # contiguous priority-rank blocks; each row replicates into its
+        # cell's B tasks (min(blk,t), max(blk,t)) — every ordered block
+        # pair (i <= j) gets block i's and block j's rows exactly once
+        ranked = (
+            member.withColumn("_rk", F.row_number().over(w) - 1)
+            .join(F.broadcast(sizes), "cell_id")
+            .withColumn(
+                "_nb", F.ceil(F.col("_m") / F.lit(block_rows)).cast("int")
+            )
+            .withColumn(
+                "_blk", F.floor(F.col("_rk") / F.lit(block_rows)).cast("int")
+            )
+        )
+        tasks = ranked.select(
+            "cell_id",
+            "vec_id",
+            "centroid_sim",
+            "embedding",
+            "v_norm",
+            "_blk",
+            F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_t"),
+        ).select(
+            "cell_id",
+            "vec_id",
+            "centroid_sim",
+            "embedding",
+            "v_norm",
+            "_blk",
+            F.least("_blk", "_t").alias("_bi"),
+            F.greatest("_blk", "_t").alias("_bj"),
+        )
+        scanned = tasks.groupBy("cell_id", "_bi", "_bj").applyInPandas(
+            scan_blocked, schema="vec_id long, pair_sim double"
+        )
+
     dropped = (
-        member.groupBy("cell_id")
-        .applyInPandas(scan, schema="vec_id long, pair_sim double")
-        .filter(F.round(F.col("pair_sim"), 6) >= threshold)
+        scanned.filter(F.round(F.col("pair_sim"), 6) >= threshold)
         .select("vec_id")
         .distinct()
         .withColumn("dropped", F.lit(True))
