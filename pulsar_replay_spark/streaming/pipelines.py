@@ -325,6 +325,61 @@ def incremental_dedup_sink(
     )
 
 
+def incremental_simhash_sink(
+    doc_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+):
+    """Streaming incremental hamming-band dedup — the ``incremental_dedup_sink``
+    shape for the SimHash family: every micro-batch signatures its own
+    documents, block-probes the persisted (doc_id, simhash) store
+    (``dedup.incremental_simhash_pairs``), emits hamming≤k pairs touching
+    the batch, and appends its signatures as an idempotent batch_id
+    partition. Same exactly-once discipline: dynamic partition overwrites,
+    the store filter excludes the current batch_id so a crash-retry never
+    probes its own half-written rows, and the store write lands AFTER the
+    probe. The store is one long per document — the most compact dedup
+    state in the engine; compact/expire it with
+    ``dedup.compact_simhash_store`` on the slow path."""
+    from pulsar_replay_spark.operators.dedup import incremental_simhash_pairs
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = (
+            read_parquet_or_empty(
+                spark, store_dir, "doc_id long, simhash long, batch_id long"
+            )
+            .where(F.col("batch_id") != batch_id)  # retry safety
+            .select("doc_id", "simhash")
+        )
+        pairs, new_sigs = incremental_simhash_pairs(
+            batch_df, store, max_hamming=max_hamming
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            new_sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 

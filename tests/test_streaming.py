@@ -597,3 +597,50 @@ def test_dedup_index_compact_preserves_probe_and_expires(spark, tmp_path_factory
         for (a, b) in base
         if (a in new_ids or a in retained) and (b in new_ids or b in retained)
     }
+
+
+def test_incremental_simhash_stream_matches_batch(spark, tmp_path_factory):
+    """Micro-batched incremental SimHash dedup must discover the SAME
+    hamming<=3 pair set as one batch recompute over the whole corpus
+    (every pair is found when its later member's batch arrives), keep the
+    signature store equal to a one-shot signing, and compact without
+    changing either."""
+    from pulsar_replay_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path_factory.mktemp("docs_stream_sh"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    store_dir = str(tmp_path_factory.mktemp("sh_store"))
+    pairs_dir = str(tmp_path_factory.mktemp("sh_pairs"))
+    q = pipelines.incremental_simhash_sink(
+        pipelines.documents_stream(spark, src),
+        store_dir,
+        pairs_dir,
+        str(tmp_path_factory.mktemp("sh_ck")),
+    )
+    q.awaitTermination()
+
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(pairs_dir).select(
+            "doc_a", "doc_b", "hamming"
+        ).collect()
+    }
+    assert got == full
+
+    # store closure: grown store == one-shot signatures of the corpus
+    store = spark.read.parquet(store_dir).select("doc_id", "simhash")
+    assert sorted(map(tuple, store.collect())) == sorted(
+        map(tuple, dedup.simhash(docs).collect())
+    )
+
+    # lifecycle: compaction leaves the store's row set unchanged
+    compacted = dedup.compact_simhash_store(store)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, store.collect())
+    )
