@@ -283,3 +283,29 @@ def test_pieces_from_merges_serve_loop(spark, documents):
         n_pieces += len(r["pieces"])
         n_chars += len(r["word"])
     assert n_pieces < n_chars  # trained merges actually compress
+
+
+def test_distributed_trainer_mass_tie_fallback_exact(spark):
+    """When >top_k pairs tie at the max score, the top-K cut can't prove it
+    saw the whole tie class and wordpiece_train must fall back to the exact
+    epsilon-filter collect — still choosing the same winner as the local
+    trainer (higher cnt, then lexicographically smallest pair). 150 words of
+    two unique symbols each -> 150 pairs all scoring 2/(2*2), spilling past
+    the 128-row cut."""
+    words = []
+    for i in range(150):
+        a, b = chr(0x4E00 + 2 * i), chr(0x4E00 + 2 * i + 1)  # unique symbols
+        words.append((a + b, 2))
+    wf = spark.createDataFrame(words, "word string, freq int").localCheckpoint(
+        eager=True
+    )
+    got = wordpiece.wordpiece_train(wf, 3)
+    assert got == wordpiece.wordpiece_train_local(wf, 3)
+    # after a merge, the merged word has one symbol (no pairs); remaining
+    # 149 still tie -> the fallback fires every round; winners are the
+    # lexicographically smallest remaining pairs in order
+    assert got == [
+        (chr(0x4E00), chr(0x4E01)),
+        (chr(0x4E02), chr(0x4E03)),
+        (chr(0x4E04), chr(0x4E05)),
+    ]
