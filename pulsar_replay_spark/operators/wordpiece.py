@@ -86,7 +86,7 @@ def wordpiece_vocab(
 
 
 def wordpiece_train(
-    wf: DataFrame, n_merges: int, min_pair_freq: int = 2, ckpt_every: int = 4
+    wf: DataFrame, n_merges: int, min_pair_freq: int = 2, ckpt_every: int = 2
 ) -> list[tuple[str, str]]:
     """Distributed likelihood-scored WordPiece merge training — the
     ``bpe_train`` shape (per-round vocab-sized aggs, lazy merge folds,
@@ -116,7 +116,13 @@ def wordpiece_train(
     smallest pair) — the same argmax rule as the local trainer, so no
     float-ordering ambiguity can leak into the merge list. Symbol counts
     are per-round recomputed from the checkpointed frame (they change with
-    every merge), so no stale state is carried."""
+    every merge), so no stale state is carried.
+
+    ``ckpt_every`` defaults to 2, not ``bpe_train``'s 4: this round has TWO
+    legs (pair agg + symbol agg) that each re-evaluate the pending lazy
+    merge folds, so plan depth costs double — measured 8.8 s (K=2) vs
+    12.1 s (K=4) vs 9.5 s (K=1) for 20 merges at bench scale. Checkpoint
+    frequency never changes the merge list (equality tests force K=3)."""
     vocab = wf.select(
         "word", "freq", F.split("word", "").alias("syms")
     ).localCheckpoint(eager=True)
