@@ -161,8 +161,8 @@ def incremental_minhash_pairs(
     return pairs, nb
 
 
-def simhash_expr(text) -> "F.Column":
-    """16-bit SimHash as a single shuffle-free expression: bit j of the
+def simhash_expr(text, bits: int = SIMHASH_BITS) -> "F.Column":
+    """``bits``-wide SimHash as a single shuffle-free expression: bit j of the
     signature is the sign of Σ_tokens (2·bit_j(h(token)) − 1).
 
     One ``aggregate`` pass over the token-hash array carries all 16 signed
@@ -173,10 +173,12 @@ def simhash_expr(text) -> "F.Column":
     a full corpus shuffle for the same arithmetic and forces every consumer
     (``doc_profile``'s one-scan featurization) into a doc_id join."""
     hs = F.transform(tokens(text), lambda t: token_hash60(t))
-    weights = F.array(*[F.lit(2**j).cast("long") for j in range(SIMHASH_BITS)])
+    if not 1 <= bits <= 60:  # token_hash60 supplies 60 usable bits
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
     sums = F.aggregate(
         hs,
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, h: F.zip_with(
             acc,
             weights,
@@ -197,9 +199,18 @@ def simhash_expr(text) -> "F.Column":
     )
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) via ``simhash_expr`` — a pure map projection."""
-    return docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) via ``simhash_expr`` — a pure map projection.
+
+    ``bits`` (default the 16-bit contract width) is the SELECTIVITY knob:
+    block values in the banded pair join carry bits/(k+1) bits, so at
+    corpus scale pass ``bits=60`` (the full token_hash60 width — the Manku
+    64-bit posture) for 15-bit blocks instead of 4-bit ones. Width changes
+    hamming GRANULARITY too: an edit flips ~width-proportionally many bits,
+    so recalibrate ``max_hamming`` when widening."""
+    return docs.select(
+        "doc_id", simhash_expr(F.col("text"), bits).alias("simhash")
+    )
 
 
 def simhash_dup_clusters(docs: DataFrame) -> DataFrame:
@@ -213,7 +224,9 @@ def simhash_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs within ``max_hamming`` signature bits —
     the Manku et al. (WWW '07) web-dedup shape, the SimHash analog of
     MinHash banding.
@@ -226,8 +239,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     block key) only. At corpus scale the knob is signature WIDTH: wider
     signatures (SIMHASH_BITS) make block values more selective, shrinking
     buckets — same role the band count plays for MinHash."""
-    sigs = simhash(docs).localCheckpoint(eager=True)  # tiny: (doc_id, long)
-    idx = _simhash_blocks(sigs, max_hamming)
+    sigs = simhash(docs, bits).localCheckpoint(eager=True)  # tiny: (doc_id, long)
+    idx = _simhash_blocks(sigs, max_hamming, bits)
     a, b = idx.alias("a"), idx.alias("b")
     return (
         a.join(
@@ -248,11 +261,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def _simhash_blocks(sigs: DataFrame, max_hamming: int) -> DataFrame:
+def _simhash_blocks(
+    sigs: DataFrame, max_hamming: int, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """(doc_id, simhash, blk, val): the pigeonhole block index of a
     (doc_id, simhash) frame — shared by the batch and incremental paths."""
     n_blocks = max_hamming + 1
-    width = SIMHASH_BITS // n_blocks
+    width = bits // n_blocks
     blocks = F.array(
         *[
             F.struct(
@@ -270,7 +285,10 @@ def _simhash_blocks(sigs: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def incremental_simhash_pairs(
-    new_docs: DataFrame, existing_sigs: DataFrame, max_hamming: int = 3
+    new_docs: DataFrame,
+    existing_sigs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental banded-SimHash near-dup probe — the ``incremental_minhash_pairs``
     shape for the hamming family: signature the NEW batch only, block-join
@@ -283,9 +301,9 @@ def incremental_simhash_pairs(
     the new batch's (doc_id, simhash) rows for the caller to append to its
     store — the store is one long per doc (the most compact dedup state in
     the engine; blocks re-derive from it as pure bit ops at probe time)."""
-    new_sigs = simhash(new_docs).localCheckpoint(eager=True)
-    nb = _simhash_blocks(new_sigs, max_hamming)
-    eb = _simhash_blocks(existing_sigs, max_hamming)
+    new_sigs = simhash(new_docs, bits).localCheckpoint(eager=True)
+    nb = _simhash_blocks(new_sigs, max_hamming, bits)
+    eb = _simhash_blocks(existing_sigs, max_hamming, bits)
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).cast("int")
 
     a, b = nb.alias("a"), nb.alias("b")

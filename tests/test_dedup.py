@@ -390,3 +390,63 @@ def test_compact_simhash_store_preserves_probe_and_expires(spark, documents):
         if (a in new_ids or a in retained_ids)
         and (b in new_ids or b in retained_ids)
     }
+
+
+def test_simhash_wide_signature_scale_path(spark, documents):
+    """The corpus-scale width knob (bits=60, the Manku 64-bit posture with
+    token_hash60's 60 usable bits): banding must stay LOSSLESS vs a brute-
+    force hamming scan, identical texts must still collide at hamming 0,
+    and block selectivity must collapse the candidate space relative to
+    the 16-bit contract width (4-bit block values are near-unselective:
+    sf0.1 measured 2.8M candidate pairs from 5k docs)."""
+    docs = documents.limit(300).localCheckpoint(eager=True)
+
+    wide = dedup.simhash_near_pairs(docs, max_hamming=3, bits=60)
+    sig = dedup.simhash(docs, bits=60)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter("hamming <= 3")
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, brute.collect()))
+
+    # identical clone → identical 60-bit signature (hamming 0)
+    clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 9_000_000)
+    both = dedup.simhash(docs.unionByName(clone), bits=60)
+    x, y = both.alias("x"), both.alias("y")
+    assert (
+        x.join(y, F.col("x.doc_id") + 9_000_000 == F.col("y.doc_id"))
+        .filter(F.col("x.simhash") != F.col("y.simhash"))
+        .count()
+        == 0
+    )
+
+    # selectivity: 15-bit block values shrink candidate buckets vs 4-bit
+    def n_candidates(bits):
+        idx = dedup._simhash_blocks(
+            dedup.simhash(docs, bits), max_hamming=3, bits=bits
+        )
+        i, j = idx.alias("i"), idx.alias("j")
+        return (
+            i.join(
+                j,
+                (F.col("i.blk") == F.col("j.blk"))
+                & (F.col("i.val") == F.col("j.val"))
+                & (F.col("i.doc_id") < F.col("j.doc_id")),
+            )
+            .count()
+        )
+
+    assert n_candidates(60) < n_candidates(16) / 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        dedup.simhash(docs, bits=64).collect()
