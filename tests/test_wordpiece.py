@@ -309,3 +309,29 @@ def test_distributed_trainer_mass_tie_fallback_exact(spark):
         (chr(0x4E02), chr(0x4E03)),
         (chr(0x4E04), chr(0x4E05)),
     ]
+
+
+def test_trainer_equality_on_randomized_tie_heavy_vocabs(spark):
+    """Randomized small-alphabet vocabs (seeded): tiny alphabets make score
+    ties pervasive, so this stresses the exact-rational argmax and both
+    tie-break levels far harder than the natural fixture. The delta trainer
+    must equal the naive full-recount reference on every draw."""
+    import random
+
+    rnd = random.Random(99)
+    for trial in range(12):
+        n_words = rnd.randint(3, 12)
+        alpha = "abcd"[: rnd.randint(2, 4)]
+        vocab = {}
+        for _ in range(n_words):
+            w = "".join(rnd.choice(alpha) for _ in range(rnd.randint(1, 6)))
+            vocab[w] = vocab.get(w, 0) + rnd.randint(1, 9)
+        pairs = sorted(vocab.items())
+        wf = spark.createDataFrame(pairs, "word string, freq int")
+        for mpf in (1, 2):
+            got = wordpiece.wordpiece_train_local(wf, 12, min_pair_freq=mpf)
+            assert got == _py_wp_train(pairs, 12, min_pair_freq=mpf), (
+                trial,
+                mpf,
+                pairs,
+            )
