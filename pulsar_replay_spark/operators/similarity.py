@@ -926,6 +926,16 @@ def semantic_dedup(
     O(m²·dim) straggler becomes B(B+1)/2 tasks of (m/B)² spread across
     executors, at the cost of replicating the cell's rows B×. Cells with
     ≤ block_rows members stay single-task. None (default): unblocked scan.
+
+    Regime honesty: the lever targets cells up to ~10⁶-10⁷ rows — where an
+    O(m²·dim) pair space is still affordable but serializes one task. The
+    per-cell row_number window does sort each cell in a single task, but
+    that O(m log m) is always dwarfed by the O(m²·dim) scan it feeds, so it
+    is never the binding constraint. A cell so large that B² tasks of
+    (m/B)² work are infeasible (a 50%-dominant cell at true corpus scale)
+    has an intrinsically infeasible pair space — the fix there is upstream:
+    exact dedup first, and cell granularity via ``semdedup_cells`` (cells
+    ∝ N), not scan decomposition.
     """
     from pulsar_replay_spark.functions.vectors import dot, norm
 
