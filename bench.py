@@ -107,6 +107,32 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["_warmup"] = f"{type(e).__name__}: {e}"[:400]
 
+    # Machine calibration anchor: two fixed workloads whose cost never
+    # depends on engine code — a JVM codegen sum and a numpy matmul. When
+    # host contention shifts the whole artifact (observed: a clean back-to-
+    # back rerun 2× slower on every row, load from OUTSIDE the container),
+    # these shift with it, so cross-round deltas can be read relative to
+    # the anchor instead of blamed on code.
+    calibration: dict[str, float] = {}
+    try:
+        import statistics as _st
+
+        jvm_s, np_s = [], []
+        import numpy as _np
+
+        _m = _np.random.default_rng(0).standard_normal((1024, 1024))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr("sum(id * 2) as s").collect()
+            jvm_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            (_m @ _m).sum()
+            np_s.append(time.perf_counter() - t0)
+        calibration["jvm_range_sum_sec"] = round(_st.median(jvm_s), 3)
+        calibration["numpy_matmul_1k_sec"] = round(_st.median(np_s), 4)
+    except Exception as e:  # noqa: BLE001
+        errors["calibration"] = f"{type(e).__name__}: {e}"[:400]
+
     for name in HEADLINE:
         timed(name, lambda name=name: _noop_write(qs[name](spark, sf_dir)))
 
@@ -303,6 +329,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "query_spread": spread,
+        "calibration": calibration,
         "index_build": index_build,
         "llm_ops": llm_ops,
         "throughput": throughput,
