@@ -415,12 +415,12 @@ def q_ngram_jaccard_pairs_capped(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # SimHash signatures (row-level; hamming clustering in tests/test_dedup.py).
 # ---------------------------------------------------------------------------
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     bit_sums = ", ".join(
-        f"SUM((h >> {j} & 1) * 2 - 1) AS s{j}" for j in range(dedup.SIMHASH_BITS)
+        f"SUM((h >> {j} & 1) * 2 - 1) AS s{j}" for j in range(bits)
     )
     sim = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(dedup.SIMHASH_BITS)
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits)
     )
     return f"""
 WITH tok AS (
@@ -440,13 +440,13 @@ def q_simhash_signatures(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
-def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+def _simhash_pairs_sql(max_hamming: int = 3, bits: int = dedup.SIMHASH_BITS) -> str:
     """Banded hamming≤k oracle: same block pigeonhole as the engine."""
     n_blocks = max_hamming + 1
-    width = dedup.SIMHASH_BITS // n_blocks
+    width = bits // n_blocks
     mask = (1 << width) - 1
     return f"""
-WITH sims AS ({_simhash_sql()}),
+WITH sims AS ({_simhash_sql(bits)}),
 idx AS (
   SELECT doc_id, simhash, CAST(b.blk AS INT) AS blk,
          (simhash >> (CAST(b.blk AS INT) * {width})) & {mask} AS val
@@ -461,6 +461,17 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 SIMHASH_PAIRS_ORACLE = _simhash_pairs_sql()
+
+# The corpus-scale width knob gets the SAME oracle gate as the 16-bit
+# contract row: at bits=60 (15-bit banding blocks) DuckDB reproduces the
+# signatures and the banded pair set exactly (2^59 bit sums stay BIGINT).
+# Pytest + parity --extras (x_simhash_wide); not a contract slot — width
+# is a parameter of one operator, not a new operator.
+SIMHASH_PAIRS_WIDE_ORACLE = _simhash_pairs_sql(bits=60)
+
+
+def q_simhash_near_pairs_wide(spark, sf_dir):
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, bits=60)
 
 
 # r6 rotation: the Manku banded hamming<=3 pair operator joined the contract

@@ -262,3 +262,19 @@ def test_session_paths_match_oracle(spark, duck):
     problems = compare(sdf, ddf)
     assert not problems, problems
     assert len(sdf) > 0
+
+
+def test_simhash_wide_width_matches_oracle(spark, duck):
+    """The corpus-scale width knob (bits=60) under the same DuckDB gate as
+    the 16-bit contract row: signatures and the banded hamming<=3 pair set
+    must be exactly reproducible cross-engine (2^59 bit sums stay BIGINT
+    on both sides)."""
+    from pulsar_replay_spark.queries_llm import (
+        SIMHASH_PAIRS_WIDE_ORACLE,
+        q_simhash_near_pairs_wide,
+    )
+
+    sdf = q_simhash_near_pairs_wide(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(SIMHASH_PAIRS_WIDE_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"simhash wide: {problems}"
