@@ -644,3 +644,16 @@ def test_incremental_simhash_stream_matches_batch(spark, tmp_path_factory):
     assert sorted(map(tuple, compacted.collect())) == sorted(
         map(tuple, store.collect())
     )
+
+    # crash-retry: re-running a batch's store write must overwrite its own
+    # partition, never append (the exactly-once discipline)
+    full_store = spark.read.parquet(store_dir)
+    n_before = full_store.count()
+    b0 = full_store.filter("batch_id = 0")
+    (
+        b0.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+    assert spark.read.parquet(store_dir).count() == n_before
