@@ -10,8 +10,10 @@ perturbations of one base direction (they provably share a nearest centroid
 operator's failure mode), half are uniform noise spread over the remaining
 centroids.
 
-Usage: python tools/skew_semdedup_probe.py [n_vectors] [block_rows]
+Usage: python tools/skew_semdedup_probe.py [n_vectors] [block_rows] [--blocked-only]
        # defaults: 20000 (10x sf0.1's 2000 embeddings), 2048
+       # --blocked-only: skip the unblocked straggler run (for volumes where
+       # it would take tens of minutes); equality is then not checked.
 Prints one JSON line: timings, verdict-equality counts, cell-size skew.
 """
 
@@ -27,8 +29,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    block_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    args = [a for a in sys.argv[1:] if a != "--blocked-only"]
+    blocked_only = "--blocked-only" in sys.argv
+    n = int(args[0]) if len(args) > 0 else 20_000
+    block_rows = int(args[1]) if len(args) > 1 else 2048
     dim, n_cells, threshold = 64, 16, 0.97
 
     from pyspark.sql import functions as F
@@ -68,30 +72,27 @@ def main() -> None:
         out.count()
         return out, round(time.perf_counter() - t0, 2)
 
-    plain, t_plain = run(None)
     blocked, t_blocked = run(block_rows)
-
+    out = {
+        "n_vectors": n,
+        "block_rows": block_rows,
+        "sec_blocked": t_blocked,
+        "dropped": blocked.filter("NOT keep").count(),
+    }
     top = (
-        plain.groupBy("cell_id")
+        blocked.groupBy("cell_id")
         .agg(F.count("*").alias("m"))
         .orderBy(F.desc("m"))
         .first()
     )
-    print(
-        json.dumps(
-            {
-                "n_vectors": n,
-                "block_rows": block_rows,
-                "dominant_cell_rows": top["m"],
-                "dominant_cell_share": round(top["m"] / n, 3),
-                "sec_unblocked": t_plain,
-                "sec_blocked": t_blocked,
-                "dropped": plain.filter("NOT keep").count(),
-                "verdict_diff_a": plain.exceptAll(blocked).count(),
-                "verdict_diff_b": blocked.exceptAll(plain).count(),
-            }
-        )
-    )
+    out["dominant_cell_rows"] = top["m"]
+    out["dominant_cell_share"] = round(top["m"] / n, 3)
+    if not blocked_only:
+        plain, t_plain = run(None)
+        out["sec_unblocked"] = t_plain
+        out["verdict_diff_a"] = plain.exceptAll(blocked).count()
+        out["verdict_diff_b"] = blocked.exceptAll(plain).count()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
