@@ -353,3 +353,31 @@ def test_r3_tpch_sweep_plan_shapes(spark):
     joins, _ = shapes("q11_important_parts")
     assert joins.count("BroadcastNestedLoopJoin") == 1  # the 1-row cutoff
     assert "CartesianProduct" not in joins
+
+
+def test_simhash_banded_join_is_hash_not_cartesian(spark):
+    """The r6 contract row: the Manku banded pair join must plan as a hash
+    equi-join on (blk, val) — never a cartesian/BNLJ pair scan — at both
+    the 16-bit contract width and the 60-bit scale width."""
+    from pulsar_replay_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    for bits in (16, 60):
+        plan = _plan(dedup.simhash_near_pairs(docs, max_hamming=3, bits=bits))
+        assert "CartesianProduct" not in plan, bits
+        assert "BroadcastNestedLoopJoin" not in plan, bits
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, bits
+
+
+def test_blocked_semdedup_scan_has_no_cartesian(spark, embeddings):
+    """The giant-cell block decomposition replicates rows through an
+    explode + groupBy, never a cross join; both scan variants stay
+    cartesian-free."""
+    from pulsar_replay_spark.operators import similarity
+
+    for blk in (None, 64):
+        plan = _plan(
+            similarity.semantic_dedup(embeddings, n_cells=8, block_rows=blk)
+        )
+        assert "CartesianProduct" not in plan, blk
+        assert "BroadcastNestedLoopJoin" not in plan, blk
