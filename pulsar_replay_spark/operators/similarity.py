@@ -148,6 +148,126 @@ def brute_force_topk(
     )
 
 
+def _cross_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against a DISJOINT corpus — the
+    ``brute_force_topk`` shape without the self-pair exclusion (the two id
+    spaces are different corpora and may collide numerically) and with the
+    full round-6 sim kept for downstream margin arithmetic."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    cand = corpus.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        norm(F.col("embedding")).alias("n_norm"),
+    )
+    sims = cand.join(F.broadcast(q)).withColumn(
+        "sim6",
+        F.round(
+            dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "sim6", "rk")
+    )
+
+
+def bitext_mine(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    mutual: bool = True,
+    fwd: DataFrame | None = None,
+    bwd: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 — the LASER/CCMatrix recipe): score each cross-lingual
+    candidate pair by RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2)
+
+    where avgₖ(v) is the mean cosine of v's k nearest neighbours in the
+    OTHER corpus — normalizing by neighbourhood density kills the hubness
+    failure of raw-cosine mining. Returns (a_id, b_id, sim, margin) for
+    pairs above ``margin_threshold``; with ``mutual=True`` (the published
+    high-precision setting) a pair must be BOTH sides' best margin.
+
+    Deterministic: every cut is (margin desc, id asc); cos is symmetric
+    under the sequential fold (per-dim products commute, same add order),
+    so forward and backward sims agree bit-for-bit and the union dedup is
+    exact.
+
+    Scale shape: two k-NN sweeps (forward A→B, backward B→A), two
+    id-keyed avg aggs, id-keyed joins, two windows over ≤(|A|+|B|)·k rows
+    — no new join patterns beyond the ANN tier. The default exact sweep
+    broadcasts the query side (right for one small-language side or a
+    probe batch); at corpus×corpus scale pass precomputed ``fwd``/``bwd``
+    k-NN frames (columns q_id, n_id, sim6) from ``ivf_topk`` — mining
+    math is identical, recall inherits the ANN gate."""
+    if fwd is None:
+        fwd = _cross_topk(emb_b, emb_a, k)  # q_id = a, n_id = b
+    if bwd is None:
+        bwd = _cross_topk(emb_a, emb_b, k)  # q_id = b, n_id = a
+    # Order-free neighbourhood average: the round-6 sims scale exactly to
+    # ints, int sums commute, and the final double division runs on
+    # identical operands in any engine/partitioning — so the margin (and
+    # its round-4) is deterministic and DuckDB-reproducible, where a
+    # float AVG would be summation-order sensitive in the last ulp.
+    scaled_avg = (
+        F.sum(F.round(F.col("sim6") * 1e6).cast("long"))
+        / (F.count("*") * F.lit(1e6))
+    )
+    avg_a = fwd.groupBy(F.col("q_id").alias("a_id")).agg(scaled_avg.alias("avg_a"))
+    avg_b = bwd.groupBy(F.col("q_id").alias("b_id")).agg(scaled_avg.alias("avg_b"))
+    cands = (
+        fwd.select(
+            F.col("q_id").alias("a_id"), F.col("n_id").alias("b_id"), "sim6"
+        )
+        .unionByName(
+            bwd.select(
+                F.col("n_id").alias("a_id"), F.col("q_id").alias("b_id"), "sim6"
+            )
+        )
+        .distinct()  # exact: symmetric cos gives identical sim6 both ways
+    )
+    # arithmetic half-up (floor(x·10⁴ + 0.5)/10⁴): identical IEEE op
+    # sequence in Spark and DuckDB, where round() HALF_UP vs C rounding
+    # can split at representation boundaries (the q2 lesson)
+    raw_margin = F.col("sim6") / ((F.col("avg_a") + F.col("avg_b")) / F.lit(2.0))
+    scored = (
+        cands.join(avg_a, "a_id")
+        .join(avg_b, "b_id")
+        .withColumn("margin", F.floor(raw_margin * 10000 + F.lit(0.5)) / 10000.0)
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("margin"), "b_id")
+    best = scored.withColumn("rka", F.row_number().over(wa))
+    if mutual:
+        wb = Window.partitionBy("b_id").orderBy(F.desc("margin"), "a_id")
+        best = best.withColumn("rkb", F.row_number().over(wb)).filter(
+            "rka = 1 AND rkb = 1"
+        )
+    else:
+        best = best.filter("rka = 1")
+    return (
+        best.filter(F.col("margin") >= margin_threshold)
+        .select(
+            "a_id",
+            "b_id",
+            (F.floor(F.col("sim6") * 1000 + F.lit(0.5)) / 1000.0).alias("sim"),
+            "margin",
+        )
+    )
+
+
 N_TABLES = 4
 BITS_PER_TABLE = 2  # planes per table drawn from the shared N_PLANES pool
 

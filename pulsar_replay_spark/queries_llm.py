@@ -518,6 +518,61 @@ def q_embedding_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bitext mining (Artetxe & Schwenk margin scoring): the embeddings fixture
+# split into two pseudo-corpora (vec_id parity) stands in for two languages.
+# Pytest + parity --extras (x_bitext); not a contract slot (contract full).
+# ---------------------------------------------------------------------------
+BITEXT_ORACLE = """
+WITH a AS (SELECT vec_id AS a_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS b_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % 2 = 1),
+sims AS (
+  SELECT a_id, b_id,
+         ROUND(list_inner_product(a.e, b.e)
+               / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+               6) AS sim6
+  FROM a, b
+),
+fwd AS (SELECT a_id, b_id, sim6 FROM (
+          SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim6 DESC, b_id) AS rk
+          FROM sims) WHERE rk <= 4),
+bwd AS (SELECT a_id, b_id, sim6 FROM (
+          SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY sim6 DESC, a_id) AS rk
+          FROM sims) WHERE rk <= 4),
+-- order-free int-scaled neighbourhood average (same trick as the engine)
+avg_a AS (SELECT a_id, SUM(CAST(ROUND(sim6 * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) AS avg_a
+          FROM fwd GROUP BY a_id),
+avg_b AS (SELECT b_id, SUM(CAST(ROUND(sim6 * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0) AS avg_b
+          FROM bwd GROUP BY b_id),
+cands AS (SELECT DISTINCT a_id, b_id, sim6
+          FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)),
+scored AS (
+  SELECT c.a_id, c.b_id, c.sim6,
+         FLOOR(c.sim6 / ((avg_a + avg_b) / 2) * 10000 + 0.5) / 10000.0 AS margin
+  FROM cands c JOIN avg_a USING (a_id) JOIN avg_b USING (b_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rka,
+            row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS rkb
+  FROM scored
+)
+SELECT a_id, b_id, FLOOR(sim6 * 1000 + 0.5) / 1000.0 AS sim, margin
+FROM ranked WHERE rka = 1 AND rkb = 1 AND margin >= 1.0
+"""
+
+
+def q_bitext_mine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        margin_threshold=1.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search: random-hyperplane LSH bucket assignment (the scale
 # path; ANN recall vs brute force is pinned in tests/test_similarity.py).
 # ---------------------------------------------------------------------------

@@ -278,3 +278,17 @@ def test_simhash_wide_width_matches_oracle(spark, duck):
     ddf = duck.execute(SIMHASH_PAIRS_WIDE_ORACLE).df()
     problems = compare(sdf, ddf)
     assert not problems, f"simhash wide: {problems}"
+
+
+def test_bitext_mine_matches_oracle(spark, duck):
+    """Margin-based bitext mining (Artetxe-Schwenk) under the full DuckDB
+    gate over the parity-split embeddings fixture: mutual-best ratio-margin
+    pairs, order-free int-scaled k-NN averages, floor-half-up rounding —
+    exact cross-engine."""
+    from pulsar_replay_spark.queries_llm import BITEXT_ORACLE, q_bitext_mine
+
+    sdf = q_bitext_mine(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(BITEXT_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"bitext: {problems}"
+    assert len(sdf) > 0

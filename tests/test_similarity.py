@@ -428,3 +428,69 @@ def test_semantic_dedup_blocked_scan_equals_unblocked_under_skew(spark):
     assert top_cell >= 200
     # verdicts are non-trivial on both sides (planted near-dups dropped)
     assert plain.filter("NOT keep").count() > 0
+
+
+def test_bitext_mine_recovers_planted_translations(spark):
+    """Margin mining (Artetxe-Schwenk ratio margin) must recover a planted
+    A->B translation mapping exactly: 25 'source' vectors, each with one
+    noised 'translation' in B among 50 random distractors; mutual-best
+    margin mining returns exactly the planted pairs, and the margins match
+    a pure-python mirror of the same formula over the same round-6 sims."""
+    import math
+    import random
+
+    rnd = random.Random(21)
+    dim, k = 12, 4
+    a_rows, b_rows = [], []
+    for i in range(25):
+        v = [rnd.uniform(-1, 1) for _ in range(dim)]
+        a_rows.append((i, v))
+        b_rows.append((1000 + i, [x + rnd.uniform(-0.02, 0.02) for x in v]))
+    for j in range(50):
+        b_rows.append((2000 + j, [rnd.uniform(-1, 1) for _ in range(dim)]))
+    emb_a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    emb_b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+
+    got = similarity.bitext_mine(emb_a, emb_b, k=k, margin_threshold=1.0)
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    assert pairs == {(i, 1000 + i) for i in range(25)}
+
+    # python mirror: same sequential-fold cosine, same round-6, same margin
+    def cos6(u, v):
+        d = n1 = n2 = 0.0
+        for x, y in zip(u, v):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return round(d / (math.sqrt(n1) * math.sqrt(n2)), 6)
+
+    A, B = dict(a_rows), dict(b_rows)
+    fwd = {
+        ai: sorted(((cos6(av, bv), -bi) for bi, bv in B.items()), reverse=True)[:k]
+        for ai, av in A.items()
+    }
+    bwd = {
+        bi: sorted(((cos6(av, bv), -ai) for ai, av in A.items()), reverse=True)[:k]
+        for bi, bv in B.items()
+    }
+    # mirror the operator's order-free int-scaled average exactly
+    avg_a = {
+        ai: sum(int(round(s * 1e6)) for s, _ in nn) / (k * 1e6)
+        for ai, nn in fwd.items()
+    }
+    avg_b = {
+        bi: sum(int(round(s * 1e6)) for s, _ in nn) / (k * 1e6)
+        for bi, nn in bwd.items()
+    }
+    for r in got.collect():
+        ai, bi = r["a_id"], r["b_id"]
+        raw = cos6(A[ai], B[bi]) / ((avg_a[ai] + avg_b[bi]) / 2.0)
+        m = math.floor(raw * 10000 + 0.5) / 10000.0  # the operator's half-up
+        assert r["margin"] == m, (ai, bi)
+        assert r["margin"] >= 1.0
+
+    # determinism under repartition
+    again = similarity.bitext_mine(
+        emb_a.repartition(7), emb_b.repartition(5), k=k, margin_threshold=1.0
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
