@@ -267,6 +267,17 @@ def main() -> None:
             lambda: _noop_write(similarity.mmr_rerank(emb, pool, k=5)),
         )
         timed_op(
+            "bitext_mine_split",
+            lambda: _noop_write(
+                similarity.bitext_mine(
+                    emb.filter(F.col("vec_id") % 2 == 0),
+                    emb.filter(F.col("vec_id") % 2 == 1),
+                    k=4,
+                    margin_threshold=1.0,
+                )
+            ),
+        )
+        timed_op(
             "vocab_stats_top100",
             lambda: _noop_write(quality.vocab_stats(docs, top_k=100)),
         )
