@@ -103,19 +103,12 @@ HEADER_SCHEMA = (
 )
 
 
-def parse_media_headers(media: DataFrame) -> DataFrame:
-    """REAL (library-free) container-header decode over binary payloads:
-    PNG IHDR (width/height/bit depth/channels), WAV RIFF (channels, sample
-    rate, bit depth, duration from the data chunk), MP4 ftyp/moov/mvhd
-    (duration from timescale) — pure byte arithmetic, so unlike the
-    pixel/sample decode seams this path needs NO toolchain and runs
-    anywhere. Containers are sniffed from magic bytes (never trusted from a
-    metadata column); anything unrecognized or truncated degrades to
-    ``parse_ok = false`` with null fields, one row per input row.
-
-    Scale shape: one mapInPandas projection — headers are read from the
-    payload's first bytes; nothing shuffles, and the output is a fixed
-    narrow row however large the blob."""
+def _parse_one_media(b: bytes) -> dict:
+    """Single-payload header decode behind ``parse_media_headers`` —
+    module-level (not a closure) so robustness is directly fuzzable: for
+    ANY byte string this returns one complete dict and never raises (the
+    broad except is the contract: malformed input degrades to
+    ``parse_ok = false``, never a failed task)."""
     import struct
 
     def parse_one(b: bytes) -> dict:
@@ -222,9 +215,30 @@ def parse_media_headers(media: DataFrame) -> DataFrame:
             out["parse_ok"] = False
         return out
 
+    return parse_one(b)
+
+
+def parse_media_headers(media: DataFrame) -> DataFrame:
+    """REAL (library-free) container-header decode over binary payloads:
+    PNG IHDR (width/height/bit depth/channels), WAV RIFF (channels, sample
+    rate, bit depth, duration from the data chunk), MP4 ftyp/moov/mvhd
+    (duration from timescale) — pure byte arithmetic, so unlike the
+    pixel/sample decode seams this path needs NO toolchain and runs
+    anywhere. Containers are sniffed from magic bytes (never trusted from a
+    metadata column); anything unrecognized or truncated degrades to
+    ``parse_ok = false`` with null fields, one row per input row
+    (``_parse_one_media`` — hypothesis-fuzzed at the unit level).
+
+    Scale shape: one mapInPandas projection — headers are read from the
+    payload's first bytes; nothing shuffles, and the output is a fixed
+    narrow row however large the blob."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [parse_one(bytes(p) if p is not None else b"") for p in pdf["payload"]]
+            rows = [
+                _parse_one_media(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
             frame = pd.DataFrame(rows)
             frame.insert(0, "doc_id", pdf["doc_id"].values)
             yield frame

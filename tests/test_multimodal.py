@@ -349,3 +349,41 @@ def test_parse_media_headers_mp4_spec_edges(spark):
     assert got[3]["duration_ms"] is None
 
     assert not got[4]["parse_ok"] and got[4]["container"] is None
+
+
+def test_parse_one_media_never_raises_on_arbitrary_bytes():
+    """Hypothesis fuzz of the header decoder contract: ANY byte string —
+    including ones opening with PNG/RIFF/ftyp magic followed by garbage —
+    yields one complete dict with the full field set and never raises; a
+    magic-less input is parse_ok=false with all-null fields."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_replay_spark.operators.multimodal import _parse_one_media
+
+    FIELDS = {
+        "container",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "bit_depth",
+        "duration_ms",
+        "parse_ok",
+    }
+    magics = st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"RIFF\x10\x00\x00\x00WAVE",
+         b"\x00\x00\x00\x10ftyp", b"\x00\x00\x00\x01moov"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=magics, tail=st.binary(max_size=96))
+    def fuzz(prefix, tail):
+        out = _parse_one_media(prefix + tail)
+        assert set(out) == FIELDS
+        assert isinstance(out["parse_ok"], bool)
+        if out["container"] is None:
+            assert not out["parse_ok"]
+            assert all(out[f] is None for f in FIELDS - {"container", "parse_ok"})
+
+    fuzz()
