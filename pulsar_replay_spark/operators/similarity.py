@@ -186,8 +186,7 @@ def bitext_mine(
     k: int = 4,
     margin_threshold: float = 1.05,
     mutual: bool = True,
-    fwd: DataFrame | None = None,
-    bwd: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
     arXiv:1811.01136 — the LASER/CCMatrix recipe): score each cross-lingual
@@ -210,13 +209,56 @@ def bitext_mine(
     id-keyed avg aggs, id-keyed joins, two windows over ≤(|A|+|B|)·k rows
     — no new join patterns beyond the ANN tier. The default exact sweep
     broadcasts the query side (right for one small-language side or a
-    probe batch); at corpus×corpus scale pass precomputed ``fwd``/``bwd``
-    k-NN frames (columns q_id, n_id, sim6) from ``ivf_topk`` — mining
-    math is identical, recall inherits the ANN gate."""
-    if fwd is None:
+    probe batch); at corpus×corpus scale pass a ``candidates`` frame
+    (columns a_id, b_id) from any generator — e.g.
+    ``bitext_candidates_ivf`` — and the pair sims are RE-COMPUTED exactly
+    on that subset (id-keyed joins, ≤|candidates| pairs), so every number
+    the margin touches comes from the same round-6 expression as the
+    exact path; only recall is approximate, inherited from the
+    generator's gate."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+
+    if candidates is None:
         fwd = _cross_topk(emb_b, emb_a, k)  # q_id = a, n_id = b
-    if bwd is None:
         bwd = _cross_topk(emb_a, emb_b, k)  # q_id = b, n_id = a
+    else:
+        ea = emb_a.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            norm(F.col("embedding")).alias("a_norm"),
+        )
+        eb = emb_b.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_emb"),
+            norm(F.col("embedding")).alias("b_norm"),
+        )
+        pair_sims = (
+            candidates.select("a_id", "b_id")
+            .distinct()
+            .join(ea, "a_id")
+            .join(eb, "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                F.round(
+                    dot(F.col("a_emb"), F.col("b_emb"))
+                    / (F.col("a_norm") * F.col("b_norm")),
+                    6,
+                ).alias("sim6"),
+            )
+        )
+        wfa = Window.partitionBy("a_id").orderBy(F.desc("sim6"), "b_id")
+        wfb = Window.partitionBy("b_id").orderBy(F.desc("sim6"), "a_id")
+        fwd = (
+            pair_sims.withColumn("rk", F.row_number().over(wfa))
+            .filter(F.col("rk") <= k)
+            .select(F.col("a_id").alias("q_id"), F.col("b_id").alias("n_id"), "sim6")
+        )
+        bwd = (
+            pair_sims.withColumn("rk", F.row_number().over(wfb))
+            .filter(F.col("rk") <= k)
+            .select(F.col("b_id").alias("q_id"), F.col("a_id").alias("n_id"), "sim6")
+        )
     # Order-free neighbourhood average: the round-6 sims scale exactly to
     # ints, int sums commute, and the final double division runs on
     # identical operands in any engine/partitioning — so the margin (and
@@ -266,6 +308,24 @@ def bitext_mine(
             "margin",
         )
     )
+
+
+def bitext_candidates_ivf(
+    emb_a: DataFrame, emb_b: DataFrame, k: int = 4, **ivf_kwargs
+) -> DataFrame:
+    """(a_id, b_id) candidate pairs for ``bitext_mine`` from two IVF
+    sweeps (A queries B's index and vice versa) — the corpus×corpus scale
+    generator; ``bitext_mine`` re-scores the pairs exactly. CAVEAT: the two
+    id spaces must be DISJOINT here — ``ivf_topk`` excludes q_id == n_id
+    pairs, so numerically colliding ids would silently drop candidates
+    (offset one side's ids first); the exact path has no such constraint."""
+    f = ivf_topk(emb_b, emb_a, k=k, **ivf_kwargs).select(
+        F.col("q_id").alias("a_id"), F.col("neighbor_id").alias("b_id")
+    )
+    b = ivf_topk(emb_a, emb_b, k=k, **ivf_kwargs).select(
+        F.col("neighbor_id").alias("a_id"), F.col("q_id").alias("b_id")
+    )
+    return f.unionByName(b).distinct()
 
 
 N_TABLES = 4

@@ -494,3 +494,64 @@ def test_bitext_mine_recovers_planted_translations(spark):
         emb_a.repartition(7), emb_b.repartition(5), k=k, margin_threshold=1.0
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_bitext_mine_candidates_path_matches_exact(spark):
+    """The corpus×corpus scale path — ``candidates=(a_id, b_id)`` pairs,
+    sims re-computed exactly on the subset — must reproduce the exact
+    sweep BIT-FOR-BIT when the candidate set covers all pairs: the only
+    divergence the contract permits is recall from a sparser candidate
+    set, never values. (r6 review finding: the old fwd/bwd passthrough
+    contract could not hold this — ivf_topk's round-3 sims and q!=n
+    filter broke the margin arithmetic.)"""
+    import random
+
+    rnd = random.Random(33)
+    dim, k = 8, 3
+    emb_a = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    emb_b = spark.createDataFrame(
+        [(100 + j, [rnd.uniform(-1, 1) for _ in range(dim)]) for j in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = similarity.bitext_mine(emb_a, emb_b, k=k, margin_threshold=0.0)
+    all_pairs = emb_a.select(F.col("vec_id").alias("a_id")).crossJoin(
+        emb_b.select(F.col("vec_id").alias("b_id"))
+    )
+    via_cands = similarity.bitext_mine(
+        emb_a, emb_b, k=k, margin_threshold=0.0, candidates=all_pairs
+    )
+    assert sorted(map(tuple, via_cands.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_bitext_candidates_ivf_recovers_planted_translations(spark):
+    """End-to-end scale path: IVF candidate generation (disjoint id
+    spaces) + exact re-scoring recovers a planted translation mapping —
+    and every (pair, sim, margin) it emits carries the same values the
+    exact path assigns (subset semantics, re-scored not passed through)."""
+    import random
+
+    rnd = random.Random(7)
+    dim, k = 12, 4
+    a_rows, b_rows = [], []
+    for i in range(25):
+        v = [rnd.uniform(-1, 1) for _ in range(dim)]
+        a_rows.append((i, v))
+        b_rows.append((1000 + i, [x + rnd.uniform(-0.02, 0.02) for x in v]))
+    for j in range(40):
+        b_rows.append((2000 + j, [rnd.uniform(-1, 1) for _ in range(dim)]))
+    emb_a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    emb_b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+
+    cands = similarity.bitext_candidates_ivf(
+        emb_a, emb_b, k=k, n_cells=4, n_probe=4
+    )
+    got = similarity.bitext_mine(
+        emb_a, emb_b, k=k, margin_threshold=1.0, candidates=cands
+    )
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    assert pairs == {(i, 1000 + i) for i in range(25)}
