@@ -268,6 +268,12 @@ def _simhash_blocks(
     (doc_id, simhash) frame — shared by the batch and incremental paths."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
+    if width == 0:  # zero-bit blocks collide everything: silent O(n²) join
+        raise ValueError(
+            f"bits={bits} gives zero-width banding blocks for "
+            f"max_hamming={max_hamming} (need bits >= max_hamming + 1); "
+            "widen the signature or lower the radius"
+        )
     blocks = F.array(
         *[
             F.struct(
@@ -581,7 +587,13 @@ def connected_components(
                 )
             ).localCheckpoint(eager=True)
         changed = new_labels.filter("_changed").count()
-        labels.unpersist()
+        if it == 0:
+            labels.unpersist()  # release the initial persist()ed seed frame
+        # Prior rounds' localCheckpoint blocks are NOT released by
+        # DataFrame.unpersist (they live on the internal RDD, outside the
+        # cache manager); dropping the driver reference here lets the
+        # ContextCleaner reclaim them, so live copies stay bounded at
+        # ~2 rounds + cleaner latency instead of max_iter.
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
@@ -590,7 +602,6 @@ def connected_components(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     ).localCheckpoint(eager=True)
     sym.unpersist()
-    labels.unpersist()
     return out
 
 

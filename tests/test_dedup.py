@@ -450,3 +450,22 @@ def test_simhash_wide_signature_scale_path(spark, documents):
 
     with _pytest.raises(ValueError, match="bits"):
         dedup.simhash(docs, bits=64).collect()
+
+
+def test_simhash_banding_rejects_zero_width_blocks(spark):
+    """bits < max_hamming+1 makes ``width = bits // (max_hamming+1)`` zero:
+    every block value masks to 0 and the banded self-join silently
+    degenerates to the O(n²) all-pairs scan banding exists to prevent
+    (results would still be right via the hamming post-filter — only the
+    cost explodes). The guard must raise instead, on both the batch and
+    incremental paths (r6 review finding)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="zero-width banding blocks"):
+        dedup.simhash_near_pairs(docs, max_hamming=4, bits=4)
+    store = dedup.simhash(docs, bits=4).localCheckpoint(eager=True)
+    with _pytest.raises(ValueError, match="zero-width banding blocks"):
+        dedup.incremental_simhash_pairs(docs, store, max_hamming=4, bits=4)
