@@ -16,6 +16,7 @@ columns so downstream joins/aggs never shuffle raw bytes.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -103,119 +104,115 @@ HEADER_SCHEMA = (
 )
 
 
+def _mp4_box_size(buf: bytes, p: int, end: int) -> tuple[int, int]:
+    # ISO 14496-12 §4.2: size==1 → 64-bit largesize follows the type;
+    # size==0 → box extends to the end of file.
+    # Returns (total box size, header length); (0, _) = stop.
+    sz = struct.unpack(">I", buf[p : p + 4])[0]
+    if sz == 1:
+        if p + 16 > end:
+            return 0, 16
+        return struct.unpack(">Q", buf[p + 8 : p + 16])[0], 16
+    if sz == 0:
+        return end - p, 8
+    return sz, 8
+
+
 def _parse_one_media(b: bytes) -> dict:
     """Single-payload header decode behind ``parse_media_headers`` —
-    module-level (not a closure) so robustness is directly fuzzable: for
-    ANY byte string this returns one complete dict and never raises (the
-    broad except is the contract: malformed input degrades to
+    module-level (not a per-partition closure) so robustness is directly
+    fuzzable, with no per-row import or function construction: for ANY byte
+    string this returns one complete dict and never raises (the broad
+    except is the contract: malformed input degrades to
     ``parse_ok = false``, never a failed task)."""
-    import struct
-
-    def parse_one(b: bytes) -> dict:
-        out = {
-            "container": None,
-            "width": None,
-            "height": None,
-            "channels": None,
-            "sample_rate": None,
-            "bit_depth": None,
-            "duration_ms": None,
-            "parse_ok": False,
-        }
-        try:
-            if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33 and b[12:16] == b"IHDR":
-                w, h = struct.unpack(">II", b[16:24])
-                color_type = b[25]
+    out = {
+        "container": None,
+        "width": None,
+        "height": None,
+        "channels": None,
+        "sample_rate": None,
+        "bit_depth": None,
+        "duration_ms": None,
+        "parse_ok": False,
+    }
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            color_type = b[25]
+            out.update(
+                container="png",
+                width=w,
+                height=h,
+                channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
+                bit_depth=b[24],
+                parse_ok=True,
+            )
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, fmt, data_len = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                if cid == b"fmt " and pos + 24 <= len(b):
+                    fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+                elif cid == b"data":
+                    data_len = sz
+                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+            if fmt:
+                _, ch, sr, _, _, bits = fmt
                 out.update(
-                    container="png",
-                    width=w,
-                    height=h,
-                    channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
-                    bit_depth=b[24],
+                    container="wav",
+                    channels=ch,
+                    sample_rate=sr,
+                    bit_depth=bits,
                     parse_ok=True,
                 )
-            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                pos, fmt, data_len = 12, None, None
-                while pos + 8 <= len(b):
-                    cid = b[pos : pos + 4]
-                    sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
-                    if cid == b"fmt " and pos + 24 <= len(b):
-                        fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
-                    elif cid == b"data":
-                        data_len = sz
-                    pos += 8 + sz + (sz & 1)  # chunks are word-aligned
-                if fmt:
-                    _, ch, sr, _, _, bits = fmt
-                    out.update(
-                        container="wav",
-                        channels=ch,
-                        sample_rate=sr,
-                        bit_depth=bits,
-                        parse_ok=True,
-                    )
-                    if data_len and sr and ch and bits:
-                        out["duration_ms"] = int(data_len * 8000 // (sr * ch * bits))
-            elif len(b) >= 12 and b[4:8] == b"ftyp":
-                out.update(container="mp4", parse_ok=True)
-
-                def box_size(buf: bytes, p: int, end: int) -> tuple[int, int]:
-                    # ISO 14496-12 §4.2: size==1 → 64-bit largesize follows
-                    # the type; size==0 → box extends to the end of file.
-                    # Returns (total box size, header length); (0, _) = stop.
-                    sz = struct.unpack(">I", buf[p : p + 4])[0]
-                    if sz == 1:
-                        if p + 16 > end:
-                            return 0, 16
-                        return struct.unpack(">Q", buf[p + 8 : p + 16])[0], 16
-                    if sz == 0:
-                        return end - p, 8
-                    return sz, 8
-
-                pos = 0
-                while pos + 8 <= len(b):
-                    sz, hdr = box_size(b, pos, len(b))
-                    if b[pos + 4 : pos + 8] == b"moov":
-                        inner = pos + hdr
-                        end = min(pos + sz, len(b))
-                        while inner + 8 <= end:
-                            isz, ihdr = box_size(b, inner, end)
-                            # malformed/truncated box (incl. a truncated
-                            # largesize header) stops the scan BEFORE any
-                            # body read — same clean-break posture as the
-                            # outer walk, never the exception handler
-                            if isz < ihdr:
-                                break
-                            if b[inner + 4 : inner + 8] == b"mvhd":
-                                body = inner + ihdr
-                                # field reads are bounded by the mvhd box's
-                                # own end, not len(b): a too-small declared
-                                # size must not read sibling-box bytes
-                                bend = min(inner + isz, end)
-                                ts = 0
-                                if body < bend:
-                                    ver = b[body]
-                                    if ver == 0 and body + 20 <= bend:
-                                        ts, dur = struct.unpack(
-                                            ">II", b[body + 12 : body + 20]
-                                        )
-                                    elif ver == 1 and body + 32 <= bend:
-                                        ts = struct.unpack(
-                                            ">I", b[body + 20 : body + 24]
-                                        )[0]
-                                        dur = struct.unpack(
-                                            ">Q", b[body + 24 : body + 32]
-                                        )[0]
-                                if ts:
-                                    out["duration_ms"] = int(dur * 1000 // ts)
-                            inner += isz
-                    if sz < hdr:
-                        break
-                    pos += sz
-        except Exception:
-            out["parse_ok"] = False
-        return out
-
-    return parse_one(b)
+                if data_len and sr and ch and bits:
+                    out["duration_ms"] = int(data_len * 8000 // (sr * ch * bits))
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            out.update(container="mp4", parse_ok=True)
+            pos = 0
+            while pos + 8 <= len(b):
+                sz, hdr = _mp4_box_size(b, pos, len(b))
+                if b[pos + 4 : pos + 8] == b"moov":
+                    inner = pos + hdr
+                    end = min(pos + sz, len(b))
+                    while inner + 8 <= end:
+                        isz, ihdr = _mp4_box_size(b, inner, end)
+                        # malformed/truncated box (incl. a truncated
+                        # largesize header) stops the scan BEFORE any
+                        # body read — same clean-break posture as the
+                        # outer walk, never the exception handler
+                        if isz < ihdr:
+                            break
+                        if b[inner + 4 : inner + 8] == b"mvhd":
+                            body = inner + ihdr
+                            # field reads are bounded by the mvhd box's
+                            # own end, not len(b): a too-small declared
+                            # size must not read sibling-box bytes
+                            bend = min(inner + isz, end)
+                            ts = 0
+                            if body < bend:
+                                ver = b[body]
+                                if ver == 0 and body + 20 <= bend:
+                                    ts, dur = struct.unpack(
+                                        ">II", b[body + 12 : body + 20]
+                                    )
+                                elif ver == 1 and body + 32 <= bend:
+                                    ts = struct.unpack(
+                                        ">I", b[body + 20 : body + 24]
+                                    )[0]
+                                    dur = struct.unpack(
+                                        ">Q", b[body + 24 : body + 32]
+                                    )[0]
+                            if ts:
+                                out["duration_ms"] = int(dur * 1000 // ts)
+                        inner += isz
+                if sz < hdr:
+                    break
+                pos += sz
+    except Exception:
+        out["parse_ok"] = False
+    return out
 
 
 def parse_media_headers(media: DataFrame) -> DataFrame:
