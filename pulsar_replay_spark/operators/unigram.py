@@ -122,6 +122,23 @@ def unigram_segment_words(words: DataFrame, model: DataFrame) -> DataFrame:
     return words.withColumn("pieces", seg(F.col("word")))
 
 
+def _logp_model(spark, rows) -> DataFrame:
+    """Bounded (piece, cnt) rows → the (piece, logp) model artifact, with
+    the log computed DRIVER-side via CPython ``math.log`` — the one float
+    op sequence both trainers share. Renormalizing through JVM ``F.log``
+    here would couple the local trainer's bit-equality gate to
+    java.lang.Math.log and libm agreeing in the last ulp (each is only
+    "within 1 ulp of correctly rounded", and a 1-ulp logp split can flip a
+    Viterbi tie, changing the inventory — r6 review). The rows are the
+    model artifact (≤ seed size + |alphabet|), the same bounded payload
+    ``_model_dict`` collects for closure shipping every round."""
+    total = sum(r["cnt"] for r in rows)
+    return spark.createDataFrame(
+        sorted((r["piece"], math.log(r["cnt"] / float(total))) for r in rows),
+        "piece string, logp double",
+    ) if rows else spark.createDataFrame([], "piece string, logp double")
+
+
 def unigram_train(
     wf: DataFrame,
     vocab_size: int,
@@ -139,13 +156,13 @@ def unigram_train(
     Per-round ``localCheckpoint`` keeps each EM round's plan flat (the BPE
     discipline); the argsorts are TakeOrdered cuts, never global sorts.
     Deterministic: count ties break lexicographically on the piece
-    everywhere a cut happens.
+    everywhere a cut happens. Counting stays distributed; only the
+    renormalization over the bounded artifact runs on the driver
+    (``_logp_model``), so logp bits are platform-stable vs the local twin.
     """
+    spark = wf.sparkSession
     seeded = seed_vocab(wf, vocab_size * seed_mult, max_piece_len)
-    total0 = seeded.agg(F.sum("cnt")).collect()[0][0]
-    model = seeded.select(
-        "piece", F.log(F.col("cnt") / F.lit(float(total0))).alias("logp")
-    ).localCheckpoint(eager=True)
+    model = _logp_model(spark, seeded.collect())
     vocab_words = wf.select("word", "freq").localCheckpoint(eager=True)
 
     for it in range(n_iters):
@@ -169,10 +186,7 @@ def unigram_train(
             .limit(keep_multi)
             .unionByName(counts.filter(F.length("piece") == 1))
         )
-        total = kept.agg(F.sum("cnt")).collect()[0][0]
-        model = kept.select(
-            "piece", F.log(F.col("cnt") / F.lit(float(total))).alias("logp")
-        ).localCheckpoint(eager=True)
+        model = _logp_model(spark, kept.collect())
     return model
 
 
@@ -193,8 +207,10 @@ def unigram_train_local(
 
     Exact-equal to the distributed trainer by construction (equality-gated
     in tests): the same ``_viterbi`` E-step, the same (cnt desc, piece asc)
-    prune cuts, and the same ``log(cnt / float(total))`` float op sequence,
-    so logp values are bit-identical, not merely close. Returns the same
+    prune cuts, and the same CPython ``math.log(cnt / float(total))`` op
+    sequence (the distributed path renormalizes driver-side in
+    ``_logp_model`` for exactly this reason), so logp values are
+    bit-identical on any platform, not merely close. Returns the same
     (piece, logp) DataFrame artifact; ``unigram_train`` remains the path for
     vocabularies past the gate."""
     from collections import Counter
