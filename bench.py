@@ -277,6 +277,22 @@ def main() -> None:
                 )
             ),
         )
+
+        # the corpus×corpus scale path: IVF candidate sweeps + exact
+        # re-scoring on the candidate subset — benched next to the exact
+        # sweep above so the scale path's advantage (and any recall-path
+        # regression) is a measured number, not a docstring claim
+        def _bitext_ivf():
+            a = emb.filter(F.col("vec_id") % 2 == 0)
+            b = emb.filter(F.col("vec_id") % 2 == 1)
+            cands = similarity.bitext_candidates_ivf(a, b, k=4)
+            _noop_write(
+                similarity.bitext_mine(
+                    a, b, k=4, margin_threshold=1.0, candidates=cands
+                )
+            )
+
+        timed_op("bitext_mine_ivf_split", _bitext_ivf)
         timed_op(
             "vocab_stats_top100",
             lambda: _noop_write(quality.vocab_stats(docs, top_k=100)),

@@ -462,24 +462,29 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 SIMHASH_PAIRS_ORACLE = _simhash_pairs_sql()
 
-# The corpus-scale width knob gets the SAME oracle gate as the 16-bit
-# contract row: at bits=60 (15-bit banding blocks) DuckDB reproduces the
-# signatures and the banded pair set exactly (2^59 bit sums stay BIGINT).
-# Pytest + parity --extras (x_simhash_wide); not a contract slot — width
-# is a parameter of one operator, not a new operator.
+# Both widths carry the same oracle gate: at bits=60 (15-bit banding
+# blocks) DuckDB reproduces the signatures and the banded pair set exactly
+# (2^59 bit sums stay BIGINT).
 SIMHASH_PAIRS_WIDE_ORACLE = _simhash_pairs_sql(bits=60)
 
 
-def q_simhash_near_pairs_wide(spark, sf_dir):
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, bits=60)
+# The 16-bit default width stays oracle-gated in pytest + parity --extras
+# (x_simhash_16); it is the hamming-GRANULARITY compat width, not the
+# serving recommendation.
+def q_simhash_near_pairs_16(spark, sf_dir):
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 # r6 rotation: the Manku banded hamming<=3 pair operator joined the contract
 # (q10's triply-covered dim-join slot ceded) — hamming-band near-dedup is a
-# capability the driver gate should see directly.
-@register("simhash_near_pairs", SIMHASH_PAIRS_ORACLE)
+# capability the driver gate should see directly. The contract row runs the
+# CORPUS-SCALE width (bits=60 → 15-bit banding blocks): benching the 16-bit
+# compat width showed the documented selectivity cliff, not the serving
+# path (4-bit blocks ≈ n²/16-per-block candidate fan-out — 4.6 s vs ~1 s at
+# sf0.1), and the driver gate should see the plan a 100 TB run would use.
+@register("simhash_near_pairs", SIMHASH_PAIRS_WIDE_ORACLE)
 def q_simhash_near_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, bits=60)
 
 
 # ---------------------------------------------------------------------------

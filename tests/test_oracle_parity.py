@@ -264,20 +264,21 @@ def test_session_paths_match_oracle(spark, duck):
     assert len(sdf) > 0
 
 
-def test_simhash_wide_width_matches_oracle(spark, duck):
-    """The corpus-scale width knob (bits=60) under the same DuckDB gate as
-    the 16-bit contract row: signatures and the banded hamming<=3 pair set
-    must be exactly reproducible cross-engine (2^59 bit sums stay BIGINT
-    on both sides)."""
+def test_simhash_16bit_width_matches_oracle(spark, duck):
+    """The 16-bit compat width under the same DuckDB gate as the bits=60
+    contract row (the widths swapped tiers in r6: the contract now runs
+    the corpus-scale width, so the default 16-bit keeps its oracle here):
+    signatures and the banded hamming<=3 pair set must be exactly
+    reproducible cross-engine."""
     from pulsar_replay_spark.queries_llm import (
-        SIMHASH_PAIRS_WIDE_ORACLE,
-        q_simhash_near_pairs_wide,
+        SIMHASH_PAIRS_ORACLE,
+        q_simhash_near_pairs_16,
     )
 
-    sdf = q_simhash_near_pairs_wide(spark, SF_SMOKE).toPandas()
-    ddf = duck.execute(SIMHASH_PAIRS_WIDE_ORACLE).df()
+    sdf = q_simhash_near_pairs_16(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(SIMHASH_PAIRS_ORACLE).df()
     problems = compare(sdf, ddf)
-    assert not problems, f"simhash wide: {problems}"
+    assert not problems, f"simhash 16-bit: {problems}"
 
 
 def test_bitext_mine_matches_oracle(spark, duck):

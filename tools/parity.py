@@ -107,7 +107,7 @@ def extra_oracles() -> dict:
     from pulsar_replay_spark import queries_temporal as qt
 
     return {
-        "x_simhash_wide": (ql.q_simhash_near_pairs_wide, ql.SIMHASH_PAIRS_WIDE_ORACLE),
+        "x_simhash_16": (ql.q_simhash_near_pairs_16, ql.SIMHASH_PAIRS_ORACLE),
         "x_bitext": (ql.q_bitext_mine, ql.BITEXT_ORACLE),
         "x_q5": (qr.q5_region_revenue, qr.Q5_ORACLE),
         "x_q10": (qr.q10_returned_item_customers, qr.Q10_ORACLE),

@@ -239,6 +239,25 @@ def main() -> None:
     packing.length_bucketed_batches(docs).write.format("noop").mode("overwrite").save()
     out["length_batches_50k_docs"] = round(time.perf_counter() - t, 2)
 
+    # r6 trainers/miners at rehearsal volume: the distributed WordPiece
+    # trainer (vocab-keyed rounds — wall should track vocab, not corpus)
+    # and the bitext candidates path (IVF sweeps + exact re-scoring on the
+    # candidate subset — the corpus×corpus shape that must never cross-join)
+    from pulsar_replay_spark.operators import wordpiece
+
+    t = time.perf_counter()
+    n_wp = len(wordpiece.wordpiece_train(_bpe.word_freqs(docs), 10))
+    out["wordpiece_train10_50k_docs"] = round(time.perf_counter() - t, 2)
+    emb_a = emb.filter(F.col("vec_id") % 2 == 0)
+    emb_b = emb.filter(F.col("vec_id") % 2 == 1)
+    t = time.perf_counter()
+    bt_cands = similarity.bitext_candidates_ivf(emb_a, emb_b, k=4)
+    bt = similarity.bitext_mine(
+        emb_a, emb_b, k=4, margin_threshold=1.0, candidates=bt_cands
+    )
+    n_bitext = bt.count()
+    out["bitext_ivf_20k_vecs"] = round(time.perf_counter() - t, 2)
+
     # composed streaming ingest at rehearsal volume: the replicated corpus
     # arrives as 4 micro-batches; every batch pays exact-hash + LSH-index
     # probes against everything admitted before it (clone replicas = planted
@@ -276,6 +295,8 @@ def main() -> None:
             "diff_statuses": n_churn,
             "join_advisor": est,
             "ingest_accepted_docs": n_accepted,
+            "wordpiece_merges": n_wp,
+            "bitext_pairs": n_bitext,
         },
     }))
 
