@@ -557,6 +557,48 @@ def split_leakage_report(docs: DataFrame, split: DataFrame) -> DataFrame:
     )
 
 
+def leakage_free_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-atomic train/val/test split: every near-duplicate cluster is
+    assigned to ONE split, so ``split_leakage_report`` on the result is empty
+    by construction (the report is the audit; this is the fix).
+
+    ``hash_split`` alone is re-ingest-stable but blind to near-duplicates —
+    two 99%-similar crawls of the same page can land in train and test and
+    leak the eval. Here each doc's split is the pure hash of its CLUSTER
+    REPRESENTATIVE (the connected-component label over MinHash candidate
+    pairs; unclustered docs represent themselves), so members move together
+    and the unclustered 9x% of the corpus keeps exactly its ``hash_split``
+    assignment.
+
+    Plan shape at 100 TB: the cluster-label relation is duplicates-only
+    (tiny vs the corpus) and broadcasts against the corpus scan; the split
+    itself stays a zero-shuffle projection. Pass ``clusters=`` to reuse an
+    already-computed label table (e.g. from ``near_dup_clusters``) instead
+    of re-running CC.
+
+    Returns docs + (split_key, split_frac, split); ``split_key`` is kept so
+    the cluster-atomicity is auditable downstream.
+    """
+    if clusters is None:
+        from pulsar_replay_spark.operators.dedup import (
+            connected_components,
+            minhash_candidate_pairs,
+        )
+
+        clusters = connected_components(minhash_candidate_pairs(docs))
+    keyed = docs.join(
+        F.broadcast(clusters.withColumnRenamed("cluster_id", "_cluster_rep")),
+        "doc_id",
+        "left",
+    ).withColumn("split_key", F.coalesce(F.col("_cluster_rep"), F.col("doc_id")))
+    return hash_split(keyed, weights, salt, id_col="split_key").drop("_cluster_rep")
+
+
 def dsir_select_per_group(
     raw_docs: DataFrame,
     target_docs: DataFrame,

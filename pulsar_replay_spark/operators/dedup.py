@@ -77,6 +77,57 @@ def minhash_band_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_plan(
+    threshold: float,
+    n_hashes: int = N_MINHASHES,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> dict:
+    """Banding planner: choose (bands, rows_per_band) for a target Jaccard
+    threshold — the knob a 100 TB run tunes BEFORE paying for signatures.
+
+    The collision probability of a pair with true Jaccard s under (b, r)
+    banding is the S-curve P(s) = 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman,
+    MMDS ch. 3; same objective as datasketch's optimal_param). This picks the
+    (b, r) with b·r ≤ n_hashes minimizing the weighted area of the two error
+    regions: false positives ∫₀ᵗ P(s) ds (pairs below threshold that still
+    collide → wasted verify work) and false negatives ∫ₜ¹ (1 − P(s)) ds
+    (true near-dups the bands miss → recall loss). Driver-side pure math —
+    O(n_hashes²) candidates × a fixed 512-point midpoint quadrature.
+
+    Returns {bands, rows_per_band, n_hashes_used, fp_area, fn_area,
+    s50} where s50 = (1/b)^(1/r) is the similarity at which collision
+    probability crosses ~50% — the planner's "effective threshold"."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+
+    def _area(prob, lo, hi, points=512):
+        if hi <= lo:
+            return 0.0
+        step = (hi - lo) / points
+        return sum(prob(lo + (i + 0.5) * step) for i in range(points)) * step
+
+    best = None
+    for b in range(1, n_hashes + 1):
+        for r in range(1, n_hashes // b + 1):
+            fp = _area(lambda s: 1.0 - (1.0 - s**r) ** b, 0.0, threshold)
+            fn = _area(lambda s: (1.0 - s**r) ** b, threshold, 1.0)
+            err = fp_weight * fp + fn_weight * fn
+            if best is None or err < best[0]:
+                best = (err, b, r, fp, fn)
+    _, b, r, fp, fn = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "n_hashes_used": b * r,
+        "fp_area": fp,
+        "fn_area": fn,
+        "s50": (1.0 / b) ** (1.0 / r),
+    }
+
+
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
 
@@ -616,13 +667,40 @@ def near_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_corpus(docs: DataFrame) -> DataFrame:
+def dedup_corpus(docs: DataFrame, score: "F.Column | None" = None) -> DataFrame:
     """The end-product dedup operator: the corpus with near-duplicate cluster
-    members removed, keeping each cluster's lowest doc_id (plus every
-    unclustered doc). One left-anti join against the non-keeper set — the
-    non-keeper relation is tiny (duplicates only), so it broadcasts."""
+    members removed (plus every unclustered doc kept untouched).
+
+    Keeper policy per cluster:
+
+    - default (``score=None``): lowest doc_id — the CC label itself, so the
+      loser set falls straight out of the label table with no extra join;
+    - ``score=<Column over docs>``: the highest-scoring member survives
+      (ties broken by lowest doc_id) — the production nuance where a
+      near-dup cluster should keep its best-quality copy, not its oldest.
+      e.g. ``dedup_corpus(docs, score=curation.default_quality_score(F.col("text")))``.
+
+    Plan shape at 100 TB is identical either way: the cluster-label relation
+    is duplicates-only (tiny), so it broadcasts against the corpus scan; the
+    score path adds one window over CLUSTER MEMBERS only (never the corpus);
+    the final filter is one broadcast left-anti join."""
     cc = connected_components(minhash_candidate_pairs(docs))
-    losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if score is None:
+        losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    else:
+        from pyspark.sql.window import Window
+
+        members = docs.select("doc_id", score.alias("_score")).join(
+            F.broadcast(cc), "doc_id"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("_score").desc(), F.col("doc_id")
+        )
+        losers = (
+            members.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select("doc_id")
+        )
     return docs.join(F.broadcast(losers), "doc_id", "left_anti")
 
 

@@ -307,3 +307,58 @@ def test_temperature_mixture_flattens_proportions(documents):
     assert kept_share > nat_share
     again = curation.temperature_mixture(documents, alpha=0.3)
     assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_leakage_free_split_is_cluster_atomic(spark, documents):
+    """Near-duplicate clusters move as a unit: the split_leakage_report on a
+    leakage_free_split is empty by construction, every MinHash candidate pair
+    shares a split, and docs OUTSIDE any cluster keep exactly their plain
+    hash_split assignment (same salt -> same deal for the clean majority)."""
+    from pulsar_replay_spark.operators import dedup
+
+    # plant near-identical + exact clones so clusters exist
+    clones = documents.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    docs = documents.unionByName(clones)
+    weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+
+    out = curation.leakage_free_split(docs, weights)
+    split_of = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert set(split_of) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(split_of.values()) <= set(weights)
+
+    # no candidate pair crosses a split boundary
+    rep = curation.split_leakage_report(docs, out.select("doc_id", "split"))
+    assert rep.count() == 0
+    pairs = dedup.minhash_candidate_pairs(docs).collect()
+    assert pairs, "fixture must produce candidate pairs"
+    for r in pairs:
+        assert split_of[r["doc_a"]] == split_of[r["doc_b"]]
+
+    # unclustered docs are dealt exactly as plain hash_split deals them
+    clustered = {
+        r["doc_id"]
+        for r in dedup.connected_components(
+            dedup.minhash_candidate_pairs(docs)
+        ).collect()
+    }
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(docs, weights).select("doc_id", "split").collect()
+    }
+    unclustered = set(split_of) - clustered
+    assert unclustered, "fixture must keep a clean majority"
+    for d in unclustered:
+        assert split_of[d] == plain[d]
+
+    # deterministic: a second run deals identically
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curation.leakage_free_split(docs, weights)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert again == split_of

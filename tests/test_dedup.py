@@ -469,3 +469,58 @@ def test_simhash_banding_rejects_zero_width_blocks(spark):
     store = dedup.simhash(docs, bits=4).localCheckpoint(eager=True)
     with _pytest.raises(ValueError, match="zero-width banding blocks"):
         dedup.incremental_simhash_pairs(docs, store, max_hamming=4, bits=4)
+
+
+def test_dedup_corpus_score_keeps_best_member_per_cluster(spark, documents):
+    """The keeper-policy knob: score= keeps each cluster's highest-scoring
+    member (ties -> lowest doc_id); the default keeps the CC label (lowest
+    doc_id). Both checked against a python union of the same label table."""
+    import collections
+
+    docs = _with_planted_dups(spark, documents)
+    cc = dedup.connected_components(dedup.minhash_candidate_pairs(docs)).collect()
+    clusters = collections.defaultdict(list)
+    for r in cc:
+        clusters[r["cluster_id"]].append(r["doc_id"])
+    assert any(len(m) >= 2 for m in clusters.values()), "fixture must cluster"
+
+    score = (F.col("doc_id") % 7).cast("double")
+    kept = {r["doc_id"] for r in dedup.dedup_corpus(docs, score=score).select("doc_id").collect()}
+    kept_default = {r["doc_id"] for r in dedup.dedup_corpus(docs).select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    clustered = {d for m in clusters.values() for d in m}
+
+    for members in clusters.values():
+        best = max(members, key=lambda d: (d % 7, -d))
+        assert {d for d in members if d in kept} == {best}
+        assert {d for d in members if d in kept_default} == {min(members)}
+    # unclustered docs survive under either policy
+    assert all_ids - clustered <= kept
+    assert all_ids - clustered <= kept_default
+
+
+def test_lsh_plan_picks_sane_banding():
+    """Planner invariants: budget respected, s50 lands near the target
+    threshold, recall-weighting pushes the curve left (more permissive
+    bands), and a higher threshold moves s50 right."""
+    plan = dedup.lsh_plan(0.5, 128)
+    assert plan["bands"] * plan["rows_per_band"] == plan["n_hashes_used"] <= 128
+    assert abs(plan["s50"] - 0.5) < 0.15
+    assert plan["fp_area"] >= 0.0 and plan["fn_area"] >= 0.0
+
+    recall_heavy = dedup.lsh_plan(0.5, 128, fp_weight=0.1, fn_weight=0.9)
+    assert recall_heavy["s50"] <= plan["s50"]
+
+    assert dedup.lsh_plan(0.9, 128)["s50"] > plan["s50"]
+
+    # the engine's own default geometry (8 hashes, 4x2, s50 = 0.5) is what
+    # the planner recommends for thresholds just below that s50
+    d = dedup.lsh_plan(0.4, 8)
+    assert (d["bands"], d["rows_per_band"]) == (4, 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.lsh_plan(1.5, 8)
+    with _pytest.raises(ValueError):
+        dedup.lsh_plan(0.5, 0)
