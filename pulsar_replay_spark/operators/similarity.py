@@ -319,6 +319,15 @@ def bitext_candidates_ivf(
     id spaces must be DISJOINT here — ``ivf_topk`` excludes q_id == n_id
     pairs, so numerically colliding ids would silently drop candidates
     (offset one side's ids first); the exact path has no such constraint."""
+    shared = {"centroids", "corpus_cells", "query_cells"} & set(ivf_kwargs)
+    if shared:
+        # the two sweeps index DIFFERENT corpora (B's index for A→B, A's for
+        # B→A); one prebuilt frame forwarded to both would silently assign
+        # one direction against the wrong quantizer
+        raise ValueError(
+            f"prebuilt index frames {sorted(shared)} cannot be shared across "
+            "both sweep directions — call ivf_topk per direction instead"
+        )
     f = ivf_topk(emb_b, emb_a, k=k, **ivf_kwargs).select(
         F.col("q_id").alias("a_id"), F.col("neighbor_id").alias("b_id")
     )

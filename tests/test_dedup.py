@@ -3,6 +3,7 @@ pairing, planted duplicates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pulsar_replay_spark.operators import dedup
@@ -524,3 +525,47 @@ def test_lsh_plan_picks_sane_banding():
         dedup.lsh_plan(1.5, 8)
     with _pytest.raises(ValueError):
         dedup.lsh_plan(0.5, 0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_connected_components_random_graphs_match_union_find(spark, seed):
+    """The jump-accelerated distributed loop on seeded RANDOM topologies
+    (self-loops, duplicate/reversed edges, singletons-in-edges, several
+    components) must equal driver union-find — the fixture graph covers one
+    topology; these cover the label-propagation edge cases."""
+    import random
+
+    rng = random.Random(seed)
+    n = 30
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    edges += [(5, 5), (7, 7)]  # self-loops
+    edges += [(b, a) for a, b in edges[:5]]  # reversed duplicates
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for v in parent:
+        expected.setdefault(find(v), set()).add(v)
+    exp_clusters = {frozenset(m) for m in expected.values()}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    out = dedup.connected_components(pairs, small_graph_edges=0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert {frozenset(m) for m in got.values()} == exp_clusters
+    # labels are each component's min member
+    assert all(cid == min(m) for cid, m in got.items())

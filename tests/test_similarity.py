@@ -555,3 +555,16 @@ def test_bitext_candidates_ivf_recovers_planted_translations(spark):
     )
     pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
     assert pairs == {(i, 1000 + i) for i in range(25)}
+
+
+def test_bitext_candidates_ivf_rejects_shared_prebuilt_index(spark, embeddings):
+    """The two sweep directions index DIFFERENT corpora; forwarding one
+    prebuilt centroids/cells frame to both would silently assign one
+    direction against the wrong quantizer — must raise, not mis-assign."""
+    import pytest as _pytest
+
+    a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity.ivf_centroids(a, n_cells=4)
+    with _pytest.raises(ValueError, match="both sweep directions"):
+        similarity.bitext_candidates_ivf(a, b, k=2, centroids=cents)
