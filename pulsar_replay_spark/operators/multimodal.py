@@ -46,6 +46,61 @@ def as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+_EXT_MIME = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "bmp": "image/bmp",
+    "wav": "audio/wav",
+    "flac": "audio/flac",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "mov": "video/quicktime",
+    "webm": "video/webm",
+}
+
+
+def read_media_dir(
+    spark, path: str, pattern: str | None = None, recursive: bool = False
+) -> DataFrame:
+    """Ingest raw media FILES via Spark's ``binaryFile`` source into the
+    media-row contract the rest of the tier consumes (``as_media``'s shape:
+    doc_id, payload, media_type, byte_len, sha256 — plus ``source_path`` for
+    lineage). media_type comes from the file extension as a ROUTING hint
+    only; ``parse_media_headers`` still sniffs magic bytes and never trusts
+    it. doc_id is a stable 60-bit md5 of the file path, so re-ingests keep
+    ids (and any ``hash_split`` deal) stable.
+
+    Scale shape: binaryFile parallelizes ACROSS files — a file is never
+    split — so individual payloads must fit an executor (right for
+    images/clips; shard hour-long masters upstream). Small files batch into
+    tasks under ``spark.sql.files.maxPartitionBytes``; ``pathGlobFilter``
+    prunes at LISTING time (nothing is read then dropped); the source
+    supports column pruning, so metadata-only readers never fetch content.
+    """
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1))
+    mime = F.create_map(
+        *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
+    )
+    return df.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.coalesce(mime[ext], F.lit("application/octet-stream")).alias("media_type"),
+        F.octet_length(F.col("content")).alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        F.col("path").alias("source_path"),
+    )
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: 8 floats from sha256 bytes."""
     digest = hashlib.sha256(payload).digest()

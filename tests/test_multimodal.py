@@ -387,3 +387,74 @@ def test_parse_one_media_never_raises_on_arbitrary_bytes():
             assert all(out[f] is None for f in FIELDS - {"container", "parse_ok"})
 
     fuzz()
+
+
+def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
+    """binaryFile ingestion into the media-row contract: real container bytes
+    written as FILES round-trip through read_media_dir into
+    parse_media_headers with correct sniffed containers; extension-mapped
+    media_type is only a hint; doc_ids are stable across re-reads; the glob
+    pattern prunes at listing time; nested files appear only with
+    recursive=True."""
+    import hashlib
+    import struct
+    import zlib
+
+    from pulsar_replay_spark.operators.multimodal import (
+        parse_media_headers,
+        read_media_dir,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    sr, ch, bits = 8000, 2, 16
+    n_data = sr * ch * (bits // 8) // 4
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_data) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+    )
+    (tmp_path / "red.png").write_bytes(png)
+    (tmp_path / "tone.wav").write_bytes(wav)
+    (tmp_path / "notes.txt").write_bytes(b"just some text bytes")
+    (tmp_path / "nested").mkdir()
+    (tmp_path / "nested" / "deep.png").write_bytes(png)
+
+    media = read_media_dir(spark, str(tmp_path))
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r.asDict() for r in media.collect()}
+    assert set(rows) == {"red.png", "tone.wav", "notes.txt"}  # non-recursive
+    assert rows["red.png"]["media_type"] == "image/png"
+    assert rows["tone.wav"]["media_type"] == "audio/wav"
+    assert rows["notes.txt"]["media_type"] == "application/octet-stream"
+    assert rows["red.png"]["byte_len"] == len(png)
+    assert rows["red.png"]["sha256"] == hashlib.sha256(png).hexdigest()
+    assert len({r["doc_id"] for r in rows.values()}) == 3
+
+    parsed = {
+        r["doc_id"]: r.asDict() for r in parse_media_headers(media).collect()
+    }
+    p = parsed[rows["red.png"]["doc_id"]]
+    assert p["container"] == "png" and (p["width"], p["height"]) == (7, 5)
+    w = parsed[rows["tone.wav"]["doc_id"]]
+    assert w["container"] == "wav" and w["duration_ms"] == 250
+    assert not parsed[rows["notes.txt"]["doc_id"]]["parse_ok"]
+
+    # glob pattern prunes at listing; recursive picks up the nested file
+    only_png = read_media_dir(spark, str(tmp_path), pattern="*.png")
+    assert only_png.count() == 1
+    rec = read_media_dir(spark, str(tmp_path), pattern="*.png", recursive=True)
+    assert rec.count() == 2
+
+    # re-ingest stability: same paths -> same doc_ids
+    again = {
+        r["source_path"]: r["doc_id"]
+        for r in read_media_dir(spark, str(tmp_path)).collect()
+    }
+    assert again == {r["source_path"]: r["doc_id"] for r in media.collect()}
