@@ -219,8 +219,12 @@ def bitext_mine(
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     if candidates is None:
-        fwd = _cross_topk(emb_b, emb_a, k)  # q_id = a, n_id = b
-        bwd = _cross_topk(emb_a, emb_b, k)  # q_id = b, n_id = a
+        # each sweep feeds BOTH the neighbourhood average and the candidate
+        # union below — materialize so the broadcast-join sweep runs once
+        # per direction, not once per consumer (the outputs are k·|queries|
+        # rows, tiny; values are deterministic so this is purely physical)
+        fwd = _cross_topk(emb_b, emb_a, k).localCheckpoint(eager=True)
+        bwd = _cross_topk(emb_a, emb_b, k).localCheckpoint(eager=True)
     else:
         ea = emb_a.select(
             F.col("vec_id").alias("a_id"),
@@ -247,6 +251,12 @@ def bitext_mine(
                 ).alias("sim6"),
             )
         )
+        # pair_sims fans out to fwd/bwd windows, both averages, and the
+        # candidate union — without truncation every consumer re-executes
+        # the ENTIRE candidates-generator DAG (for bitext_candidates_ivf:
+        # two IVF sweeps including centroid training; measured 93× wall
+        # blowup at the 20k-vector rehearsal). ≤|candidates| rows — tiny.
+        pair_sims = pair_sims.localCheckpoint(eager=True)
         wfa = Window.partitionBy("a_id").orderBy(F.desc("sim6"), "b_id")
         wfb = Window.partitionBy("b_id").orderBy(F.desc("sim6"), "a_id")
         fwd = (
@@ -328,10 +338,23 @@ def bitext_candidates_ivf(
             f"prebuilt index frames {sorted(shared)} cannot be shared across "
             "both sweep directions — call ivf_topk per direction instead"
         )
-    f = ivf_topk(emb_b, emb_a, k=k, **ivf_kwargs).select(
+    # derive each sweep's geometry from ITS indexed corpus unless the caller
+    # pinned it: ivf_topk's fixed 16-cell default is a ~25% corpus scan per
+    # query — exactly the fixed-tiny-constants cliff ivf_params exists to
+    # prevent (measured 4x candidate fan-out on the 20k-vector rehearsal)
+    fwd_kwargs = dict(ivf_kwargs)
+    bwd_kwargs = dict(ivf_kwargs)
+    if "n_cells" not in ivf_kwargs or "n_probe" not in ivf_kwargs:
+        nc_b, np_b = ivf_params(emb_b.count())
+        nc_a, np_a = ivf_params(emb_a.count())
+        fwd_kwargs.setdefault("n_cells", nc_b)
+        fwd_kwargs.setdefault("n_probe", np_b)
+        bwd_kwargs.setdefault("n_cells", nc_a)
+        bwd_kwargs.setdefault("n_probe", np_a)
+    f = ivf_topk(emb_b, emb_a, k=k, **fwd_kwargs).select(
         F.col("q_id").alias("a_id"), F.col("neighbor_id").alias("b_id")
     )
-    b = ivf_topk(emb_a, emb_b, k=k, **ivf_kwargs).select(
+    b = ivf_topk(emb_a, emb_b, k=k, **bwd_kwargs).select(
         F.col("neighbor_id").alias("a_id"), F.col("q_id").alias("b_id")
     )
     return f.unionByName(b).distinct()
