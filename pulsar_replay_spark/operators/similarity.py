@@ -592,6 +592,58 @@ def assignment_cohesion(embeddings: DataFrame, centroids: DataFrame) -> DataFram
     )
 
 
+def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096):
+    """Per-cell raw cosine of every (query, candidate) pair — the cogrouped
+    Arrow kernel behind ``ivf_topk(impl="arrow")``. Module-level (not a
+    closure) so the numerics and the empty-side guard are unit-testable
+    without a Spark job.
+
+    Bit-exactness discipline (the ``nearest_cells`` recipe): norms and dots
+    fold SEQUENTIALLY over dims (``acc += X[:, d] * Y[:, d]``) — the same
+    IEEE-754 add order as the JVM HOF fold — and the raw double is emitted
+    UNROUNDED; the caller applies the same ``F.round`` the JVM path uses, so
+    the two impls are bit-identical (gated in tests). Candidates are scanned
+    in chunks to bound the |Q|×chunk sim matrix under a hot (skewed) cell."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "q_id": pd.Series([], dtype="int64"),
+            "n_id": pd.Series([], dtype="int64"),
+            "raw_sim": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(cand_pdf) == 0 or len(q_pdf) == 0:
+        return empty
+    N = np.stack([np.asarray(v, dtype="float64") for v in cand_pdf["n_emb"]])
+    Q = np.stack([np.asarray(v, dtype="float64") for v in q_pdf["q_emb"]])
+    dim = N.shape[1]
+    n_acc = np.zeros(len(N))
+    q_acc = np.zeros(len(Q))
+    for d in range(dim):
+        n_acc += N[:, d] * N[:, d]
+        q_acc += Q[:, d] * Q[:, d]
+    n_norm = np.sqrt(n_acc)
+    q_norm = np.sqrt(q_acc)
+    q_ids = q_pdf["q_id"].to_numpy(dtype="int64")
+    n_ids = cand_pdf["n_id"].to_numpy(dtype="int64")
+    out = []
+    for lo in range(0, len(N), chunk):
+        Nc, nn = N[lo : lo + chunk], n_norm[lo : lo + chunk]
+        acc = np.zeros((len(Q), len(Nc)))
+        for d in range(dim):
+            acc += Q[:, d : d + 1] * Nc[None, :, d]
+        sims = acc / (q_norm[:, None] * nn[None, :])
+        qq = np.repeat(q_ids, len(Nc))
+        nc = np.tile(n_ids[lo : lo + chunk], len(Q))
+        keep = qq != nc
+        out.append(
+            pd.DataFrame({"q_id": qq[keep], "n_id": nc[keep], "raw_sim": sims.ravel()[keep]})
+        )
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -601,6 +653,7 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     corpus_cells: DataFrame | None = None,
     query_cells: DataFrame | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """ANN top-k via IVF: corpus vectors live in their 1 nearest cell; each
     query probes its ``n_probe`` nearest cells. Candidate generation is an
@@ -610,7 +663,16 @@ def ivf_topk(
     ``corpus_cells`` (the build-once index) so serving only assigns the
     query batch; pass ``query_cells`` too when cell assignment happens in a
     DIFFERENT space than the rerank (e.g. ``pca.pca_ivf_topk`` assigns in
-    the reduced space but reranks with the original vectors here)."""
+    the reduced space but reranks with the original vectors here).
+
+    ``impl="arrow"`` (default): in-cell pair scoring runs as a cogrouped
+    ``applyInPandas`` over cell_id — each cell's vectors cross Arrow ONCE
+    (never per pair), numpy folds the sims sequentially over dims
+    (bit-identical to the HOF fold — the ``nearest_cells`` discipline,
+    equality-gated), and only (q_id, n_id, raw_sim) reaches the top-k
+    window, so the sort never shuffles embeddings. Measured 19 s → ~4 s on
+    the 10k×10k sweep. ``impl="jvm"``: the HOF-expression reference
+    formulation, kept for the bit-equality gate."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
@@ -619,28 +681,53 @@ def ivf_topk(
     if query_cells is None:
         query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 
-    cand = embeddings.join(corpus_cells, "vec_id").select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_emb"),
-        norm(F.col("embedding")).alias("n_norm"),
-        "cell_id",
-    )
-    q = queries.join(query_cells, "vec_id").select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        norm(F.col("embedding")).alias("q_norm"),
-        "cell_id",
-    )
-    pairs = (
-        cand.join(F.broadcast(q), "cell_id")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .drop("cell_id")
-        .dropDuplicates(["q_id", "n_id"])
-    )
-    sims = pairs.withColumn(
-        "sim6",
-        F.round(dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")), 6),
-    )
+    if impl == "arrow":
+        cand = embeddings.join(corpus_cells, "vec_id").select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            "cell_id",
+        )
+        q = queries.join(query_cells, "vec_id").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell_id",
+        )
+        raw = (
+            cand.groupBy("cell_id")
+            .cogroup(q.groupBy("cell_id"))
+            .applyInPandas(
+                # exactly two params: a third (even defaulted, like the
+                # kernel's chunk knob) makes Spark pass (key, left, right)
+                lambda left, right: _cell_pair_sims(left, right),
+                schema="q_id long, n_id long, raw_sim double",
+            )
+        )
+        sims = raw.dropDuplicates(["q_id", "n_id"]).withColumn(
+            "sim6", F.round(F.col("raw_sim"), 6)
+        )
+    else:
+        cand = embeddings.join(corpus_cells, "vec_id").select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            norm(F.col("embedding")).alias("n_norm"),
+            "cell_id",
+        )
+        q = queries.join(query_cells, "vec_id").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_norm"),
+            "cell_id",
+        )
+        pairs = (
+            cand.join(F.broadcast(q), "cell_id")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .drop("cell_id")
+            .dropDuplicates(["q_id", "n_id"])
+        )
+        sims = pairs.withColumn(
+            "sim6",
+            F.round(dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")), 6),
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
     return (
         sims.withColumn("rk", F.row_number().over(w))

@@ -300,8 +300,12 @@ def test_benched_similarity_headline_is_ann_not_bnlj(spark):
     # centroid frame during the two assignments (corpus, queries) — O(N·cells)
     # map-side compute, the inherent IVF assignment cost
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
-    # candidate generation itself must be an equi (hash) join on cell_id
-    assert "BroadcastHashJoin [cell_id" in plan or "SortMergeJoin [cell_id" in plan, plan[:3000]
+    # candidate generation itself must stay cell_id-KEYED: since r6 the
+    # in-cell pair scoring is the cogrouped Arrow kernel (both sides hash-
+    # partitioned on cell_id into FlatMapCoGroupsInPandas) — same keyed
+    # shuffle discipline as the old equi-join, embeddings cross Arrow once
+    # per cell and the top-k window never sorts vectors
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:3000]
 
 
 def test_benched_jaccard_headline_is_capped(spark):

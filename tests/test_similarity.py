@@ -568,3 +568,69 @@ def test_bitext_candidates_ivf_rejects_shared_prebuilt_index(spark, embeddings):
     cents = similarity.ivf_centroids(a, n_cells=4)
     with _pytest.raises(ValueError, match="both sweep directions"):
         similarity.bitext_candidates_ivf(a, b, k=2, centroids=cents)
+
+
+def test_ivf_topk_arrow_bitwise_equals_jvm(spark, embeddings):
+    """The cogrouped Arrow pair-scoring must reproduce the JVM HOF
+    formulation EXACTLY — ids, ranks, and rounded sims — at two geometries
+    (shared prebuilt centroids so both impls rank identical candidate
+    sets; raw doubles fold in the same IEEE order, rounding stays F.round
+    on both sides)."""
+    queries = embeddings.limit(7)
+    for n_cells, n_probe in ((4, 2), (16, 4)):
+        cents = similarity.ivf_centroids(embeddings, n_cells).localCheckpoint(
+            eager=True
+        )
+        a = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(
+                    embeddings, queries, k=5, n_probe=n_probe, centroids=cents
+                ).collect(),
+            )
+        )
+        j = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(
+                    embeddings,
+                    queries,
+                    k=5,
+                    n_probe=n_probe,
+                    centroids=cents,
+                    impl="jvm",
+                ).collect(),
+            )
+        )
+        assert a == j and len(a) > 0
+
+
+def test_cell_pair_sims_unit_kernel():
+    """Unit probes of the cogroup kernel: empty sides yield typed empty
+    frames; self-pairs are excluded; chunking never changes values."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_replay_spark.operators.similarity import _cell_pair_sims
+
+    empty = pd.DataFrame({"n_id": [], "n_emb": []})
+    qs = pd.DataFrame({"q_id": [1], "q_emb": [np.ones(4, dtype="float32")]})
+    out = _cell_pair_sims(empty, qs)
+    assert len(out) == 0 and list(out.columns) == ["q_id", "n_id", "raw_sim"]
+    assert _cell_pair_sims(qs.rename(columns={"q_id": "n_id", "q_emb": "n_emb"}), pd.DataFrame({"q_id": [], "q_emb": []})).empty
+
+    rng = np.random.default_rng(7)
+    cand = pd.DataFrame(
+        {"n_id": np.arange(9), "n_emb": [rng.standard_normal(4).astype("float32") for _ in range(9)]}
+    )
+    q = pd.DataFrame(
+        {"q_id": np.array([3, 50]), "q_emb": [rng.standard_normal(4).astype("float32") for _ in range(2)]}
+    )
+    full = _cell_pair_sims(cand, q).sort_values(["q_id", "n_id"]).reset_index(drop=True)
+    chunked = (
+        _cell_pair_sims(cand, q, chunk=2).sort_values(["q_id", "n_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, chunked)
+    # q_id 3 collides with candidate 3 -> excluded
+    assert not ((full["q_id"] == 3) & (full["n_id"] == 3)).any()
+    assert len(full) == 9 * 2 - 1
