@@ -592,7 +592,7 @@ def assignment_cohesion(embeddings: DataFrame, centroids: DataFrame) -> DataFram
     )
 
 
-def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096):
+def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
     """Per-cell raw cosine of every (query, candidate) pair — the cogrouped
     Arrow kernel behind ``ivf_topk(impl="arrow")``. Module-level (not a
     closure) so the numerics and the empty-side guard are unit-testable
@@ -603,7 +603,18 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096):
     IEEE-754 add order as the JVM HOF fold — and the raw double is emitted
     UNROUNDED; the caller applies the same ``F.round`` the JVM path uses, so
     the two impls are bit-identical (gated in tests). Candidates are scanned
-    in chunks to bound the |Q|×chunk sim matrix under a hot (skewed) cell."""
+    in chunks to bound the |Q|×chunk sim matrix under a hot (skewed) cell.
+
+    ``k``: provably LOSSLESS per-(query, cell) pre-cut (the semantic_dedup
+    safe-superset trick): only rows with raw > (cell's k-th best raw for the
+    query) − 2e-6 can influence the global ``F.round(·, 6)``-then-rank
+    top-k — round-6 equality implies |a−b| < 1e-6, a row round-6 strictly
+    below its OWN cell's k-th best already has k in-cell rows strictly
+    above it globally, and the extra 1e-6 of slack absorbs any FP boundary
+    effect in the threshold subtraction (the cut key is a COMPUTED double,
+    unlike semantic_dedup's exact user constant). Shrinks the global top-k window's input
+    from (probes × cell_size) to ~(probes × k) rows per query; the final
+    rank/tie-break still happens JVM-side on the rounded values."""
     import numpy as np
     import pandas as pd
 
@@ -641,7 +652,20 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096):
         out.append(
             pd.DataFrame({"q_id": qq[keep], "n_id": nc[keep], "raw_sim": sims.ravel()[keep]})
         )
-    return pd.concat(out, ignore_index=True) if out else empty
+    if not out:
+        return empty
+    df = pd.concat(out, ignore_index=True)
+    if k is not None and len(df):
+        # stable sort so cumcount positions are deterministic; the kth value
+        # itself is order-free (a pure per-query statistic)
+        df = df.sort_values(
+            ["q_id", "raw_sim"], ascending=[True, False], kind="mergesort"
+        )
+        pos = df.groupby("q_id").cumcount()
+        kth = df[pos == k - 1].set_index("q_id")["raw_sim"]
+        thr = df["q_id"].map(kth)  # NaN → query has < k in-cell rows: keep all
+        df = df[thr.isna() | (df["raw_sim"].to_numpy() > thr.to_numpy() - 2e-6)]
+    return df.reset_index(drop=True)
 
 
 def ivf_topk(
@@ -698,7 +722,7 @@ def ivf_topk(
             .applyInPandas(
                 # exactly two params: a third (even defaulted, like the
                 # kernel's chunk knob) makes Spark pass (key, left, right)
-                lambda left, right: _cell_pair_sims(left, right),
+                lambda left, right: _cell_pair_sims(left, right, k=k),
                 schema="q_id long, n_id long, raw_sim double",
             )
         )

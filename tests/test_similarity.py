@@ -634,3 +634,42 @@ def test_cell_pair_sims_unit_kernel():
     # q_id 3 collides with candidate 3 -> excluded
     assert not ((full["q_id"] == 3) & (full["n_id"] == 3)).any()
     assert len(full) == 9 * 2 - 1
+
+
+def test_cell_pair_sims_k_cut_is_lossless_superset():
+    """The per-(query, cell) pre-cut must keep every row that could enter
+    the rounded global top-k: planted ties WITHIN 2e-6 of the k-th best
+    survive the cut; rows clearly below are dropped; queries with < k rows
+    keep everything."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_replay_spark.operators.similarity import _cell_pair_sims
+
+    # orthogonal-ish construction: candidate i has cos ~ sims[i] to the query
+    base = np.zeros(4, dtype="float64")
+    base[0] = 1.0
+    sims_wanted = [0.9, 0.9 - 5e-7, 0.9 - 9e-7, 0.5, 0.4, 0.1]
+
+    def vec(c):
+        v = np.zeros(4)
+        v[0] = c
+        v[1] = np.sqrt(1 - c * c)
+        return v.astype("float64")
+
+    cand = pd.DataFrame(
+        {"n_id": np.arange(len(sims_wanted)), "n_emb": [vec(c) for c in sims_wanted]}
+    )
+    q = pd.DataFrame({"q_id": np.array([100]), "q_emb": [base]})
+    out = _cell_pair_sims(cand, q, k=2)
+    kept = set(out["n_id"])
+    # k=2 -> kth best ~0.9-5e-7; the 0.9-9e-7 row is within 2e-6 -> kept
+    assert {0, 1, 2} <= kept
+    assert 5 not in kept and 4 not in kept  # clearly below the band
+    # fewer rows than k: keep all
+    out_all = _cell_pair_sims(cand.head(1), q, k=5)
+    assert set(out_all["n_id"]) == {0}
+    # values are untouched by the cut
+    full = _cell_pair_sims(cand, q)
+    merged = out.merge(full, on=["q_id", "n_id"], suffixes=("_cut", "_full"))
+    assert (merged["raw_sim_cut"] == merged["raw_sim_full"]).all()
