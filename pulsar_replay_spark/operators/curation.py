@@ -578,8 +578,11 @@ def leakage_free_split(
     Plan shape at 100 TB: the cluster-label relation is duplicates-only
     (tiny vs the corpus) and broadcasts against the corpus scan; the split
     itself stays a zero-shuffle projection. Pass ``clusters=`` to reuse an
-    already-computed label table (e.g. from ``near_dup_clusters``) instead
-    of re-running CC.
+    already-computed per-member label table — the (doc_id, cluster_id)
+    output of ``dedup.connected_components(minhash_candidate_pairs(docs))``
+    (NOT ``near_dup_clusters``, which is the one-row-per-cluster summary) —
+    instead of re-running CC; ``dedup_corpus(clusters=...)`` shares the
+    same table.
 
     Returns docs + (split_key, split_frac, split); ``split_key`` is kept so
     the cluster-atomicity is auditable downstream.

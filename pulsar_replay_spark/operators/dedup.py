@@ -667,7 +667,11 @@ def near_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_corpus(docs: DataFrame, score: "F.Column | None" = None) -> DataFrame:
+def dedup_corpus(
+    docs: DataFrame,
+    score: "F.Column | None" = None,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """The end-product dedup operator: the corpus with near-duplicate cluster
     members removed (plus every unclustered doc kept untouched).
 
@@ -683,8 +687,17 @@ def dedup_corpus(docs: DataFrame, score: "F.Column | None" = None) -> DataFrame:
     Plan shape at 100 TB is identical either way: the cluster-label relation
     is duplicates-only (tiny), so it broadcasts against the corpus scan; the
     score path adds one window over CLUSTER MEMBERS only (never the corpus);
-    the final filter is one broadcast left-anti join."""
-    cc = connected_components(minhash_candidate_pairs(docs))
+    the final filter is one broadcast left-anti join.
+
+    ``clusters=``: reuse a precomputed (doc_id, cluster_id) label table —
+    the CC transitive closure is the expensive multi-round job, and a
+    pipeline that also runs ``curation.leakage_free_split`` should pay it
+    once and pass the same table to both."""
+    cc = (
+        clusters
+        if clusters is not None
+        else connected_components(minhash_candidate_pairs(docs))
+    )
     if score is None:
         losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     else:

@@ -215,14 +215,24 @@ def bitext_mine(
     on that subset (id-keyed joins, ≤|candidates| pairs), so every number
     the margin touches comes from the same round-6 expression as the
     exact path; only recall is approximate, inherited from the
-    generator's gate."""
+    generator's gate.
+
+    NOTE: construction is EAGER — the k-NN sweeps (or the candidate
+    re-scoring) materialize via localCheckpoint when this function is
+    CALLED, not at the first action, because the scored pairs fan out to
+    four consumers (lazy re-execution measured 1.6–3.7× slower at the 20k
+    rehearsal). Build the frame only when you intend to consume it."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     if candidates is None:
         # each sweep feeds BOTH the neighbourhood average and the candidate
         # union below — materialize so the broadcast-join sweep runs once
         # per direction, not once per consumer (the outputs are k·|queries|
-        # rows, tiny; values are deterministic so this is purely physical)
+        # rows, tiny; values are deterministic so this is purely physical).
+        # EAGER is deliberate, and makes bitext_mine run jobs at
+        # CONSTRUCTION time: a lazy checkpoint measured ~1.6× slower at the
+        # 20k rehearsal (concurrent consumer stages recompute partitions
+        # before materialization completes)
         fwd = _cross_topk(emb_b, emb_a, k).localCheckpoint(eager=True)
         bwd = _cross_topk(emb_a, emb_b, k).localCheckpoint(eager=True)
     else:
@@ -255,7 +265,8 @@ def bitext_mine(
         # candidate union — without truncation every consumer re-executes
         # the ENTIRE candidates-generator DAG (for bitext_candidates_ivf:
         # two IVF sweeps including centroid training; measured 93× wall
-        # blowup at the 20k-vector rehearsal). ≤|candidates| rows — tiny.
+        # blowup at the 20k-vector rehearsal). ≤|candidates| rows — tiny;
+        # eager on purpose (lazy measured 1.6× slower — see the exact branch)
         pair_sims = pair_sims.localCheckpoint(eager=True)
         wfa = Window.partitionBy("a_id").orderBy(F.desc("sim6"), "b_id")
         wfb = Window.partitionBy("b_id").orderBy(F.desc("sim6"), "a_id")
@@ -341,16 +352,24 @@ def bitext_candidates_ivf(
     # derive each sweep's geometry from ITS indexed corpus unless the caller
     # pinned it: ivf_topk's fixed 16-cell default is a ~25% corpus scan per
     # query — exactly the fixed-tiny-constants cliff ivf_params exists to
-    # prevent (measured 4x candidate fan-out on the 20k-vector rehearsal)
+    # prevent (measured 4x candidate fan-out on the 20k-vector rehearsal).
+    # A half-pinned geometry derives the OTHER knob from the pinned one, not
+    # from ivf_params' cell count — n_probe from a corpus-sized cell count
+    # against a caller-pinned small n_cells would probe every cell (a 100%
+    # scan), the exact cliff again.
     fwd_kwargs = dict(ivf_kwargs)
     bwd_kwargs = dict(ivf_kwargs)
-    if "n_cells" not in ivf_kwargs or "n_probe" not in ivf_kwargs:
+    if "n_cells" not in ivf_kwargs:
         nc_b, np_b = ivf_params(emb_b.count())
         nc_a, np_a = ivf_params(emb_a.count())
-        fwd_kwargs.setdefault("n_cells", nc_b)
+        fwd_kwargs["n_cells"] = nc_b
         fwd_kwargs.setdefault("n_probe", np_b)
-        bwd_kwargs.setdefault("n_cells", nc_a)
+        bwd_kwargs["n_cells"] = nc_a
         bwd_kwargs.setdefault("n_probe", np_a)
+    elif "n_probe" not in ivf_kwargs:
+        bounded_probe = max(2, ivf_kwargs["n_cells"] // 16)  # ivf_params' 1/16
+        fwd_kwargs["n_probe"] = bounded_probe
+        bwd_kwargs["n_probe"] = bounded_probe
     f = ivf_topk(emb_b, emb_a, k=k, **fwd_kwargs).select(
         F.col("q_id").alias("a_id"), F.col("neighbor_id").alias("b_id")
     )
@@ -639,6 +658,16 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
     q_norm = np.sqrt(q_acc)
     q_ids = q_pdf["q_id"].to_numpy(dtype="int64")
     n_ids = cand_pdf["n_id"].to_numpy(dtype="int64")
+    # zero-norm vectors make cosine undefined; the JVM reference impl (and
+    # every other cosine path in this module) raises DIVIDE_BY_ZERO under
+    # ANSI — fail the same way, but with a named, actionable error
+    for side, nrm, ids in (("candidate", n_norm, n_ids), ("query", q_norm, q_ids)):
+        z = np.flatnonzero(nrm == 0.0)
+        if len(z):
+            raise ValueError(
+                f"zero-norm {side} embedding (vec_id={int(ids[z[0]])}): cosine "
+                "is undefined — filter degenerate vectors upstream"
+            )
     out = []
     for lo in range(0, len(N), chunk):
         Nc, nn = N[lo : lo + chunk], n_norm[lo : lo + chunk]
@@ -656,15 +685,28 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
         return empty
     df = pd.concat(out, ignore_index=True)
     if k is not None and len(df):
-        # stable sort so cumcount positions are deterministic; the kth value
+        # dedup BEFORE the cut: duplicate rows in user-supplied cells frames
+        # (e.g. unioned index snapshots) would otherwise occupy several of
+        # the k per-query slots and inflate kth past a genuine winner — the
+        # jvm impl dedups before ranking and must stay equal
+        df = df.drop_duplicates(["q_id", "n_id"])
+        # NaN sims (zero-norm vectors: 0/0) sort FIRST under the JVM's
+        # F.desc, so they are top-k candidates — never cut them, and keep
+        # them out of the kth statistic (pandas sorts them last).
+        # Stable sort so cumcount positions are deterministic; the kth value
         # itself is order-free (a pure per-query statistic)
         df = df.sort_values(
             ["q_id", "raw_sim"], ascending=[True, False], kind="mergesort"
         )
+        nan_rows = df["raw_sim"].isna().to_numpy()
         pos = df.groupby("q_id").cumcount()
-        kth = df[pos == k - 1].set_index("q_id")["raw_sim"]
-        thr = df["q_id"].map(kth)  # NaN → query has < k in-cell rows: keep all
-        df = df[thr.isna() | (df["raw_sim"].to_numpy() > thr.to_numpy() - 2e-6)]
+        kth = df[(pos == k - 1) & ~nan_rows].set_index("q_id")["raw_sim"]
+        thr = df["q_id"].map(kth)  # NaN → query has < k finite rows: keep all
+        df = df[
+            nan_rows
+            | thr.isna().to_numpy()
+            | (df["raw_sim"].to_numpy() > thr.to_numpy() - 2e-6)
+        ]
     return df.reset_index(drop=True)
 
 

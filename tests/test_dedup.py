@@ -569,3 +569,19 @@ def test_connected_components_random_graphs_match_union_find(spark, seed):
     assert {frozenset(m) for m in got.values()} == exp_clusters
     # labels are each component's min member
     assert all(cid == min(m) for cid, m in got.items())
+
+
+def test_dedup_corpus_reuses_precomputed_clusters(spark, documents):
+    """clusters= must yield exactly the recompute result — the hook exists
+    so a pipeline pays the CC job once across dedup_corpus and
+    curation.leakage_free_split."""
+    docs = _with_planted_dups(spark, documents)
+    cc = dedup.connected_components(
+        dedup.minhash_candidate_pairs(docs)
+    ).localCheckpoint(eager=True)
+    direct = {r["doc_id"] for r in dedup.dedup_corpus(docs).select("doc_id").collect()}
+    reused = {
+        r["doc_id"]
+        for r in dedup.dedup_corpus(docs, clusters=cc).select("doc_id").collect()
+    }
+    assert direct == reused

@@ -673,3 +673,67 @@ def test_cell_pair_sims_k_cut_is_lossless_superset():
     full = _cell_pair_sims(cand, q)
     merged = out.merge(full, on=["q_id", "n_id"], suffixes=("_cut", "_full"))
     assert (merged["raw_sim_cut"] == merged["raw_sim_full"]).all()
+
+
+def test_ivf_topk_duplicate_index_rows_cannot_inflate_the_cut(spark):
+    """Duplicated rows in a user-supplied corpus_cells frame (e.g. unioned
+    index snapshots) must not occupy k-cut slots: the kernel dedups
+    (q_id, n_id) BEFORE the kth statistic, staying exactly equal to the
+    JVM impl (which dedups before ranking)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id in (0, 1, 2)")
+    cents = similarity.ivf_centroids(emb, n_cells=2).localCheckpoint(eager=True)
+    cells = similarity.ivf_assign(emb, cents, n_probe=1).localCheckpoint(eager=True)
+    dup_cells = cells.unionByName(cells)  # planted duplicate index rows
+
+    for corpus_cells in (cells, dup_cells):
+        a = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(
+                    emb, queries, k=3, n_probe=2, centroids=cents,
+                    corpus_cells=corpus_cells,
+                ).collect(),
+            )
+        )
+        j = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(
+                    emb, queries, k=3, n_probe=2, centroids=cents,
+                    corpus_cells=corpus_cells, impl="jvm",
+                ).collect(),
+            )
+        )
+        assert a == j and len(a) > 0
+
+
+def test_ivf_topk_zero_norm_vector_raises_named_error(spark):
+    """Cosine is undefined for zero-norm vectors; under ANSI the JVM impl
+    raises DIVIDE_BY_ZERO, so the Arrow kernel must fail the same inputs
+    LOUDLY (named error), never silently emit or drop NaN pairs."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(10)]
+    rows.append((99, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id in (0, 1)")
+    cents = similarity.ivf_centroids(emb.filter("vec_id < 99"), n_cells=2)
+    with _pytest.raises(Exception, match="zero-norm"):
+        similarity.ivf_topk(emb, queries, k=3, centroids=cents).collect()
+
+
+def test_bitext_candidates_ivf_half_pinned_geometry_stays_bounded(spark, embeddings):
+    """Pinning only n_cells must NOT re-open the full-scan cliff: the
+    derived n_probe comes from the PINNED cell count (1/16 fraction, floor
+    2), never from ivf_params' corpus-sized cell count."""
+    a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    out = similarity.bitext_candidates_ivf(a, b, k=2, n_cells=64)
+    assert out.count() > 0  # runs, and with the bounded probe geometry
