@@ -497,10 +497,19 @@ def lsh_tables(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, impl: str = "arrow"
+) -> DataFrame:
     """ANN top-k: rank only candidates colliding with the query in some LSH
     table (the scale path — the table join shuffles (table, bucket) keys,
-    never the full cross product)."""
+    never the full cross product).
+
+    ``impl="arrow"`` (default): in-bucket pair scoring reuses the IVF
+    cogroup kernel (``_cell_pair_sims``) keyed on (table, bucket) — same
+    bit-equality discipline and lossless per-group ε-band k-cut; the
+    multi-table collision dedup moves AFTER scoring (duplicate pairs carry
+    identical sims, so the surviving copy is value-identical).
+    ``impl="jvm"``: the HOF broadcast-join reference formulation."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     # Materialize the bucket table once: it feeds BOTH join sides, and the
@@ -509,30 +518,57 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
     # truncates lineage so nothing upstream stays cached (measured 2× on the
     # 20k-vector stress).
     t = lsh_tables(embeddings).localCheckpoint(eager=True)
-    cand = embeddings.join(t, "vec_id").select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_emb"),
-        norm(F.col("embedding")).alias("n_norm"),
-        "table",
-        "bucket",
-    )
-    q = queries.join(t, "vec_id").select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        norm(F.col("embedding")).alias("q_norm"),
-        "table",
-        "bucket",
-    )
-    pairs = (
-        cand.join(F.broadcast(q), ["table", "bucket"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_emb", "q_norm", "n_id", "n_emb", "n_norm")
-        .dropDuplicates(["q_id", "n_id"])  # collapse multi-table collisions
-    )
-    sims = pairs.withColumn(
-        "sim6",
-        F.round(dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")), 6),
-    )
+    if impl == "arrow":
+        cand = embeddings.join(t, "vec_id").select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            "table",
+            "bucket",
+        )
+        # toDF re-aliases the attribute ids: both cogroup sides descend from
+        # the same checkpointed bucket table, and same-exprId group keys trip
+        # the ambiguous-self-join check
+        q = queries.join(t.toDF("vec_id", "table", "bucket"), "vec_id").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "table",
+            "bucket",
+        )
+        sims = (
+            cand.groupBy("table", "bucket")
+            .cogroup(q.groupBy("table", "bucket"))
+            .applyInPandas(
+                lambda left, right: _cell_pair_sims(left, right, k=k),
+                schema="q_id long, n_id long, raw_sim double",
+            )
+            .dropDuplicates(["q_id", "n_id"])  # collapse multi-table collisions
+            .withColumn("sim6", F.round(F.col("raw_sim"), 6))
+        )
+    else:
+        cand = embeddings.join(t, "vec_id").select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            norm(F.col("embedding")).alias("n_norm"),
+            "table",
+            "bucket",
+        )
+        q = queries.join(t, "vec_id").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_norm"),
+            "table",
+            "bucket",
+        )
+        pairs = (
+            cand.join(F.broadcast(q), ["table", "bucket"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "q_emb", "q_norm", "n_id", "n_emb", "n_norm")
+            .dropDuplicates(["q_id", "n_id"])  # collapse multi-table collisions
+        )
+        sims = pairs.withColumn(
+            "sim6",
+            F.round(dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_norm") * F.col("n_norm")), 6),
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim6"), "n_id")
     return (
         sims.withColumn("rk", F.row_number().over(w))

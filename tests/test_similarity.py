@@ -786,3 +786,16 @@ def test_cross_sims_batches_chunking_is_lossless():
     assert list(_cross_sims_batches(iter([pdf.head(0)]), **kw)) == []
     kw0 = dict(kw, q_ids=np.array([], dtype="int64"))
     assert list(_cross_sims_batches(iter([pdf]), **kw0)) == []
+
+
+def test_lsh_topk_arrow_bitwise_equals_jvm(spark, embeddings):
+    """The cogrouped (table, bucket) Arrow scoring — including the
+    score-then-dedup reordering for multi-table collisions and the
+    per-group k-cut — must equal the JVM broadcast-join formulation
+    exactly."""
+    queries = embeddings.limit(9)
+    a = sorted(map(tuple, similarity.lsh_topk(embeddings, queries, k=5).collect()))
+    j = sorted(
+        map(tuple, similarity.lsh_topk(embeddings, queries, k=5, impl="jvm").collect())
+    )
+    assert a == j and len(a) > 0
