@@ -1,0 +1,125 @@
+"""Hypothesis property gates for the Arrow scoring kernels: the numpy
+sequential-dim fold must be BIT-identical to a plain-python IEEE-754
+left-fold mirror (the same op order the JVM HOF and DuckDB's
+list_inner_product execute) on arbitrary float32 inputs, and the lossless
+ε-band cuts must never drop a row the exact rounded top-k needs. Pure
+numpy — no Spark session, so these run in milliseconds."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pulsar_replay_spark.operators.similarity import (
+    _cell_pair_sims,
+    _cross_sims_batches,
+)
+
+finite_f32 = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, width=32
+).filter(lambda x: abs(x) > 1e-3 or x == 0.0)
+
+
+def _vec(dim):
+    return st.lists(finite_f32, min_size=dim, max_size=dim)
+
+
+def _python_cosine(a, b):
+    """The JVM HOF mirror: sequential left-fold in plain python doubles."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(np.float32(x)) * float(np.float32(y))
+    for x in a:
+        na += float(np.float32(x)) * float(np.float32(x))
+    for y in b:
+        nb += float(np.float32(y)) * float(np.float32(y))
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(2, 6).flatmap(
+        lambda dim: st.tuples(
+            st.lists(_vec(dim), min_size=1, max_size=8),
+            st.lists(_vec(dim), min_size=1, max_size=4),
+        )
+    )
+)
+def test_cell_pair_sims_bitwise_matches_python_fold_mirror(corpora):
+    cands, qs = corpora
+    if any(all(x == 0.0 for x in v) for v in cands + qs):
+        return  # zero-norm raises by contract; covered elsewhere
+    cand = pd.DataFrame(
+        {
+            "n_id": np.arange(len(cands), dtype="int64"),
+            "n_emb": [np.asarray(v, dtype="float32") for v in cands],
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "q_id": np.arange(100, 100 + len(qs), dtype="int64"),
+            "q_emb": [np.asarray(v, dtype="float32") for v in qs],
+        }
+    )
+    out = _cell_pair_sims(cand, q)
+    got = {(r.q_id, r.n_id): r.raw_sim for r in out.itertuples()}
+    assert len(got) == len(cands) * len(qs)
+    for qi, qv in enumerate(qs):
+        for ni, nv in enumerate(cands):
+            expected = _python_cosine(qv, nv)
+            assert got[(100 + qi, ni)] == expected  # BIT equality, not approx
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 5).flatmap(
+        lambda dim: st.tuples(
+            st.lists(_vec(dim), min_size=3, max_size=20),
+            st.lists(_vec(dim), min_size=1, max_size=3),
+            st.integers(1, 4),
+            st.integers(1, 7),
+        )
+    )
+)
+def test_cross_sims_chunked_cut_preserves_exact_rounded_topk(params):
+    corpus, qs, k, chunk = params
+    if any(all(x == 0.0 for x in v) for v in corpus + qs):
+        return
+    pdf = pd.DataFrame(
+        {
+            "n_id": np.arange(len(corpus), dtype="int64"),
+            "embedding": [np.asarray(v, dtype="float32") for v in corpus],
+        }
+    )
+    Q = np.stack([np.asarray(v, dtype="float64") for v in qs])
+    dim = Q.shape[1]
+    q_acc = np.zeros(len(Q))
+    for d in range(dim):
+        q_acc += Q[:, d] * Q[:, d]
+    kw = dict(
+        q_ids=np.arange(len(qs), dtype="int64"),
+        Q=Q,
+        q_norm=np.sqrt(q_acc),
+        dim=dim,
+        k=k,
+    )
+    frames = list(_cross_sims_batches(iter([pdf]), chunk=chunk, **kw))
+    emitted = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"q_id": [], "n_id": [], "raw_sim": []}
+    )
+    # the exact rounded-then-ranked top-k over ALL pairs must be a subset of
+    # what the chunked ε-band cut emitted
+    for qi, qv in enumerate(qs):
+        sims = [
+            (round(_python_cosine(qv, nv), 6), ni) for ni, nv in enumerate(corpus)
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        want = {ni for _, ni in sims[:k]}
+        have = set(emitted[emitted["q_id"] == qi]["n_id"])
+        assert want <= have, f"cut lost exact top-k rows: {want - have}"
