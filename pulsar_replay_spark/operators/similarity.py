@@ -80,6 +80,8 @@ def lsh_signatures(embeddings: DataFrame, impl: str = "arrow") -> DataFrame:
     N·planes axis. Signatures are integers, so downstream joins/oracles
     are untouched. ``impl="jvm"`` keeps the expression form as the
     oracle-reference."""
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     if impl == "jvm":
         return embeddings.select(
             "vec_id", lsh_signature(F.col("embedding")).alias("sig")
@@ -197,7 +199,11 @@ def _cross_sims_batches(batches, *, q_ids, Q, q_norm, dim, k, chunk=1024):
 
 
 def _cross_topk(
-    corpus: DataFrame, queries: DataFrame, k: int, impl: str = "arrow"
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    impl: str = "arrow",
+    chunk: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k of ``queries`` against a DISJOINT corpus — the
     ``brute_force_topk`` shape without the self-pair exclusion (the two id
@@ -209,9 +215,13 @@ def _cross_topk(
     executor via ``F.broadcast`` — collects into a mapInPandas closure and
     the corpus folds against it in numpy (bit-identical, equality-gated);
     raw doubles are rounded JVM-side by the same ``F.round``. ``impl="jvm"``
-    keeps the HOF-expression reference formulation."""
+    keeps the HOF-expression reference formulation. ``chunk`` bounds the
+    |Q|×chunk sim slab per corpus chunk (exposed for the equality gate to
+    force many per-chunk cuts)."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     if impl == "arrow":
         import functools
 
@@ -237,7 +247,13 @@ def _cross_topk(
                 "cosine is undefined — filter degenerate vectors upstream"
             )
         run = functools.partial(
-            _cross_sims_batches, q_ids=q_ids, Q=Q, q_norm=q_norm, dim=dim, k=k
+            _cross_sims_batches,
+            q_ids=q_ids,
+            Q=Q,
+            q_norm=q_norm,
+            dim=dim,
+            k=k,
+            chunk=chunk,
         )
         sims = (
             corpus.select(F.col("vec_id").alias("n_id"), "embedding")
@@ -498,20 +514,34 @@ def lsh_tables(embeddings: DataFrame) -> DataFrame:
 
 
 def lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, impl: str = "arrow"
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    impl: str = "arrow",
+    n_shards: int = 16,
 ) -> DataFrame:
     """ANN top-k: rank only candidates colliding with the query in some LSH
     table (the scale path — the table join shuffles (table, bucket) keys,
     never the full cross product).
 
     ``impl="arrow"`` (default): in-bucket pair scoring reuses the IVF
-    cogroup kernel (``_cell_pair_sims``) keyed on (table, bucket) — same
-    bit-equality discipline and lossless per-group ε-band k-cut; the
-    multi-table collision dedup moves AFTER scoring (duplicate pairs carry
-    identical sims, so the surviving copy is value-identical).
-    ``impl="jvm"``: the HOF broadcast-join reference formulation."""
+    cogroup kernel (``_cell_pair_sims``) — same bit-equality discipline and
+    lossless per-group ε-band k-cut; the multi-table collision dedup moves
+    AFTER scoring (duplicate pairs carry identical sims, so the surviving
+    copy is value-identical). The cogroup key is (table, bucket, shard):
+    with only tables×2^bits bucket keys, an unsharded cogroup would cap
+    parallelism at that key count AND np.stack a ~corpus/2^bits-row group
+    per Python worker — candidates sub-shard by pmod(n_id, n_shards) and
+    queries replicate into every shard, so each (q, n) pair still meets
+    exactly once (in n's shard) while group size and parallelism scale with
+    ``n_shards`` (size ≈ |corpus|·tables/(keys·n_shards) — raise it until
+    groups fit a worker). ``impl="jvm"``: the HOF broadcast-join reference
+    formulation (no group materialization; parallelism = corpus
+    partitions)."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     # Materialize the bucket table once: it feeds BOTH join sides, and the
     # signature computation (8 hyperplane projections per vector) is the
     # expensive subtree — unpersisted it would run twice. localCheckpoint
@@ -524,6 +554,7 @@ def lsh_topk(
             F.col("embedding").alias("n_emb"),
             "table",
             "bucket",
+            F.pmod(F.col("vec_id"), F.lit(n_shards)).alias("shard"),
         )
         # toDF re-aliases the attribute ids: both cogroup sides descend from
         # the same checkpointed bucket table, and same-exprId group keys trip
@@ -533,10 +564,11 @@ def lsh_topk(
             F.col("embedding").alias("q_emb"),
             "table",
             "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
         )
         sims = (
-            cand.groupBy("table", "bucket")
-            .cogroup(q.groupBy("table", "bucket"))
+            cand.groupBy("table", "bucket", "shard")
+            .cogroup(q.groupBy("table", "bucket", "shard"))
             .applyInPandas(
                 lambda left, right: _cell_pair_sims(left, right, k=k),
                 schema="q_id long, n_id long, raw_sim double",
@@ -867,6 +899,8 @@ def ivf_topk(
     formulation, kept for the bit-equality gate."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
     if corpus_cells is None:
         corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
@@ -1285,6 +1319,8 @@ def nearest_cells(
     environments without Arrow."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     if impl == "jvm":
         raw = dot(F.col("embedding"), F.col("centroid")) / (
             F.col("v_norm") * F.col("c_norm")
