@@ -150,6 +150,30 @@ def brute_force_topk(
     )
 
 
+def _fold_norms(M, dim):
+    """sqrt of the sequential-dim self-dot fold — THE norm numerics every
+    Arrow kernel in this module shares (identical IEEE-754 add order to the
+    JVM HOF ``norm`` and DuckDB's loop; property-gated in
+    tests/test_kernel_properties.py)."""
+    import numpy as np
+
+    acc = np.zeros(len(M))
+    for d in range(dim):
+        acc += M[:, d] * M[:, d]
+    return np.sqrt(acc)
+
+
+def _fold_dots(Q, N, dim):
+    """|Q|×|N| dot matrix via the sequential-dim fold — the shared dot
+    numerics (same discipline as ``_fold_norms``)."""
+    import numpy as np
+
+    acc = np.zeros((len(Q), len(N)))
+    for d in range(dim):
+        acc += Q[:, d : d + 1] * N[None, :, d]
+    return acc
+
+
 def _cross_sims_batches(batches, *, q_ids, Q, q_norm, dim, k, chunk=1024):
     """Arrow-batch kernel behind ``_cross_topk(impl="arrow")``: the query
     matrix ships in the closure (the broadcast-sized side), each corpus
@@ -167,10 +191,7 @@ def _cross_sims_batches(batches, *, q_ids, Q, q_norm, dim, k, chunk=1024):
             continue
         N = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
         n_ids = pdf["n_id"].to_numpy(dtype="int64")
-        n_acc = np.zeros(len(N))
-        for d in range(dim):
-            n_acc += N[:, d] * N[:, d]
-        n_norm = np.sqrt(n_acc)
+        n_norm = _fold_norms(N, dim)
         z = np.flatnonzero(n_norm == 0.0)
         if len(z):
             raise ValueError(
@@ -179,10 +200,7 @@ def _cross_sims_batches(batches, *, q_ids, Q, q_norm, dim, k, chunk=1024):
             )
         for lo in range(0, len(N), chunk):
             Nc, nn = N[lo : lo + chunk], n_norm[lo : lo + chunk]
-            acc = np.zeros((len(q_ids), len(Nc)))
-            for d in range(dim):
-                acc += Q[:, d : d + 1] * Nc[None, :, d]
-            sims = acc / (q_norm[:, None] * nn[None, :])
+            sims = _fold_dots(Q, Nc, dim) / (q_norm[:, None] * nn[None, :])
             if len(Nc) > k:
                 kth = np.partition(sims, len(Nc) - k, axis=1)[:, len(Nc) - k]
                 keep2d = sims > (kth[:, None] - 2e-6)
@@ -236,10 +254,7 @@ def _cross_topk(
         q_ids = np.array([r["vec_id"] for r in rows], dtype="int64")
         Q = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
         dim = Q.shape[1]
-        q_acc = np.zeros(len(Q))
-        for d in range(dim):
-            q_acc += Q[:, d] * Q[:, d]
-        q_norm = np.sqrt(q_acc)
+        q_norm = _fold_norms(Q, dim)
         z = np.flatnonzero(q_norm == 0.0)
         if len(z):
             raise ValueError(
@@ -807,13 +822,8 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
     N = np.stack([np.asarray(v, dtype="float64") for v in cand_pdf["n_emb"]])
     Q = np.stack([np.asarray(v, dtype="float64") for v in q_pdf["q_emb"]])
     dim = N.shape[1]
-    n_acc = np.zeros(len(N))
-    q_acc = np.zeros(len(Q))
-    for d in range(dim):
-        n_acc += N[:, d] * N[:, d]
-        q_acc += Q[:, d] * Q[:, d]
-    n_norm = np.sqrt(n_acc)
-    q_norm = np.sqrt(q_acc)
+    n_norm = _fold_norms(N, dim)
+    q_norm = _fold_norms(Q, dim)
     q_ids = q_pdf["q_id"].to_numpy(dtype="int64")
     n_ids = cand_pdf["n_id"].to_numpy(dtype="int64")
     # zero-norm vectors make cosine undefined; the JVM reference impl (and
@@ -829,10 +839,7 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
     out = []
     for lo in range(0, len(N), chunk):
         Nc, nn = N[lo : lo + chunk], n_norm[lo : lo + chunk]
-        acc = np.zeros((len(Q), len(Nc)))
-        for d in range(dim):
-            acc += Q[:, d : d + 1] * Nc[None, :, d]
-        sims = acc / (q_norm[:, None] * nn[None, :])
+        sims = _fold_dots(Q, Nc, dim) / (q_norm[:, None] * nn[None, :])
         qq = np.repeat(q_ids, len(Nc))
         nc = np.tile(n_ids[lo : lo + chunk], len(Q))
         keep = qq != nc
@@ -1353,10 +1360,7 @@ def nearest_cells(
     C = np.stack([np.asarray(r["centroid"], dtype="float64") for r in rows])
     dim = C.shape[1]
     # centroid norms: same sequential fold as norm() (sqrt of fold-dot)
-    c_acc = np.zeros(len(rows))
-    for d in range(dim):
-        c_acc += C[:, d] * C[:, d]
-    c_norm = np.sqrt(c_acc)
+    c_norm = _fold_norms(C, dim)
 
     run = functools.partial(
         _nearest_cells_batches, cell_ids=cell_ids, C=C, c_norm=c_norm, dim=dim
@@ -1377,18 +1381,12 @@ def _nearest_cells_batches(batches, *, cell_ids, C, c_norm, dim, chunk=4096):
         if len(pdf) == 0:  # Arrow may emit zero-row batches; np.stack raises
             continue
         V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
-        v_acc = np.zeros(len(V))
-        for d in range(dim):
-            v_acc += V[:, d] * V[:, d]
-        v_norm = np.sqrt(v_acc)
+        v_norm = _fold_norms(V, dim)
         best_sim = np.full(len(V), -np.inf)
         best_cell = np.zeros(len(V), dtype="int64")
         for lo in range(0, len(cell_ids), chunk):
             Cc, cn = C[lo : lo + chunk], c_norm[lo : lo + chunk]
-            acc = np.zeros((len(V), len(Cc)))
-            for d in range(dim):
-                acc += V[:, d : d + 1] * Cc[None, :, d]
-            sims = acc / (v_norm[:, None] * cn[None, :])
+            sims = _fold_dots(V, Cc, dim) / (v_norm[:, None] * cn[None, :])
             arg = np.argmax(sims, axis=1)  # first max = lowest cell_id
             chunk_best = sims[np.arange(len(V)), arg]
             upd = chunk_best > best_sim  # strict: earlier chunk keeps ties
