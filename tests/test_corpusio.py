@@ -1,0 +1,110 @@
+"""Corpus ingestion gates: JSONL/plain-text files must land in the exact
+documents contract with stable content-addressed ids, tolerate corrupt
+lines without aborting, never trigger schema inference, and round-trip
+through the JSONL writer."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.sources import corpusio
+
+DOC_SCHEMA = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _content_id(text: str) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+
+def test_read_jsonl_corpus_contract_and_corrupt_tolerance(spark, tmp_path):
+    lines = [
+        json.dumps({"text": "hello world", "lang": "en", "src": "web"}),
+        json.dumps({"text": "bonjour", "lang": "fr", "src": "books"}),
+        '{"text": "truncated...',  # corrupt: must not abort the job
+        json.dumps({"lang": "de", "src": "web"}),  # missing text
+    ]
+    (tmp_path / "part0.jsonl").write_text("\n".join(lines))
+
+    docs = corpusio.read_jsonl_corpus(
+        spark, str(tmp_path), lang_field="lang", source_field="src"
+    )
+    assert docs.columns == DOC_SCHEMA
+    rows = {r["text"]: r.asDict() for r in docs.collect()}
+    # corrupt + missing-text rows dropped by default
+    assert set(rows) == {"hello world", "bonjour"}
+    assert rows["hello world"]["doc_id"] == _content_id("hello world")
+    assert rows["hello world"]["lang"] == "en"
+    assert rows["hello world"]["source"] == "web"
+    assert rows["hello world"]["n_chars"] == 11
+
+    kept = corpusio.read_jsonl_corpus(
+        spark, str(tmp_path), lang_field="lang", source_field="src",
+        keep_corrupt=True,
+    )
+    kept = kept.localCheckpoint(eager=True)  # corrupt-only projections are
+    # disallowed straight off a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    quarantined = kept.filter(F.col("corrupt").isNotNull())
+    assert quarantined.count() == 1  # the unparseable line, quarantined
+
+    # id_field: numeric ids pass through, non-numeric ids hash
+    (tmp_path / "ids.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"text": "a", "id": "42"}),
+                json.dumps({"text": "b", "id": "doc-xyz"}),
+            ]
+        )
+    )
+    with_ids = corpusio.read_jsonl_corpus(
+        spark, str(tmp_path / "ids.jsonl"), id_field="id"
+    )
+    got = {r["text"]: r["doc_id"] for r in with_ids.collect()}
+    assert got["a"] == 42
+    assert got["b"] == int(hashlib.md5(b"doc-xyz").hexdigest()[:15], 16)
+
+
+def test_read_jsonl_corpus_never_infers_schema(spark, tmp_path):
+    """The read schema is built from the field args — json() gets an
+    explicit schema, so there is no inference scan (the 2x-read trap)."""
+    (tmp_path / "x.jsonl").write_text(json.dumps({"text": "t", "extra": 1}))
+    df = corpusio.read_jsonl_corpus(spark, str(tmp_path))
+    # the physical read schema carries only text + corrupt column
+    assert "extra" not in df.schema.simpleString()
+    assert df.count() == 1
+
+
+def test_read_text_corpus_lines_and_whole_files(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("first doc\n\nsecond doc\n")
+    (tmp_path / "b.txt").write_text("third doc\n")
+    docs = corpusio.read_text_corpus(spark, str(tmp_path))
+    assert docs.columns == DOC_SCHEMA
+    rows = {r["text"]: r.asDict() for r in docs.collect()}
+    assert set(rows) == {"first doc", "second doc", "third doc"}  # blanks dropped
+    assert rows["third doc"]["doc_id"] == _content_id("third doc")
+    assert rows["third doc"]["source"].endswith("b.txt")
+
+    whole = corpusio.read_text_corpus(spark, str(tmp_path), whole_files=True)
+    texts = sorted(r["text"] for r in whole.collect())
+    assert texts == sorted(["first doc\n\nsecond doc\n", "third doc\n"])
+
+
+def test_jsonl_roundtrip_feeds_the_document_operators(spark, tmp_path, documents):
+    """write_jsonl_corpus -> read_jsonl_corpus is faithful for the contract
+    columns, and the ingested frame drives a real operator end-to-end."""
+    from pulsar_replay_spark.operators import dedup
+
+    sample = documents.limit(50)
+    out = str(tmp_path / "corpus")
+    corpusio.write_jsonl_corpus(sample, out, n_shards=4)
+    back = corpusio.read_jsonl_corpus(
+        spark, out, id_field="doc_id", lang_field="lang", source_field="source"
+    )
+    a = {tuple(r) for r in sample.select(*DOC_SCHEMA).collect()}
+    b = {tuple(r) for r in back.select(*DOC_SCHEMA).collect()}
+    assert a == b
+    # the ingested frame is operator-ready
+    assert "keep_doc_id" in dedup.exact_dup_groups(back).columns
