@@ -108,3 +108,19 @@ def test_jsonl_roundtrip_feeds_the_document_operators(spark, tmp_path, documents
     assert a == b
     # the ingested frame is operator-ready
     assert "keep_doc_id" in dedup.exact_dup_groups(back).columns
+
+
+def test_read_jsonl_corpus_reads_gzip_transparently(spark, tmp_path):
+    """Real dumps ship as .jsonl.gz; Spark's text/json sources decompress by
+    extension with no reader changes (gzip is non-splittable — one task per
+    file, so shard counts on the WRITE side set the read parallelism)."""
+    import gzip
+
+    payload = "\n".join(
+        json.dumps({"text": f"doc number {i}"}) for i in range(5)
+    )
+    with gzip.open(tmp_path / "shard0.jsonl.gz", "wt") as f:
+        f.write(payload)
+    docs = corpusio.read_jsonl_corpus(spark, str(tmp_path))
+    assert docs.count() == 5
+    assert {r["text"] for r in docs.collect()} == {f"doc number {i}" for i in range(5)}
