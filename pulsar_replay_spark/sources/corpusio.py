@@ -64,17 +64,60 @@ def read_jsonl_corpus(
     of the text (content-addressed: exact duplicate lines get equal ids,
     which the exact-dedup tier collapses by design). lang/source default to
     NULL/the file path when the corpus lacks the fields."""
-    fields = [f"`{text_field}` STRING"]
-    for f_ in (id_field, lang_field, source_field):
-        if f_ is not None:
-            fields.append(f"`{f_}` STRING")
-    schema = ", ".join(fields) + f", `{CORRUPT_COL}` STRING"
     raw = (
-        spark.read.schema(schema)
+        spark.read.schema(_jsonl_schema(text_field, id_field, lang_field, source_field))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+    return _project_documents(
+        raw, text_field, id_field, lang_field, source_field, keep_corrupt
+    )
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    lang_field: str | None = None,
+    source_field: str | None = None,
+    keep_corrupt: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl_corpus``: a JSONL drop-folder as a
+    STREAMING documents frame — the front half of the continuous-curation
+    shape (``streaming/pipelines.curation_ingest_sink`` is the back half:
+    files land → documents micro-batches → exact-dup + LSH probe + quality
+    gate → idempotent accepted-store partitions). Same explicit schema, same
+    corrupt-line quarantine, same content-addressed ids as the batch reader
+    (gated equal in tests); ``max_files_per_trigger`` bounds micro-batch
+    size for backpressure."""
+    reader = (
+        spark.readStream.schema(
+            _jsonl_schema(text_field, id_field, lang_field, source_field)
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _project_documents(
+        reader.json(path), text_field, id_field, lang_field, source_field, keep_corrupt
+    )
+
+
+def _jsonl_schema(text_field, id_field, lang_field, source_field) -> str:
+    fields = [f"`{text_field}` STRING"]
+    for f_ in (id_field, lang_field, source_field):
+        if f_ is not None:
+            fields.append(f"`{f_}` STRING")
+    return ", ".join(fields) + f", `{CORRUPT_COL}` STRING"
+
+
+def _project_documents(
+    raw: DataFrame, text_field, id_field, lang_field, source_field, keep_corrupt
+) -> DataFrame:
     text = F.col(text_field)
     if id_field is not None:
         # try_cast, not cast: ANSI raises on non-numeric ids instead of NULL

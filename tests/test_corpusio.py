@@ -124,3 +124,44 @@ def test_read_jsonl_corpus_reads_gzip_transparently(spark, tmp_path):
     docs = corpusio.read_jsonl_corpus(spark, str(tmp_path))
     assert docs.count() == 5
     assert {r["text"] for r in docs.collect()} == {f"doc number {i}" for i in range(5)}
+
+
+def test_stream_jsonl_corpus_matches_batch_reader(spark, tmp_path):
+    """The streaming twin must produce exactly the batch reader's rows for
+    the same drop-folder (one availableNow pass), including corrupt-line
+    quarantine semantics."""
+    lines = [
+        json.dumps({"text": "alpha", "lang": "en"}),
+        json.dumps({"text": "beta", "lang": "fr"}),
+        '{"broken', 
+    ]
+    (tmp_path / "drop0.jsonl").write_text("\n".join(lines))
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = corpusio.stream_jsonl_corpus(
+        spark, str(tmp_path), lang_field="lang", max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "text", "lang", "n_chars")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in corpusio.read_jsonl_corpus(spark, str(tmp_path), lang_field="lang")
+        .select("doc_id", "text", "lang", "n_chars")
+        .collect()
+    }
+    assert got == want and len(got) == 2
