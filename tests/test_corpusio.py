@@ -165,3 +165,56 @@ def test_stream_jsonl_corpus_matches_batch_reader(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_jsonl_dropfolder_through_curation_ingest(spark, tmp_path):
+    """Front-to-back: JSONL files land in a drop-folder, stream through
+    stream_jsonl_corpus into curation_ingest_sink — exact duplicates across
+    files are rejected, the accepted store holds the contract columns, and
+    the run is one availableNow-style bounded pass."""
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.streaming import pipelines
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 3
+    long_b = "a completely different document about spark engines " * 3
+    (tmp_path / "src").mkdir()
+    (tmp_path / "src" / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"text": long_a, "lang": "en", "source": "web"}),
+                json.dumps({"text": long_b, "lang": "en", "source": "web"}),
+                json.dumps({"text": "tiny", "lang": "en", "source": "junk"}),
+            ]
+        )
+    )
+    (tmp_path / "src" / "b1.jsonl").write_text(
+        json.dumps({"text": long_a, "lang": "en", "source": "recrawl"})  # exact dup
+    )
+
+    stream = corpusio.stream_jsonl_corpus(
+        spark,
+        str(tmp_path / "src"),
+        lang_field="lang",
+        source_field="source",
+        max_files_per_trigger=1,
+    )
+
+    def score_fn(docs):
+        return docs.select("doc_id", token_count(F.col("text")).alias("score"))
+
+    q = pipelines.curation_ingest_sink(
+        stream,
+        str(tmp_path / "accepted"),
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        score_fn,
+        threshold=5.0,
+    )
+    q.awaitTermination()
+
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    texts = {r["text"] for r in accepted.collect()}
+    assert long_a in texts and long_b in texts
+    assert "tiny" not in texts  # below the quality threshold
+    # the re-crawled exact duplicate was rejected: one copy, content-hash id
+    assert accepted.filter(F.col("text") == long_a).count() == 1
