@@ -28,15 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# 15 hex chars = 60 bits: inside long range, same width as the engine's
-# other md5-derived ids (dedup chunk keys, hash_split fractions)
-_ID_HEX = 15
+# content-addressed ids ARE the engine-wide 60-bit md5 contract the
+# dedup/fingerprint operators rely on (DuckDB-reproducible) — one
+# implementation, not a re-coding of the same expression
+from pulsar_replay_spark.functions.text import token_hash60 as _content_id
 
 CORRUPT_COL = "_corrupt_record"
-
-
-def _content_id(col: "F.Column") -> "F.Column":
-    return F.conv(F.substring(F.md5(col), 1, _ID_HEX), 16, 10).cast("long")
 
 
 def read_jsonl_corpus(
@@ -55,9 +52,11 @@ def read_jsonl_corpus(
     fail to parse land in ``_corrupt_record`` (PERMISSIVE mode): dropped by
     default, kept as (doc_id, text=NULL, …, corrupt=<raw line>) rows when
     ``keep_corrupt=True`` so a quality gate can count them — a malformed
-    line never aborts the job. (Spark disallows corrupt-column-ONLY
-    projections straight off a raw JSON scan — materialize or select text
-    alongside before filtering on ``corrupt``.)
+    line never aborts the job. ``corrupt`` also flags parseable objects
+    MISSING the text field ("missing-text-field"), and the expression
+    keeps the scan schema wider than the corrupt column alone, so
+    corrupt-only downstream projections don't trip Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN analyzer restriction.
 
     doc_id: the corpus's own ``id_field`` when given (hashed if non-numeric
     — ids must be joinable longs engine-wide), else the 60-bit content hash
@@ -115,23 +114,33 @@ def _jsonl_schema(text_field, id_field, lang_field, source_field) -> str:
     return ", ".join(fields) + f", `{CORRUPT_COL}` STRING"
 
 
+def _field(name: str) -> "F.Column":
+    # backtick-quote: the read schema declares these as FLAT columns, so a
+    # dotted corpus key ("meta.text") must not parse as struct access
+    return F.col(f"`{name}`")
+
+
 def _project_documents(
     raw: DataFrame, text_field, id_field, lang_field, source_field, keep_corrupt
 ) -> DataFrame:
-    text = F.col(text_field)
+    text = _field(text_field)
     if id_field is not None:
-        # try_cast, not cast: ANSI raises on non-numeric ids instead of NULL
-        numeric = F.col(id_field).try_cast("long")
-        id_col = F.when(numeric.isNotNull(), numeric).otherwise(
-            _content_id(F.col(id_field))
-        )
+        # try_cast, not cast: ANSI raises on non-numeric ids instead of NULL;
+        # coalesce so an id-less ROW (merged dumps) falls back to the content
+        # hash instead of a silent NULL doc_id
+        numeric = _field(id_field).try_cast("long")
+        id_col = F.coalesce(numeric, _content_id(_field(id_field)), _content_id(text))
     else:
         id_col = _content_id(text)
-    lang = F.col(lang_field) if lang_field else F.lit(None).cast("string")
-    source = (
-        F.col(source_field)
-        if source_field
-        else F.input_file_name()
+    lang = _field(lang_field) if lang_field else F.lit(None).cast("string")
+    source = _field(source_field) if source_field else F.input_file_name()
+    # quarantine = unparseable line OR parseable-but-text-less object; the
+    # text reference also keeps the scan's required schema wider than the
+    # corrupt column alone, so corrupt-only downstream projections don't
+    # trip Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN analyzer error
+    corrupt = F.coalesce(
+        F.col(CORRUPT_COL),
+        F.when(text.isNull(), F.lit("missing-text-field")),
     )
     out = raw.select(
         id_col.alias("doc_id"),
@@ -139,13 +148,11 @@ def _project_documents(
         lang.alias("lang"),
         source.alias("source"),
         F.coalesce(F.length(text), F.lit(0)).cast("long").alias("n_chars"),
-        F.col(CORRUPT_COL).alias("corrupt"),
+        corrupt.alias("corrupt"),
     )
     if keep_corrupt:
         return out
-    return out.filter(F.col("corrupt").isNull() & F.col("text").isNotNull()).drop(
-        "corrupt"
-    )
+    return out.filter(F.col("corrupt").isNull()).drop("corrupt")
 
 
 def read_text_corpus(

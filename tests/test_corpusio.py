@@ -45,10 +45,13 @@ def test_read_jsonl_corpus_contract_and_corrupt_tolerance(spark, tmp_path):
         spark, str(tmp_path), lang_field="lang", source_field="src",
         keep_corrupt=True,
     )
-    kept = kept.localCheckpoint(eager=True)  # corrupt-only projections are
-    # disallowed straight off a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    # corrupt-only projection straight off the scan must NOT trip Spark's
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction (the library keeps the
+    # scan schema wide); unparseable + missing-text rows both quarantine
     quarantined = kept.filter(F.col("corrupt").isNotNull())
-    assert quarantined.count() == 1  # the unparseable line, quarantined
+    assert quarantined.count() == 2
+    kinds = {r["corrupt"] for r in quarantined.collect()}
+    assert "missing-text-field" in kinds
 
     # id_field: numeric ids pass through, non-numeric ids hash
     (tmp_path / "ids.jsonl").write_text(
@@ -65,6 +68,20 @@ def test_read_jsonl_corpus_contract_and_corrupt_tolerance(spark, tmp_path):
     got = {r["text"]: r["doc_id"] for r in with_ids.collect()}
     assert got["a"] == 42
     assert got["b"] == int(hashlib.md5(b"doc-xyz").hexdigest()[:15], 16)
+
+    # an id-less ROW under id_field falls back to the content hash, never NULL
+    (tmp_path / "noid.jsonl").write_text(json.dumps({"text": "orphan"}))
+    orphan = corpusio.read_jsonl_corpus(
+        spark, str(tmp_path / "noid.jsonl"), id_field="id"
+    ).collect()
+    assert orphan[0]["doc_id"] == _content_id("orphan")
+
+    # dotted top-level JSON keys are legal and must resolve as flat columns
+    (tmp_path / "dotted.jsonl").write_text(json.dumps({"meta.text": "dotty"}))
+    dotty = corpusio.read_jsonl_corpus(
+        spark, str(tmp_path / "dotted.jsonl"), text_field="meta.text"
+    ).collect()
+    assert dotty[0]["text"] == "dotty" and dotty[0]["doc_id"] == _content_id("dotty")
 
 
 def test_read_jsonl_corpus_never_infers_schema(spark, tmp_path):
@@ -150,7 +167,7 @@ def test_stream_jsonl_corpus_matches_batch_reader(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within timeout"
 
     got = {
         tuple(r)
