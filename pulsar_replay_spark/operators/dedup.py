@@ -62,15 +62,37 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_buckets(docs: DataFrame) -> DataFrame:
-    """LSH banding: band key = concat of r=2 signature rows.
+def minhash_band_buckets(
+    docs: DataFrame, bands: int = N_BANDS, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: band key = concat of ``rows_per_band`` signature rows.
 
     One ``posexplode`` over an array of band keys — the signature subtree is
     computed ONCE (a per-band union would recompute the explode+md5+groupBy
-    pipeline N_BANDS times)."""
+    pipeline per band).
+
+    The (bands, rows_per_band) geometry is ``lsh_plan``'s output knob — the
+    default 4×2 is what the planner recommends for thresholds just under
+    its s50 = 0.5 (gated in tests); a corpus targeting a different Jaccard
+    threshold passes the planner's pick: more rows/band → higher precision
+    (fewer candidate pairs to verify), more bands → higher recall. Bounded
+    by the 8 16-bit slices one md5 yields (``bands·rows ≤ 8``)."""
+    if bands * rows_per_band > N_MINHASHES:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
+            f"{N_MINHASHES} hash slices one md5 yields — lower the geometry "
+            "(lsh_plan respects the budget)"
+        )
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError("bands and rows_per_band must be >= 1")
     sig = minhash_signatures(docs)
     band_keys = F.array(
-        *[F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) for b in range(N_BANDS)]
+        *[
+            F.concat(
+                *[F.col(f"m{rows_per_band * b + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
     )
     return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "band_key")
@@ -128,14 +150,17 @@ def lsh_plan(
     }
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
+def minhash_candidate_pairs(
+    docs: DataFrame, bands: int = N_BANDS, rows_per_band: int = 2
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket —
+    (bands, rows_per_band) is ``lsh_plan``'s geometry knob, default 4×2.
 
     The bucket DataFrame is persisted before the self-join so the shingle →
     signature pipeline runs once, not once per join side. At 100 TB the same
     plan holds: the persisted buckets relation is (doc_id, band, band_key) —
     tiny relative to the corpus — and the join shuffles only that."""
-    buckets = minhash_band_buckets(docs).persist()
+    buckets = minhash_band_buckets(docs, bands, rows_per_band).persist()
     buckets.count()  # materialize so both join sides reuse the cache
     a = buckets.alias("a")
     b = buckets.alias("b")

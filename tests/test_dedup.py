@@ -585,3 +585,30 @@ def test_dedup_corpus_reuses_precomputed_clusters(spark, documents):
         for r in dedup.dedup_corpus(docs, clusters=cc).select("doc_id").collect()
     }
     assert direct == reused
+
+
+def test_minhash_banding_geometry_follows_lsh_plan(spark, documents):
+    """The planner's geometry actually drives the operator: the default 4x2
+    is lsh_plan's own pick near its s50; a precision-leaning 2x4 geometry
+    yields a SUBSET of candidates (every band match needs 4 identical rows,
+    not 2) while exact clones — identical signatures — always collide at
+    every geometry; over-budget geometries raise."""
+    docs = _with_planted_dups(spark, documents)
+    default_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_candidate_pairs(docs).collect()
+    }
+    precise_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidate_pairs(docs, bands=2, rows_per_band=4).collect()
+    }
+    assert precise_pairs <= default_pairs
+    exact = {(i, i + 2_000_000) for i in range(3)}
+    assert exact <= precise_pairs  # clones collide at any geometry
+
+    plan = dedup.lsh_plan(0.4, dedup.N_MINHASHES)
+    assert (plan["bands"], plan["rows_per_band"]) == (4, 2)  # default = plan pick
+
+    with pytest.raises(ValueError, match="exceeds"):
+        dedup.minhash_band_buckets(docs, bands=5, rows_per_band=2)
+    with pytest.raises(ValueError):
+        dedup.minhash_band_buckets(docs, bands=0, rows_per_band=2)
