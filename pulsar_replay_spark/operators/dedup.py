@@ -183,7 +183,10 @@ def minhash_candidate_pairs(
 
 
 def incremental_minhash_pairs(
-    new_docs: DataFrame, existing_buckets: DataFrame
+    new_docs: DataFrame,
+    existing_buckets: DataFrame,
+    bands: int = N_BANDS,
+    rows_per_band: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: probe a NEW batch against the
     persisted LSH bucket index of the already-ingested corpus, without ever
@@ -204,11 +207,19 @@ def incremental_minhash_pairs(
     streaming sink writes them as one idempotent batch-id partition —
     rewriting the whole grown index per increment would be O(corpus) per
     batch). Dedup policy — e.g. dropping dup newcomers before indexing —
-    is the caller's, exactly like the batch pipeline."""
+    is the caller's, exactly like the batch pipeline.
+
+    (bands, rows_per_band) MUST match the geometry the store was built
+    with — band numbers and keys are geometry-specific, and a mismatched
+    probe would silently miss collisions. The store is append-only under
+    ONE geometry; regenerating under a new ``lsh_plan`` pick is a full
+    re-index (signatures re-slice for free, the corpus is re-read once)."""
     # One materialization feeds the self-join, the cross probe AND the
     # returned index — localCheckpoint (not persist/unpersist) because the
     # caller keeps consuming ``updated`` after this function returns.
-    nb = minhash_band_buckets(new_docs).localCheckpoint(eager=True)
+    nb = minhash_band_buckets(new_docs, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
     a, b = nb.alias("a"), nb.alias("b")
     new_new = (
         a.join(
