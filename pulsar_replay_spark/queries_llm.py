@@ -331,30 +331,51 @@ def q_doc_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-duplicate candidate pairs.
 # ---------------------------------------------------------------------------
-@register(
-    "minhash_pairs",
-    "WITH "
-    + SHINGLES_SQL
-    + """
+def _minhash_pairs_sql(bands: int = 4, rows_per_band: int = 2) -> str:
+    """DuckDB twin of ``minhash_candidate_pairs`` at any (bands, rows)
+    geometry — one builder generates the contract oracle (4×2) AND the
+    planner-geometry extras twins, so the knob is cross-engine-gated the
+    same way the simhash width is."""
+    sig_cols = ", ".join(
+        f"MIN(substr(md5(shingle), {1 + 4 * i}, 4)) AS m{i}"
+        for i in range(bands * rows_per_band)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ".join(f"m{rows_per_band * b + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return (
+        "WITH "
+        + SHINGLES_SQL
+        + f"""
 , sig AS (
-  SELECT doc_id,
-         MIN(substr(md5(shingle),  1, 4)) AS m0, MIN(substr(md5(shingle),  5, 4)) AS m1,
-         MIN(substr(md5(shingle),  9, 4)) AS m2, MIN(substr(md5(shingle), 13, 4)) AS m3,
-         MIN(substr(md5(shingle), 17, 4)) AS m4, MIN(substr(md5(shingle), 21, 4)) AS m5,
-         MIN(substr(md5(shingle), 25, 4)) AS m6, MIN(substr(md5(shingle), 29, 4)) AS m7
+  SELECT doc_id, {sig_cols}
   FROM sh GROUP BY doc_id
 ),
 buckets AS (
-            SELECT doc_id, 0 AS band, m0 || m1 AS band_key FROM sig
-  UNION ALL SELECT doc_id, 1 AS band, m2 || m3 AS band_key FROM sig
-  UNION ALL SELECT doc_id, 2 AS band, m4 || m5 AS band_key FROM sig
-  UNION ALL SELECT doc_id, 3 AS band, m6 || m7 AS band_key FROM sig
+  {band_rows}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a
 JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-""",
-)
+"""
+    )
+
+
+MINHASH_24_ORACLE = _minhash_pairs_sql(bands=2, rows_per_band=4)
+
+
+# The precision-leaning planner geometry's own oracle (the x_simhash_16
+# discipline): pytest + parity extras, not a contract slot — geometry is a
+# parameter of one operator, not a new operator.
+def q_minhash_pairs_24(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(_docs(spark, sf_dir), bands=2, rows_per_band=4)
+
+
+@register("minhash_pairs", _minhash_pairs_sql())
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_candidate_pairs(_docs(spark, sf_dir))
 

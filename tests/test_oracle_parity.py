@@ -293,3 +293,18 @@ def test_bitext_mine_matches_oracle(spark, duck):
     problems = compare(sdf, ddf)
     assert not problems, f"bitext: {problems}"
     assert len(sdf) > 0
+
+
+def test_minhash_planner_geometry_matches_oracle(spark, duck):
+    """The (bands=2, rows_per_band=4) planner geometry under the same DuckDB
+    gate as the 4x2 contract row — the banding knob is cross-engine exact
+    at every geometry, same discipline as the simhash width."""
+    from pulsar_replay_spark.queries_llm import (
+        MINHASH_24_ORACLE,
+        q_minhash_pairs_24,
+    )
+
+    sdf = q_minhash_pairs_24(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(MINHASH_24_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"minhash 2x4: {problems}"
