@@ -350,7 +350,7 @@ def main() -> None:
 
     import pyspark
 
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -369,8 +369,59 @@ def main() -> None:
         },
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+
+    # r6 lesson (VERDICT r6 "What's wrong" #1): the driver tail-captures the
+    # LAST 2000 chars of stdout and parses ONE line — the r6 enriched line
+    # (spread + calibration + llm_ops detail, ~4 kB) outgrew it and the
+    # official artifact recorded parsed:null. Split the handshake: the full
+    # record goes to a side file, and the FINAL stdout line is a compact
+    # headline (totals + per-query medians) hard-capped under the window.
+    detail_path = _write_detail_file(detail)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "llm_ops": llm_ops,
+        "throughput": throughput,
+        "sf": sf,
+        "detail": detail_path,
+    }
+    if errors:
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    line = json.dumps(out)
+    # Degrade gracefully rather than ever exceeding the capture window:
+    # medians-only llm_ops goes first (it lives in the detail file), then
+    # error text, then per-query medians collapse to the scalar total.
+    for drop in ("llm_ops", "errors", "queries"):
+        if len(line) <= 1900:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out)
+    print(line)
+
+
+def _write_detail_file(detail: dict) -> str:
+    """Write the full bench record next to the driver's BENCH_r*.json
+    artifacts as BENCH_DETAIL_r{N}.json (N = the round being benched,
+    inferred as 1 + the highest recorded round). Best-effort: a failure to
+    write the side file must never blank the stdout handshake."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n = max(rounds, default=0) + 1
+        path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+        with open(path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        return os.path.basename(path)
+    except Exception:  # noqa: BLE001
+        return "unwritten"
 
 
 if __name__ == "__main__":
