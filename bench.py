@@ -182,6 +182,20 @@ def main() -> None:
             "ann_ivf_pq_topk",
             lambda: _noop_write(similarity.ivf_pq_topk(emb, pq_queries, k=5, index=pq_idx)),
         )
+
+        # Corpus-scaled LSH serving geometry (r6 verdict's one weak plan:
+        # the fixed 4×2 contract tables scan ~68% of the corpus). lsh_params
+        # bounds the measured candidate fraction like ivf_params does;
+        # the fixed-geometry ann_lsh_topk contract row stays oracle-pinned.
+        lsh_l, lsh_b = similarity.lsh_params(n)
+        timed(
+            "ann_lsh_scaled_topk",
+            lambda: _noop_write(
+                similarity.lsh_topk(
+                    emb, pq_queries, k=5, n_tables=lsh_l, bits_per_table=lsh_b
+                )
+            ),
+        )
     except Exception as e:  # noqa: BLE001
         errors["ann_ivf_pq_index"] = f"{type(e).__name__}: {e}"[:400]
 

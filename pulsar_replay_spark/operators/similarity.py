@@ -528,12 +528,174 @@ def lsh_tables(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def lsh_params(
+    n: int, target_frac: float = 1 / 16, max_bucket_rows: int = 4096
+) -> tuple[int, int]:
+    """Corpus-scaled LSH geometry: (n_tables, bits_per_table) for an
+    N-vector corpus — the ``ivf_params`` analog for the hyperplane family.
+
+    The r2 lesson, same as IVF's: the fixed (4 tables × 2 bits) contract
+    geometry has 4 buckets per table and degrades to a ~68% candidate scan
+    as N grows. Two bounds drive ``bits_per_table``:
+
+    - *fraction*: the nominal union candidate fraction L/2^b must stay
+      under ``target_frac`` (each balanced table contributes ~N/2^b
+      candidates per query);
+    - *bucket size*: per-table population N/2^b must fit a cogroup worker
+      (``max_bucket_rows``) — this is the term that grows with N and keeps
+      the Arrow group slab bounded at any scale.
+
+    ``n_tables`` is the recall knob: it rises with b (deeper bits cut
+    per-table collision probability ~p^b, extra tables restore the union
+    recall 1−(1−p^b)^L), capped at 16 so candidate cost stays bounded.
+    The two are mutually dependent (L feeds the fraction bound), so a short
+    fixed-point loop settles them. Per-table buckets are packed
+    independently (never into one shared long), so L·b may exceed 63 bits —
+    N=1e9 needs b=18 and this returns (16, 18). Measured fraction + recall
+    floor are pinned in tests/test_similarity.py (the
+    ``test_benched_ann_candidate_fraction_and_recall`` discipline)."""
+    import math
+
+    length, b = N_TABLES, 2
+    for _ in range(6):
+        b_frac = math.ceil(math.log2(max(2.0, length / target_frac)))
+        b_size = math.ceil(math.log2(max(2.0, n / max_bucket_rows)))
+        nb = max(2, b_frac, b_size)
+        nl = min(16, max(N_TABLES, nb))
+        if (nb, nl) == (b, length):
+            break
+        b, length = nb, nl
+    return length, b
+
+
+def lsh_table_buckets(
+    embeddings: DataFrame,
+    n_tables: int = N_TABLES,
+    bits_per_table: int = BITS_PER_TABLE,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(vec_id, table, bucket) at an ARBITRARY (L, b) geometry — the
+    corpus-scaled generalization of ``lsh_tables``.
+
+    Table t's bucket packs the sign bits of planes p = t·b + i (i < b),
+    drawn from the same md5-derived pool ``_hyperplane_matrix`` defines —
+    at the default (4, 2) geometry this is bit-for-bit ``lsh_tables``
+    (equality pinned in tests). Buckets are packed PER TABLE rather than
+    sliced from one shared long, so L·b is not capped at 63 bits; only
+    b ≤ 62 is required.
+
+    ``impl="arrow"``: one corpus pass — numpy folds all L·b projections
+    sequentially over dims (the ``lsh_signatures`` bit-exactness recipe)
+    and emits the exploded (vec_id, table, bucket) rows directly.
+    ``impl="jvm"``: the HOF expression twin, kept as the equality oracle."""
+    if bits_per_table < 1 or bits_per_table > 62:
+        raise ValueError(f"bits_per_table must be in [1, 62], got {bits_per_table}")
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    if impl not in ("arrow", "jvm"):
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
+    n_planes = n_tables * bits_per_table
+    if impl == "jvm":
+        h = _hyperplane_matrix(n_planes)
+
+        def proj(p: int) -> Column:
+            plane = F.array(*[F.lit(x) for x in h[p]])
+            return F.aggregate(
+                F.zip_with(F.col("embedding"), plane, lambda x, hh: x.cast("double") * hh),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    reduce(
+                        lambda a, bb: a + bb,
+                        [
+                            F.when(
+                                proj(t * bits_per_table + i) > 0, F.lit(2**i)
+                            ).otherwise(F.lit(0))
+                            for i in range(bits_per_table)
+                        ],
+                    )
+                    .cast("long")
+                    .alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return embeddings.select("vec_id", F.explode(tables).alias("tb")).select(
+            "vec_id",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(_hyperplane_matrix(n_planes))  # (L·b) × dim, ±1 constants
+    L, b = n_tables, bits_per_table
+
+    def run(batches):
+        weights = (1 << np.arange(b)).astype("int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+            acc = np.zeros((len(V), H.shape[0]))
+            for j in range(H.shape[1]):
+                acc += V[:, j : j + 1] * H[None, :, j]
+            bits = np.where(acc > 0, 1, 0).astype("int64").reshape(len(V), L, b)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)  # N × L
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, L),
+                    "table": np.tile(np.arange(L, dtype="int64"), len(V)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, table long, bucket long"
+    )
+
+
+def lsh_candidate_fraction(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_tables: int = N_TABLES,
+    bits_per_table: int = BITS_PER_TABLE,
+) -> float:
+    """Measured fraction of the corpus an average query's multi-table probe
+    actually scans (distinct same-bucket candidates / corpus, averaged over
+    queries) — the LSH twin of ``candidate_fraction``, checking the nominal
+    L/2^b bound against real (skewed) bucket populations. Diagnostic —
+    collects two counts."""
+    t = lsh_table_buckets(embeddings, n_tables, bits_per_table).localCheckpoint(
+        eager=True
+    )
+    q = queries.select("vec_id").join(t, "vec_id").toDF("q_id", "table", "bucket")
+    pairs = (
+        t.join(q, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    n = embeddings.count()
+    nq = queries.count()
+    return pairs.count() / (nq * max(1, n - 1))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     impl: str = "arrow",
     n_shards: int = 16,
+    n_tables: int | None = None,
+    bits_per_table: int | None = None,
 ) -> DataFrame:
     """ANN top-k: rank only candidates colliding with the query in some LSH
     table (the scale path — the table join shuffles (table, bucket) keys,
@@ -557,12 +719,20 @@ def lsh_topk(
 
     if impl not in ("arrow", "jvm"):
         raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
+    if (n_tables is None) != (bits_per_table is None):
+        raise ValueError("pass n_tables and bits_per_table together (lsh_params)")
     # Materialize the bucket table once: it feeds BOTH join sides, and the
     # signature computation (8 hyperplane projections per vector) is the
     # expensive subtree — unpersisted it would run twice. localCheckpoint
     # truncates lineage so nothing upstream stays cached (measured 2× on the
-    # 20k-vector stress).
-    t = lsh_tables(embeddings).localCheckpoint(eager=True)
+    # 20k-vector stress). Default geometry keeps the oracle-pinned fixed
+    # (4×2) contract tables; a corpus-scaled (n_tables, bits_per_table)
+    # from ``lsh_params`` is the serving path (bounded candidate fraction).
+    t = (
+        lsh_tables(embeddings)
+        if n_tables is None
+        else lsh_table_buckets(embeddings, n_tables, bits_per_table)
+    ).localCheckpoint(eager=True)
     if impl == "arrow":
         cand = embeddings.join(t, "vec_id").select(
             F.col("vec_id").alias("n_id"),
@@ -806,7 +976,16 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
     effect in the threshold subtraction (the cut key is a COMPUTED double,
     unlike semantic_dedup's exact user constant). Shrinks the global top-k window's input
     from (probes × cell_size) to ~(probes × k) rows per query; the final
-    rank/tie-break still happens JVM-side on the rounded values."""
+    rank/tie-break still happens JVM-side on the rounded values.
+
+    The cut is applied PER CHUNK against the running per-query k-th-best
+    statistic, not once at the end — so a hot/skewed cell holds at most
+    (survivors-so-far + one |Q|×chunk slab) in memory, never the full
+    |Q|×|cell| pair frame. Lossless by the same argument: the running k-th
+    best only rises toward the cell-global one, so every interim cut keeps
+    a superset of the final cut's survivors, and the LAST round's cut (kth
+    computed over all retained rows, whose top-k per query are never cut)
+    IS the exact cell-global cut."""
     import numpy as np
     import pandas as pd
 
@@ -836,20 +1015,8 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
                 f"zero-norm {side} embedding (vec_id={int(ids[z[0]])}): cosine "
                 "is undefined — filter degenerate vectors upstream"
             )
-    out = []
-    for lo in range(0, len(N), chunk):
-        Nc, nn = N[lo : lo + chunk], n_norm[lo : lo + chunk]
-        sims = _fold_dots(Q, Nc, dim) / (q_norm[:, None] * nn[None, :])
-        qq = np.repeat(q_ids, len(Nc))
-        nc = np.tile(n_ids[lo : lo + chunk], len(Q))
-        keep = qq != nc
-        out.append(
-            pd.DataFrame({"q_id": qq[keep], "n_id": nc[keep], "raw_sim": sims.ravel()[keep]})
-        )
-    if not out:
-        return empty
-    df = pd.concat(out, ignore_index=True)
-    if k is not None and len(df):
+    def kcut(df):
+        """The lossless ε-band cut vs the per-query k-th best of ``df``."""
         # dedup BEFORE the cut: duplicate rows in user-supplied cells frames
         # (e.g. unioned index snapshots) would otherwise occupy several of
         # the k per-query slots and inflate kth past a genuine winner — the
@@ -867,12 +1034,31 @@ def _cell_pair_sims(cand_pdf, q_pdf, chunk: int = 4096, k: int | None = None):
         pos = df.groupby("q_id").cumcount()
         kth = df[(pos == k - 1) & ~nan_rows].set_index("q_id")["raw_sim"]
         thr = df["q_id"].map(kth)  # NaN → query has < k finite rows: keep all
-        df = df[
+        return df[
             nan_rows
             | thr.isna().to_numpy()
             | (df["raw_sim"].to_numpy() > thr.to_numpy() - 2e-6)
         ]
-    return df.reset_index(drop=True)
+
+    acc = None  # k-mode: running survivors; k=None: list of chunk frames
+    out = []
+    for lo in range(0, len(N), chunk):
+        Nc, nn = N[lo : lo + chunk], n_norm[lo : lo + chunk]
+        sims = _fold_dots(Q, Nc, dim) / (q_norm[:, None] * nn[None, :])
+        qq = np.repeat(q_ids, len(Nc))
+        nc = np.tile(n_ids[lo : lo + chunk], len(Q))
+        keep = qq != nc
+        cf = pd.DataFrame({"q_id": qq[keep], "n_id": nc[keep], "raw_sim": sims.ravel()[keep]})
+        if k is None:
+            out.append(cf)
+        else:
+            acc = cf if acc is None else pd.concat([acc, cf], ignore_index=True)
+            acc = kcut(acc)
+    if k is not None:
+        return empty if acc is None else acc.reset_index(drop=True)
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True).reset_index(drop=True)
 
 
 def ivf_topk(

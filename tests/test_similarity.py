@@ -675,6 +675,37 @@ def test_cell_pair_sims_k_cut_is_lossless_superset():
     assert (merged["raw_sim_cut"] == merged["raw_sim_full"]).all()
 
 
+def test_cell_pair_sims_streaming_k_cut_equals_one_shot():
+    """The per-chunk running k-cut (the hot-cell memory fix: survivors +
+    one |Q|x chunk slab, never the full pair frame) must return EXACTLY the
+    one-shot cut's frame — same rows, same raw values, same order — under
+    tiny chunks, planted 2e-6-band ties, cross-chunk duplicate n_ids, and a
+    query with fewer finite rows than k."""
+    import numpy as np
+    import pandas as pd
+
+    from pulsar_replay_spark.operators.similarity import _cell_pair_sims
+
+    def vec(c):
+        v = np.zeros(4)
+        v[0], v[1] = c, np.sqrt(1 - c * c)
+        return v
+
+    sims_wanted = [0.9, 0.9 - 5e-7, 0.9 - 9e-7, 0.5, 0.45, 0.4, 0.2, 0.1]
+    # duplicate n_id 0 lands in a LATE chunk (dedup must still keep one copy)
+    n_ids = list(range(len(sims_wanted))) + [0]
+    embs = [vec(c) for c in sims_wanted] + [vec(sims_wanted[0])]
+    cand = pd.DataFrame({"n_id": np.array(n_ids, dtype="int64"), "n_emb": embs})
+    q = pd.DataFrame(
+        {"q_id": np.array([100, 7]), "q_emb": [vec(1.0), vec(0.95)]}
+    )
+    for k in (1, 2, 3, 50):
+        one_shot = _cell_pair_sims(cand, q, chunk=10_000, k=k).reset_index(drop=True)
+        for chunk in (1, 2, 3):
+            streamed = _cell_pair_sims(cand, q, chunk=chunk, k=k).reset_index(drop=True)
+            pd.testing.assert_frame_equal(one_shot, streamed)
+
+
 def test_ivf_topk_duplicate_index_rows_cannot_inflate_the_cut(spark):
     """Duplicated rows in a user-supplied corpus_cells frame (e.g. unioned
     index snapshots) must not occupy k-cut slots: the kernel dedups
@@ -810,3 +841,81 @@ def test_lsh_topk_arrow_bitwise_equals_jvm(spark, embeddings):
             )
         )
         assert a == j
+
+
+def test_lsh_params_scaling_rule():
+    """Pure-unit pin of the corpus-scaled LSH geometry (the ivf_params
+    analog, closing the r6 'fixed 4-bucket tables' weak-plan finding):
+    nominal union candidate fraction L/2^b under target at every magnitude,
+    per-table bucket population N/2^b bounded (the Arrow group-slab term
+    that must grow with N), and per-table bucket width within a long."""
+    prev_b = 0
+    for n in (1, 500, 2_000, 1_000_000, 100_000_000, 1_000_000_000):
+        length, b = similarity.lsh_params(n)
+        assert length / 2**b <= 1 / 16 + 1e-12, (n, length, b)
+        assert n / 2**b <= 4096, (n, length, b)
+        assert 1 <= b <= 62 and 4 <= length <= 16
+        assert b >= prev_b  # monotone: deeper bits as the corpus grows
+        prev_b = b
+    assert similarity.lsh_params(1_000_000_000) == (16, 18)
+    # production knob honored
+    length, b = similarity.lsh_params(1_000_000, target_frac=0.01)
+    assert length / 2**b <= 0.01 + 1e-12
+
+
+def test_lsh_table_buckets_default_geometry_equals_lsh_tables(spark, embeddings):
+    """At the contract (4 tables × 2 bits) geometry the generalized
+    per-table packer must be bit-for-bit the fixed shiftright slicing of the
+    shared signature (same md5 plane pool, same global plane indices) — the
+    oracle-pinned ann_lsh_topk row depends on it; and the Arrow packer must
+    equal its JVM expression twin at a non-default geometry too."""
+    new = sorted(map(tuple, similarity.lsh_table_buckets(embeddings, 4, 2).collect()))
+    old = sorted(map(tuple, similarity.lsh_tables(embeddings).collect()))
+    assert new == old and len(new) > 0
+    a = sorted(
+        map(tuple, similarity.lsh_table_buckets(embeddings, 3, 5).collect())
+    )
+    j = sorted(
+        map(
+            tuple,
+            similarity.lsh_table_buckets(embeddings, 3, 5, impl="jvm").collect(),
+        )
+    )
+    assert a == j and len(a) > 0
+
+
+def test_lsh_scaled_geometry_fraction_and_near_dup_recall(spark, embeddings):
+    """Gate on the corpus-scaled LSH serving geometry (the
+    test_benched_ann_candidate_fraction_and_recall discipline): MEASURED
+    candidate fraction under 10% of the corpus, while planted near-dup
+    clones (cos ≈ 1, LSH's production retrieval contract — generic top-k
+    serves through the data-adaptive IVF family) recover their source at
+    ≥ 80%; and the plan never degrades to a cross join."""
+    n = embeddings.count()
+    length, b = similarity.lsh_params(n)
+    assert length / 2**b <= 0.10
+    frac = similarity.lsh_candidate_fraction(
+        embeddings, embeddings.filter(F.col("vec_id") % 50 == 0), length, b
+    )
+    assert frac < 0.10, f"measured candidate fraction {frac:.3f} >= 10%"
+
+    clones = embeddings.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(clones)
+    approx_df = similarity.lsh_topk(
+        corpus, clones, k=3, n_tables=length, bits_per_table=b
+    )
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    hits = {
+        r["q_id"]
+        for r in approx_df.collect()
+        if r["q_id"] - 1_000_000 == r["neighbor_id"]
+    }
+    n_clones = clones.count()
+    recall = len(hits) / n_clones
+    assert recall >= 0.8, f"planted-clone recall {recall:.2f} below floor"
