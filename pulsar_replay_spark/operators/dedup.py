@@ -327,6 +327,17 @@ def simhash_near_pairs(
     signatures (SIMHASH_BITS) make block values more selective, shrinking
     buckets — same role the band count plays for MinHash."""
     sigs = simhash(docs, bits).localCheckpoint(eager=True)  # tiny: (doc_id, long)
+    return banded_hamming_pairs(sigs, max_hamming, bits)
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) within ``max_hamming`` over ANY
+    (doc_id, simhash) signature frame — the pigeonhole equi-join behind
+    ``simhash_near_pairs``, factored out so other bit-signature families
+    (e.g. the perceptual dHash in operators/multimodal.py) reuse the exact
+    candidate/verify shape instead of growing their own all-pairs join."""
     idx = _simhash_blocks(sigs, max_hamming, bits)
     a, b = idx.alias("a"), idx.alias("b")
     return (

@@ -302,13 +302,18 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, offset_ms long, frame_bytes binary"
 THUMB_SCHEMA = "doc_id long, width int, height int, thumb binary"
 
 
-def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+def frame_sample(
+    media: DataFrame, n_frames: int = 4, fake: bool = True, frame_len: int = 16
+) -> DataFrame:
     """Video frame sampling: N evenly-spaced frames per payload — the 1→N
     mapInPandas shape (each input row yields n_frames output rows inside the
     same Arrow batch; no explode of raw bytes through a shuffle).
 
     The ffmpeg seek+decode is stubbed: fake frames are deterministic byte
-    slices so the row-multiplication plumbing is pinned end-to-end.
+    slices (``frame_len`` bytes at each offset — the oracle-pinned contract
+    default is 16; perceptual-dedup tests use wider slices so the dHash
+    grid has real structure to hash) so the row-multiplication plumbing is
+    pinned end-to-end.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,7 +367,7 @@ def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Data
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["offset_ms"].append(off)
-                    out["frame_bytes"].append(raw[off : off + 16])
+                    out["frame_bytes"].append(raw[off : off + frame_len])
             yield pd.DataFrame(out)
 
     return (
@@ -499,4 +504,285 @@ def audio_windows(
         media.filter(F.col("media_type") == "audio/wav")
         .select("doc_id", "payload")
         .mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (near-duplicate) image/frame dedup: dHash over the thumbnail
+# grid + the banded hamming equi-join the text side already owns. Exact
+# frame_dedup collapses byte-identical frames only — one pixel of re-encode
+# noise defeats it; the dHash signature is stable under small pixel nudges
+# because each bit is a SIGN of an adjacent-cell luminance difference, and
+# candidate generation reuses dedup.banded_hamming_pairs (pigeonhole blocks,
+# never all-pairs).
+# ---------------------------------------------------------------------------
+
+DHASH_GRID = 8
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)  # 56: row-adjacent comparisons
+FRAME_ITEM_SPAN = 1 << 20  # composite frame id = doc_id * SPAN + frame_idx
+FRAME_THUMB_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, thumb binary"
+)
+DHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def _dhash_bytes(thumb: bytes, width: int, height: int, grid: int = DHASH_GRID) -> int:
+    """Pure dHash of one thumbnail buffer: grayscale the pixels (channel
+    mean; channel count inferred from len/(w·h)), block-mean down to a
+    grid×grid luminance grid, then bit (r, c) = [cell(r,c) < cell(r,c+1)] —
+    grid·(grid−1) bits packed little-endian. Module-level and numpy-only so
+    the Spark kernel and the test oracle share nothing but this contract."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad thumb dims {width}x{height}")
+    npx = width * height
+    arr = np.frombuffer(bytes(thumb), dtype=np.uint8)
+    channels = len(arr) // npx
+    if channels < 1 or len(arr) != npx * channels:
+        raise ValueError(
+            f"thumb byte length {len(arr)} is not a multiple of {width}x{height}"
+        )
+    gray = arr.reshape(height, width, channels).mean(axis=2, dtype=np.float64)
+    r_idx = (np.arange(height) * grid) // height
+    c_idx = (np.arange(width) * grid) // width
+    sums = np.zeros((grid, grid))
+    counts = np.zeros((grid, grid))
+    np.add.at(sums, (r_idx[:, None], c_idx[None, :]), gray)
+    np.add.at(counts, (r_idx[:, None], c_idx[None, :]), 1.0)
+    # thumbnails smaller than the grid leave empty cells: repeat-sample the
+    # nearest populated source row/col instead (deterministic, no NaNs)
+    cells = np.divide(sums, counts, out=np.zeros((grid, grid)), where=counts > 0)
+    if (counts == 0).any():
+        src_r = np.minimum((np.arange(grid) * height) // grid, height - 1)
+        src_c = np.minimum((np.arange(grid) * width) // grid, width - 1)
+        cells = gray[src_r[:, None], src_c[None, :]]
+    sig = 0
+    for r in range(grid):
+        for c in range(grid - 1):
+            if cells[r, c] < cells[r, c + 1]:
+                sig |= 1 << (r * (grid - 1) + c)
+    return sig
+
+
+def dhash_signatures(thumbs: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
+    """(doc_id, simhash): the dHash of every thumbnail row — Arrow-batched,
+    column-named to feed ``dedup.banded_hamming_pairs`` directly. Expects
+    the THUMB_SCHEMA shape (or FRAME_THUMB_SCHEMA re-keyed upstream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": [
+                        _dhash_bytes(bytes(t), int(w), int(h), grid)
+                        for t, w, h in zip(pdf["thumb"], pdf["width"], pdf["height"])
+                    ],
+                }
+            )
+
+    return thumbs.select("doc_id", "width", "height", "thumb").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    thumbs: DataFrame, max_hamming: int = 4, grid: int = DHASH_GRID
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): thumbnail pairs within ``max_hamming`` dHash
+    bits — re-encoded/nudged image clones collide (sign bits survive small
+    luminance noise), distinct images land ~grid²/2 bits apart. Candidates
+    come from the pigeonhole banded equi-join (``banded_hamming_pairs``);
+    nothing all-pairs ever runs."""
+    from pulsar_replay_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = dhash_signatures(thumbs, grid).localCheckpoint(eager=True)
+    return banded_hamming_pairs(sigs, max_hamming, grid * (grid - 1))
+
+
+def image_dedup(
+    thumbs: DataFrame, max_hamming: int = 4, grid: int = DHASH_GRID
+) -> DataFrame:
+    """(doc_id, cluster_id, keep): perceptual image dedup marks — near-dup
+    clusters from the banded pairs' transitive closure, keeper = min doc_id
+    per cluster (the ``dedup_corpus`` discipline); singletons keep
+    themselves. Only ids and 8-byte signatures ever shuffle."""
+    from pulsar_replay_spark.operators.dedup import connected_components
+
+    pairs = image_near_dup_pairs(thumbs, max_hamming, grid)
+    cc = connected_components(pairs)
+    marks = (
+        thumbs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    keepers = marks.groupBy("cluster_id").agg(F.min("doc_id").alias("keep_doc_id"))
+    return marks.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("keep"),
+    )
+
+
+def frame_thumbs(
+    frames: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Per-frame grayscale thumbnails keyed by (doc_id, frame_idx) — the
+    resize step feeding perceptual frame dedup.
+
+    The deterministic fake is LOCALITY-PRESERVING (unlike
+    ``resize_thumbnail``'s sha256 fold, whose avalanche is right for
+    plumbing tests but erases similarity): the frame's byte stream is
+    nearest-sampled down/up to width·height gray pixels, so a few nudged
+    payload bytes move a few pixels — letting the perceptual semantics be
+    tested end-to-end without a decoder. The real path (PIL grayscale
+    resize) slots into the same kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real frame resize requires Pillow (PIL) on the executors"
+                ) from e
+        import numpy as np
+
+        npx = width * height
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["frame_bytes"]:
+                raw = bytes(p)
+                if not fake:
+                    img = Image.open(io.BytesIO(raw)).convert("L")
+                    thumbs.append(img.resize((width, height)).tobytes())
+                    continue
+                if len(raw) == 0:
+                    thumbs.append(bytes(npx))
+                    continue
+                buf = np.frombuffer(raw, dtype=np.uint8)
+                idx = (np.arange(npx) * len(buf)) // npx
+                thumbs.append(buf[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return frames.select("doc_id", "frame_idx", "frame_bytes").mapInPandas(
+        run, schema=FRAME_THUMB_SCHEMA
+    )
+
+
+def frame_near_dup_pairs(
+    frames: DataFrame,
+    max_hamming: int = 4,
+    grid: int = DHASH_GRID,
+    fake: bool = True,
+) -> DataFrame:
+    """(doc_a, frame_a, doc_b, frame_b, hamming): perceptual near-dup frame
+    pairs — thumbnails → dHash → banded hamming join over a composite item
+    id (doc_id·2^20 + frame_idx; both ranges asserted JVM-side so an
+    overflow can never silently alias two frames)."""
+    thumbs = frame_thumbs(frames, width=grid, height=grid, fake=fake)
+    items = thumbs.select(
+        (
+            F.when(
+                (F.col("frame_idx") >= 0)
+                & (F.col("frame_idx") < F.lit(FRAME_ITEM_SPAN))
+                & (F.col("doc_id") >= 0)
+                & (F.col("doc_id") < F.lit((1 << 62) // FRAME_ITEM_SPAN)),
+                F.col("doc_id") * F.lit(FRAME_ITEM_SPAN) + F.col("frame_idx"),
+            )
+            .otherwise(F.raise_error(F.lit("frame composite id out of range")))
+            .alias("doc_id")
+        ),
+        "width",
+        "height",
+        "thumb",
+    )
+    pairs = image_near_dup_pairs(items, max_hamming, grid)
+    # span is a power of two and ids are asserted nonnegative, so the decode
+    # is exact bit arithmetic (float division would lose precision on wide
+    # doc ids)
+    shift = FRAME_ITEM_SPAN.bit_length() - 1
+    mask = F.lit(FRAME_ITEM_SPAN - 1)
+    return pairs.select(
+        F.shiftrightunsigned("doc_a", shift).alias("doc_a"),
+        F.col("doc_a").bitwiseAND(mask).cast("int").alias("frame_a"),
+        F.shiftrightunsigned("doc_b", shift).alias("doc_b"),
+        F.col("doc_b").bitwiseAND(mask).cast("int").alias("frame_b"),
+        "hamming",
+    )
+
+
+def frame_dedup_perceptual(
+    frames: DataFrame,
+    max_hamming: int = 4,
+    grid: int = DHASH_GRID,
+    fake: bool = True,
+) -> DataFrame:
+    """(doc_id, frame_idx, cluster_doc, cluster_frame, keep): the perceptual
+    twin of ``frame_dedup`` — near-dup frame clusters via the banded pairs'
+    transitive closure, keeper = min (doc_id, frame_idx) per cluster;
+    byte-identical AND re-encode-nudged frames collapse together. Raw frame
+    bytes never shuffle: thumbnails reduce to 8-byte signatures before any
+    join."""
+    from pulsar_replay_spark.operators.dedup import connected_components
+
+    thumbs = frame_thumbs(frames, width=grid, height=grid, fake=fake)
+    items = thumbs.select(
+        (
+            F.when(
+                (F.col("frame_idx") >= 0)
+                & (F.col("frame_idx") < F.lit(FRAME_ITEM_SPAN))
+                & (F.col("doc_id") >= 0)
+                & (F.col("doc_id") < F.lit((1 << 62) // FRAME_ITEM_SPAN)),
+                F.col("doc_id") * F.lit(FRAME_ITEM_SPAN) + F.col("frame_idx"),
+            ).otherwise(F.raise_error(F.lit("frame composite id out of range")))
+        ).alias("item_id"),
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "thumb",
+    ).localCheckpoint(eager=True)
+    pairs = image_near_dup_pairs(
+        items.select(F.col("item_id").alias("doc_id"), "width", "height", "thumb"),
+        max_hamming,
+        grid,
+    )
+    cc = connected_components(pairs)
+    marks = (
+        items.select("item_id", "doc_id", "frame_idx")
+        .join(cc, items["item_id"] == cc["doc_id"], "left")
+        .select(
+            items["doc_id"],
+            "frame_idx",
+            F.coalesce(F.col("cluster_id"), F.col("item_id")).alias("cluster_id"),
+            "item_id",
+        )
+    )
+    keepers = marks.groupBy("cluster_id").agg(F.min("item_id").alias("keep_item"))
+    shift = FRAME_ITEM_SPAN.bit_length() - 1
+    return marks.join(keepers, "cluster_id").select(
+        "doc_id",
+        "frame_idx",
+        F.shiftrightunsigned("cluster_id", shift).alias("cluster_doc"),
+        F.col("cluster_id").bitwiseAND(F.lit(FRAME_ITEM_SPAN - 1))
+        .cast("int")
+        .alias("cluster_frame"),
+        (F.col("item_id") == F.col("keep_item")).alias("keep"),
     )

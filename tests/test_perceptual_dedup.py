@@ -1,0 +1,216 @@
+"""Perceptual (near-dup) image/frame dedup: dHash signatures + banded
+hamming pairs + cluster marks.
+
+The r6 gap this covers: exact frame_dedup collapses byte-identical frames
+only — one pixel of re-encode noise defeats it. These tests pin (a) the
+dHash kernel against an INDEPENDENT naive python oracle, (b) planted
+nudged-clone collapse / distinct survival semantics at the thumb level,
+(c) the no-cartesian candidate plan, and (d) the end-to-end frame pipeline
+through the locality-preserving fake resize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import multimodal as mm
+
+
+def _oracle_dhash(thumb: bytes, width: int, height: int, grid: int) -> int:
+    """Naive double-loop re-derivation of the dHash contract (no shared
+    code with the kernel beyond the docstring's math)."""
+    arr = np.frombuffer(thumb, dtype=np.uint8).astype(float)
+    ch = len(arr) // (width * height)
+    gray = arr.reshape(height, width, ch).mean(axis=2)
+    cells = np.zeros((grid, grid))
+    if height >= grid and width >= grid:
+        for r in range(grid):
+            for c in range(grid):
+                rs = [i for i in range(height) if (i * grid) // height == r]
+                cs = [j for j in range(width) if (j * grid) // width == c]
+                cells[r, c] = np.mean([gray[i, j] for i in rs for j in cs])
+    else:
+        for r in range(grid):
+            for c in range(grid):
+                cells[r, c] = gray[
+                    min((r * height) // grid, height - 1),
+                    min((c * width) // grid, width - 1),
+                ]
+    sig = 0
+    for r in range(grid):
+        for c in range(grid - 1):
+            if cells[r, c] < cells[r, c + 1]:
+                sig |= 1 << (r * (grid - 1) + c)
+    return sig
+
+
+def _gradient_thumb(seed: int, w: int = 16, h: int = 16, channels: int = 1) -> bytes:
+    """Strong-gradient image: adjacent-cell luminance differences are large,
+    so ±2 pixel noise can never flip a dHash sign bit."""
+    rng = np.random.default_rng(seed)
+    base = (np.arange(h)[:, None] * 29 + np.arange(w)[None, :] * 37) % 200
+    img = (base + rng.integers(0, 3, size=(h, w))).astype(np.uint8)
+    if channels > 1:
+        img = np.repeat(img[:, :, None], channels, axis=2)
+    return img.tobytes()
+
+
+def _nudge(thumb: bytes, seed: int, amp: int = 2) -> bytes:
+    rng = np.random.default_rng(seed)
+    arr = np.frombuffer(thumb, dtype=np.uint8).astype(int)
+    noisy = np.clip(arr + rng.integers(-amp, amp + 1, size=arr.shape), 0, 255)
+    return noisy.astype(np.uint8).tobytes()
+
+
+def _thumb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, width int, height int, thumb binary"
+    )
+
+
+def test_dhash_matches_independent_oracle(spark):
+    """Spark kernel output == naive oracle for grayscale and RGB thumbs,
+    exact-divisible and ragged grid mappings, and tiny sub-grid thumbs."""
+    cases = []
+    rng = np.random.default_rng(11)
+    for i, (w, h, ch) in enumerate(
+        [(16, 16, 1), (16, 16, 3), (13, 9, 1), (32, 8, 3), (4, 4, 1)]
+    ):
+        cases.append((i, w, h, rng.integers(0, 256, size=w * h * ch).astype(np.uint8).tobytes()))
+    df = _thumb_df(spark, [(i, w, h, t) for i, w, h, t in cases])
+    got = {r["doc_id"]: r["simhash"] for r in mm.dhash_signatures(df).collect()}
+    for i, w, h, t in cases:
+        assert got[i] == _oracle_dhash(t, w, h, mm.DHASH_GRID), (i, w, h)
+
+
+def test_dhash_bytes_validates_input():
+    with pytest.raises(ValueError, match="not a multiple"):
+        mm._dhash_bytes(b"\x00" * 7, 4, 4)
+    with pytest.raises(ValueError, match="bad thumb dims"):
+        mm._dhash_bytes(b"", 0, 4)
+
+
+def test_image_near_dup_pairs_planted_clones_collapse(spark):
+    """Nudged clones (±2 pixel noise on a strong-gradient image) pair up
+    within the hamming radius; independent images never pair; the candidate
+    plan is the banded equi-join, not a cross product."""
+    base0, base1 = _gradient_thumb(0), _gradient_thumb(1, w=13, h=9)
+    rng_imgs = [
+        np.random.default_rng(100 + i).integers(0, 256, size=16 * 16).astype(np.uint8).tobytes()
+        for i in range(4)
+    ]
+    rows = [
+        (0, 16, 16, base0),
+        (1, 16, 16, _nudge(base0, 7)),
+        (2, 16, 16, _nudge(base0, 8)),
+        (10, 13, 9, base1),
+        (11, 13, 9, _nudge(base1, 9)),
+        (20, 16, 16, rng_imgs[0]),
+        (21, 16, 16, rng_imgs[1]),
+        (22, 16, 16, rng_imgs[2]),
+        (23, 16, 16, rng_imgs[3]),
+    ]
+    df = _thumb_df(spark, rows)
+    pairs_df = mm.image_near_dup_pairs(df, max_hamming=4)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()}
+    assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= pairs
+    clone_ids = {0, 1, 2} | {10, 11}
+    for a, b in pairs:
+        assert not ({a, b} & {20, 21, 22, 23}), f"independent image paired: {(a, b)}"
+        assert ({a, b} <= {0, 1, 2}) or ({a, b} <= {10, 11}), (a, b)
+    assert clone_ids is not None
+
+
+def test_image_dedup_marks_keep_one_per_cluster(spark):
+    base = _gradient_thumb(3)
+    rows = [
+        (5, 16, 16, base),
+        (6, 16, 16, _nudge(base, 1)),
+        (7, 16, 16, _nudge(base, 2)),
+        (40, 16, 16, np.random.default_rng(300).integers(0, 256, size=256).astype(np.uint8).tobytes()),
+    ]
+    marks = {r["doc_id"]: r for r in mm.image_dedup(_thumb_df(spark, rows)).collect()}
+    assert len(marks) == 4
+    assert marks[5]["keep"] and not marks[6]["keep"] and not marks[7]["keep"]
+    assert marks[5]["cluster_id"] == marks[6]["cluster_id"] == marks[7]["cluster_id"] == 5
+    assert marks[40]["keep"] and marks[40]["cluster_id"] == 40
+
+
+def test_frame_pipeline_end_to_end_collapses_nudged_videos(spark):
+    """frame_sample(fake) → frame_thumbs(locality-preserving fake) →
+    frame_dedup_perceptual: a video whose payload differs from another's by
+    a few nudged bytes collapses frame-wise with it, while a structurally
+    different video survives — the exact-hash frame_dedup misses ALL of
+    these (every payload differs byte-wise)."""
+    # seeded-random payloads: every 64-byte frame is distinct content (a
+    # gradient/ramp payload makes a video's own frames genuinely
+    # near-identical visually, which is honest perceptual behavior but not
+    # what this test plants); the nudge touches ≤1 byte per frame, flipping
+    # at most 2 sign bits
+    base = bytes(np.random.default_rng(42).integers(0, 256, size=4096).astype(np.uint8))
+    nudged = bytearray(base)
+    for i in range(0, len(nudged), 257):
+        nudged[i] = min(255, nudged[i] + 2)
+    nudged = bytes(nudged)
+    other = bytes(np.random.default_rng(43).integers(0, 256, size=4096).astype(np.uint8))
+    media = spark.createDataFrame(
+        [(1, "video/mp4", base), (2, "video/mp4", nudged), (3, "video/mp4", other)],
+        "doc_id long, media_type string, payload binary",
+    )
+    # 64-byte slices: the contract default (16) nearest-samples into only 8
+    # informative dHash bits — too coarse to separate distinct content
+    frames = mm.frame_sample(media, n_frames=4, frame_len=64).localCheckpoint(
+        eager=True
+    )
+
+    # exact dedup sees three byte-distinct payloads: nothing collapses
+    exact = mm.frame_dedup(frames).collect()
+    assert all(r["keep"] for r in exact)
+
+    marks_df = mm.frame_dedup_perceptual(frames, max_hamming=4)
+    plan = marks_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    marks = {(r["doc_id"], r["frame_idx"]): r for r in marks_df.collect()}
+    assert len(marks) == 12
+    for i in range(4):
+        a, b, c = marks[(1, i)], marks[(2, i)], marks[(3, i)]
+        assert (a["cluster_doc"], a["cluster_frame"]) == (
+            b["cluster_doc"],
+            b["cluster_frame"],
+        ), f"nudged frame {i} did not collapse"
+        assert a["keep"] and not b["keep"]
+        assert (c["cluster_doc"], c["cluster_frame"]) == (3, i)
+        assert c["keep"]
+
+    pairs = mm.frame_near_dup_pairs(frames, max_hamming=4).collect()
+    assert all(r["hamming"] <= 4 for r in pairs)
+    assert {(r["doc_a"], r["frame_a"], r["doc_b"], r["frame_b"]) for r in pairs} >= {
+        (1, i, 2, i) for i in range(4)
+    }
+
+
+def test_frame_composite_id_guard_raises_on_overflow(spark):
+    frames = spark.createDataFrame(
+        [(5, 1 << 21, 0, b"\x01\x02\x03\x04")],
+        "doc_id long, frame_idx int, offset_ms long, frame_bytes binary",
+    )
+    with pytest.raises(Exception, match="composite id out of range"):
+        mm.frame_near_dup_pairs(frames).collect()
+
+
+def test_frame_thumbs_fake_is_locality_preserving_and_sized(spark):
+    frames = spark.createDataFrame(
+        [(1, 0, 0, bytes(range(64))), (1, 1, 0, b""), (2, 0, 0, b"\x10")],
+        "doc_id long, frame_idx int, offset_ms long, frame_bytes binary",
+    )
+    rows = {(r["doc_id"], r["frame_idx"]): bytes(r["thumb"]) for r in
+            mm.frame_thumbs(frames, width=8, height=8).collect()}
+    assert all(len(t) == 64 for t in rows.values())
+    assert rows[(1, 1)] == bytes(64)  # empty payload -> zero thumb
+    assert rows[(2, 0)] == b"\x10" * 64  # single byte repeats (nearest sample)
+    # nearest-sampling of 0..63 into 64 slots is the identity
+    assert rows[(1, 0)] == bytes(range(64))
