@@ -463,7 +463,10 @@ def compact_simhash_store(
     upsert, not a duplicate — route those through the CDC store
     (``streaming.pipelines.cdc_apply_sink``), then rebuild its signature;
     this op never guesses a winner between two different signatures for
-    one doc_id."""
+    one doc_id. Callers writing the result back to parquet must target a
+    DIFFERENT directory than the store was read from (reads are lazy; an
+    in-place overwrite clobbers the files mid-read — see
+    ``dedup_index_compact``'s guard)."""
     out = store.select("doc_id", "simhash").distinct()
     if retain_docs is not None:
         out = out.join(retain_docs.select("doc_id").distinct(), "doc_id", "semi")
@@ -709,6 +712,94 @@ def near_dup_clusters(docs: DataFrame) -> DataFrame:
     cc = connected_components(minhash_candidate_pairs(docs))
     return (
         cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def cluster_label_deltas(labels: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Incremental CC maintenance: the label rows that CHANGE when
+    ``new_pairs`` (doc_a, doc_b) arrive against an existing (doc_id,
+    cluster_id) label table — changed members of merged clusters plus
+    first-label rows for unseen docs. O(affected components), never a
+    full-corpus CC per ingest.
+
+    The trick: labels are already each component's min doc_id, so merging
+    happens on the REPRESENTATIVE graph — every new edge maps its
+    endpoints to their current cluster id (own id if unseen), edges whose
+    endpoints share a rep are already intra-cluster and drop out, and
+    ``connected_components`` runs on the remaining rep-edges only (one
+    vertex per AFFECTED cluster — a graph orders of magnitude smaller than
+    the corpus label table). min-of-merged-reps == min-of-merged-components,
+    so applying the rep relabel reproduces the from-scratch CC exactly
+    (equality pinned in tests across multi-batch chains and batch-order
+    permutations).
+
+    Deltas (not the rewritten table) are the streaming unit of state: the
+    label store appends one batch_id partition per ingest and readers
+    resolve latest-wins (the ``cdc_apply`` discipline) — rewriting the
+    full corpus-sized label table per increment would be O(corpus)."""
+    lab = labels.select("doc_id", "cluster_id")
+    ends = (
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    rep = ends.join(lab, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("rep")
+    )
+    ra = rep.toDF("doc_a", "rep_a")
+    rb = rep.toDF("doc_b", "rep_b")
+    cedges = (
+        new_pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .filter(F.col("rep_a") != F.col("rep_b"))
+        .select(F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b"))
+        .distinct()
+    )
+    # one vertex per affected cluster: tiny relative to the corpus, and the
+    # ≤1M-edge union-find finish inside connected_components usually takes it
+    cc = connected_components(cedges).toDF("old_rep", "root").localCheckpoint(
+        eager=True
+    )
+    changed = (
+        lab.join(cc, lab["cluster_id"] == cc["old_rep"])
+        .filter(F.col("root") != F.col("cluster_id"))
+        .select("doc_id", F.col("root").alias("cluster_id"))
+    )
+    # unseen endpoints: rep == own id; their component root when the rep
+    # graph touched them, else themselves (pair fell inside one existing
+    # cluster is impossible for a fresh doc — its rep is unique — but a
+    # fresh doc can be absent from cc only when new_pairs was empty)
+    fresh = (
+        rep.join(lab, "doc_id", "left_anti")
+        .join(cc, rep["rep"] == cc["old_rep"], "left")
+        .select(
+            "doc_id", F.coalesce("root", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    return changed.unionByName(fresh)
+
+
+def merge_cluster_labels(labels: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Apply ``cluster_label_deltas`` to the label table: the incremental
+    equivalent of ``connected_components(all pairs so far)`` — the batch
+    API over the delta engine (streaming callers append the deltas
+    instead; see streaming.pipelines.incremental_labels_sink)."""
+    deltas = cluster_label_deltas(labels, new_pairs).localCheckpoint(eager=True)
+    return (
+        labels.select("doc_id", "cluster_id")
+        .join(deltas.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(deltas)
+    )
+
+
+def cluster_summary(labels: DataFrame) -> DataFrame:
+    """(cluster_id, n_docs, keep_doc_id) for multi-doc clusters — the
+    ``near_dup_clusters`` output shape from a maintained label table, so
+    incremental callers serve the same summary without re-running CC."""
+    return (
+        labels.groupBy("cluster_id")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
     )

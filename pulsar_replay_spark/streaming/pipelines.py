@@ -325,6 +325,112 @@ def incremental_dedup_sink(
     )
 
 
+def incremental_labels_sink(
+    doc_stream: DataFrame,
+    index_dir: str,
+    labels_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming incremental CLUSTER maintenance — closes the r6 gap where
+    pairs arrived incrementally but ``near_dup_clusters`` re-ran
+    full-corpus CC per ingest: each micro-batch probes the persisted band
+    index (``incremental_minhash_pairs``), folds the resulting pairs into
+    the maintained label table via ``dedup.cluster_label_deltas`` (CC over
+    the affected-cluster representative graph ONLY), and appends just the
+    changed/new label rows as one idempotent batch_id partition of the
+    label store. ``read_cluster_labels`` serves the current labels
+    (latest batch wins per doc) — equal to a from-scratch
+    ``connected_components`` over all pairs so far, pinned in tests.
+
+    Exactly-once: index, labels read and both writes all exclude the
+    current batch_id, so a crash-retry recomputes the identical deltas and
+    overwrites its own partitions."""
+    from pulsar_replay_spark.operators.dedup import (
+        cluster_label_deltas,
+        incremental_minhash_pairs,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = (
+            read_parquet_or_empty(
+                spark, index_dir, "doc_id long, band int, band_key string, batch_id long"
+            )
+            .where(F.col("batch_id") != batch_id)  # retry safety
+            .select("doc_id", "band", "band_key")
+        )
+        labels = read_cluster_labels(spark, labels_dir, exclude_batch_id=batch_id)
+        pairs, new_buckets = incremental_minhash_pairs(batch_df, idx)
+        deltas = cluster_label_deltas(labels, pairs)
+        (
+            deltas.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(labels_dir)
+        )
+        (
+            new_buckets.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cluster_labels(
+    spark: SparkSession, labels_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """(doc_id, cluster_id): current labels from the delta store — the
+    highest batch_id wins per doc (a doc relabels when later ingests merge
+    its cluster). ``exclude_batch_id`` is the sink's own retry guard."""
+    from pyspark.sql.window import Window
+
+    store = read_parquet_or_empty(
+        spark, labels_dir, "doc_id long, cluster_id long, batch_id long"
+    )
+    if exclude_batch_id is not None:
+        store = store.where(F.col("batch_id") != exclude_batch_id)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    return (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "cluster_id")
+    )
+
+
+def labels_compact(spark: SparkSession, labels_dir: str, compact_dir: str) -> None:
+    """Fold the label delta store to its per-doc winners (keeping their
+    original batch_id so reads over the compacted store serve the identical
+    snapshot) — bounds the store at the labeled-doc count however long the
+    ingest feed runs. Same in-place guard as ``dedup_index_compact``."""
+    if compact_dir.rstrip("/") == labels_dir.rstrip("/"):
+        raise ValueError(
+            "compact_dir must differ from labels_dir: an in-place overwrite "
+            "would read and clobber the same parquet files"
+        )
+    from pyspark.sql.window import Window
+
+    store = spark.read.parquet(labels_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(compact_dir)
+    )
+
+
 def incremental_simhash_sink(
     doc_stream: DataFrame,
     store_dir: str,
@@ -661,7 +767,16 @@ def dedup_index_compact(
     Run on the slow path when the partition count grows: one partition
     instead of one per micro-batch bounds file count, distinct+expiry bound
     store size. At 100 TB the job is one shuffle of the compact index
-    relation, never the corpus."""
+    relation, never the corpus. ``compact_dir`` must differ from
+    ``index_dir``: parquet reads are lazy, so an in-place overwrite would
+    clobber the very files the fold is still reading (swap directories —
+    or atomically rename — after the compact lands). The same applies to
+    writers of ``dedup.compact_simhash_store``'s result."""
+    if compact_dir.rstrip("/") == index_dir.rstrip("/"):
+        raise ValueError(
+            "compact_dir must differ from index_dir: an in-place overwrite "
+            "would read and clobber the same parquet files"
+        )
     idx = (
         spark.read.parquet(index_dir)
         .select("doc_id", "band", "band_key")

@@ -612,3 +612,68 @@ def test_minhash_banding_geometry_follows_lsh_plan(spark, documents):
         dedup.minhash_band_buckets(docs, bands=5, rows_per_band=2)
     with pytest.raises(ValueError):
         dedup.minhash_band_buckets(docs, bands=0, rows_per_band=2)
+
+
+def test_cluster_label_deltas_emit_only_changed_rows(spark):
+    """Delta semantics: unchanged docs never re-emit; merged clusters
+    relabel every member to the min-of-merged-reps; fresh docs get
+    first-label rows (root of their rep, or themselves)."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)], "doc_id long, cluster_id long"
+    )
+    # intra-cluster pair: no deltas at all
+    same = dedup.cluster_label_deltas(
+        labels, spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    )
+    assert same.count() == 0
+    # fresh doc 7 joins cluster 5 (5 stays the min: only 7 changes)
+    d1 = dedup.cluster_label_deltas(
+        labels, spark.createDataFrame([(5, 7)], "doc_a long, doc_b long")
+    )
+    assert {(r.doc_id, r.cluster_id) for r in d1.collect()} == {(7, 5)}
+    # fresh doc 0 merges INTO cluster 1 and becomes the new min:
+    # every member of cluster 1 relabels, 5 stays silent
+    d2 = dedup.cluster_label_deltas(
+        labels, spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
+    )
+    assert {(r.doc_id, r.cluster_id) for r in d2.collect()} == {
+        (0, 0),
+        (1, 0),
+        (2, 0),
+    }
+
+
+def test_merge_cluster_labels_equals_full_cc_across_batches(spark, documents):
+    """The incremental≡full discipline for CLUSTER LABELS (r6 gap #5):
+    maintaining the label table with merge_cluster_labels over incremental
+    pair batches must equal a from-scratch connected_components over all
+    pairs so far AFTER EVERY BATCH, and the summary must equal
+    near_dup_clusters — in any batch order."""
+    batches = [documents.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def run(order):
+        labels = spark.createDataFrame([], "doc_id long, cluster_id long")
+        idx = spark.createDataFrame([], "doc_id long, band int, band_key string")
+        seen = None
+        for i in order:
+            b = batches[i]
+            pairs, nb = dedup.incremental_minhash_pairs(b, idx)
+            labels = dedup.merge_cluster_labels(labels, pairs).localCheckpoint(
+                eager=True
+            )
+            idx = idx.unionAll(nb).localCheckpoint(eager=True)
+            seen = b if seen is None else seen.unionByName(b)
+            full = dedup.connected_components(dedup.minhash_candidate_pairs(seen))
+            assert sorted(
+                (r.doc_id, r.cluster_id) for r in labels.collect()
+            ) == sorted((r.doc_id, r.cluster_id) for r in full.collect()), (
+                order,
+                i,
+            )
+        # summary served from maintained labels == the end-to-end operator
+        assert sorted(map(tuple, dedup.cluster_summary(labels).collect())) == sorted(
+            map(tuple, dedup.near_dup_clusters(seen).collect())
+        )
+        return sorted((r.doc_id, r.cluster_id) for r in labels.collect())
+
+    assert run([0, 1, 2]) == run([2, 0, 1])

@@ -657,3 +657,74 @@ def test_incremental_simhash_stream_matches_batch(spark, tmp_path_factory):
         .parquet(store_dir)
     )
     assert spark.read.parquet(store_dir).count() == n_before
+
+
+def test_incremental_labels_stream_matches_batch_cc(spark, tmp_path_factory):
+    """Streaming cluster maintenance (r6 gap: pairs were incremental but CC
+    re-ran full-corpus per ingest): after the stream drains, the maintained
+    label store must equal a from-scratch connected_components over all
+    candidate pairs, the summary must equal near_dup_clusters, a crash-retry
+    overwrite must not duplicate, and compaction must serve the identical
+    snapshot (never in place)."""
+    from pulsar_replay_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = str(tmp_path_factory.mktemp("docs_stream_lab"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    index_dir = str(tmp_path_factory.mktemp("lab_index"))
+    labels_dir = str(tmp_path_factory.mktemp("lab_store"))
+    q = pipelines.incremental_labels_sink(
+        pipelines.documents_stream(spark, src),
+        index_dir,
+        labels_dir,
+        str(tmp_path_factory.mktemp("lab_ck")),
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in pipelines.read_cluster_labels(spark, labels_dir).collect()
+    )
+    full = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(
+            dedup.minhash_candidate_pairs(docs)
+        ).collect()
+    )
+    assert got == full and len(got) > 0
+
+    summary = dedup.cluster_summary(pipelines.read_cluster_labels(spark, labels_dir))
+    assert sorted(map(tuple, summary.collect())) == sorted(
+        map(tuple, dedup.near_dup_clusters(docs).collect())
+    )
+
+    # crash-retry: rewriting a batch partition overwrites, never appends
+    store = spark.read.parquet(labels_dir)
+    b0 = store.filter("batch_id = 0")
+    n_before = store.count()
+    (
+        b0.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(labels_dir)
+    )
+    assert spark.read.parquet(labels_dir).count() == n_before
+
+    # compaction: identical snapshot, bounded store, in-place refused
+    compact_dir = str(tmp_path_factory.mktemp("lab_compact"))
+    pipelines.labels_compact(spark, labels_dir, compact_dir)
+    assert sorted(
+        (r.doc_id, r.cluster_id)
+        for r in pipelines.read_cluster_labels(spark, compact_dir).collect()
+    ) == got
+    assert (
+        spark.read.parquet(compact_dir).count()
+        == spark.read.parquet(compact_dir).select("doc_id").distinct().count()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="differ"):
+        pipelines.labels_compact(spark, labels_dir, labels_dir)
+    with _pytest.raises(ValueError, match="differ"):
+        pipelines.dedup_index_compact(spark, index_dir, index_dir + "/")
