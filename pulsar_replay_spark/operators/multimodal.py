@@ -69,8 +69,12 @@ def read_media_dir(
     doc_id, payload, media_type, byte_len, sha256 — plus ``source_path`` for
     lineage). media_type comes from the file extension as a ROUTING hint
     only; ``parse_media_headers`` still sniffs magic bytes and never trusts
-    it. doc_id is a stable 60-bit md5 of the file path, so re-ingests keep
-    ids (and any ``hash_split`` deal) stable.
+    it. doc_id is a 60-bit slice of the CONTENT sha256 (the text tier's
+    content-addressing discipline): re-ingests keep ids — and any
+    ``hash_split`` deal — stable even when the mount point or path prefix
+    changes, and byte-identical files collapse under the exact-dedup tier
+    instead of masquerading as distinct docs (``source_path`` carries the
+    per-copy lineage).
 
     Scale shape: binaryFile parallelizes ACROSS files — a file is never
     split — so individual payloads must fit an executor (right for
@@ -90,7 +94,7 @@ def read_media_dir(
         *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
     )
     return df.select(
-        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 15), 16, 10)
         .cast("long")
         .alias("doc_id"),
         F.col("content").alias("payload"),

@@ -19,8 +19,8 @@ Scale posture:
 - both readers are pure projections over the file scan — zero shuffles;
   JSONL corruption tolerance is explicit (``_corrupt_record`` routed to a
   quarantine column, never a job abort), matching the reference's
-  tolerant-parse posture (pulsar_remote_inspector.py:520-604's decode
-  fallback chain).
+  tolerant-parse posture (the UTF-8-or-base64 fallback in its message
+  decode — see envelope.py's citations).
 """
 
 from __future__ import annotations
@@ -142,6 +142,10 @@ def _project_documents(
         F.col(CORRUPT_COL),
         F.when(text.isNull(), F.lit("missing-text-field")),
     )
+    # quarantine rows have no text: hash the corrupt payload (the raw line,
+    # or the "missing-text-field" marker) so they stay addressable/joinable
+    # downstream instead of carrying a NULL doc_id
+    id_col = F.coalesce(id_col, _content_id(corrupt))
     out = raw.select(
         id_col.alias("doc_id"),
         text.alias("text"),

@@ -50,8 +50,13 @@ def test_read_jsonl_corpus_contract_and_corrupt_tolerance(spark, tmp_path):
     # scan schema wide); unparseable + missing-text rows both quarantine
     quarantined = kept.filter(F.col("corrupt").isNotNull())
     assert quarantined.count() == 2
-    kinds = {r["corrupt"] for r in quarantined.collect()}
+    qrows = quarantined.collect()
+    kinds = {r["corrupt"] for r in qrows}
     assert "missing-text-field" in kinds
+    # quarantine rows stay addressable: doc_id = content hash of the corrupt
+    # payload, never NULL (they must survive joins/counting downstream)
+    for r in qrows:
+        assert r["doc_id"] == _content_id(r["corrupt"]), r
 
     # id_field: numeric ids pass through, non-numeric ids hash
     (tmp_path / "ids.jsonl").write_text(

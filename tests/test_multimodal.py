@@ -451,8 +451,16 @@ def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
     assert only_png.count() == 1
     rec = read_media_dir(spark, str(tmp_path), pattern="*.png", recursive=True)
     assert rec.count() == 2
+    # content-addressed ids: the byte-identical nested copy SHARES the id
+    # (exact-dedup discipline; source_path keeps per-copy lineage), and the
+    # id is a slice of the content sha256, independent of any path prefix
+    rec_ids = {r["doc_id"] for r in rec.collect()}
+    assert rec_ids == {rows["red.png"]["doc_id"]}
+    assert rows["red.png"]["doc_id"] == int(
+        hashlib.sha256(png).hexdigest()[:15], 16
+    )
 
-    # re-ingest stability: same paths -> same doc_ids
+    # re-ingest stability: same content -> same doc_ids
     again = {
         r["source_path"]: r["doc_id"]
         for r in read_media_dir(spark, str(tmp_path)).collect()
