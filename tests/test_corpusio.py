@@ -240,3 +240,129 @@ def test_jsonl_dropfolder_through_curation_ingest(spark, tmp_path):
     assert "tiny" not in texts  # below the quality threshold
     # the re-crawled exact duplicate was rejected: one copy, content-hash id
     assert accepted.filter(F.col("text") == long_a).count() == 1
+
+
+def _warc_record(rec_type: str, body: bytes, uri: str | None = None,
+                 lang: str | None = None, extra: str = "") -> bytes:
+    hdr = [f"WARC/1.0", f"WARC-Type: {rec_type}",
+           "WARC-Date: 2024-01-01T00:00:00Z",
+           "WARC-Record-ID: <urn:uuid:0>"]
+    if uri:
+        hdr.append(f"WARC-Target-URI: {uri}")
+    if lang:
+        hdr.append(f"WARC-Identified-Content-Language: {lang}")
+    if extra:
+        hdr.append(extra)
+    hdr.append(f"Content-Length: {len(body)}")
+    return "\r\n".join(hdr).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def test_read_warc_corpus_roundtrip_plain_and_gzip(spark, tmp_path):
+    """Multi-record WARC/WET fixture → documents: content-addressed ids,
+    WET language tags, warcinfo/request bookkeeping dropped, per-record
+    gzip members inflate, and plain == gzip results."""
+    import gzip
+
+    recs = (
+        _warc_record("warcinfo", b"software: test\r\n")
+        + _warc_record("conversion", "hello warc\n".encode(),
+                       uri="https://a.example/x", lang="eng,deu")
+        + _warc_record("conversion", "bonjour warc\n".encode(),
+                       uri="https://b.example/y", lang="fra")
+        + _warc_record("request", b"GET / HTTP/1.1\r\n")
+        + _warc_record("response", b"HTTP/1.1 200 OK\r\n\r\nraw page",
+                       uri="https://c.example/z")
+    )
+    (tmp_path / "seg.warc").write_bytes(recs)
+    # the Common Crawl layout: one gzip MEMBER per record
+    gz = b"".join(
+        gzip.compress(m) for m in (
+            _warc_record("warcinfo", b"software: test\r\n"),
+            _warc_record("conversion", "hello warc\n".encode(),
+                         uri="https://a.example/x", lang="eng,deu"),
+            _warc_record("conversion", "bonjour warc\n".encode(),
+                         uri="https://b.example/y", lang="fra"),
+            _warc_record("request", b"GET / HTTP/1.1\r\n"),
+            _warc_record("response", b"HTTP/1.1 200 OK\r\n\r\nraw page",
+                         uri="https://c.example/z"),
+        )
+    )
+    gzdir = tmp_path / "gz"
+    gzdir.mkdir()
+    (gzdir / "seg.warc.gz").write_bytes(gz)
+
+    docs = corpusio.read_warc_corpus(spark, str(tmp_path / "seg.warc"))
+    assert docs.columns == DOC_SCHEMA
+    rows = {r["source"]: r.asDict() for r in docs.collect()}
+    assert set(rows) == {
+        "https://a.example/x", "https://b.example/y", "https://c.example/z"
+    }
+    a = rows["https://a.example/x"]
+    assert a["text"] == "hello warc\n"
+    assert a["lang"] == "eng"  # first tag of the WET language list
+    assert a["doc_id"] == _content_id("hello warc\n")
+    assert a["n_chars"] == 11
+    assert rows["https://b.example/y"]["lang"] == "fra"
+    assert rows["https://c.example/z"]["lang"] is None
+
+    gz_rows = {
+        r["source"]: r.asDict()
+        for r in corpusio.read_warc_corpus(spark, str(gzdir)).collect()
+    }
+    assert gz_rows == rows
+
+    # record_types narrows: conversion-only drops the response record
+    conv = corpusio.read_warc_corpus(
+        spark, str(tmp_path / "seg.warc"), record_types=("conversion",)
+    )
+    assert conv.count() == 2
+
+
+def test_read_warc_corpus_quarantines_corrupt_tail(spark, tmp_path):
+    """Framing corruption mid-file: records BEFORE the break parse, the
+    untrusted tail quarantines as one addressable corrupt row (dropped by
+    default, kept with keep_corrupt=True) — and never aborts the scan."""
+    good = _warc_record("conversion", b"ok doc", uri="https://ok.example")
+    bad = good + b"GARBAGE-NOT-A-WARC-HEADER trailing junk"
+    (tmp_path / "broken.warc").write_bytes(bad)
+
+    default = corpusio.read_warc_corpus(spark, str(tmp_path))
+    assert [r["text"] for r in default.collect()] == ["ok doc"]
+
+    kept = corpusio.read_warc_corpus(spark, str(tmp_path), keep_corrupt=True)
+    rows = kept.collect()
+    assert len(rows) == 2
+    q = [r for r in rows if r["corrupt"] is not None][0]
+    assert "not a WARC record header" in q["corrupt"]
+    assert q["doc_id"] == _content_id(q["corrupt"])  # addressable, never NULL
+    assert q["source"].endswith("broken.warc")
+
+    # truncated Content-Length body quarantines too
+    trunc = _warc_record("conversion", b"x" * 10)[:-14]
+    (tmp_path / "broken.warc").write_bytes(trunc)
+    got = corpusio.read_warc_corpus(spark, str(tmp_path), keep_corrupt=True).collect()
+    assert len(got) == 1 and "truncated body" in got[0]["corrupt"]
+
+
+def test_split_warc_records_never_raises_on_fuzz():
+    """The splitter is total: any byte string yields (records, reason) —
+    the quarantine contract the Spark kernel relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_replay_spark.sources.corpusio import _split_warc_records
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=512))
+    def fuzz(buf):
+        recs, corrupt = _split_warc_records(buf)
+        assert isinstance(recs, list)
+        for headers, body in recs:
+            assert int(headers["content-length"]) == len(body)
+
+    fuzz()
+
+    # and a valid prefix always survives whatever follows it
+    good = _warc_record("conversion", b"abc")
+    recs, corrupt = _split_warc_records(good + b"\xff\xfejunk")
+    assert len(recs) == 1 and recs[0][1] == b"abc" and corrupt is not None
