@@ -693,7 +693,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     impl: str = "arrow",
-    n_shards: int = 16,
+    n_shards: int | None = None,
     n_tables: int | None = None,
     bits_per_table: int | None = None,
 ) -> DataFrame:
@@ -721,6 +721,14 @@ def lsh_topk(
         raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     if (n_tables is None) != (bits_per_table is None):
         raise ValueError("pass n_tables and bits_per_table together (lsh_params)")
+    if n_shards is None:
+        # fixed (4×2) geometry has only 64 bucket keys → shards supply the
+        # missing parallelism; a corpus-scaled geometry already bounds the
+        # per-table bucket population (lsh_params' max_bucket_rows), where
+        # extra shards are pure per-group Python overhead (measured 3× at
+        # 20k vectors: 2.4 s → 7.0 s). n_shards stays the residual-skew
+        # lever for a pathological hot bucket.
+        n_shards = 16 if n_tables is None else 1
     # Materialize the bucket table once: it feeds BOTH join sides, and the
     # signature computation (8 hyperplane projections per vector) is the
     # expensive subtree — unpersisted it would run twice. localCheckpoint
@@ -743,13 +751,24 @@ def lsh_topk(
         )
         # toDF re-aliases the attribute ids: both cogroup sides descend from
         # the same checkpointed bucket table, and same-exprId group keys trip
-        # the ambiguous-self-join check
+        # the ambiguous-self-join check.
+        # The sequence bounds cast to LONG so the exploded shard matches the
+        # candidate side's pmod(long) EXACTLY: cogroup aligns each side's
+        # groups by hash-partitioning its own key columns, and Murmur3 of an
+        # INT 14 differs from Murmur3 of a LONG 14 — mismatched key dtypes
+        # silently routed the two sides of the same (table, bucket, shard)
+        # group to different partitions and dropped the pairs. Invisible at
+        # sf0.001/sf0.01 (AQE coalesced the tiny shuffles to one partition,
+        # where alignment is trivial) — caught at sf0.1 by the multi-SF
+        # arrow≡jvm gate this bug added.
         q = queries.join(t.toDF("vec_id", "table", "bucket"), "vec_id").select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             "table",
             "bucket",
-            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_shards - 1).cast("long"))
+            ).alias("shard"),
         )
         sims = (
             cand.groupBy("table", "bucket", "shard")

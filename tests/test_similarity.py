@@ -919,3 +919,47 @@ def test_lsh_scaled_geometry_fraction_and_near_dup_recall(spark, embeddings):
     n_clones = clones.count()
     recall = len(hits) / n_clones
     assert recall >= 0.8, f"planted-clone recall {recall:.2f} below floor"
+
+
+def test_lsh_topk_arrow_equals_jvm_at_multi_partition_scale(spark):
+    """Regression gate for the cogroup key-dtype misalignment (r7): the
+    exploded query-side shard was INT while the candidate side's pmod was
+    LONG; cogroup hash-partitions each side's own key columns, and
+    Murmur3(int 14) != Murmur3(long 14), so the two sides of the same group
+    landed on different partitions and the pairs silently vanished. AQE
+    coalesced the sf0.001/sf0.01 shuffles to ONE partition where alignment
+    is trivial — so this gate runs at sf0.1 (2000 vectors, real multi-
+    partition shuffles) at BOTH geometries and across shard counts."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    a = sorted(map(tuple, similarity.lsh_topk(emb, queries, k=5).collect()))
+    j = sorted(
+        map(tuple, similarity.lsh_topk(emb, queries, k=5, impl="jvm").collect())
+    )
+    assert a == j and len(a) > 0
+    length, b = similarity.lsh_params(emb.count())
+    sa = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(
+                emb, queries, k=5, n_tables=length, bits_per_table=b
+            ).collect(),
+        )
+    )
+    sj = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(
+                emb, queries, k=5, impl="jvm", n_tables=length, bits_per_table=b
+            ).collect(),
+        )
+    )
+    s1 = sorted(
+        map(
+            tuple,
+            similarity.lsh_topk(
+                emb, queries, k=5, n_tables=length, bits_per_table=b, n_shards=1
+            ).collect(),
+        )
+    )
+    assert sa == sj == s1 and len(sa) > 0
