@@ -196,6 +196,19 @@ def main() -> None:
                 )
             ),
         )
+        # radius-1 multiprobe with a fraction-bound-aware geometry: the
+        # recall lever (0.28 → 0.37 at ~5% scanned, 20k rehearsal); deep
+        # bits make buckets thin, so impl="auto" routes to the JVM join
+        mp_l, mp_b = similarity.lsh_params(n, multiprobe=1)
+        timed(
+            "ann_lsh_multiprobe_topk",
+            lambda: _noop_write(
+                similarity.lsh_topk(
+                    emb, pq_queries, k=5, impl="auto",
+                    n_tables=mp_l, bits_per_table=mp_b, multiprobe=1,
+                )
+            ),
+        )
     except Exception as e:  # noqa: BLE001
         errors["ann_ivf_pq_index"] = f"{type(e).__name__}: {e}"[:400]
 

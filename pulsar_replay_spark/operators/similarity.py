@@ -529,7 +529,10 @@ def lsh_tables(embeddings: DataFrame) -> DataFrame:
 
 
 def lsh_params(
-    n: int, target_frac: float = 1 / 16, max_bucket_rows: int = 4096
+    n: int,
+    target_frac: float = 1 / 16,
+    max_bucket_rows: int = 4096,
+    multiprobe: int = 0,
 ) -> tuple[int, int]:
     """Corpus-scaled LSH geometry: (n_tables, bits_per_table) for an
     N-vector corpus — the ``ivf_params`` analog for the hyperplane family.
@@ -557,8 +560,12 @@ def lsh_params(
     import math
 
     length, b = N_TABLES, 2
-    for _ in range(6):
-        b_frac = math.ceil(math.log2(max(2.0, length / target_frac)))
+    for _ in range(8):
+        # multiprobe=1 fans each query out to b+1 buckets per table, so the
+        # nominal union candidate fraction is L·(b+1)/2^b — the bound the
+        # geometry must absorb when the caller plans to multiprobe
+        probes = (b + 1) if multiprobe else 1
+        b_frac = math.ceil(math.log2(max(2.0, length * probes / target_frac)))
         b_size = math.ceil(math.log2(max(2.0, n / max_bucket_rows)))
         nb = max(2, b_frac, b_size)
         nl = min(16, max(N_TABLES, nb))
@@ -667,16 +674,26 @@ def lsh_candidate_fraction(
     queries: DataFrame,
     n_tables: int = N_TABLES,
     bits_per_table: int = BITS_PER_TABLE,
+    multiprobe: int = 0,
 ) -> float:
     """Measured fraction of the corpus an average query's multi-table probe
     actually scans (distinct same-bucket candidates / corpus, averaged over
     queries) — the LSH twin of ``candidate_fraction``, checking the nominal
-    L/2^b bound against real (skewed) bucket populations. Diagnostic —
-    collects two counts."""
+    L/2^b (or multiprobe L·(b+1)/2^b) bound against real (skewed) bucket
+    populations. Diagnostic — collects two counts."""
     t = lsh_table_buckets(embeddings, n_tables, bits_per_table).localCheckpoint(
         eager=True
     )
     q = queries.select("vec_id").join(t, "vec_id").toDF("q_id", "table", "bucket")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits_per_table)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     pairs = (
         t.join(q, ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -696,6 +713,7 @@ def lsh_topk(
     n_shards: int | None = None,
     n_tables: int | None = None,
     bits_per_table: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k: rank only candidates colliding with the query in some LSH
     table (the scale path — the table join shuffles (table, bucket) keys,
@@ -714,13 +732,35 @@ def lsh_topk(
     ``n_shards`` (size ≈ |corpus|·tables/(keys·n_shards) — raise it until
     groups fit a worker). ``impl="jvm"``: the HOF broadcast-join reference
     formulation (no group materialization; parallelism = corpus
-    partitions)."""
+    partitions).
+
+    ``multiprobe=1`` (Lv et al., VLDB '07 shape, radius-1 sequence): each
+    QUERY additionally probes the b buckets at hamming distance 1 from its
+    own in every table — only the query side fans out (corpus rows index
+    once), so candidate volume rises by ≤ (b+1)× of the single-probe
+    fraction while recall gains what b extra tables would buy without
+    re-signaturing or extra index size. The standard lever when the
+    corpus-scaled geometry's deep bits cut recall too far; size the
+    geometry with ``lsh_params(n, multiprobe=1)`` so the fraction bound
+    absorbs the fan-out (measured at 20k: recall 0.28 → 0.37 at ~5%
+    scanned).
+
+    ``impl="auto"``: pick by measured bucket occupancy — the Arrow cogroup
+    kernel amortizes per-group Python overhead only when buckets are FAT
+    (one Arrow crossing scores the whole bucket; measured 2.5 s vs JVM
+    9.4 s at the 4×2 geometry), while DEEP geometries shatter into tens of
+    thousands of ~5-row groups where per-group overhead dominates (15.8 s
+    vs JVM 3.6 s at 12×12) — occupancy ≥ 64 rows/bucket routes to arrow,
+    below to the JVM broadcast-join form. Both impls are bit-identical
+    (equality-gated), so the switch is plan-only."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
-    if impl not in ("arrow", "jvm"):
-        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
+    if impl not in ("arrow", "jvm", "auto"):
+        raise ValueError(f"impl must be 'arrow', 'jvm' or 'auto', got {impl!r}")
     if (n_tables is None) != (bits_per_table is None):
         raise ValueError("pass n_tables and bits_per_table together (lsh_params)")
+    if multiprobe not in (0, 1):
+        raise ValueError(f"multiprobe radius must be 0 or 1, got {multiprobe}")
     if n_shards is None:
         # fixed (4×2) geometry has only 64 bucket keys → shards supply the
         # missing parallelism; a corpus-scaled geometry already bounds the
@@ -741,6 +781,29 @@ def lsh_topk(
         if n_tables is None
         else lsh_table_buckets(embeddings, n_tables, bits_per_table)
     ).localCheckpoint(eager=True)
+    b_eff = BITS_PER_TABLE if bits_per_table is None else bits_per_table
+    if impl == "auto":
+        l_eff = N_TABLES if n_tables is None else n_tables
+        # t is already materialized: the count is a cheap scan of the
+        # checkpointed rows, and N = |t| / L
+        occupancy = t.count() / l_eff / (1 << b_eff)
+        impl = "arrow" if occupancy >= 64 else "jvm"
+
+    def expand_probes(qt: DataFrame) -> DataFrame:
+        """Radius-1 multiprobe: the query row fans out to its own bucket
+        plus the b single-bit-flip neighbors (long-typed XOR — the key
+        dtype must match the candidate side exactly, see the shard note)."""
+        if not multiprobe:
+            return qt
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(b_eff)
+            ],
+        )
+        return qt.withColumn("bucket", F.explode(probes))
+
     if impl == "arrow":
         cand = embeddings.join(t, "vec_id").select(
             F.col("vec_id").alias("n_id"),
@@ -761,7 +824,9 @@ def lsh_topk(
         # sf0.001/sf0.01 (AQE coalesced the tiny shuffles to one partition,
         # where alignment is trivial) — caught at sf0.1 by the multi-SF
         # arrow≡jvm gate this bug added.
-        q = queries.join(t.toDF("vec_id", "table", "bucket"), "vec_id").select(
+        q = expand_probes(
+            queries.join(t.toDF("vec_id", "table", "bucket"), "vec_id")
+        ).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             "table",
@@ -788,7 +853,7 @@ def lsh_topk(
             "table",
             "bucket",
         )
-        q = queries.join(t, "vec_id").select(
+        q = expand_probes(queries.join(t, "vec_id")).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             norm(F.col("embedding")).alias("q_norm"),

@@ -272,6 +272,55 @@ def read_warc_corpus(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     files = reader.load(path).select("path", "content")
+    return _warc_documents(files, record_types, keep_corrupt)
+
+
+def stream_warc_corpus(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = _WARC_DEFAULT_TYPES,
+    pattern: str | None = None,
+    keep_corrupt: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_warc_corpus``: a WARC/WET drop-folder as a
+    STREAMING documents frame (the ``stream_jsonl_corpus`` discipline —
+    same kernel, same quarantine semantics, gated equal in tests), feeding
+    the continuous-curation sinks. Segments arrive whole (binaryFile: a
+    file is the unit), so ``max_files_per_trigger`` is the backpressure
+    knob — one ~1 GB Common Crawl segment per trigger is a sane default on
+    modest executors."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return _warc_documents(files, record_types, keep_corrupt)
+
+
+def _warc_documents(
+    files: DataFrame, record_types: tuple[str, ...], keep_corrupt: bool
+) -> DataFrame:
+    """Shared batch/streaming tail: the record-splitting Arrow kernel plus
+    the documents-contract projection."""
     want = tuple(t.lower() for t in record_types)
 
     def run(batches):

@@ -5,6 +5,7 @@ warm-up zeroed the entire BENCH file)."""
 from __future__ import annotations
 
 import json
+import os
 
 
 def test_bench_survives_single_query_failure(monkeypatch, capsys, spark):
@@ -29,18 +30,31 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark):
 
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
-    d = json.loads(line)  # the JSON line must always parse
+    d = json.loads(line)  # the FINAL stdout line must always parse
+    # r7 handshake: the driver tail-captures 2000 chars — the final line is
+    # the compact headline (BENCH_r06's parsed:null lesson) and the full
+    # record (spread/calibration/runtime) goes to the detail side file
+    assert len(line) <= 1900, len(line)
     assert d["metric"] == "headline_queries_total"
     assert "q1_pricing_summary" in d.get("errors", {}), d
     assert "deliberately broken" in d["errors"]["q1_pricing_summary"]
     assert "doc_profile" in d["queries"] and d["queries"]["doc_profile"] > 0
-    # noise-proofing (r5 verdict): ≥3 reps with median/min/max per query, the
-    # scalar `queries` value IS the median, total sums the medians
-    sp = d["query_spread"]["doc_profile"]
-    assert sp["reps"] >= 3
-    assert sp["min"] <= sp["median"] <= sp["max"]
-    assert d["queries"]["doc_profile"] == sp["median"]
     assert d["value"] == round(sum(d["queries"].values()), 3)
-    assert "q1_pricing_summary" not in d["query_spread"]  # failed: no spread
-    # throughput/index sections still present despite the failure
     assert "generator_msgs_per_sec" in d["throughput"]
+
+    detail_path = os.path.join(os.path.dirname(bench.__file__), d["detail"])
+    try:
+        with open(detail_path) as fh:
+            full = json.load(fh)
+        # noise-proofing (r5 verdict): ≥3 reps with median/min/max per query,
+        # the scalar `queries` value IS the median, total sums the medians
+        sp = full["query_spread"]["doc_profile"]
+        assert sp["reps"] >= 3
+        assert sp["min"] <= sp["median"] <= sp["max"]
+        assert full["queries"]["doc_profile"] == sp["median"]
+        assert "q1_pricing_summary" not in full["query_spread"]  # failed: none
+        assert full["calibration"] and full["runtime"]["pyspark"]
+        assert full["queries"] == d["queries"]
+    finally:
+        if os.path.exists(detail_path):  # test artifact, not a round record
+            os.unlink(detail_path)

@@ -366,3 +366,47 @@ def test_split_warc_records_never_raises_on_fuzz():
     good = _warc_record("conversion", b"abc")
     recs, corrupt = _split_warc_records(good + b"\xff\xfejunk")
     assert len(recs) == 1 and recs[0][1] == b"abc" and corrupt is not None
+
+
+def test_stream_warc_corpus_matches_batch_reader(spark, tmp_path):
+    """The streaming WARC twin must produce exactly the batch reader's rows
+    for the same drop-folder, including the corrupt-tail quarantine."""
+    import gzip
+
+    good = _warc_record("conversion", "streamed doc\n".encode(),
+                        uri="https://s.example/1", lang="eng")
+    (tmp_path / "seg0.warc.gz").write_bytes(gzip.compress(good))
+    (tmp_path / "seg1.warc").write_bytes(
+        _warc_record("conversion", b"plain doc") + b"JUNK TAIL"
+    )
+    out_dir = str(tmp_path / "out")
+
+    stream = corpusio.stream_warc_corpus(
+        spark, str(tmp_path), keep_corrupt=True, max_files_per_trigger=1,
+        pattern="*.warc*",
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within timeout"
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "text", "lang", "n_chars", "corrupt")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in corpusio.read_warc_corpus(
+            spark, str(tmp_path), keep_corrupt=True, pattern="*.warc*"
+        )
+        .select("doc_id", "text", "lang", "n_chars", "corrupt")
+        .collect()
+    }
+    assert got == want and len(got) == 3  # 2 docs + 1 quarantined tail

@@ -677,3 +677,19 @@ def test_merge_cluster_labels_equals_full_cc_across_batches(spark, documents):
         return sorted((r.doc_id, r.cluster_id) for r in labels.collect())
 
     assert run([0, 1, 2]) == run([2, 0, 1])
+
+
+def test_dedup_corpus_serves_from_maintained_labels(spark, documents):
+    """The maintained label table (merge_cluster_labels) plugs into
+    dedup_corpus(clusters=) and yields the identical deduped corpus — the
+    continuously-curating serve path never re-pays CC."""
+    labels = spark.createDataFrame([], "doc_id long, cluster_id long")
+    idx = spark.createDataFrame([], "doc_id long, band int, band_key string")
+    for i in range(2):
+        b = documents.filter(F.col("doc_id") % 2 == i)
+        pairs, nb = dedup.incremental_minhash_pairs(b, idx)
+        labels = dedup.merge_cluster_labels(labels, pairs).localCheckpoint(eager=True)
+        idx = idx.unionAll(nb).localCheckpoint(eager=True)
+    served = {r.doc_id for r in dedup.dedup_corpus(documents, clusters=labels).select("doc_id").collect()}
+    scratch = {r.doc_id for r in dedup.dedup_corpus(documents).select("doc_id").collect()}
+    assert served == scratch and served

@@ -963,3 +963,96 @@ def test_lsh_topk_arrow_equals_jvm_at_multi_partition_scale(spark):
         )
     )
     assert sa == sj == s1 and len(sa) > 0
+
+
+def test_lsh_multiprobe_expands_candidates_losslessly(spark, embeddings):
+    """Radius-1 multiprobe strictly grows the candidate set, so every rank's
+    sim is monotonically >= the single-probe one (a superset can only
+    improve top-k), measured candidate fraction stays under the
+    multiprobe-aware lsh_params bound, arrow == jvm, and radius > 1 is
+    rejected."""
+    n = embeddings.count()
+    length, b = similarity.lsh_params(n, multiprobe=1)
+    assert length * (b + 1) / 2**b <= 1 / 16 + 1e-12
+    frac = similarity.lsh_candidate_fraction(
+        embeddings, embeddings.filter(F.col("vec_id") % 50 == 0), length, b,
+        multiprobe=1,
+    )
+    assert frac < 0.10, frac
+
+    queries = embeddings.filter(F.col("vec_id") % 50 == 0)
+    base = {
+        (r["q_id"], r["rk"]): r["sim"]
+        for r in similarity.lsh_topk(
+            embeddings, queries, k=3, n_tables=length, bits_per_table=b
+        ).collect()
+    }
+    probed_df = similarity.lsh_topk(
+        embeddings, queries, k=3, n_tables=length, bits_per_table=b, multiprobe=1
+    )
+    probed = {(r["q_id"], r["rk"]): r["sim"] for r in probed_df.collect()}
+    assert len(probed) >= len(base)
+    for key, sim in base.items():
+        assert key in probed and probed[key] >= sim, key
+    jvm = {
+        (r["q_id"], r["rk"]): r["sim"]
+        for r in similarity.lsh_topk(
+            embeddings, queries, k=3, impl="jvm",
+            n_tables=length, bits_per_table=b, multiprobe=1,
+        ).collect()
+    }
+    assert jvm == probed
+
+    with pytest.raises(ValueError, match="multiprobe"):
+        similarity.lsh_topk(embeddings, queries, multiprobe=2)
+
+
+def test_lsh_impl_auto_routes_by_bucket_occupancy(spark, embeddings):
+    """impl='auto' must pick the Arrow cogroup kernel for FAT buckets (the
+    4x2 geometry: one Arrow crossing per bucket amortizes) and the JVM
+    broadcast-join form for THIN ones (deep geometry: per-group Python
+    overhead dominates) — visible in the physical plan; values are
+    impl-invariant by the equality gates."""
+    queries = embeddings.filter(F.col("vec_id") % 100 == 0)
+    fat = similarity.lsh_topk(embeddings, queries, k=3, impl="auto")
+    assert "FlatMapCoGroupsInPandas" in (
+        fat._jdf.queryExecution().executedPlan().toString()
+    )
+    thin = similarity.lsh_topk(
+        embeddings, queries, k=3, impl="auto", n_tables=12, bits_per_table=12
+    )
+    assert "FlatMapCoGroupsInPandas" not in (
+        thin._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_ivf_topk_arrow_equals_jvm_at_multi_partition_scale(spark):
+    """Insurance against the cogroup key-dtype class at sf0.1 for the IVF
+    family too: its cell_id keys come from the same ivf_assign on both
+    sides (consistent by construction), but this is the gate that would
+    catch any future drift — the sf0.001 gates are structurally blind to
+    partition misalignment (AQE coalesces them to one partition)."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    n_cells, n_probe = similarity.ivf_params(emb.count())
+    cents = similarity.kmeans_refine(emb, n_cells, n_iter=1).localCheckpoint(
+        eager=True
+    )
+    a = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, queries, k=5, n_cells=n_cells, n_probe=n_probe, centroids=cents
+            ).collect(),
+        )
+    )
+    j = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, queries, k=5, n_cells=n_cells, n_probe=n_probe,
+                centroids=cents, impl="jvm",
+            ).collect(),
+        )
+    )
+    assert a == j and len(a) > 0
