@@ -406,6 +406,23 @@ def incremental_simhash_pairs(
     store — the store is one long per doc (the most compact dedup state in
     the engine; blocks re-derive from it as pure bit ops at probe time)."""
     new_sigs = simhash(new_docs, bits).localCheckpoint(eager=True)
+    return (
+        incremental_hamming_pairs(new_sigs, existing_sigs, max_hamming, bits),
+        new_sigs,
+    )
+
+
+def incremental_hamming_pairs(
+    new_sigs: DataFrame,
+    existing_sigs: DataFrame,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """The signature-agnostic half of ``incremental_simhash_pairs``: probe a
+    NEW (doc_id, simhash) batch against the persisted store with the banded
+    block join + XOR verify — shared by the text SimHash family and the
+    perceptual dHash family (``multimodal.incremental_frame_pairs``), so
+    every bit-signature store gets the same incremental discipline."""
     nb = _simhash_blocks(new_sigs, max_hamming, bits)
     eb = _simhash_blocks(existing_sigs, max_hamming, bits)
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).cast("int")
@@ -439,7 +456,7 @@ def incremental_simhash_pairs(
             F.col("e.simhash").alias("b_sig"),
         )
     )
-    pairs = (
+    return (
         new_new.unionAll(cross)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -447,7 +464,6 @@ def incremental_simhash_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    return pairs, new_sigs
 
 
 def compact_simhash_store(

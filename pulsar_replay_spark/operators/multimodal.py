@@ -790,3 +790,71 @@ def frame_dedup_perceptual(
         .alias("cluster_frame"),
         (F.col("item_id") == F.col("keep_item")).alias("keep"),
     )
+
+
+def frame_signatures(
+    frames: DataFrame, grid: int = DHASH_GRID, fake: bool = True
+) -> DataFrame:
+    """(item_id, doc_id, frame_idx, simhash): the persistable perceptual
+    signature store — composite item ids (the ``frame_near_dup_pairs``
+    encoding) plus the 56-bit dHash, one long per frame. This is the state
+    an incremental media-ingest pipeline appends per batch."""
+    thumbs = frame_thumbs(frames, width=grid, height=grid, fake=fake)
+    items = thumbs.select(
+        (
+            F.when(
+                (F.col("frame_idx") >= 0)
+                & (F.col("frame_idx") < F.lit(FRAME_ITEM_SPAN))
+                & (F.col("doc_id") >= 0)
+                & (F.col("doc_id") < F.lit((1 << 62) // FRAME_ITEM_SPAN)),
+                F.col("doc_id") * F.lit(FRAME_ITEM_SPAN) + F.col("frame_idx"),
+            ).otherwise(F.raise_error(F.lit("frame composite id out of range")))
+        ).alias("item_id"),
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "thumb",
+    )
+    sigs = dhash_signatures(
+        items.select(F.col("item_id").alias("doc_id"), "width", "height", "thumb"),
+        grid,
+    ).toDF("item_id", "simhash")
+    return items.select("item_id", "doc_id", "frame_idx").join(sigs, "item_id")
+
+
+def incremental_frame_pairs(
+    new_frames: DataFrame,
+    existing_sigs: DataFrame,
+    max_hamming: int = 4,
+    grid: int = DHASH_GRID,
+    fake: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental perceptual frame dedup — the ``incremental_simhash_pairs``
+    discipline for the dHash family: signature only the NEW batch of
+    frames, probe the persisted (item_id, …, simhash) store with the banded
+    block join (``dedup.incremental_hamming_pairs``), and return
+    (pairs, new_sigs) where pairs = (doc_a, frame_a, doc_b, frame_b,
+    hamming) touching ≥1 new frame and new_sigs is the batch's own store
+    rows to append. Old frames are never re-thumbnailed or re-hashed;
+    incremental == full recompute restricted to pairs touching the batch
+    (pinned in tests)."""
+    from pulsar_replay_spark.operators.dedup import incremental_hamming_pairs
+
+    new_sigs = frame_signatures(new_frames, grid, fake).localCheckpoint(eager=True)
+    raw = incremental_hamming_pairs(
+        new_sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
+        existing_sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
+        max_hamming,
+        grid * (grid - 1),
+    )
+    shift = FRAME_ITEM_SPAN.bit_length() - 1
+    mask = F.lit(FRAME_ITEM_SPAN - 1)
+    pairs = raw.select(
+        F.shiftrightunsigned("doc_a", shift).alias("doc_a"),
+        F.col("doc_a").bitwiseAND(mask).cast("int").alias("frame_a"),
+        F.shiftrightunsigned("doc_b", shift).alias("doc_b"),
+        F.col("doc_b").bitwiseAND(mask).cast("int").alias("frame_b"),
+        "hamming",
+    )
+    return pairs, new_sigs

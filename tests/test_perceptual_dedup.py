@@ -214,3 +214,38 @@ def test_frame_thumbs_fake_is_locality_preserving_and_sized(spark):
     assert rows[(2, 0)] == b"\x10" * 64  # single byte repeats (nearest sample)
     # nearest-sampling of 0..63 into 64 slots is the identity
     assert rows[(1, 0)] == bytes(range(64))
+
+
+def test_incremental_frame_pairs_equals_full_recompute(spark):
+    """The incremental perceptual probe (signature only the NEW batch,
+    banded-probe the persisted dHash store) must find EXACTLY the full
+    recompute's pairs that touch the batch — and the store union closes the
+    full pair set. The incremental≡full discipline for the dHash family."""
+    base = bytes(np.random.default_rng(7).integers(0, 256, size=4096).astype(np.uint8))
+    nudged = bytearray(base)
+    for i in range(0, len(nudged), 301):
+        nudged[i] = min(255, nudged[i] + 2)
+    media = spark.createDataFrame(
+        [(1, "video/mp4", base), (2, "video/mp4", bytes(nudged)),
+         (3, "video/mp4", bytes(np.random.default_rng(8).integers(0, 256, size=4096).astype(np.uint8)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    frames = mm.frame_sample(media, n_frames=4, frame_len=64).localCheckpoint(eager=True)
+    batch1 = frames.filter("doc_id = 1")
+    batch2 = frames.filter("doc_id != 1")
+
+    def key(r):
+        return (r["doc_a"], r["frame_a"], r["doc_b"], r["frame_b"])
+
+    full = {key(r) for r in mm.frame_near_dup_pairs(frames, max_hamming=4).collect()}
+    b2_items = {(r["doc_id"], r["frame_idx"]) for r in batch2.select("doc_id", "frame_idx").collect()}
+    expected = {
+        p for p in full
+        if (p[0], p[1]) in b2_items or (p[2], p[3]) in b2_items
+    }
+
+    sigs1 = mm.frame_signatures(batch1).localCheckpoint(eager=True)
+    inc, sigs2 = mm.incremental_frame_pairs(batch2, sigs1, max_hamming=4)
+    got = {key(r) for r in inc.collect()}
+    assert got == expected and got  # the nudged clone pairs cross the batches
+    assert sigs1.unionByName(sigs2).count() == mm.frame_signatures(frames).count()
