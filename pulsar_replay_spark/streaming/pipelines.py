@@ -486,6 +486,60 @@ def incremental_simhash_sink(
     )
 
 
+def incremental_frames_sink(
+    frame_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 4,
+):
+    """Streaming incremental PERCEPTUAL frame dedup — the
+    ``incremental_simhash_sink`` shape for the dHash family: every
+    micro-batch of sampled frames thumbnails + signatures only itself,
+    block-probes the persisted (item_id, doc_id, frame_idx, simhash) store
+    (``multimodal.incremental_frame_pairs``), emits hamming≤k frame pairs
+    touching the batch, and appends its signature rows as an idempotent
+    batch_id partition. Raw frame bytes never land in state — the store is
+    one long per frame. Same exactly-once discipline throughout."""
+    from pulsar_replay_spark.operators.multimodal import incremental_frame_pairs
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = (
+            read_parquet_or_empty(
+                spark,
+                store_dir,
+                "item_id long, doc_id long, frame_idx int, simhash long, batch_id long",
+            )
+            .where(F.col("batch_id") != batch_id)  # retry safety
+            .select("item_id", "doc_id", "frame_idx", "simhash")
+        )
+        pairs, new_sigs = incremental_frame_pairs(
+            batch_df, store, max_hamming=max_hamming
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            new_sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        frame_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 

@@ -728,3 +728,63 @@ def test_incremental_labels_stream_matches_batch_cc(spark, tmp_path_factory):
         pipelines.labels_compact(spark, labels_dir, labels_dir)
     with _pytest.raises(ValueError, match="differ"):
         pipelines.dedup_index_compact(spark, index_dir, index_dir + "/")
+
+
+def test_incremental_frames_stream_matches_batch(spark, tmp_path_factory):
+    """Micro-batched perceptual frame dedup must discover the SAME pair set
+    as one batch recompute over all frames, with the signature store closing
+    to the full signing and crash-retry idempotence."""
+    import numpy as np
+
+    from pulsar_replay_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    base = bytes(rng.integers(0, 256, size=4096).astype(np.uint8))
+    nudged = bytearray(base)
+    for i in range(0, len(nudged), 301):
+        nudged[i] = min(255, nudged[i] + 2)
+    media = spark.createDataFrame(
+        [(1, "video/mp4", base), (2, "video/mp4", bytes(nudged)),
+         (3, "video/mp4", bytes(rng.integers(0, 256, size=4096).astype(np.uint8)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    frames = mm.frame_sample(media, n_frames=3, frame_len=64).localCheckpoint(
+        eager=True
+    )
+    src = str(tmp_path_factory.mktemp("frames_stream"))
+    frames.repartition(3).write.mode("overwrite").parquet(src)
+
+    store_dir = str(tmp_path_factory.mktemp("frame_sigs"))
+    pairs_dir = str(tmp_path_factory.mktemp("frame_pairs"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, frame_idx int, offset_ms long, frame_bytes binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipelines.incremental_frames_sink(
+        stream, store_dir, pairs_dir, str(tmp_path_factory.mktemp("frames_ck"))
+    )
+    q.awaitTermination()
+
+    def key(r):
+        return (r["doc_a"], r["frame_a"], r["doc_b"], r["frame_b"])
+
+    full = {key(r) for r in mm.frame_near_dup_pairs(frames, max_hamming=4).collect()}
+    got = {key(r) for r in spark.read.parquet(pairs_dir).collect()}
+    assert got == full and got
+
+    store = spark.read.parquet(store_dir)
+    assert store.count() == mm.frame_signatures(frames).count()
+
+    # crash-retry: rewriting a batch partition overwrites, never appends
+    b0 = store.filter("batch_id = 0")
+    n_before = store.count()
+    (
+        b0.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+    assert spark.read.parquet(store_dir).count() == n_before
