@@ -434,7 +434,14 @@ def _write_detail_file(detail: dict) -> str:
     """Write the full bench record next to the driver's BENCH_r*.json
     artifacts as BENCH_DETAIL_r{N}.json (N = the round being benched,
     inferred as 1 + the highest recorded round). Best-effort: a failure to
-    write the side file must never blank the stdout handshake."""
+    write the side file must never blank the stdout handshake.
+    ``SPARK_GRAFT_DETAIL_PATH`` redirects the file — tests and ad-hoc runs
+    set it so they never clobber a committed round record."""
+    override = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
+    if override:
+        with open(override, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        return os.path.basename(override)
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         rounds = [

@@ -62,7 +62,11 @@ _EXT_MIME = {
 
 
 def read_media_dir(
-    spark, path: str, pattern: str | None = None, recursive: bool = False
+    spark,
+    path: str,
+    pattern: str | None = None,
+    recursive: bool = False,
+    dedupe_content: bool = True,
 ) -> DataFrame:
     """Ingest raw media FILES via Spark's ``binaryFile`` source into the
     media-row contract the rest of the tier consumes (``as_media``'s shape:
@@ -72,9 +76,11 @@ def read_media_dir(
     it. doc_id is a 60-bit slice of the CONTENT sha256 (the text tier's
     content-addressing discipline): re-ingests keep ids — and any
     ``hash_split`` deal — stable even when the mount point or path prefix
-    changes, and byte-identical files collapse under the exact-dedup tier
-    instead of masquerading as distinct docs (``source_path`` carries the
-    per-copy lineage).
+    changes, and byte-identical files collapse to ONE row per doc_id
+    (``dedupe_content``, default on: keeper = min source_path, so doc_id
+    stays a unique key for every downstream frame/feature join — duplicate
+    keys would silently multiply rows through the item_id joins). Pass
+    ``dedupe_content=False`` to keep every copy for per-copy lineage work.
 
     Scale shape: binaryFile parallelizes ACROSS files — a file is never
     split — so individual payloads must fit an executor (right for
@@ -93,7 +99,7 @@ def read_media_dir(
     mime = F.create_map(
         *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
     )
-    return df.select(
+    out = df.select(
         F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 15), 16, 10)
         .cast("long")
         .alias("doc_id"),
@@ -102,6 +108,16 @@ def read_media_dir(
         F.octet_length(F.col("content")).alias("byte_len"),
         F.sha2(F.col("content"), 256).alias("sha256"),
         F.col("path").alias("source_path"),
+    )
+    if not dedupe_content:
+        return out
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("source_path")
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -613,24 +629,23 @@ def image_dedup(
     """(doc_id, cluster_id, keep): perceptual image dedup marks — near-dup
     clusters from the banded pairs' transitive closure, keeper = min doc_id
     per cluster (the ``dedup_corpus`` discipline); singletons keep
-    themselves. Only ids and 8-byte signatures ever shuffle."""
+    themselves. Only ids and 8-byte signatures ever shuffle.
+
+    ``connected_components``' cluster_id IS the min member id (and
+    singletons coalesce to their own id), so keep = (doc_id == cluster_id)
+    directly — no keeper agg/join shuffle."""
     from pulsar_replay_spark.operators.dedup import connected_components
 
     pairs = image_near_dup_pairs(thumbs, max_hamming, grid)
     cc = connected_components(pairs)
-    marks = (
+    return (
         thumbs.select("doc_id")
         .join(cc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         )
-    )
-    keepers = marks.groupBy("cluster_id").agg(F.min("doc_id").alias("keep_doc_id"))
-    return marks.join(keepers, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("keep_doc_id")).alias("keep"),
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
 
 
@@ -690,6 +705,75 @@ def frame_thumbs(
     )
 
 
+def _frame_items(
+    frames: DataFrame, grid: int = DHASH_GRID, fake: bool = True
+) -> DataFrame:
+    """(item_id, doc_id, frame_idx, width, height, thumb): thumbnails keyed
+    by a single orderable frame id. item_id is the engine-wide 60-bit md5
+    content-address over "doc_id:frame_idx" (``token_hash60`` discipline) —
+    an ARITHMETIC doc·span+frame composite cannot host the engine's 60-bit
+    content-hash doc_ids inside one long (r7 review finding: the old 2^42
+    guard made the family raise on every real ingested id), while the md5
+    key carries exactly the same collision posture as every other 60-bit id
+    in the engine. The (item_id → doc_id, frame_idx) mapping rides this
+    frame; pair decoders join back on it (ids only, never bytes)."""
+    from pulsar_replay_spark.functions.text import token_hash60
+
+    thumbs = frame_thumbs(frames, width=grid, height=grid, fake=fake)
+    return thumbs.select(
+        token_hash60(
+            F.concat_ws(":", F.col("doc_id"), F.col("frame_idx"))
+        ).alias("item_id"),
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "thumb",
+    )
+
+
+def frame_signatures(
+    frames: DataFrame, grid: int = DHASH_GRID, fake: bool = True
+) -> DataFrame:
+    """(item_id, doc_id, frame_idx, simhash): the persistable perceptual
+    signature store — one long signature per frame plus the id mapping.
+    This is the state an incremental media-ingest pipeline appends per
+    batch (``incremental_frame_pairs`` probes it; the streaming sink lands
+    it as batch_id partitions)."""
+    items = _frame_items(frames, grid, fake)
+    sigs = dhash_signatures(
+        items.select(F.col("item_id").alias("doc_id"), "width", "height", "thumb"),
+        grid,
+    ).toDF("item_id", "simhash")
+    return items.select("item_id", "doc_id", "frame_idx").join(sigs, "item_id")
+
+
+def _decode_frame_pairs(raw: DataFrame, mapping: DataFrame) -> DataFrame:
+    """(doc_a, frame_a, doc_b, frame_b, hamming) from item-id pairs: two
+    id-only equi-joins against the (item_id, doc_id, frame_idx) mapping."""
+    ma = mapping.select(
+        F.col("item_id").alias("doc_a"),
+        F.col("doc_id").alias("_da"),
+        F.col("frame_idx").alias("_fa"),
+    )
+    mb = mapping.select(
+        F.col("item_id").alias("doc_b"),
+        F.col("doc_id").alias("_db"),
+        F.col("frame_idx").alias("_fb"),
+    )
+    return (
+        raw.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_fa").alias("frame_a"),
+            F.col("_db").alias("doc_b"),
+            F.col("_fb").alias("frame_b"),
+            "hamming",
+        )
+    )
+
+
 def frame_near_dup_pairs(
     frames: DataFrame,
     max_hamming: int = 4,
@@ -697,39 +781,18 @@ def frame_near_dup_pairs(
     fake: bool = True,
 ) -> DataFrame:
     """(doc_a, frame_a, doc_b, frame_b, hamming): perceptual near-dup frame
-    pairs — thumbnails → dHash → banded hamming join over a composite item
-    id (doc_id·2^20 + frame_idx; both ranges asserted JVM-side so an
-    overflow can never silently alias two frames)."""
-    thumbs = frame_thumbs(frames, width=grid, height=grid, fake=fake)
-    items = thumbs.select(
-        (
-            F.when(
-                (F.col("frame_idx") >= 0)
-                & (F.col("frame_idx") < F.lit(FRAME_ITEM_SPAN))
-                & (F.col("doc_id") >= 0)
-                & (F.col("doc_id") < F.lit((1 << 62) // FRAME_ITEM_SPAN)),
-                F.col("doc_id") * F.lit(FRAME_ITEM_SPAN) + F.col("frame_idx"),
-            )
-            .otherwise(F.raise_error(F.lit("frame composite id out of range")))
-            .alias("doc_id")
-        ),
-        "width",
-        "height",
-        "thumb",
+    pairs — thumbnails → dHash → ``banded_hamming_pairs`` over the 60-bit
+    item ids, decoded back through the id mapping. Raw frame bytes never
+    join or shuffle; everything past the thumbnail kernel is ids + longs."""
+    from pulsar_replay_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = frame_signatures(frames, grid, fake).localCheckpoint(eager=True)
+    raw = banded_hamming_pairs(
+        sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
+        max_hamming,
+        grid * (grid - 1),
     )
-    pairs = image_near_dup_pairs(items, max_hamming, grid)
-    # span is a power of two and ids are asserted nonnegative, so the decode
-    # is exact bit arithmetic (float division would lose precision on wide
-    # doc ids)
-    shift = FRAME_ITEM_SPAN.bit_length() - 1
-    mask = F.lit(FRAME_ITEM_SPAN - 1)
-    return pairs.select(
-        F.shiftrightunsigned("doc_a", shift).alias("doc_a"),
-        F.col("doc_a").bitwiseAND(mask).cast("int").alias("frame_a"),
-        F.shiftrightunsigned("doc_b", shift).alias("doc_b"),
-        F.col("doc_b").bitwiseAND(mask).cast("int").alias("frame_b"),
-        "hamming",
-    )
+    return _decode_frame_pairs(raw, sigs)
 
 
 def frame_dedup_perceptual(
@@ -740,87 +803,48 @@ def frame_dedup_perceptual(
 ) -> DataFrame:
     """(doc_id, frame_idx, cluster_doc, cluster_frame, keep): the perceptual
     twin of ``frame_dedup`` — near-dup frame clusters via the banded pairs'
-    transitive closure, keeper = min (doc_id, frame_idx) per cluster;
-    byte-identical AND re-encode-nudged frames collapse together. Raw frame
-    bytes never shuffle: thumbnails reduce to 8-byte signatures before any
-    join."""
-    from pulsar_replay_spark.operators.dedup import connected_components
-
-    thumbs = frame_thumbs(frames, width=grid, height=grid, fake=fake)
-    items = thumbs.select(
-        (
-            F.when(
-                (F.col("frame_idx") >= 0)
-                & (F.col("frame_idx") < F.lit(FRAME_ITEM_SPAN))
-                & (F.col("doc_id") >= 0)
-                & (F.col("doc_id") < F.lit((1 << 62) // FRAME_ITEM_SPAN)),
-                F.col("doc_id") * F.lit(FRAME_ITEM_SPAN) + F.col("frame_idx"),
-            ).otherwise(F.raise_error(F.lit("frame composite id out of range")))
-        ).alias("item_id"),
-        "doc_id",
-        "frame_idx",
-        "width",
-        "height",
-        "thumb",
-    ).localCheckpoint(eager=True)
-    pairs = image_near_dup_pairs(
-        items.select(F.col("item_id").alias("doc_id"), "width", "height", "thumb"),
-        max_hamming,
-        grid,
+    transitive closure; byte-identical AND re-encode-nudged frames collapse
+    together. ``connected_components``' label is the min member item_id, so
+    keep = (item_id == cluster_id) with no keeper agg; the cluster's
+    (doc, frame) identity decodes through one mapping join. The keeper is
+    the cluster's min ITEM ID member — with hashed item ids that is a
+    uniform-random member, the right default when no quality score ranks
+    frames (any deterministic choice works; stability across reruns is what
+    matters, and md5 ids give exactly that)."""
+    from pulsar_replay_spark.operators.dedup import (
+        banded_hamming_pairs,
+        connected_components,
     )
-    cc = connected_components(pairs)
+
+    sigs = frame_signatures(frames, grid, fake).localCheckpoint(eager=True)
+    raw = banded_hamming_pairs(
+        sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
+        max_hamming,
+        grid * (grid - 1),
+    )
+    cc = connected_components(raw)
     marks = (
-        items.select("item_id", "doc_id", "frame_idx")
-        .join(cc, items["item_id"] == cc["doc_id"], "left")
+        sigs.select("item_id", "doc_id", "frame_idx")
+        .join(cc, sigs["item_id"] == cc["doc_id"], "left")
         .select(
-            items["doc_id"],
+            sigs["doc_id"],
             "frame_idx",
             F.coalesce(F.col("cluster_id"), F.col("item_id")).alias("cluster_id"),
             "item_id",
         )
     )
-    keepers = marks.groupBy("cluster_id").agg(F.min("item_id").alias("keep_item"))
-    shift = FRAME_ITEM_SPAN.bit_length() - 1
-    return marks.join(keepers, "cluster_id").select(
+    cmap = sigs.select(
+        F.col("item_id").alias("cluster_id"),
+        F.col("doc_id").alias("cluster_doc"),
+        F.col("frame_idx").alias("cluster_frame"),
+    )
+    return marks.join(cmap, "cluster_id").select(
         "doc_id",
         "frame_idx",
-        F.shiftrightunsigned("cluster_id", shift).alias("cluster_doc"),
-        F.col("cluster_id").bitwiseAND(F.lit(FRAME_ITEM_SPAN - 1))
-        .cast("int")
-        .alias("cluster_frame"),
-        (F.col("item_id") == F.col("keep_item")).alias("keep"),
+        "cluster_doc",
+        "cluster_frame",
+        (F.col("item_id") == F.col("cluster_id")).alias("keep"),
     )
-
-
-def frame_signatures(
-    frames: DataFrame, grid: int = DHASH_GRID, fake: bool = True
-) -> DataFrame:
-    """(item_id, doc_id, frame_idx, simhash): the persistable perceptual
-    signature store — composite item ids (the ``frame_near_dup_pairs``
-    encoding) plus the 56-bit dHash, one long per frame. This is the state
-    an incremental media-ingest pipeline appends per batch."""
-    thumbs = frame_thumbs(frames, width=grid, height=grid, fake=fake)
-    items = thumbs.select(
-        (
-            F.when(
-                (F.col("frame_idx") >= 0)
-                & (F.col("frame_idx") < F.lit(FRAME_ITEM_SPAN))
-                & (F.col("doc_id") >= 0)
-                & (F.col("doc_id") < F.lit((1 << 62) // FRAME_ITEM_SPAN)),
-                F.col("doc_id") * F.lit(FRAME_ITEM_SPAN) + F.col("frame_idx"),
-            ).otherwise(F.raise_error(F.lit("frame composite id out of range")))
-        ).alias("item_id"),
-        "doc_id",
-        "frame_idx",
-        "width",
-        "height",
-        "thumb",
-    )
-    sigs = dhash_signatures(
-        items.select(F.col("item_id").alias("doc_id"), "width", "height", "thumb"),
-        grid,
-    ).toDF("item_id", "simhash")
-    return items.select("item_id", "doc_id", "frame_idx").join(sigs, "item_id")
 
 
 def incremental_frame_pairs(
@@ -832,13 +856,14 @@ def incremental_frame_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental perceptual frame dedup — the ``incremental_simhash_pairs``
     discipline for the dHash family: signature only the NEW batch of
-    frames, probe the persisted (item_id, …, simhash) store with the banded
-    block join (``dedup.incremental_hamming_pairs``), and return
-    (pairs, new_sigs) where pairs = (doc_a, frame_a, doc_b, frame_b,
+    frames, probe the persisted (item_id, doc_id, frame_idx, simhash) store
+    with the banded block join (``dedup.incremental_hamming_pairs``), and
+    return (pairs, new_sigs) where pairs = (doc_a, frame_a, doc_b, frame_b,
     hamming) touching ≥1 new frame and new_sigs is the batch's own store
     rows to append. Old frames are never re-thumbnailed or re-hashed;
     incremental == full recompute restricted to pairs touching the batch
-    (pinned in tests)."""
+    (pinned in tests). Pair decode joins the union of the store's and the
+    batch's id mappings — ids only."""
     from pulsar_replay_spark.operators.dedup import incremental_hamming_pairs
 
     new_sigs = frame_signatures(new_frames, grid, fake).localCheckpoint(eager=True)
@@ -848,13 +873,7 @@ def incremental_frame_pairs(
         max_hamming,
         grid * (grid - 1),
     )
-    shift = FRAME_ITEM_SPAN.bit_length() - 1
-    mask = F.lit(FRAME_ITEM_SPAN - 1)
-    pairs = raw.select(
-        F.shiftrightunsigned("doc_a", shift).alias("doc_a"),
-        F.col("doc_a").bitwiseAND(mask).cast("int").alias("frame_a"),
-        F.shiftrightunsigned("doc_b", shift).alias("doc_b"),
-        F.col("doc_b").bitwiseAND(mask).cast("int").alias("frame_b"),
-        "hamming",
+    mapping = existing_sigs.select("item_id", "doc_id", "frame_idx").unionByName(
+        new_sigs.select("item_id", "doc_id", "frame_idx")
     )
-    return pairs, new_sigs
+    return _decode_frame_pairs(raw, mapping), new_sigs

@@ -669,6 +669,22 @@ def lsh_table_buckets(
     )
 
 
+def _expand_probe_buckets(df: DataFrame, bits: int) -> DataFrame:
+    """Radius-1 multiprobe fan-out: each row explodes to its own bucket plus
+    the ``bits`` single-bit-flip neighbors (long-typed XOR — the cogroup key
+    dtype must match the candidate side exactly, see lsh_topk's shard note).
+    Shared by ``lsh_topk`` and ``lsh_candidate_fraction`` so the measured
+    fraction always describes the probe sequence the serving path runs."""
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(bits)
+        ],
+    )
+    return df.withColumn("bucket", F.explode(probes))
+
+
 def lsh_candidate_fraction(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -686,14 +702,7 @@ def lsh_candidate_fraction(
     )
     q = queries.select("vec_id").join(t, "vec_id").toDF("q_id", "table", "bucket")
     if multiprobe:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(bits_per_table)
-            ],
-        )
-        q = q.withColumn("bucket", F.explode(probes))
+        q = _expand_probe_buckets(q, bits_per_table)
     pairs = (
         t.join(q, ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -790,19 +799,7 @@ def lsh_topk(
         impl = "arrow" if occupancy >= 64 else "jvm"
 
     def expand_probes(qt: DataFrame) -> DataFrame:
-        """Radius-1 multiprobe: the query row fans out to its own bucket
-        plus the b single-bit-flip neighbors (long-typed XOR — the key
-        dtype must match the candidate side exactly, see the shard note)."""
-        if not multiprobe:
-            return qt
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(b_eff)
-            ],
-        )
-        return qt.withColumn("bucket", F.explode(probes))
+        return _expand_probe_buckets(qt, b_eff) if multiprobe else qt
 
     if impl == "arrow":
         cand = embeddings.join(t, "vec_id").select(

@@ -142,10 +142,21 @@ def _project_documents(
         F.col(CORRUPT_COL),
         F.when(text.isNull(), F.lit("missing-text-field")),
     )
-    # quarantine rows have no text: hash the corrupt payload (the raw line,
-    # or the "missing-text-field" marker) so they stay addressable/joinable
-    # downstream instead of carrying a NULL doc_id
-    id_col = F.coalesce(id_col, _content_id(corrupt))
+    # quarantine rows have no text: hash the corrupt payload MIXED with the
+    # row's remaining evidence (declared fields + source file) so they stay
+    # addressable downstream instead of carrying a NULL doc_id — the marker
+    # alone would collide every "missing-text-field" row onto ONE id even
+    # when their other fields differ. Rows with byte-identical evidence
+    # still share an id: that is content addressing (identical corrupt
+    # lines ARE exact duplicates), and the id stays a pure row function so
+    # stream ≡ batch holds across any partitioning.
+    fields = [
+        _field(f_) for f_ in (id_field, lang_field, source_field) if f_ is not None
+    ]
+    quarantine_id = _content_id(
+        F.concat_ws("\x1f", corrupt, F.input_file_name(), *fields)
+    )
+    id_col = F.coalesce(id_col, quarantine_id)
     out = raw.select(
         id_col.alias("doc_id"),
         text.alias("text"),
@@ -362,7 +373,10 @@ def _warc_documents(
     )
     out = parsed.select(
         F.coalesce(
-            _content_id(F.col("text")), _content_id(F.col("corrupt"))
+            _content_id(F.col("text")),
+            # quarantine rows mix the reason with the source file so two
+            # different broken segments failing the same way never collide
+            _content_id(F.concat_ws("\x1f", F.col("corrupt"), F.col("source"))),
         ).alias("doc_id"),
         "text",
         "lang",

@@ -8,7 +8,7 @@ import json
 import os
 
 
-def test_bench_survives_single_query_failure(monkeypatch, capsys, spark):
+def test_bench_survives_single_query_failure(monkeypatch, capsys, spark, tmp_path):
     import __spark_entry__ as entrymod
 
     import bench
@@ -27,6 +27,11 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark):
     monkeypatch.setattr(entrymod, "queries", sabotaged)
     monkeypatch.setattr(bench, "HEADLINE", ["q1_pricing_summary", "doc_profile"])
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # redirect the detail side file: the default round-inferred path IS the
+    # committed round artifact, which a test run must never clobber
+    monkeypatch.setenv(
+        "SPARK_GRAFT_DETAIL_PATH", str(tmp_path / "bench_detail_test.json")
+    )
 
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -42,7 +47,8 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark):
     assert d["value"] == round(sum(d["queries"].values()), 3)
     assert "generator_msgs_per_sec" in d["throughput"]
 
-    detail_path = os.path.join(os.path.dirname(bench.__file__), d["detail"])
+    detail_path = str(tmp_path / "bench_detail_test.json")
+    assert d["detail"] == "bench_detail_test.json"
     try:
         with open(detail_path) as fh:
             full = json.load(fh)

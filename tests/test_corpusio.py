@@ -53,10 +53,12 @@ def test_read_jsonl_corpus_contract_and_corrupt_tolerance(spark, tmp_path):
     qrows = quarantined.collect()
     kinds = {r["corrupt"] for r in qrows}
     assert "missing-text-field" in kinds
-    # quarantine rows stay addressable: doc_id = content hash of the corrupt
-    # payload, never NULL (they must survive joins/counting downstream)
-    for r in qrows:
-        assert r["doc_id"] == _content_id(r["corrupt"]), r
+    # quarantine rows stay addressable and DISTINCT: doc_id mixes the
+    # corrupt payload with the row's remaining evidence (fields + file) —
+    # never NULL, and two different quarantined rows never collide on the
+    # constant marker
+    assert all(r["doc_id"] is not None for r in qrows)
+    assert len({r["doc_id"] for r in qrows}) == len(qrows)
 
     # id_field: numeric ids pass through, non-numeric ids hash
     (tmp_path / "ids.jsonl").write_text(
@@ -334,7 +336,9 @@ def test_read_warc_corpus_quarantines_corrupt_tail(spark, tmp_path):
     assert len(rows) == 2
     q = [r for r in rows if r["corrupt"] is not None][0]
     assert "not a WARC record header" in q["corrupt"]
-    assert q["doc_id"] == _content_id(q["corrupt"])  # addressable, never NULL
+    # addressable, never NULL, and source-mixed so two broken files failing
+    # the same way never collide
+    assert q["doc_id"] == _content_id(q["corrupt"] + "\x1f" + q["source"])
     assert q["source"].endswith("broken.warc")
 
     # truncated Content-Length body quarantines too

@@ -449,13 +449,18 @@ def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
     # glob pattern prunes at listing; recursive picks up the nested file
     only_png = read_media_dir(spark, str(tmp_path), pattern="*.png")
     assert only_png.count() == 1
+    # content-addressed ids: the byte-identical nested copy COLLAPSES to one
+    # row (doc_id stays a unique key for downstream frame/feature joins);
+    # keeper = min source_path, dedupe_content=False keeps every copy
     rec = read_media_dir(spark, str(tmp_path), pattern="*.png", recursive=True)
-    assert rec.count() == 2
-    # content-addressed ids: the byte-identical nested copy SHARES the id
-    # (exact-dedup discipline; source_path keeps per-copy lineage), and the
-    # id is a slice of the content sha256, independent of any path prefix
-    rec_ids = {r["doc_id"] for r in rec.collect()}
-    assert rec_ids == {rows["red.png"]["doc_id"]}
+    rec_rows = rec.collect()
+    assert len(rec_rows) == 1
+    assert rec_rows[0]["source_path"].endswith("nested/deep.png")  # min path
+    copies = read_media_dir(
+        spark, str(tmp_path), pattern="*.png", recursive=True, dedupe_content=False
+    ).collect()
+    assert len(copies) == 2
+    assert len({r["doc_id"] for r in copies}) == 1
     assert rows["red.png"]["doc_id"] == int(
         hashlib.sha256(png).hexdigest()[:15], 16
     )

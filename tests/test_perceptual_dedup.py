@@ -178,28 +178,48 @@ def test_frame_pipeline_end_to_end_collapses_nudged_videos(spark):
     assert len(marks) == 12
     for i in range(4):
         a, b, c = marks[(1, i)], marks[(2, i)], marks[(3, i)]
-        assert (a["cluster_doc"], a["cluster_frame"]) == (
-            b["cluster_doc"],
-            b["cluster_frame"],
-        ), f"nudged frame {i} did not collapse"
-        assert a["keep"] and not b["keep"]
+        cluster = (a["cluster_doc"], a["cluster_frame"])
+        assert cluster == (b["cluster_doc"], b["cluster_frame"]), (
+            f"nudged frame {i} did not collapse"
+        )
+        # keeper = min-hash member (uniform-random but rerun-stable): exactly
+        # one of the pair keeps, and it IS the decoded cluster identity
+        assert a["keep"] != b["keep"]
+        keeper = (1, i) if a["keep"] else (2, i)
+        assert cluster == keeper
         assert (c["cluster_doc"], c["cluster_frame"]) == (3, i)
         assert c["keep"]
 
     pairs = mm.frame_near_dup_pairs(frames, max_hamming=4).collect()
     assert all(r["hamming"] <= 4 for r in pairs)
-    assert {(r["doc_a"], r["frame_a"], r["doc_b"], r["frame_b"]) for r in pairs} >= {
-        (1, i, 2, i) for i in range(4)
+    got_pairs = {
+        tuple(sorted([(r["doc_a"], r["frame_a"]), (r["doc_b"], r["frame_b"])]))
+        for r in pairs
     }
+    assert got_pairs >= {((1, i), (2, i)) for i in range(4)}
 
 
-def test_frame_composite_id_guard_raises_on_overflow(spark):
+def test_frame_item_ids_host_60_bit_content_hash_doc_ids(spark):
+    """The frame family must work with the engine's real ids: 60-bit
+    content hashes (read_media_dir / corpusio). item_id is an md5 over
+    doc:frame (same collision posture as every other 60-bit id) — the old
+    arithmetic composite capped doc_id at 2^42 and raised on real data."""
+    big = (1 << 60) - 7
     frames = spark.createDataFrame(
-        [(5, 1 << 21, 0, b"\x01\x02\x03\x04")],
+        [(big, 0, 0, bytes(range(64))), (big, 1, 0, bytes(range(64)))],
         "doc_id long, frame_idx int, offset_ms long, frame_bytes binary",
     )
-    with pytest.raises(Exception, match="composite id out of range"):
-        mm.frame_near_dup_pairs(frames).collect()
+    pairs = mm.frame_near_dup_pairs(frames, max_hamming=4).collect()
+    assert {(r["doc_a"], r["frame_a"], r["doc_b"], r["frame_b"]) for r in pairs} == {
+        (big, 0, big, 1)
+    } or {(r["doc_a"], r["frame_a"], r["doc_b"], r["frame_b"]) for r in pairs} == {
+        (big, 1, big, 0)
+    }
+    marks = mm.frame_dedup_perceptual(frames).collect()
+    assert len(marks) == 2 and sum(r["keep"] for r in marks) == 1
+    sigs = mm.frame_signatures(frames).collect()
+    assert {r["doc_id"] for r in sigs} == {big}
+    assert len({r["item_id"] for r in sigs}) == 2
 
 
 def test_frame_thumbs_fake_is_locality_preserving_and_sized(spark):
