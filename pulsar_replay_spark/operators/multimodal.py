@@ -397,9 +397,22 @@ def frame_sample(
     )
 
 
-def resize_thumbnail(media: DataFrame, width: int = 32, height: int = 32, fake: bool = True) -> DataFrame:
+def resize_thumbnail(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    fake: bool = True,
+    fake_mode: str = "hash",
+) -> DataFrame:
     """Image resize plumbing: fixed-size thumbnail per image row. The PIL
-    resize is stubbed with a deterministic byte fold of the requested size."""
+    resize is stubbed deterministically; ``fake_mode`` picks the stub:
+    ``"hash"`` (default, the original sha256 byte fold — avalanche, right
+    for pure plumbing tests) or ``"sample"`` (the ``frame_thumbs``
+    locality-preserving nearest-sampling of the payload byte stream, so
+    nudged payloads yield nudged thumbs and the perceptual dedup stages are
+    exercisable end-to-end without a decoder)."""
+    if fake_mode not in ("hash", "sample"):
+        raise ValueError(f"fake_mode must be 'hash' or 'sample', got {fake_mode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
@@ -411,6 +424,9 @@ def resize_thumbnail(media: DataFrame, width: int = 32, height: int = 32, fake: 
                 raise NotImplementedError(
                     "real resize requires Pillow (PIL) on the executors"
                 ) from e
+        import numpy as np
+
+        npx = width * height
         for pdf in batches:
             if not fake:
                 thumbs = []
@@ -421,12 +437,22 @@ def resize_thumbnail(media: DataFrame, width: int = 32, height: int = 32, fake: 
                     {"doc_id": pdf["doc_id"], "width": width, "height": height, "thumb": thumbs}
                 )
                 continue
-            thumbs = [
-                bytes(
-                    (hashlib.sha256(bytes(p) + bytes([width, height])).digest() * ((width * height) // 32 + 1))[: width * height]
+            thumbs = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                if fake_mode == "sample":
+                    if len(raw) == 0:
+                        thumbs.append(bytes(npx))
+                        continue
+                    buf = np.frombuffer(raw, dtype=np.uint8)
+                    idx = (np.arange(npx) * len(buf)) // npx
+                    thumbs.append(buf[idx].tobytes())
+                    continue
+                thumbs.append(
+                    bytes(
+                        (hashlib.sha256(raw + bytes([width, height])).digest() * (npx // 32 + 1))[:npx]
+                    )
                 )
-                for p in pdf["payload"]
-            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -149,3 +149,88 @@ def _funnel_report(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def curate_media(
+    media: DataFrame,
+    max_hamming: int = 4,
+    n_frames: int = 4,
+    grid: int = 8,
+    fake: bool = True,
+    frame_len: int = 64,
+) -> dict:
+    """End-to-end MEDIA curation — the multimodal twin of ``curate_corpus``,
+    wiring the media tier's stages in production order:
+
+        header parse gate → exact content dedup (sha256) →
+        perceptual image near-dedup (dHash marks) →
+        video frame sampling → perceptual frame near-dedup
+
+    Input is the media-row contract (``read_media_dir`` / ``as_media``:
+    doc_id, payload, media_type, byte_len, sha256). Returns every stage
+    frame plus the funnel report:
+
+    - ``parsed``: rows whose container headers parse (``parse_ok`` —
+      corrupt blobs leave the pipeline first, before any byte-heavy work);
+    - ``exact_deduped``: one row per distinct sha256 (keeper = min doc_id);
+    - ``image_marks`` / ``deduped``: dHash near-dup marks over image
+      thumbnails, losers removed from the corpus (audio/video pass
+      through);
+    - ``frames`` / ``frame_marks``: sampled video frames and their
+      perceptual dedup marks — the keep set is what a per-frame model
+      (captioner, tagger) should actually run on;
+    - ``report``: (stage_idx, stage, n_docs) in pipeline order, plus the
+      frame stages at the end.
+
+    Scale posture: every stage communicates by ids (semi/anti joins on
+    doc_id); payload bytes are touched only by the Arrow kernels that need
+    them (header sniff, thumbnail, frame slice) and never shuffle. The
+    ``fake`` decode path uses the locality-preserving thumbnail stub so the
+    perceptual stages are exercised for real (see ``resize_thumbnail``)."""
+    from pyspark.sql.window import Window
+
+    from pulsar_replay_spark.operators import multimodal as mm
+
+    stages: list[tuple[str, DataFrame]] = [("input", media)]
+
+    ok_ids = mm.parse_media_headers(media).filter(F.col("parse_ok")).select("doc_id")
+    parsed = media.join(ok_ids, "doc_id", "left_semi")
+    stages.append(("parsed", parsed))
+
+    w = Window.partitionBy("sha256").orderBy("doc_id")
+    exact = (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    stages.append(("exact_deduped", exact))
+
+    images = exact.filter(F.col("media_type") == "image/png")
+    thumbs = mm.resize_thumbnail(images, width=grid, height=grid, fake=fake,
+                                 fake_mode="sample")
+    image_marks = mm.image_dedup(thumbs, max_hamming=max_hamming, grid=grid)
+    image_losers = image_marks.filter(~F.col("keep")).select("doc_id")
+    deduped = exact.join(image_losers, "doc_id", "left_anti")
+    stages.append(("image_deduped", deduped))
+
+    videos = deduped.filter(F.col("media_type") == "video/mp4")
+    frames = mm.frame_sample(videos, n_frames=n_frames, frame_len=frame_len)
+    frame_marks = mm.frame_dedup_perceptual(
+        frames, max_hamming=max_hamming, grid=grid, fake=fake
+    )
+    frames_kept = frame_marks.filter(F.col("keep"))
+
+    report = _funnel_report(stages).unionByName(
+        _funnel_report([("frames", frame_marks), ("frames_kept", frames_kept)])
+        .withColumn("stage_idx", F.col("stage_idx") + len(stages))
+    )
+    return {
+        "parsed": parsed,
+        "exact_deduped": exact,
+        "image_marks": image_marks,
+        "deduped": deduped,
+        "frames": frames,
+        "frame_marks": frame_marks,
+        "frames_kept": frames_kept,
+        "report": report,
+    }

@@ -168,3 +168,74 @@ def test_funnel_semantic_stage(spark, documents):
         orig = documents.limit(8).collect()[i]["doc_id"]
         # identical-text pair: at most one of (orig, clone) survives
         assert not ({orig, orig + 4_000_000} <= ids)
+
+
+def test_curate_media_funnel(spark):
+    """The media-curation composition: corrupt blobs leave at the parse
+    gate, exact sha256 copies collapse, nudged image clones collapse
+    perceptually, video frames dedup perceptually — and the funnel is
+    monotone with every loser accounted for."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.pipeline import curate_media
+
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)
+    png_hdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    rng = np.random.default_rng(3)
+    body = bytes(rng.integers(0, 256, size=1024).astype(np.uint8))
+    png_a = png_hdr + body
+    nudged = bytearray(png_a)
+    for i in range(len(png_hdr), len(nudged), 301):
+        nudged[i] = min(255, nudged[i] + 2)
+    png_b = bytes(nudged)  # perceptual clone of png_a
+    png_c = png_hdr + bytes(rng.integers(0, 256, size=1024).astype(np.uint8))
+
+    mp4 = (
+        struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+        + bytes(rng.integers(0, 256, size=2048).astype(np.uint8))
+    )
+    rows = [
+        (1, "image/png", png_a),
+        (2, "image/png", png_b),     # perceptual dup of 1
+        (3, "image/png", png_a),     # exact dup of 1
+        (4, "image/png", png_c),     # distinct image
+        (5, "video/mp4", mp4),
+        (6, "video/mp4", b"\xde\xad\xbe\xef garbage"),  # unparseable
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    ).select(
+        "doc_id", "media_type", "payload",
+        F.octet_length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+    out = curate_media(media, max_hamming=4, n_frames=3, grid=8)
+
+    assert {r.doc_id for r in out["parsed"].select("doc_id").collect()} == {1, 2, 3, 4, 5}
+    assert {r.doc_id for r in out["exact_deduped"].select("doc_id").collect()} == {1, 2, 4, 5}
+    marks = {r["doc_id"]: r for r in out["image_marks"].collect()}
+    assert marks[1]["cluster_id"] == marks[2]["cluster_id"] == 1
+    assert marks[1]["keep"] and not marks[2]["keep"]
+    assert marks[4]["keep"] and marks[4]["cluster_id"] == 4
+    assert {r.doc_id for r in out["deduped"].select("doc_id").collect()} == {1, 4, 5}
+
+    fm = out["frame_marks"].collect()
+    assert {(r["doc_id"]) for r in fm} == {5} and len(fm) == 3
+    assert out["frames_kept"].count() >= 1
+
+    rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert rep["input"] == 6 and rep["parsed"] == 5
+    assert rep["exact_deduped"] == 4 and rep["image_deduped"] == 3
+    assert rep["frames"] == 3 and rep["frames_kept"] == out["frames_kept"].count()
+    # monotone funnel over the doc stages
+    assert rep["input"] >= rep["parsed"] >= rep["exact_deduped"] >= rep["image_deduped"]
