@@ -269,3 +269,32 @@ def test_incremental_frame_pairs_equals_full_recompute(spark):
     got = {key(r) for r in inc.collect()}
     assert got == expected and got  # the nudged clone pairs cross the batches
     assert sigs1.unionByName(sigs2).count() == mm.frame_signatures(frames).count()
+
+
+def test_dhash_invariances_property():
+    """The properties the perceptual claim rests on, fuzzed: (1) an RGB
+    image with equal channels hashes identically to its grayscale twin
+    (channel-mean), (2) a uniform brightness shift never flips a bit (sign
+    of adjacent-cell DIFFERENCES), (3) the hash is total on arbitrary sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(2, 24),
+        st.integers(2, 24),
+        st.integers(0, 2**32 - 1),
+        st.integers(1, 30),
+    )
+    def fuzz(w, h, seed, shift):
+        rng = np.random.default_rng(seed)
+        gray = rng.integers(0, 200, size=(h, w)).astype(np.uint8)
+        sig = mm._dhash_bytes(gray.tobytes(), w, h)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        assert mm._dhash_bytes(rgb.tobytes(), w, h) == sig
+        brighter = (gray.astype(int) + shift).clip(0, 255).astype(np.uint8)
+        if (gray.astype(int) + shift).max() <= 255:  # no clipping
+            assert mm._dhash_bytes(brighter.tobytes(), w, h) == sig
+        assert 0 <= sig < 1 << mm.DHASH_BITS
+
+    fuzz()

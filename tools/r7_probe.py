@@ -9,7 +9,8 @@ prose:
 - incremental cluster-label maintenance vs from-scratch CC per batch;
 - WARC front door over a generated multi-segment .warc.gz corpus.
 
-Usage: python tools/r7_probe.py   (reuses /tmp/sfbig when present)
+Usage: python tools/r7_probe.py [n_replicas]   (reuses /tmp/sfbig when
+present AND no n_replicas given; passing n forces a rebuild at that scale)
 """
 
 from __future__ import annotations
@@ -36,10 +37,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
 
-    if not os.path.exists(f"{DST}/embeddings.parquet"):
+    n_replicas = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    if n_replicas is not None or not os.path.exists(f"{DST}/embeddings.parquet"):
         t0 = time.perf_counter()
-        build(spark, 10)
+        build(spark, n_replicas or 10)
         out["build_s"] = round(time.perf_counter() - t0, 1)
+        out["n_replicas"] = n_replicas or 10
 
     def read(t):
         return spark.read.parquet(f"{DST}/{t}.parquet")
@@ -120,7 +123,7 @@ def main() -> None:
     # --- WARC front door: 8 gz segments × 6250 records = 50k docs ---
     import gzip
 
-    warc_dir = "/tmp/r7_warc"
+    warc_dir = f"/tmp/r7_warc_{n_replicas or 10}"
     if not os.path.exists(warc_dir):
         os.makedirs(warc_dir)
         rows = docs.select("doc_id", "text").limit(50_000).collect()
