@@ -642,7 +642,15 @@ def image_near_dup_pairs(
     bits — re-encoded/nudged image clones collide (sign bits survive small
     luminance noise), distinct images land ~grid²/2 bits apart. Candidates
     come from the pigeonhole banded equi-join (``banded_hamming_pairs``);
-    nothing all-pairs ever runs."""
+    nothing all-pairs ever runs.
+
+    Selectivity ceiling (the SimHash family's bits≤60 story, same math):
+    the 56-bit signature splits into max_hamming+1 blocks, so at k=4 each
+    block key carries 11 bits — per-block bucket population ~N/2048. That
+    is fine through hundreds of millions of images; at billions, run the
+    EXACT sha256 dedup first (``pipeline.curate_media`` does), raise
+    ``grid`` only with multi-long signatures (a long holds ≤63 bits), or
+    lower the radius — k=3 gives 14-bit blocks, 8× finer buckets."""
     from pulsar_replay_spark.operators.dedup import banded_hamming_pairs
 
     sigs = dhash_signatures(thumbs, grid).localCheckpoint(eager=True)
@@ -903,3 +911,26 @@ def incremental_frame_pairs(
         new_sigs.select("item_id", "doc_id", "frame_idx")
     )
     return _decode_frame_pairs(raw, mapping), new_sigs
+
+
+def incremental_image_pairs(
+    new_thumbs: DataFrame,
+    existing_sigs: DataFrame,
+    max_hamming: int = 4,
+    grid: int = DHASH_GRID,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental perceptual IMAGE dedup: signature only the NEW batch of
+    thumbnails, probe the persisted (doc_id, simhash) dHash store with the
+    banded block join (``dedup.incremental_hamming_pairs``). Returns
+    (pairs, new_sigs) — (doc_a, doc_b, hamming) touching ≥1 new image, and
+    the batch's signature rows to append to the store. The image twin of
+    ``incremental_frame_pairs`` (images key directly on doc_id, so no
+    mapping join is needed); incremental == full recompute restricted to
+    the batch, pinned in tests."""
+    from pulsar_replay_spark.operators.dedup import incremental_hamming_pairs
+
+    new_sigs = dhash_signatures(new_thumbs, grid).localCheckpoint(eager=True)
+    pairs = incremental_hamming_pairs(
+        new_sigs, existing_sigs, max_hamming, grid * (grid - 1)
+    )
+    return pairs, new_sigs

@@ -298,3 +298,30 @@ def test_dhash_invariances_property():
         assert 0 <= sig < 1 << mm.DHASH_BITS
 
     fuzz()
+
+
+def test_incremental_image_pairs_equals_full_recompute(spark):
+    """The image-store incremental probe: full pairs restricted to the new
+    batch == incremental probe, and the store union closes the signing."""
+    base = _gradient_thumb(21)
+    rows = [
+        (1, 16, 16, base),
+        (2, 16, 16, _nudge(base, 1)),
+        (3, 16, 16, _nudge(base, 2)),
+        (9, 16, 16, np.random.default_rng(900).integers(0, 256, size=256).astype(np.uint8).tobytes()),
+    ]
+    thumbs = _thumb_df(spark, rows)
+    old = thumbs.filter("doc_id in (1, 9)")
+    new = thumbs.filter("doc_id in (2, 3)")
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.image_near_dup_pairs(thumbs, max_hamming=4).collect()
+    }
+    expected = {p for p in full if p[0] in (2, 3) or p[1] in (2, 3)}
+
+    store = mm.dhash_signatures(old).localCheckpoint(eager=True)
+    inc, new_sigs = mm.incremental_image_pairs(new, store, max_hamming=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in inc.collect()}
+    assert got == expected and (1, 2) in got  # cross-batch clone recovered
+    assert store.unionByName(new_sigs).count() == 4
