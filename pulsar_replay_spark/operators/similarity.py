@@ -757,10 +757,12 @@ def lsh_topk(
     ``impl="auto"``: pick by measured bucket occupancy — the Arrow cogroup
     kernel amortizes per-group Python overhead only when buckets are FAT
     (one Arrow crossing scores the whole bucket; measured 2.5 s vs JVM
-    9.4 s at the 4×2 geometry), while DEEP geometries shatter into tens of
-    thousands of ~5-row groups where per-group overhead dominates (15.8 s
-    vs JVM 3.6 s at 12×12) — occupancy ≥ 64 rows/bucket routes to arrow,
-    below to the JVM broadcast-join form. Both impls are bit-identical
+    9.4 s at the 4×2 geometry, and 3.8 s vs 9.5 s at (7,7) on 2k vectors,
+    occupancy ~16), while DEEP geometries shatter into tens of thousands
+    of ~5-row groups where per-group overhead dominates (15.8 s vs JVM
+    3.6 s at 12×12, occupancy ~5) — occupancy ≥ 8 rows/bucket routes to
+    arrow, below to the JVM broadcast-join form (the cutover sits between
+    the two measured regimes). Both impls are bit-identical
     (equality-gated), so the switch is plan-only."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
@@ -796,7 +798,7 @@ def lsh_topk(
         # t is already materialized: the count is a cheap scan of the
         # checkpointed rows, and N = |t| / L
         occupancy = t.count() / l_eff / (1 << b_eff)
-        impl = "arrow" if occupancy >= 64 else "jvm"
+        impl = "arrow" if occupancy >= 8 else "jvm"
 
     def expand_probes(qt: DataFrame) -> DataFrame:
         return _expand_probe_buckets(qt, b_eff) if multiprobe else qt
