@@ -2084,3 +2084,69 @@ def dim_ablation_recall(
     return embeddings.sparkSession.createDataFrame(
         rows, "dim int, recall_at_k double"
     )
+
+
+def incremental_semantic_dedup(
+    new_embeddings: DataFrame,
+    old_embeddings: DataFrame,
+    old_verdicts: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.6,
+    block_rows: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup — the ``incremental_minhash_pairs`` discipline
+    for the embedding family: when a batch of new vectors arrives, only the
+    AFFECTED CELLS re-scan.
+
+    Why this is exact: a vector's verdict depends only on its cell-mates
+    (the keep rule is cell-local), and with FROZEN centroids assignment is
+    a pure function of (vector, centroids) — so recomputing
+    ``semantic_dedup`` over (old members of the new batch's cells ∪ the new
+    batch) reproduces the full-corpus verdicts for those cells EXACTLY,
+    while every other cell's verdicts are untouched by construction
+    (equality pinned in tests). ``centroids`` is required (the build-once
+    IVF-index discipline): re-seeding centroids moves every cell boundary
+    and is a full rebuild, never an increment.
+
+    Keep-monotonicity: adding corpus members only adds potential droppers,
+    so old verdicts can flip keep→drop but NEVER drop→keep — the returned
+    DELTA frame (vec_id, cell_id, centroid_sim, keep) carries the new
+    batch's verdicts plus exactly the flipped old rows. Apply it as
+    latest-wins (anti-join ∪, or a batch_id-partitioned store read the
+    ``read_cluster_labels`` way).
+
+    Scale: old members are fetched by id for the affected cells only
+    (store the embedding table partitioned/bucketed by cell_id and this
+    probe is partition-pruned); per-ingest cost is Σ affected-cell² — batch-
+    bound, never corpus-bound."""
+    if centroids is None:
+        raise ValueError(
+            "incremental_semantic_dedup requires the FROZEN centroids the "
+            "old verdicts were built with (re-seeding is a full rebuild)"
+        )
+    affected = (
+        nearest_cells(new_embeddings, centroids).select("cell_id").distinct()
+    ).localCheckpoint(eager=True)
+    old_member_ids = (
+        old_verdicts.join(affected, "cell_id", "semi").select("vec_id")
+    )
+    subset = (
+        old_embeddings.join(old_member_ids, "vec_id", "semi")
+        .select("vec_id", "embedding")
+        .unionByName(new_embeddings.select("vec_id", "embedding"))
+    )
+    verdicts = semantic_dedup(
+        subset, threshold=threshold, centroids=centroids, block_rows=block_rows
+    ).localCheckpoint(eager=True)
+    new_rows = verdicts.join(
+        new_embeddings.select("vec_id"), "vec_id", "semi"
+    )
+    flipped = (
+        verdicts.alias("n")
+        .join(old_verdicts.alias("o"), "vec_id")
+        .filter(F.col("o.keep") & ~F.col("n.keep"))
+        .select("vec_id", F.col("n.cell_id").alias("cell_id"),
+                F.col("n.centroid_sim").alias("centroid_sim"),
+                F.col("n.keep").alias("keep"))
+    )
+    return new_rows.unionByName(flipped)

@@ -1209,3 +1209,86 @@ def rollup_read_coarse(
         )
         .withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
     )
+
+
+def semantic_dedup_sink(
+    emb_stream: DataFrame,
+    centroids: DataFrame,
+    corpus_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.6,
+):
+    """Streaming incremental SemDeDup: every micro-batch of embeddings
+    re-scans only its AFFECTED CELLS against the frozen build-once
+    centroids (``similarity.incremental_semantic_dedup`` — exact by cell
+    independence), appends the verdict DELTAS (new rows + keep→drop flips)
+    as one idempotent batch_id partition of the verdict store, and appends
+    its own vectors to the corpus store. ``read_semantic_verdicts`` serves
+    the current table (latest batch wins per vec_id). Same exactly-once
+    discipline as ``incremental_labels_sink``: every read and both writes
+    exclude the current batch_id, so a crash-retry recomputes identical
+    deltas over identical state."""
+    from pulsar_replay_spark.operators.similarity import incremental_semantic_dedup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        corpus = (
+            read_parquet_or_empty(
+                spark, corpus_dir, "vec_id long, embedding array<float>, batch_id long"
+            )
+            .where(F.col("batch_id") != batch_id)  # retry safety
+            .select("vec_id", "embedding")
+        )
+        verdicts = read_semantic_verdicts(
+            spark, verdicts_dir, exclude_batch_id=batch_id
+        )
+        deltas = incremental_semantic_dedup(
+            batch_df, corpus, verdicts, centroids, threshold=threshold
+        )
+        (
+            deltas.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(verdicts_dir)
+        )
+        (
+            batch_df.select("vec_id", "embedding")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpus_dir)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_semantic_verdicts(
+    spark: SparkSession, verdicts_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """(vec_id, cell_id, centroid_sim, keep): the current SemDeDup verdicts
+    from the delta store — highest batch_id wins per vector (a vector's
+    verdict can flip keep→drop when later ingests land higher-priority
+    near-dups in its cell)."""
+    from pyspark.sql.window import Window
+
+    store = read_parquet_or_empty(
+        spark,
+        verdicts_dir,
+        "vec_id long, cell_id int, centroid_sim double, keep boolean, batch_id long",
+    )
+    if exclude_batch_id is not None:
+        store = store.where(F.col("batch_id") != exclude_batch_id)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
+    return (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cell_id", "centroid_sim", "keep")
+    )

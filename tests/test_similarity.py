@@ -1056,3 +1056,49 @@ def test_ivf_topk_arrow_equals_jvm_at_multi_partition_scale(spark):
         )
     )
     assert a == j and len(a) > 0
+
+
+def test_incremental_semantic_dedup_equals_full_recompute(spark, embeddings):
+    """The incremental≡full discipline for the embedding family: applying
+    the delta frame (new verdicts + flipped old rows) to the old verdict
+    table must equal a from-scratch semantic_dedup over the whole corpus
+    with the same frozen centroids — across two successive ingest batches,
+    with keep-monotonicity (no drop→keep flips) asserted."""
+    cents = similarity.kmeans_refine(embeddings, 16, n_iter=1).localCheckpoint(
+        eager=True
+    )
+    b0 = embeddings.filter(F.col("vec_id") % 3 == 0)
+    b1 = embeddings.filter(F.col("vec_id") % 3 == 1)
+    b2 = embeddings.filter(F.col("vec_id") % 3 == 2)
+
+    def as_map(df):
+        return {
+            r["vec_id"]: (r["cell_id"], r["centroid_sim"], r["keep"])
+            for r in df.collect()
+        }
+
+    verdicts = similarity.semantic_dedup(b0, centroids=cents).localCheckpoint(
+        eager=True
+    )
+    corpus = b0
+    for batch in (b1, b2):
+        deltas = similarity.incremental_semantic_dedup(
+            batch, corpus, verdicts, cents
+        ).localCheckpoint(eager=True)
+        # monotone: an old id appearing in the deltas can only be a keep→drop
+        old = as_map(verdicts)
+        for vid, (_, _, keep) in as_map(deltas).items():
+            if vid in old:
+                assert old[vid][2] and not keep, vid
+        verdicts = (
+            verdicts.join(deltas.select("vec_id"), "vec_id", "left_anti")
+            .unionByName(deltas)
+            .localCheckpoint(eager=True)
+        )
+        corpus = corpus.unionByName(batch)
+        full = similarity.semantic_dedup(corpus, centroids=cents)
+        assert as_map(verdicts) == as_map(full)
+    assert verdicts.count() == embeddings.count()
+
+    with pytest.raises(ValueError, match="FROZEN centroids"):
+        similarity.incremental_semantic_dedup(b1, b0, verdicts, None)

@@ -788,3 +788,51 @@ def test_incremental_frames_stream_matches_batch(spark, tmp_path_factory):
         .parquet(store_dir)
     )
     assert spark.read.parquet(store_dir).count() == n_before
+
+
+def test_semantic_dedup_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming incremental SemDeDup: after the embedding stream drains,
+    the latest-wins verdict store must equal a from-scratch semantic_dedup
+    over the whole corpus with the same frozen centroids (cells are
+    independent, so per-batch affected-cell recomputes compose exactly),
+    and a crash-retry overwrite must not duplicate."""
+    from pulsar_replay_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = similarity.kmeans_refine(emb, 16, n_iter=1).localCheckpoint(eager=True)
+    src = str(tmp_path_factory.mktemp("emb_stream_sd"))
+    emb.select("vec_id", "embedding").repartition(3).write.mode("overwrite").parquet(src)
+
+    corpus_dir = str(tmp_path_factory.mktemp("sd_corpus"))
+    verdicts_dir = str(tmp_path_factory.mktemp("sd_verdicts"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipelines.semantic_dedup_sink(
+        stream, cents, corpus_dir, verdicts_dir,
+        str(tmp_path_factory.mktemp("sd_ck")),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["vec_id"]: (r["cell_id"], r["centroid_sim"], r["keep"])
+        for r in pipelines.read_semantic_verdicts(spark, verdicts_dir).collect()
+    }
+    full = {
+        r["vec_id"]: (r["cell_id"], r["centroid_sim"], r["keep"])
+        for r in similarity.semantic_dedup(emb, centroids=cents).collect()
+    }
+    assert got == full and len(got) == emb.count()
+
+    store = spark.read.parquet(verdicts_dir)
+    b0 = store.filter("batch_id = 0")
+    n_before = store.count()
+    (
+        b0.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(verdicts_dir)
+    )
+    assert spark.read.parquet(verdicts_dir).count() == n_before
