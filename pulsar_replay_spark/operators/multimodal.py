@@ -934,3 +934,20 @@ def incremental_image_pairs(
         new_sigs, existing_sigs, max_hamming, grid * (grid - 1)
     )
     return pairs, new_sigs
+
+
+def compact_frame_store(
+    store: DataFrame, retain_items: DataFrame | None = None
+) -> DataFrame:
+    """Lifecycle op for the (item_id, doc_id, frame_idx, simhash) store the
+    incremental frame pipeline grows — the ``compact_simhash_store``
+    discipline: DISTINCT rows (re-ingested identical frames contribute
+    exact duplicates; signatures are deterministic) plus an optional EXPIRY
+    semi-join against ``retain_items`` (item_id) so deleted/aged-out media
+    stop colliding with future batches. Writers must target a DIFFERENT
+    directory than the store was read from (lazy reads — see
+    ``dedup_index_compact``)."""
+    out = store.select("item_id", "doc_id", "frame_idx", "simhash").distinct()
+    if retain_items is not None:
+        out = out.join(retain_items.select("item_id").distinct(), "item_id", "semi")
+    return out

@@ -1292,3 +1292,31 @@ def read_semantic_verdicts(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "cell_id", "centroid_sim", "keep")
     )
+
+
+def semantic_verdicts_compact(
+    spark: SparkSession, verdicts_dir: str, compact_dir: str
+) -> None:
+    """Fold the SemDeDup verdict delta store to its per-vector winners
+    (keeping their original batch_id so reads over the compacted store
+    serve the identical snapshot) — bounds the store at the corpus vector
+    count however long the ingest feed runs. Same in-place guard as
+    ``labels_compact``."""
+    if compact_dir.rstrip("/") == verdicts_dir.rstrip("/"):
+        raise ValueError(
+            "compact_dir must differ from verdicts_dir: an in-place overwrite "
+            "would read and clobber the same parquet files"
+        )
+    from pyspark.sql.window import Window
+
+    store = spark.read.parquet(verdicts_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
+    (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(compact_dir)
+    )

@@ -325,3 +325,35 @@ def test_incremental_image_pairs_equals_full_recompute(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in inc.collect()}
     assert got == expected and (1, 2) in got  # cross-batch clone recovered
     assert store.unionByName(new_sigs).count() == 4
+
+
+def test_compact_frame_store_probe_equality(spark):
+    """Compacting the frame-signature store (dup collapse + expiry) must not
+    change what a new batch's probe finds among RETAINED frames."""
+    base = bytes(np.random.default_rng(31).integers(0, 256, size=2048).astype(np.uint8))
+    media = spark.createDataFrame(
+        [(1, "video/mp4", base), (2, "video/mp4", base)],
+        "doc_id long, media_type string, payload binary",
+    )
+    frames = mm.frame_sample(media, n_frames=2, frame_len=64).localCheckpoint(eager=True)
+    sigs = mm.frame_signatures(frames)
+    grown = sigs.unionByName(sigs)  # simulated re-ingest duplicates
+    compact = mm.compact_frame_store(grown).localCheckpoint(eager=True)
+    assert compact.count() == sigs.count()
+
+    nudged = bytearray(base)
+    nudged[7] = min(255, nudged[7] + 2)
+    new_media = spark.createDataFrame(
+        [(9, "video/mp4", bytes(nudged))], "doc_id long, media_type string, payload binary"
+    )
+    new_frames = mm.frame_sample(new_media, n_frames=2, frame_len=64)
+    p_grown, _ = mm.incremental_frame_pairs(new_frames, grown)
+    p_compact, _ = mm.incremental_frame_pairs(new_frames, compact)
+    key = lambda r: (r["doc_a"], r["frame_a"], r["doc_b"], r["frame_b"])  # noqa: E731
+    assert {key(r) for r in p_grown.collect()} == {key(r) for r in p_compact.collect()} != set()
+
+    # expiry: retaining only doc 1's frames removes doc 2 from future probes
+    retain = compact.filter("doc_id = 1").select("item_id")
+    expired = mm.compact_frame_store(grown, retain_items=retain)
+    p_exp, _ = mm.incremental_frame_pairs(new_frames, expired.localCheckpoint(eager=True))
+    assert {r["doc_b"] for r in p_exp.collect()} <= {1, 9}

@@ -836,3 +836,41 @@ def test_semantic_dedup_stream_matches_batch(spark, tmp_path_factory):
         .parquet(verdicts_dir)
     )
     assert spark.read.parquet(verdicts_dir).count() == n_before
+
+
+def test_semantic_verdicts_compact_serves_identical_snapshot(spark, tmp_path_factory):
+    from pulsar_replay_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = similarity.kmeans_refine(emb, 16, n_iter=1).localCheckpoint(eager=True)
+    verdicts_dir = str(tmp_path_factory.mktemp("sv_store"))
+    # two overlapping delta batches: batch 1 flips some of batch 0's rows
+    v0 = similarity.semantic_dedup(emb.filter("vec_id % 2 = 0"), centroids=cents)
+    v0.withColumn("batch_id", F.lit(0)).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(verdicts_dir)
+    d1 = similarity.incremental_semantic_dedup(
+        emb.filter("vec_id % 2 = 1"), emb.filter("vec_id % 2 = 0"),
+        pipelines.read_semantic_verdicts(spark, verdicts_dir), cents,
+    )
+    d1.withColumn("batch_id", F.lit(1)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(verdicts_dir)
+
+    before = sorted(
+        map(tuple, pipelines.read_semantic_verdicts(spark, verdicts_dir).collect())
+    )
+    compact_dir = str(tmp_path_factory.mktemp("sv_compact"))
+    pipelines.semantic_verdicts_compact(spark, verdicts_dir, compact_dir)
+    after = sorted(
+        map(tuple, pipelines.read_semantic_verdicts(spark, compact_dir).collect())
+    )
+    assert before == after and before
+    store = spark.read.parquet(compact_dir)
+    assert store.count() == store.select("vec_id").distinct().count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="differ"):
+        pipelines.semantic_verdicts_compact(spark, verdicts_dir, verdicts_dir)
