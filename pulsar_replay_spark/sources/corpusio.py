@@ -25,6 +25,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,9 +151,14 @@ def _project_documents(
     # when their other fields differ. Rows with byte-identical evidence
     # still share an id: that is content addressing (identical corrupt
     # lines ARE exact duplicates), and the id stays a pure row function so
-    # stream ≡ batch holds across any partitioning.
+    # stream ≡ batch holds across any partitioning. Each evidence field is
+    # coalesced to a sentinel BEFORE concat_ws (which silently skips NULLs):
+    # two rows whose evidence differs only in which field is null must not
+    # collide onto one id.
     fields = [
-        _field(f_) for f_ in (id_field, lang_field, source_field) if f_ is not None
+        F.coalesce(_field(f_), F.lit("\x00"))
+        for f_ in (id_field, lang_field, source_field)
+        if f_ is not None
     ]
     quarantine_id = _content_id(
         F.concat_ws("\x1f", corrupt, F.input_file_name(), *fields)
@@ -254,12 +261,142 @@ def _split_warc_records(buf: bytes) -> tuple[list[tuple[dict, bytes]], str | Non
     return recs, None
 
 
+# ---------------------------------------------------------------------------
+# HTTP payload extraction for raw-WARC ``response`` records. Per ISO 28500
+# the body of a response record is the full HTTP message the crawler
+# received — status line, headers, and (typically HTML) entity body. Feeding
+# that verbatim into ``documents.text`` pollutes every downstream
+# quality/dedup/tokenizer operator with header noise and markup, so the
+# kernel splits the HTTP framing (headers end at the first blank line),
+# honors Transfer-Encoding/Content-Encoding/charset, and runs a minimal
+# library-free tag-strip for HTML payloads. All helpers are pure and total
+# (hypothesis-fuzzed): malformed input skips the record, never fails a task.
+# ---------------------------------------------------------------------------
+
+_HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+_CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_.:-]+)")
+
+
+def _strip_html(markup: str) -> str:
+    """Minimal boilerplate removal: drop comments and script/style blocks,
+    replace every tag with whitespace, decode entities (stdlib
+    ``html.unescape``), collapse whitespace runs (newline-containing runs
+    keep ONE newline so line structure survives for the quality features).
+    All regexes are linear-time (no nested quantifiers over the same
+    class); entity decode runs AFTER tag removal so ``&lt;script&gt;`` in
+    text can never become live markup."""
+    import html as _html
+
+    txt = _HTML_COMMENT_RE.sub(" ", markup)
+    txt = _SCRIPT_STYLE_RE.sub(" ", txt)
+    txt = _TAG_RE.sub(" ", txt)
+    txt = _html.unescape(txt)
+    txt = re.sub(r"[^\S\n]*\n\s*", "\n", txt)
+    txt = re.sub(r"[^\S\n]+", " ", txt)
+    return txt.strip()
+
+
+def _dechunk(payload: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer encoding; tolerant — if the very
+    first size line is unparsable the payload wasn't really chunked and is
+    returned verbatim; a break mid-stream keeps what decoded so far."""
+    out: list[bytes] = []
+    p, n = 0, len(payload)
+    while p < n:
+        eol = payload.find(b"\r\n", p)
+        if eol < 0:
+            return payload if not out else b"".join(out)
+        try:
+            size = int(payload[p:eol].split(b";")[0].strip() or b"?", 16)
+            if size < 0:
+                raise ValueError
+        except ValueError:
+            return payload if not out else b"".join(out)
+        if size == 0:
+            break
+        start = eol + 2
+        out.append(payload[start : start + size])
+        p = start + size + 2  # skip the CRLF terminating the chunk
+    return b"".join(out)
+
+
+def _http_payload(body: bytes, extract_html: bool = True) -> tuple[str | None, str | None]:
+    """One HTTP response message → (text, skip_reason); exactly one is
+    non-None. Skips (reason-named, never raised): no header/body split, not
+    a status line, non-2xx status, or a content type that isn't text/HTML —
+    redirects, images, PDFs etc. are real crawl records but not documents.
+    Honors chunked transfer coding, gzip/deflate content coding, and the
+    Content-Type charset (unknown charsets fall back to UTF-8-replace;
+    header bytes decode as latin-1 per RFC 9112)."""
+    import gzip
+    import zlib
+
+    cut = sep = None
+    for s in (b"\r\n\r\n", b"\n\n"):
+        c = body.find(s)
+        if c >= 0 and (cut is None or c < cut):
+            cut, sep = c, s
+    if cut is None:
+        return None, "http: no header/payload separator"
+    head, payload = body[:cut], body[cut + len(sep) :]
+    lines = head.decode("latin-1", "replace").replace("\r\n", "\n").split("\n")
+    parts = lines[0].split()
+    if not parts or not parts[0].upper().startswith("HTTP/"):
+        return None, "http: not a response status line"
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, "http: unparseable status line"
+    if not 200 <= status < 300:
+        return None, f"http: status {status}"
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep_, v = line.partition(":")
+        if sep_:
+            headers[k.strip().lower()] = v.strip()
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    coding = headers.get("content-encoding", "").lower()
+    if coding in ("gzip", "x-gzip") or payload[:2] == b"\x1f\x8b":
+        try:
+            payload = gzip.decompress(payload)
+        except OSError:
+            pass  # stored un-encoded despite the header: keep the raw bytes
+    elif coding == "deflate":
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            try:
+                payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    # missing Content-Type defaults to HTML — the overwhelmingly common
+    # case for crawled 200 responses, and the strip is a no-op on plain text
+    ctype = headers.get("content-type", "text/html").lower()
+    mtype = ctype.split(";")[0].strip()
+    html_like = "html" in mtype or mtype.endswith("+xml") or mtype == "application/xml"
+    if not (mtype.startswith("text/") or html_like):
+        return None, f"http: unextractable content-type {mtype}"
+    m = _CHARSET_RE.search(ctype)
+    enc = m.group(1) if m else "utf-8"
+    try:
+        text = payload.decode(enc, "replace")
+    except LookupError:
+        text = payload.decode("utf-8", "replace")
+    if extract_html and html_like:
+        text = _strip_html(text)
+    return text, None
+
+
 def read_warc_corpus(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] = _WARC_DEFAULT_TYPES,
     pattern: str | None = None,
     keep_corrupt: bool = False,
+    extract_http: bool = True,
 ) -> DataFrame:
     """WARC/WET files → the documents contract.
 
@@ -270,20 +407,27 @@ def read_warc_corpus(
     kernel — raw archive bytes never shuffle. Multi-member gzip (the
     per-record-compressed .warc.gz layout) inflates in one pass.
 
-    Contract mapping: text = record body (UTF-8, replacement-decoded);
-    source = WARC-Target-URI (falls back to the file path); lang =
-    WARC-Identified-Content-Language's first tag (WET sets it); doc_id =
-    the engine-wide 60-bit content hash. ``record_types`` keeps
-    conversion/response records and drops warcinfo/request/metadata
-    bookkeeping. Corrupt framing quarantines the file's remaining tail as
-    ONE corrupt row (dropped unless ``keep_corrupt``, the
-    ``read_jsonl_corpus`` semantics), and a parse failure never aborts the
-    scan."""
+    Contract mapping: text = record body (UTF-8, replacement-decoded) for
+    WET ``conversion`` records; for raw-WARC ``response`` records the body
+    is an HTTP message, so the kernel splits the HTTP framing and extracts
+    the entity payload (chunked/gzip/deflate codings undone, Content-Type
+    charset honored, HTML tag-stripped + entity-decoded) — non-2xx and
+    non-text responses (redirects, images, PDFs) are SKIPPED, not
+    documents and not corruption. ``extract_http=False`` restores the
+    verbatim body (debug/raw-archive access only — it puts HTTP headers
+    and markup into ``text``). source = WARC-Target-URI (falls back to the
+    file path); lang = WARC-Identified-Content-Language's first tag (WET
+    sets it); doc_id = the engine-wide 60-bit content hash.
+    ``record_types`` keeps conversion/response records and drops
+    warcinfo/request/metadata bookkeeping. Corrupt framing quarantines the
+    file's remaining tail as ONE corrupt row (dropped unless
+    ``keep_corrupt``, the ``read_jsonl_corpus`` semantics), and a parse
+    failure never aborts the scan."""
     reader = spark.read.format("binaryFile")
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     files = reader.load(path).select("path", "content")
-    return _warc_documents(files, record_types, keep_corrupt)
+    return _warc_documents(files, record_types, keep_corrupt, extract_http)
 
 
 def stream_warc_corpus(
@@ -293,6 +437,7 @@ def stream_warc_corpus(
     pattern: str | None = None,
     keep_corrupt: bool = False,
     max_files_per_trigger: int | None = None,
+    extract_http: bool = True,
 ) -> DataFrame:
     """Streaming twin of ``read_warc_corpus``: a WARC/WET drop-folder as a
     STREAMING documents frame (the ``stream_jsonl_corpus`` discipline —
@@ -324,11 +469,14 @@ def stream_warc_corpus(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path", "content")
-    return _warc_documents(files, record_types, keep_corrupt)
+    return _warc_documents(files, record_types, keep_corrupt, extract_http)
 
 
 def _warc_documents(
-    files: DataFrame, record_types: tuple[str, ...], keep_corrupt: bool
+    files: DataFrame,
+    record_types: tuple[str, ...],
+    keep_corrupt: bool,
+    extract_http: bool = True,
 ) -> DataFrame:
     """Shared batch/streaming tail: the record-splitting Arrow kernel plus
     the documents-contract projection."""
@@ -354,10 +502,17 @@ def _warc_documents(
                         continue
                 recs, corrupt = _split_warc_records(raw)
                 for headers, body in recs:
-                    if headers.get("warc-type", "").lower() not in want:
+                    wtype = headers.get("warc-type", "").lower()
+                    if wtype not in want:
                         continue
+                    if wtype == "response" and extract_http:
+                        text, skip = _http_payload(body)
+                        if skip is not None:
+                            continue  # redirect/image/etc: a record, not a doc
+                    else:
+                        text = body.decode("utf-8", "replace")
                     lang = headers.get("warc-identified-content-language")
-                    out["text"].append(body.decode("utf-8", "replace"))
+                    out["text"].append(text)
                     out["lang"].append(lang.split(",")[0].strip() if lang else None)
                     out["source"].append(headers.get("warc-target-uri", fpath))
                     out["corrupt"].append(None)

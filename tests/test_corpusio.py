@@ -414,3 +414,179 @@ def test_stream_warc_corpus_matches_batch_reader(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 3  # 2 docs + 1 quarantined tail
+
+
+# ---------------------------------------------------------------------------
+# Raw-WARC response records: HTTP framing split + HTML boilerplate strip.
+# ---------------------------------------------------------------------------
+
+_HTML_PAGE = (
+    "<!DOCTYPE html><html><head><title>T&amp;C page</title>"
+    "<style>body { color: red; }</style>"
+    "<script type='text/javascript'>var x = '<b>not text</b>';</script>"
+    "</head><body><!-- nav boilerplate -->"
+    "<h1>Café menu</h1>\n<p>Fish &amp; chips &lt;today&gt;</p>"
+    "<div>second   line</div></body></html>"
+)
+
+
+def _http_response(body: bytes, status: str = "200 OK",
+                   headers: tuple[str, ...] = ("Content-Type: text/html",)) -> bytes:
+    head = "\r\n".join([f"HTTP/1.1 {status}", *headers])
+    return head.encode("latin-1") + b"\r\n\r\n" + body
+
+
+def test_warc_response_records_extract_clean_text(spark, tmp_path):
+    """The r7 'weak': raw-WARC response records must land as CLEAN text —
+    no status line, no HTTP headers, no markup, entities decoded — while
+    redirects and non-text payloads are skipped (records, not documents,
+    not corruption)."""
+    recs = (
+        _warc_record("response", _http_response(_HTML_PAGE.encode()),
+                     uri="https://page.example/a")
+        + _warc_record("response", _http_response(b"", status="301 Moved",
+                       headers=("Location: https://x",)),
+                       uri="https://redirect.example")
+        + _warc_record("response", _http_response(b"\x89PNG....",
+                       headers=("Content-Type: image/png",)),
+                       uri="https://img.example/p.png")
+        + _warc_record("response", _http_response(
+            b"plain payload, no markup",
+            headers=("Content-Type: text/plain; charset=utf-8",)),
+            uri="https://plain.example")
+        + _warc_record("conversion", b"wet text stays verbatim",
+                       uri="https://wet.example")
+    )
+    (tmp_path / "seg.warc").write_bytes(recs)
+
+    rows = {r["source"]: r.asDict()
+            for r in corpusio.read_warc_corpus(spark, str(tmp_path)).collect()}
+    # redirect + image skipped; html, plain, and conversion land
+    assert set(rows) == {"https://page.example/a", "https://plain.example",
+                         "https://wet.example"}
+    text = rows["https://page.example/a"]["text"]
+    assert "HTTP/1.1" not in text and "Content-Type" not in text
+    # no live markup survives ("<today>" comes from a DECODED entity — text)
+    for tag in ("<p>", "<div", "</", "<h1>", "<script", "<style"):
+        assert tag not in text
+    assert "var x" not in text and "color: red" not in text
+    assert "Café menu" in text and "Fish & chips <today>" in text
+    assert "T&C page" in text and "second line" in text  # ws collapsed
+    assert "nav boilerplate" not in text  # comments stripped
+    assert rows["https://plain.example"]["text"] == "plain payload, no markup"
+    assert rows["https://wet.example"]["text"] == "wet text stays verbatim"
+    # doc_id is the content hash of the EXTRACTED text
+    assert rows["https://page.example/a"]["doc_id"] == _content_id(text)
+
+    # extract_http=False restores the verbatim (polluted) body, explicitly
+    raw = {r["source"]: r["text"] for r in corpusio.read_warc_corpus(
+        spark, str(tmp_path), extract_http=False).collect()}
+    assert raw["https://page.example/a"].startswith("HTTP/1.1 200 OK")
+
+
+def test_warc_response_chunked_gzip_and_charset(spark, tmp_path):
+    """Transfer-Encoding: chunked is de-chunked, Content-Encoding: gzip is
+    inflated, and the Content-Type charset is honored (latin-1 page with
+    bytes that are NOT valid UTF-8)."""
+    import gzip as _gzip
+
+    chunked = b"7\r\n<p>one \r\n7\r\ntwo</p>\r\n0\r\n\r\n"
+    gz_body = _gzip.compress("<p>gzipped résumé</p>".encode())
+    latin = "café au lait".encode("latin-1")  # 0xe9: invalid UTF-8
+    recs = (
+        _warc_record("response", _http_response(
+            chunked, headers=("Content-Type: text/html",
+                              "Transfer-Encoding: chunked")),
+            uri="https://chunk.example")
+        + _warc_record("response", _http_response(
+            gz_body, headers=("Content-Type: text/html; charset=utf-8",
+                              "Content-Encoding: gzip")),
+            uri="https://gz.example")
+        + _warc_record("response", _http_response(
+            latin, headers=("Content-Type: text/plain; charset=ISO-8859-1",)),
+            uri="https://latin.example")
+    )
+    (tmp_path / "seg.warc").write_bytes(recs)
+    rows = {r["source"]: r["text"]
+            for r in corpusio.read_warc_corpus(spark, str(tmp_path)).collect()}
+    assert rows["https://chunk.example"] == "one two"
+    assert rows["https://gz.example"] == "gzipped résumé"
+    assert rows["https://latin.example"] == "café au lait"
+
+
+def test_http_payload_is_total_on_fuzz():
+    """The HTTP extractor is total: any byte string yields exactly one of
+    (text, None) / (None, reason) and never raises — the skip contract the
+    WARC kernel relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_replay_spark.sources.corpusio import _dechunk, _http_payload
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=512))
+    def fuzz(body):
+        text, reason = _http_payload(body)
+        assert (text is None) != (reason is None)
+        assert isinstance(_dechunk(body), bytes)
+
+    fuzz()
+
+    # seeded structured cases the random fuzz rarely hits
+    for body in (
+        b"HTTP/1.1 200 OK\r\n\r\n",
+        b"HTTP/1.1 twohundred OK\r\n\r\nx",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip",
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nx",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=bogus-enc\r\n\r\nhi",
+        b"\n\n",
+    ):
+        text, reason = _http_payload(body)
+        assert (text is None) != (reason is None)
+
+
+def test_html_strip_matches_stdlib_parser_oracle():
+    """Independent oracle: Python's html.parser (event-driven, shares no
+    code with the regex strip) extracts the same whitespace-normalized text
+    from the well-formed fixture page."""
+    from html.parser import HTMLParser
+
+    from pulsar_replay_spark.sources.corpusio import _strip_html
+
+    class Oracle(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.chunks, self._skip = [], 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self._skip:
+                self._skip -= 1
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.chunks.append(data)
+
+    o = Oracle()
+    o.feed(_HTML_PAGE)
+    expected = " ".join(" ".join(o.chunks).split())
+    assert " ".join(_strip_html(_HTML_PAGE).split()) == expected
+
+
+def test_jsonl_quarantine_ids_distinguish_null_patterns(spark, tmp_path):
+    """Two corrupt rows whose evidence differs only in WHICH field is null
+    must get distinct quarantine doc_ids (concat_ws silently skips nulls;
+    each field is sentinel-coalesced first)."""
+    lines = [
+        json.dumps({"id": "x", "lang": None}),  # missing text; lang null
+        json.dumps({"id": None, "lang": "x"}),  # missing text; id null
+    ]
+    (tmp_path / "p.jsonl").write_text("\n".join(lines))
+    docs = corpusio.read_jsonl_corpus(
+        spark, str(tmp_path), id_field="id", lang_field="lang", keep_corrupt=True
+    )
+    ids = [r["doc_id"] for r in docs.collect()]
+    assert len(ids) == 2 and ids[0] != ids[1]
