@@ -391,7 +391,7 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return (
-        media.filter(F.col("media_type") == "video/mp4")
+        media.filter(F.col("media_type").startswith("video/"))
         .select("doc_id", "payload")
         .mapInPandas(run, schema=FRAME_SCHEMA)
     )
@@ -463,7 +463,7 @@ def resize_thumbnail(
             )
 
     return (
-        media.filter(F.col("media_type") == "image/png")
+        media.filter(F.col("media_type").startswith("image/"))
         .select("doc_id", "payload")
         .mapInPandas(run, schema=THUMB_SCHEMA)
     )
@@ -547,10 +547,241 @@ def audio_windows(
             yield pd.DataFrame(out)
 
     return (
-        media.filter(F.col("media_type") == "audio/wav")
+        media.filter(F.col("media_type").startswith("audio/"))
         .select("doc_id", "payload")
         .mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (near-duplicate) AUDIO dedup: a per-window energy-delta sign
+# fingerprint — the audio face of dHash. Exact sha256 dedup collapses
+# byte-identical clips only; one re-encode defeats it. Each fingerprint bit
+# is the SIGN of the energy difference between adjacent (resampled) windows,
+# stable under small amplitude noise, and candidate generation reuses
+# dedup.banded_hamming_pairs — completing the text/image/audio modality
+# triplet on ONE banded-hamming join.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_BITS = 56
+
+
+def _wav_pcm_energies(
+    raw: bytes, window_ms: int, hop_ms: int
+) -> "list[float] | None":
+    """Per-window mean absolute amplitude of a PCM WAV payload — REAL and
+    library-free (RIFF walk + numpy frombuffer; no ffmpeg/soundfile).
+    Returns None when the payload isn't parseable 8/16-bit PCM WAV so the
+    caller can fall back. Channels are mean-mixed; windows are cut by TIME
+    via the fmt chunk's sample rate (hop = ``hop_ms``, final partial window
+    kept — the ``audio_windows`` geometry)."""
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        sz = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(raw):
+            fmt = struct.unpack("<HHIIHH", raw[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data = raw[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        return None
+    audio_format, ch, sr, _, _, bits = fmt
+    if audio_format != 1 or ch < 1 or sr < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) - (len(data) % (2 * ch))], "<i2")
+        samples = samples.astype(np.float64)
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        samples = np.frombuffer(data[: len(data) - (len(data) % ch)], np.uint8)
+        samples = samples.astype(np.float64) - 128.0
+    if samples.size == 0:
+        return None
+    mono = np.abs(samples.reshape(-1, ch).mean(axis=1))
+    win = max(1, (sr * window_ms) // 1000)
+    hop = max(1, (sr * hop_ms) // 1000)
+    # the audio_windows geometry: stop at the first window reaching the end
+    # (final partial window kept, no extra window starting past coverage)
+    out: list[float] = []
+    start = 0
+    while start < mono.size:
+        end = min(start + win, mono.size)
+        out.append(float(mono[start:end].mean()))
+        if end == mono.size:
+            break
+        start += hop
+    return out
+
+
+def _audio_fp_bytes(
+    raw: bytes,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bits: int = AUDIO_FP_BITS,
+    fake: bool = True,
+) -> int:
+    """Pure fingerprint of one audio payload: per-window energies (the
+    ``audio_windows`` geometry — window ``window_ms``, hop ``hop_ms``,
+    final partial window kept), resampled DOWN to ``bits + 1`` points when
+    the clip has more windows than bits, then bit i = [e(i) < e(i+1)]
+    packed little-endian. ``fake=True`` reads the byte stream as the 1 ms/
+    byte signal (energy = window mean byte value — the audio_windows fake);
+    ``fake=False`` decodes real PCM WAV amplitudes library-free
+    (``_wav_pcm_energies``), falling back to the byte path for payloads
+    that aren't parseable WAV (tolerant, named in the docstring, never a
+    failed task).
+
+    Short-clip floor (documented, the 56-bit selectivity story): a clip
+    with W windows carries min(bits, W−1) informative bits — below ~bits
+    windows (≈29 s at the 1000/500 defaults) the banded join's
+    false-positive rate rises. Shrink window_ms/hop_ms for short-clip
+    corpora; never resample UP (repeating windows would zero-fill the same
+    bit positions for every clip and collide distinct short clips)."""
+    energies: list[float] | None = None
+    if not fake:
+        energies = _wav_pcm_energies(raw, window_ms, hop_ms)
+    if energies is None:
+        import numpy as np
+
+        if len(raw) == 0:
+            return 0  # one empty window, no deltas
+        # window means via one cumulative sum — O(bytes) once, O(1) per
+        # window, structurally distinct from the naive per-window oracle
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+        dur = len(raw)  # fake signal: 1 ms per byte
+        energies = []
+        start = 0
+        while start < dur:
+            end = min(start + window_ms, dur)
+            energies.append(float(cs[end] - cs[start]) / (end - start))
+            if end == dur:
+                break
+            start += hop_ms
+    w = len(energies)
+    if w > bits + 1:
+        pts = [energies[(i * w) // (bits + 1)] for i in range(bits + 1)]
+    else:
+        pts = energies
+    sig = 0
+    for i in range(len(pts) - 1):
+        if pts[i] < pts[i + 1]:
+            sig |= 1 << i
+    return sig
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bits: int = AUDIO_FP_BITS,
+    fake: bool = True,
+) -> DataFrame:
+    """(doc_id, simhash): the persistable perceptual audio signature —
+    Arrow-batched over ``audio/*`` payloads, column-named to feed
+    ``dedup.banded_hamming_pairs`` / ``incremental_hamming_pairs``
+    directly. One long per clip; raw audio bytes never leave the kernel.
+    The store compacts/expires with ``dedup.compact_simhash_store`` (same
+    (doc_id, simhash) schema — one lifecycle op for every bit-signature
+    family)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": [
+                        _audio_fp_bytes(bytes(p), window_ms, hop_ms, bits, fake)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type").startswith("audio/"))
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema=DHASH_SCHEMA)
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 4,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bits: int = AUDIO_FP_BITS,
+    fake: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): audio clip pairs within ``max_hamming``
+    fingerprint bits — re-encoded/amplitude-nudged clones collide (energy
+    delta signs survive small noise), distinct clips land ~bits/2 apart.
+    Candidates come from the pigeonhole banded equi-join; nothing all-pairs
+    ever runs."""
+    from pulsar_replay_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
+    return banded_hamming_pairs(sigs.localCheckpoint(eager=True), max_hamming, bits)
+
+
+def audio_dedup(
+    media: DataFrame,
+    max_hamming: int = 4,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bits: int = AUDIO_FP_BITS,
+    fake: bool = True,
+) -> DataFrame:
+    """(doc_id, cluster_id, keep): perceptual audio dedup marks — the
+    ``image_dedup`` shape: near-dup clusters from the banded pairs'
+    transitive closure, keeper = min doc_id per cluster
+    (``connected_components``' label IS the min member, so keep =
+    (doc_id == cluster_id) with no keeper agg/join)."""
+    from pulsar_replay_spark.operators.dedup import (
+        banded_hamming_pairs,
+        connected_components,
+    )
+
+    sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
+    sigs = sigs.localCheckpoint(eager=True)
+    cc = connected_components(banded_hamming_pairs(sigs, max_hamming, bits))
+    return (
+        sigs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def incremental_audio_pairs(
+    new_media: DataFrame,
+    existing_sigs: DataFrame,
+    max_hamming: int = 4,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bits: int = AUDIO_FP_BITS,
+    fake: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental perceptual audio dedup — the ``incremental_image_pairs``
+    discipline: fingerprint only the NEW batch of clips, probe the
+    persisted (doc_id, simhash) store with the banded block join. Returns
+    (pairs, new_sigs); old clips are never re-fingerprinted, and
+    incremental == full recompute restricted to pairs touching the batch
+    (pinned in tests)."""
+    from pulsar_replay_spark.operators.dedup import incremental_hamming_pairs
+
+    new_sigs = audio_fingerprints(new_media, window_ms, hop_ms, bits, fake)
+    new_sigs = new_sigs.localCheckpoint(eager=True)
+    pairs = incremental_hamming_pairs(new_sigs, existing_sigs, max_hamming, bits)
+    return pairs, new_sigs
 
 
 # ---------------------------------------------------------------------------

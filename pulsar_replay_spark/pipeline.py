@@ -151,6 +151,13 @@ def _funnel_report(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     return out
 
 
+# Containers the library-free header decoder can actually verify
+# (multimodal._parse_one_media). Other recognized media types (jpeg, gif,
+# webm, …) have no parser here — the gate must not conflate "no parser for
+# this container" with "corrupt blob".
+_VERIFIABLE_CONTAINERS = ("image/png", "audio/wav", "video/mp4")
+
+
 def curate_media(
     media: DataFrame,
     max_hamming: int = 4,
@@ -158,24 +165,32 @@ def curate_media(
     grid: int = 8,
     fake: bool = True,
     frame_len: int = 64,
+    audio_window_ms: int = 1000,
+    audio_hop_ms: int = 500,
 ) -> dict:
     """End-to-end MEDIA curation — the multimodal twin of ``curate_corpus``,
     wiring the media tier's stages in production order:
 
         header parse gate → exact content dedup (sha256) →
         perceptual image near-dedup (dHash marks) →
+        perceptual audio near-dedup (energy-fingerprint marks) →
         video frame sampling → perceptual frame near-dedup
 
     Input is the media-row contract (``read_media_dir`` / ``as_media``:
     doc_id, payload, media_type, byte_len, sha256). Returns every stage
     frame plus the funnel report:
 
-    - ``parsed``: rows whose container headers parse (``parse_ok`` —
-      corrupt blobs leave the pipeline first, before any byte-heavy work);
+    - ``parsed``: verifiable-container rows whose headers parse
+      (``parse_ok`` — corrupt blobs leave the pipeline first, before any
+      byte-heavy work);
+    - ``passthrough``: recognized media types the header decoder has NO
+      parser for (jpeg/gif/webm/…) — routed past the gate as their own
+      accounted funnel stage, never conflated with corrupt blobs;
     - ``exact_deduped``: one row per distinct sha256 (keeper = min doc_id);
-    - ``image_marks`` / ``deduped``: dHash near-dup marks over image
-      thumbnails, losers removed from the corpus (audio/video pass
-      through);
+    - ``image_marks`` / ``audio_marks`` / ``deduped``: perceptual near-dup
+      marks over image thumbnails (dHash) and audio clips (energy
+      fingerprints), losers removed from the corpus — stage filters match
+      media_type PREFIXES, so every image/* and audio/* row is covered;
     - ``frames`` / ``frame_marks``: sampled video frames and their
       perceptual dedup marks — the keep set is what a per-frame model
       (captioner, tagger) should actually run on;
@@ -184,9 +199,10 @@ def curate_media(
 
     Scale posture: every stage communicates by ids (semi/anti joins on
     doc_id); payload bytes are touched only by the Arrow kernels that need
-    them (header sniff, thumbnail, frame slice) and never shuffle. The
-    ``fake`` decode path uses the locality-preserving thumbnail stub so the
-    perceptual stages are exercised for real (see ``resize_thumbnail``)."""
+    them (header sniff, thumbnail, fingerprint, frame slice) and never
+    shuffle. ``fake`` switches EVERY decode seam together (thumbnails,
+    audio fingerprints, frame sampling + frame thumbs) so the real and
+    stubbed paths never mix within one run."""
     from pyspark.sql.window import Window
 
     from pulsar_replay_spark.operators import multimodal as mm
@@ -194,27 +210,46 @@ def curate_media(
     stages: list[tuple[str, DataFrame]] = [("input", media)]
 
     ok_ids = mm.parse_media_headers(media).filter(F.col("parse_ok")).select("doc_id")
-    parsed = media.join(ok_ids, "doc_id", "left_semi")
+    verifiable = media.filter(F.col("media_type").isin(*_VERIFIABLE_CONTAINERS))
+    parsed = verifiable.join(ok_ids, "doc_id", "left_semi")
     stages.append(("parsed", parsed))
+
+    passthrough = media.filter(
+        ~F.col("media_type").isin(*_VERIFIABLE_CONTAINERS)
+        & (
+            F.col("media_type").startswith("image/")
+            | F.col("media_type").startswith("audio/")
+            | F.col("media_type").startswith("video/")
+        )
+    )
+    stages.append(("passthrough", passthrough))
+    gated = parsed.unionByName(passthrough)
 
     w = Window.partitionBy("sha256").orderBy("doc_id")
     exact = (
-        parsed.withColumn("_rn", F.row_number().over(w))
+        gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
     stages.append(("exact_deduped", exact))
 
-    images = exact.filter(F.col("media_type") == "image/png")
-    thumbs = mm.resize_thumbnail(images, width=grid, height=grid, fake=fake,
+    thumbs = mm.resize_thumbnail(exact, width=grid, height=grid, fake=fake,
                                  fake_mode="sample")
     image_marks = mm.image_dedup(thumbs, max_hamming=max_hamming, grid=grid)
     image_losers = image_marks.filter(~F.col("keep")).select("doc_id")
-    deduped = exact.join(image_losers, "doc_id", "left_anti")
-    stages.append(("image_deduped", deduped))
+    image_deduped = exact.join(image_losers, "doc_id", "left_anti")
+    stages.append(("image_deduped", image_deduped))
 
-    videos = deduped.filter(F.col("media_type") == "video/mp4")
-    frames = mm.frame_sample(videos, n_frames=n_frames, frame_len=frame_len)
+    audio_marks = mm.audio_dedup(
+        image_deduped, max_hamming=max_hamming,
+        window_ms=audio_window_ms, hop_ms=audio_hop_ms, fake=fake,
+    )
+    audio_losers = audio_marks.filter(~F.col("keep")).select("doc_id")
+    deduped = image_deduped.join(audio_losers, "doc_id", "left_anti")
+    stages.append(("audio_deduped", deduped))
+
+    frames = mm.frame_sample(deduped, n_frames=n_frames, fake=fake,
+                             frame_len=frame_len)
     frame_marks = mm.frame_dedup_perceptual(
         frames, max_hamming=max_hamming, grid=grid, fake=fake
     )
@@ -226,8 +261,10 @@ def curate_media(
     )
     return {
         "parsed": parsed,
+        "passthrough": passthrough,
         "exact_deduped": exact,
         "image_marks": image_marks,
+        "audio_marks": audio_marks,
         "deduped": deduped,
         "frames": frames,
         "frame_marks": frame_marks,

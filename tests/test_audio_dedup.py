@@ -1,0 +1,191 @@
+"""Perceptual (near-dup) AUDIO dedup: per-window energy-delta sign
+fingerprints + the shared banded hamming join + cluster marks.
+
+The r7 gap this covers: audio had only exact sha256 dedup — one re-encode
+or amplitude nudge defeats it. These tests pin (a) the fingerprint kernel
+against an INDEPENDENT naive python oracle (pure loops, no numpy, no
+cumsum), (b) planted nudged-clone collapse / distinct-clip survival with
+the pair set equal to the oracle's all-pairs hamming sweep, (c) the
+no-cartesian candidate plan, (d) the REAL library-free PCM WAV path, and
+(e) incremental probe ≡ full recompute.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import multimodal as mm
+
+
+def _oracle_audio_fp(raw: bytes, window_ms: int = 1000, hop_ms: int = 500,
+                     bits: int = 56) -> int:
+    """Naive re-derivation of the fingerprint contract: per-window byte
+    means summed directly (no cumsum), python loops only."""
+    dur = max(len(raw), 1)
+    energies, start = [], 0
+    while start < dur:
+        end = min(start + window_ms, dur)
+        window = raw[start:end]
+        energies.append(sum(window) / len(window) if window else 0.0)
+        if end == dur:
+            break
+        start += hop_ms
+    if len(energies) > bits + 1:
+        energies = [energies[(i * len(energies)) // (bits + 1)]
+                    for i in range(bits + 1)]
+    sig = 0
+    for i in range(len(energies) - 1):
+        if energies[i] < energies[i + 1]:
+            sig |= 1 << i
+    return sig
+
+
+def _clip(seed: int, n_bytes: int = 30_000) -> bytes:
+    """Clip with a strong random-walk energy envelope: adjacent-window
+    energy deltas are large, so small byte nudges never flip a sign bit."""
+    rng = np.random.default_rng(seed)
+    n_win = n_bytes // 500
+    levels = np.cumsum(rng.integers(-40, 41, size=n_win)) % 200
+    sig = np.repeat(levels, 500)[:n_bytes].astype(np.uint8)
+    return sig.tobytes()
+
+
+def _nudge(raw: bytes, seed: int, n_flips: int = 40) -> bytes:
+    rng = np.random.default_rng(seed)
+    arr = bytearray(raw)
+    for i in rng.integers(0, len(arr), size=n_flips):
+        arr[i] = (arr[i] + int(rng.integers(1, 3))) % 256
+    return bytes(arr)
+
+
+def _media_df(spark, clips: dict[int, bytes], media_type: str = "audio/wav"):
+    rows = [(k, v, media_type) for k, v in clips.items()]
+    return spark.createDataFrame(rows, "doc_id long, payload binary, media_type string")
+
+
+def test_audio_fp_matches_independent_oracle():
+    """Kernel fingerprint == naive oracle across short (< bits windows),
+    long (downsampled), single-window, and empty payloads."""
+    rng = np.random.default_rng(3)
+    payloads = [
+        b"",
+        bytes(rng.integers(0, 256, size=10).astype(np.uint8)),   # 1 window
+        bytes(rng.integers(0, 256, size=5_000).astype(np.uint8)),  # 9 windows
+        _clip(7),                                                 # 59 windows
+        bytes(rng.integers(0, 256, size=100_000).astype(np.uint8)),
+    ]
+    for p in payloads:
+        assert mm._audio_fp_bytes(p) == _oracle_audio_fp(p)
+    # non-default geometry too
+    assert (mm._audio_fp_bytes(payloads[3], window_ms=250, hop_ms=100)
+            == _oracle_audio_fp(payloads[3], window_ms=250, hop_ms=100))
+
+
+def test_audio_clones_collapse_distinct_survive(spark):
+    """Planted nudged clones pair up; distinct clips don't; the pair set
+    equals the oracle's all-pairs hamming sweep; the plan has no cartesian
+    product; dedup marks keep exactly one clip per cluster."""
+    base_a, base_b = _clip(1), _clip(2)
+    clips = {
+        10: base_a,
+        11: _nudge(base_a, seed=100),
+        12: _nudge(base_a, seed=101),
+        20: base_b,
+        21: _nudge(base_b, seed=102),
+        30: _clip(5),  # distinct singleton
+    }
+    media = _media_df(spark, clips)
+    pairs_df = mm.audio_near_dup_pairs(media, max_hamming=4)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()}
+    sigs = {k: _oracle_audio_fp(v) for k, v in clips.items()}
+    want = {
+        (a, b)
+        for a in clips for b in clips
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    assert got == want
+    assert {(10, 11), (10, 12), (20, 21)} <= got
+    assert not any(30 in p for p in got)
+
+    marks = {r["doc_id"]: r.asDict() for r in mm.audio_dedup(media).collect()}
+    assert len(marks) == len(clips)
+    keepers = {d for d, m in marks.items() if m["keep"]}
+    assert keepers == {10, 20, 30}
+    assert marks[11]["cluster_id"] == marks[12]["cluster_id"] == 10
+
+
+def test_audio_real_wav_path_collapses_noisy_reencode(spark):
+    """fake=False decodes REAL 16-bit PCM WAV (library-free): a clone with
+    sample-level noise collapses with its original while a different
+    envelope survives — and junk payloads fall back to the byte path
+    instead of failing the task."""
+
+    def wav(samples: np.ndarray, sr: int = 4000) -> bytes:
+        data = samples.astype("<i2").tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+               + b"data" + struct.pack("<I", len(data)))
+        return hdr + data
+
+    rng = np.random.default_rng(9)
+    t = np.arange(4000 * 30)  # 30 s @ 4 kHz → 59 windows at 1000/500
+    env_a = np.repeat(np.cumsum(rng.integers(-900, 901, size=60)) % 8000, 2000)[: t.size]
+    env_b = np.repeat(np.cumsum(rng.integers(-900, 901, size=60)) % 8000, 2000)[: t.size]
+    tone = np.sign(np.sin(2 * np.pi * 440 * t / 4000))
+    clip_a = (env_a * tone).astype(np.int64)
+    clip_b = (env_b * tone).astype(np.int64)
+    noisy_a = clip_a + rng.integers(-25, 26, size=t.size)
+
+    media = _media_df(spark, {1: wav(clip_a), 2: wav(noisy_a), 3: wav(clip_b)})
+    got = {(r["doc_a"], r["doc_b"])
+           for r in mm.audio_near_dup_pairs(media, fake=False).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+    # energies really came from PCM decode, not the byte fallback
+    e = mm._wav_pcm_energies(wav(clip_a), 1000, 500)
+    assert e is not None and len(e) == 59
+    assert mm._wav_pcm_energies(b"not a wav at all", 1000, 500) is None
+    # junk payload under fake=False: tolerant byte-path fallback
+    assert (mm._audio_fp_bytes(b"junk" * 100, fake=False)
+            == mm._audio_fp_bytes(b"junk" * 100, fake=True))
+
+
+def test_incremental_audio_pairs_equals_full_recompute(spark):
+    """Probe-the-store incremental == full recompute restricted to pairs
+    touching the new batch (old↔old pairs excluded by construction)."""
+    base = _clip(21)
+    old_clips = {1: base, 2: _nudge(base, 50), 3: _clip(22)}
+    new_clips = {4: _nudge(base, 51), 5: _clip(23), 6: _nudge(_clip(22), 52)}
+
+    old_media = _media_df(spark, old_clips)
+    new_media = _media_df(spark, new_clips)
+    store = mm.audio_fingerprints(old_media)
+
+    pairs, new_sigs = mm.incremental_audio_pairs(new_media, store)
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs.collect()}
+
+    full = mm.audio_near_dup_pairs(_media_df(spark, {**old_clips, **new_clips}))
+    new_ids = set(new_clips)
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in full.collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert got == want
+    assert {(1, 4), (3, 6)} <= {(a, b) for a, b, _ in got}  # cross old↔new hits
+    assert new_sigs.columns == ["doc_id", "simhash"]
+    assert new_sigs.count() == 3
+
+    # the store compacts with the SHARED bit-signature lifecycle op
+    from pulsar_replay_spark.operators import dedup
+
+    doubled = store.unionAll(store)
+    assert dedup.compact_simhash_store(doubled).count() == store.count()

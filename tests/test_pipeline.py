@@ -239,3 +239,69 @@ def test_curate_media_funnel(spark):
     assert rep["frames"] == 3 and rep["frames_kept"] == out["frames_kept"].count()
     # monotone funnel over the doc stages
     assert rep["input"] >= rep["parsed"] >= rep["exact_deduped"] >= rep["image_deduped"]
+
+
+def test_curate_media_passthrough_and_audio_stages(spark):
+    """Recognized-but-unverifiable containers (jpeg/flac — no library-free
+    header parser) route past the parse gate as their OWN accounted lane
+    instead of being conflated with corrupt blobs, they still flow through
+    exact + perceptual dedup via the media-type PREFIX filters, and the new
+    audio stage collapses nudged audio clones."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.pipeline import curate_media
+
+    rng = np.random.default_rng(17)
+
+    def wav_payload(seed: int) -> bytes:
+        # real RIFF/WAVE header (passes the parse gate) + a random-walk
+        # energy envelope as the data chunk — the fake 1 ms/byte signal
+        lvl = np.cumsum(np.random.default_rng(seed).integers(-40, 41, 60)) % 200
+        data = np.repeat(lvl, 500).astype(np.uint8).tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def nudged(raw: bytes, seed: int) -> bytes:
+        arr = bytearray(raw)
+        for i in np.random.default_rng(seed).integers(44, len(arr), 30):
+            arr[i] = (arr[i] + 2) % 256
+        return bytes(arr)
+
+    jpeg_a = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, 800).astype(np.uint8))
+    wav_a = wav_payload(1)
+    rows = [
+        (1, "image/jpeg", jpeg_a),          # passthrough: no jpeg parser
+        (2, "image/jpeg", jpeg_a),          # exact dup of 1, also passthrough
+        (3, "audio/flac", b"fLaC" + bytes(rng.integers(0, 256, 500).astype(np.uint8))),
+        (4, "audio/wav", wav_a),            # verifiable, parses
+        (5, "audio/wav", nudged(wav_a, 7)), # perceptual audio clone of 4
+        (6, "audio/wav", wav_payload(2)),   # distinct clip
+        (7, "audio/wav", b"not riff"),      # corrupt: OUT at the parse gate
+        (8, "application/pdf", b"%PDF-1.4"),  # not media: out entirely
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    ).select(
+        "doc_id", "media_type", "payload",
+        F.octet_length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+    out = curate_media(media, max_hamming=4)
+
+    assert {r.doc_id for r in out["parsed"].collect()} == {4, 5, 6}
+    assert {r.doc_id for r in out["passthrough"].collect()} == {1, 2, 3}
+    assert {r.doc_id for r in out["exact_deduped"].collect()} == {1, 3, 4, 5, 6}
+    am = {r["doc_id"]: r for r in out["audio_marks"].collect()}
+    assert am[4]["keep"] and not am[5]["keep"] and am[5]["cluster_id"] == 4
+    assert am[6]["keep"]
+    assert {r.doc_id for r in out["deduped"].collect()} == {1, 3, 4, 6}
+
+    rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert rep["input"] == 8 and rep["parsed"] == 3 and rep["passthrough"] == 3
+    assert rep["exact_deduped"] == 5 and rep["audio_deduped"] == 4
+    # the two lanes together bound the funnel
+    assert rep["parsed"] + rep["passthrough"] >= rep["exact_deduped"]
