@@ -432,11 +432,13 @@ def main() -> None:
 
 def _write_detail_file(detail: dict) -> str:
     """Write the full bench record next to the driver's BENCH_r*.json
-    artifacts as BENCH_DETAIL_r{N}.json (N = the round being benched,
-    inferred as 1 + the highest recorded round). Best-effort: a failure to
-    write the side file must never blank the stdout handshake.
-    ``SPARK_GRAFT_DETAIL_PATH`` redirects the file — tests and ad-hoc runs
-    set it so they never clobber a committed round record."""
+    artifacts as BENCH_DETAIL_r{N}.json. N comes from ``SPARK_GRAFT_ROUND``
+    when set (the unambiguous path); otherwise it is inferred as 1 + the
+    highest recorded round, which is only correct BEFORE the driver records
+    this round's BENCH_rNN.json — ad-hoc reruns after that point must set
+    ``SPARK_GRAFT_ROUND`` or ``SPARK_GRAFT_DETAIL_PATH`` (full redirect) or
+    the detail lands under the NEXT round's name. Best-effort: a failure to
+    write the side file must never blank the stdout handshake."""
     override = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
     if override:
         with open(override, "w") as fh:
@@ -444,12 +446,16 @@ def _write_detail_file(detail: dict) -> str:
         return os.path.basename(override)
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(here)
-            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-        ]
-        n = max(rounds, default=0) + 1
+        round_env = os.environ.get("SPARK_GRAFT_ROUND")
+        if round_env:
+            n = int(round_env)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            n = max(rounds, default=0) + 1
         path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
         with open(path, "w") as fh:
             json.dump(detail, fh, indent=1)

@@ -113,14 +113,32 @@ REDACTION_RULES = [
     # patterns run in Spark (Java regex) and any RE2 engine.
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"https?://[^\s]+", "<URL>"),
+    # IPv4: exactly four 0-255 octets; \b boundaries + the octet range keep
+    # 3-part version strings (v1.2.3) and dotted dates (15.08.2026) intact —
+    # both have only three dot-separated parts.
+    (
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    # Phone, intl form: '+' then 8-15 digits with optional single ' .-'
+    # separators ('+1 415 555 2671'). The 8-digit floor keeps short math
+    # terms ('+123') and years out.
+    (r"\+[0-9](?:[ .-]?[0-9]){7,14}", "<PHONE>"),
+    # Phone, NANP form: 3-3-4 digit groups with mandatory separators
+    # ('(555) 123-4567', '555.123.4567'). ISO dates are 4-2-2 and never
+    # match; bare 10-digit runs fall through to <NUM> below.
+    (r"\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b", "<PHONE>"),
     (r"[0-9]{6,}", "<NUM>"),
 ]
 
 
 def redact_pii(text: Column) -> Column:
-    """Training-data scrub: emails → <EMAIL>, URLs → <URL>, long digit runs
-    → <NUM>. Order matters (URLs may contain digit runs; emails must win
-    over bare domains). Pure regexp_replace chain — JVM-side, idempotent."""
+    """Training-data scrub: emails → <EMAIL>, URLs → <URL>, IPv4 → <IP>,
+    phone numbers → <PHONE>, long digit runs → <NUM>. Order matters (URLs
+    may contain IPs and digit runs; emails must win over bare domains;
+    phones must win before the digit-run rule eats their groups). Pure
+    regexp_replace chain — JVM-side, idempotent."""
     out = text
     for pat, repl in REDACTION_RULES:
         out = F.regexp_replace(out, pat, repl)

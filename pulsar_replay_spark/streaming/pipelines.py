@@ -418,7 +418,9 @@ def labels_compact(spark: SparkSession, labels_dir: str, compact_dir: str) -> No
         )
     from pyspark.sql.window import Window
 
-    store = spark.read.parquet(labels_dir)
+    store = read_parquet_or_empty(
+        spark, labels_dir, "doc_id long, cluster_id long, batch_id long"
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
     (
         store.withColumn("_rn", F.row_number().over(w))
@@ -1309,7 +1311,11 @@ def semantic_verdicts_compact(
         )
     from pyspark.sql.window import Window
 
-    store = spark.read.parquet(verdicts_dir)
+    store = read_parquet_or_empty(
+        spark,
+        verdicts_dir,
+        "vec_id long, cell_id int, centroid_sim double, keep boolean, batch_id long",
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
     (
         store.withColumn("_rn", F.row_number().over(w))

@@ -730,6 +730,24 @@ def test_incremental_labels_stream_matches_batch_cc(spark, tmp_path_factory):
         pipelines.dedup_index_compact(spark, index_dir, index_dir + "/")
 
 
+def test_compactors_tolerate_empty_store(spark, tmp_path_factory):
+    """r8 (ADVICE): compacting a not-yet-created store must produce an
+    empty compacted store, not raise — matching every other store reader
+    in the module (read_parquet_or_empty)."""
+    base = tmp_path_factory.mktemp("empty_compact")
+    pipelines.labels_compact(
+        spark, str(base / "no_labels"), str(base / "labels_out")
+    )
+    assert pipelines.read_cluster_labels(spark, str(base / "labels_out")).count() == 0
+    pipelines.semantic_verdicts_compact(
+        spark, str(base / "no_verdicts"), str(base / "verdicts_out")
+    )
+    assert (
+        pipelines.read_semantic_verdicts(spark, str(base / "verdicts_out")).count()
+        == 0
+    )
+
+
 def test_incremental_frames_stream_matches_batch(spark, tmp_path_factory):
     """Micro-batched perceptual frame dedup must discover the SAME pair set
     as one batch recompute over all frames, with the signature store closing

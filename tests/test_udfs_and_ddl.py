@@ -135,6 +135,75 @@ def test_normalize_and_redact(spark):
     assert all(r["r1"] == r["r2"] for r in again)
 
 
+def test_redact_phone_and_ip(spark):
+    """r8 PII breadth: IPv4 and phone numbers redact; version strings,
+    dates, and short math terms survive; the chain stays idempotent
+    (property-tested below over random compositions)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.functions.text import redact_pii
+
+    cases = [
+        # (input, expected)
+        ("server at 192.168.10.254 port 80", "server at <IP> port 80"),
+        ("gateway 10.0.0.1.", "gateway <IP>."),
+        ("octet too big 300.1.2.3 stays", "octet too big 300.1.2.3 stays"),
+        ("release v1.2.3 of lib", "release v1.2.3 of lib"),
+        ("dated 15.08.2026 and 2026-08-15", "dated 15.08.2026 and 2026-08-15"),
+        ("call (555) 123-4567 today", "call <PHONE> today"),
+        ("or 555.123.4567 works", "or <PHONE> works"),
+        ("intl +1 415 555 2671 line", "intl <PHONE> line"),
+        ("intl +44-20-7946-0958!", "intl <PHONE>!"),
+        ("sum +123 is fine", "sum +123 is fine"),
+        ("plain 4155552671 is a digit run", "plain <NUM> is a digit run"),
+        # URL containing an IP must be eaten by the URL rule first
+        ("see http://10.0.0.1/x?p=1234567", "see <URL>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "id long, text string"
+    )
+    out = {
+        r["id"]: r["red"]
+        for r in df.select(
+            "id", redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, f"case {i}: {out[i]!r} != {want!r}"
+
+
+def test_redact_idempotent_property(spark):
+    """Hypothesis-style property via seeded random composition: for texts
+    assembled from PII-ish and benign fragments in any order,
+    redact(redact(x)) == redact(x)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.functions.text import redact_pii
+
+    frags = [
+        "a@b.co", "http://x.io/1234567", "10.0.0.1", "+1 415 555 2671",
+        "(555) 123-4567", "123456789", "v1.2.3", "2026-08-15", "hello",
+        "+12", "999.999.999.999", "short 123",
+    ]
+    rng = random.Random(8)
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = df.select(
+        redact_pii(F.col("text")).alias("r1"),
+        redact_pii(redact_pii(F.col("text"))).alias("r2"),
+    ).collect()
+    assert all(r["r1"] == r["r2"] for r in got)
+    # and every raw PII fragment is gone from the redacted corpus
+    joined = " | ".join(r["r1"] for r in got)
+    for leak in ("a@b.co", "10.0.0.1", "555 2671", "123-4567", "123456789"):
+        assert leak not in joined
+
+
 def test_check_suite_catches_planted_violations(spark):
     from pyspark.sql import functions as F
 
