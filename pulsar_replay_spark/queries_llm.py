@@ -748,6 +748,85 @@ def q_video_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image near-dedup under the driver gate (rotated IN in r8,
+# replacing q18_large_volume_orders — the semi-join family stays covered by
+# q4/q22, the dim-join shape by q3): the documents' image tier plus planted
+# first-char-nudged clones runs the REAL engine path — locality-preserving
+# 8×8 thumbnails (frame_thumbs' nearest-sample fake), 56-bit dHash
+# (_dhash_bytes), and the shared pigeonhole banded-hamming join
+# (dedup.banded_hamming_pairs). The oracle re-derives every stage in SQL:
+# byte sampling via hex slicing, the 56 row-adjacent comparison bits, the
+# 5×11-bit pigeonhole blocks, the block equi-join, and the XOR popcount
+# verify — the ngram_jaccard hashed-key discipline applied to bit
+# signatures. Planted clones differ in pixel 0 only (hamming ≤ 3), so the
+# result is load-bearing (≥ the 17 planted pairs, never 0=0).
+# ---------------------------------------------------------------------------
+_IMG_CLONE_OFFSET = 1_000_000
+
+_IMAGE_NEAR_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + {_IMG_CLONE_OFFSET} AS doc_id, 'x' || substr(text, 2) AS text
+  FROM documents WHERE doc_id % 30 = 0
+),
+b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM corpus
+),
+px AS (
+  SELECT doc_id, CAST(t.i AS INT) AS p,
+         ('0x' || substr(hx, CAST(((t.i * n) // 64) * 2 + 1 AS BIGINT), 2))::BIGINT AS v
+  FROM b CROSS JOIN range(0, 64) t(i)
+),
+sig AS (
+  SELECT l.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN l.v < r.v
+              THEN (CAST(1 AS BIGINT) << CAST((l.p // 8) * 7 + (l.p % 8) AS INT))
+              ELSE 0 END), 0) AS BIGINT) AS simhash
+  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.p = l.p + 1
+  WHERE l.p % 8 < 7
+  GROUP BY l.doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, CAST(t.i AS INT) AS blk,
+         (simhash >> CAST(t.i * 11 AS INT)) & 2047 AS val
+  FROM sig CROSS JOIN range(0, 5) t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 4
+"""
+
+
+@register("image_near_dup_pairs", _IMAGE_NEAR_DUP_SQL)
+def q_image_near_dup_pairs(spark, sf_dir):
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text"
+    )
+    clones = base.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + _IMG_CLONE_OFFSET).alias("doc_id"),
+        F.concat(F.lit("x"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    frames = base.unionByName(clones).select(
+        "doc_id",
+        F.lit(0).alias("frame_idx"),
+        F.encode("text", "UTF-8").alias("frame_bytes"),
+    )
+    thumbs = multimodal.frame_thumbs(frames, width=8, height=8).select(
+        "doc_id", "width", "height", "thumb"
+    )
+    return multimodal.image_near_dup_pairs(thumbs, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clusters: candidate pairs → connected components (iterative
 # min-label propagation in Spark; recursive CTE in the oracle).
 # ---------------------------------------------------------------------------

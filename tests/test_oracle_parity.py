@@ -83,6 +83,22 @@ def test_unregistered_q5_matches_oracle(spark, duck):
     assert not problems, f"q5: {problems}"
 
 
+def test_unregistered_q18_matches_oracle(spark, duck):
+    """q18 lost its contract slot to image_near_dup_pairs in r8 (the
+    semi-join-on-aggregated-keyset family stays contract-covered by q4/q22,
+    the dim-join shape by q3) but stays part of the engine surface — same
+    oracle gate, pytest-side."""
+    from pulsar_replay_spark.queries_relational import (
+        Q18_ORACLE,
+        q18_large_volume_orders,
+    )
+
+    sdf = q18_large_volume_orders(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(Q18_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"q18: {problems}"
+
+
 def test_unregistered_q10_matches_oracle(spark, duck):
     """q10 lost its contract slot to simhash_near_pairs in r6 (broadcast-
     dim-join shape still contract-covered by q3, still benched) but stays

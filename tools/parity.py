@@ -122,6 +122,7 @@ def extra_oracles() -> dict:
         "x_q14": (qr.q14_promo_revenue_pct, qr.Q14_ORACLE),
         "x_q15": (qr.q15_top_supplier, qr.Q15_ORACLE),
         "x_q16": (qr.q16_supplier_cnt, qr.Q16_ORACLE),
+        "x_q18": (qr.q18_large_volume_orders, qr.Q18_ORACLE),
         "x_q20": (qr.q20_excess_shipments, qr.Q20_ORACLE),
         "x_q21": (qr.q21_waiting_supplier, qr.Q21_ORACLE),
         "x_window_extras": (qr.q_window_extras, qr.WINDOW_EXTRAS_ORACLE),
