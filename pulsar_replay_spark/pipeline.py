@@ -158,6 +158,31 @@ def _funnel_report(stages: list[tuple[str, DataFrame]]) -> DataFrame:
 _VERIFIABLE_CONTAINERS = ("image/png", "audio/wav", "video/mp4")
 
 
+def media_parse_gate(media: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(parsed, passthrough): the media funnel's admission gate, shared by
+    the one-shot ``curate_media`` and the streaming ``media_ingest_sink``
+    so both admit EXACTLY the same rows. ``parsed`` = verifiable-container
+    rows whose headers parse (corrupt blobs leave here); ``passthrough`` =
+    recognized media types the header decoder has no parser for
+    (jpeg/gif/webm/…) — their own accounted lane, never conflated with
+    corrupt blobs. Row-local per doc: the gate commutes with any batching,
+    which is what makes the streaming twin exactly equal."""
+    from pulsar_replay_spark.operators import multimodal as mm
+
+    ok_ids = mm.parse_media_headers(media).filter(F.col("parse_ok")).select("doc_id")
+    verifiable = media.filter(F.col("media_type").isin(*_VERIFIABLE_CONTAINERS))
+    parsed = verifiable.join(ok_ids, "doc_id", "left_semi")
+    passthrough = media.filter(
+        ~F.col("media_type").isin(*_VERIFIABLE_CONTAINERS)
+        & (
+            F.col("media_type").startswith("image/")
+            | F.col("media_type").startswith("audio/")
+            | F.col("media_type").startswith("video/")
+        )
+    )
+    return parsed, passthrough
+
+
 def curate_media(
     media: DataFrame,
     max_hamming: int = 4,
@@ -209,19 +234,8 @@ def curate_media(
 
     stages: list[tuple[str, DataFrame]] = [("input", media)]
 
-    ok_ids = mm.parse_media_headers(media).filter(F.col("parse_ok")).select("doc_id")
-    verifiable = media.filter(F.col("media_type").isin(*_VERIFIABLE_CONTAINERS))
-    parsed = verifiable.join(ok_ids, "doc_id", "left_semi")
+    parsed, passthrough = media_parse_gate(media)
     stages.append(("parsed", parsed))
-
-    passthrough = media.filter(
-        ~F.col("media_type").isin(*_VERIFIABLE_CONTAINERS)
-        & (
-            F.col("media_type").startswith("image/")
-            | F.col("media_type").startswith("audio/")
-            | F.col("media_type").startswith("video/")
-        )
-    )
     stages.append(("passthrough", passthrough))
     gated = parsed.unionByName(passthrough)
 

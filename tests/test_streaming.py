@@ -892,3 +892,196 @@ def test_semantic_verdicts_compact_serves_identical_snapshot(spark, tmp_path_fac
 
     with _pytest.raises(ValueError, match="differ"):
         pipelines.semantic_verdicts_compact(spark, verdicts_dir, verdicts_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming media funnel: media_ingest_sink + media_curation_read must serve
+# the SAME stage frames as one-shot pipeline.curate_media over the same
+# drop-folder — including a transitive image-clone chain split across three
+# micro-batches (the case a greedy first-wins admission gets wrong and the
+# CC-exact label maintenance gets right) — and survive crash-retries.
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + body
+    )
+
+
+def _wav_bytes(pcm: bytes) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def _mp4_bytes(body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + body
+
+
+def _flip_sampled_pixels(payload: bytes, pixels: list[int]) -> bytes:
+    """Flip the payload bytes the 8x8 nearest-sample thumbnail reads for
+    the given pixel indices to their opposite extreme — a controlled dHash
+    nudge (each flipped pixel moves at most 2 sign bits)."""
+    out = bytearray(payload)
+    n = len(out)
+    for p in pixels:
+        idx = (p * n) // 64
+        out[idx] = 255 if out[idx] < 128 else 0
+    return bytes(out)
+
+
+def _image_chain(rng) -> tuple[bytes, bytes, bytes]:
+    """(a, b, c) PNGs with dhash hamming(a,b) <= 4 < hamming(a,c) and
+    hamming(b,c) <= 4 — a transitive clone chain. Seeds iterate until the
+    premise holds (each pixel flip moves 0-2 sign bits, so a fixed seed
+    could land short); the premise is asserted, never assumed."""
+    import numpy as np
+
+    from pulsar_replay_spark.operators import multimodal as mm
+
+    def dh(payload: bytes) -> int:
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        idx = (np.arange(64) * len(buf)) // 64
+        return mm._dhash_bytes(buf[idx].tobytes(), 8, 8)
+
+    for _ in range(100):
+        body = bytes(rng.integers(60, 196, size=1024).astype("uint8"))
+        a = _png_bytes(body)
+        b = _flip_sampled_pixels(a, [10, 21])
+        c = _flip_sampled_pixels(b, [34, 45])
+        hab = bin(dh(a) ^ dh(b)).count("1")
+        hbc = bin(dh(b) ^ dh(c)).count("1")
+        hac = bin(dh(a) ^ dh(c)).count("1")
+        if 1 <= hab <= 4 and 1 <= hbc <= 4 and hac > 4:
+            return a, b, c
+    raise AssertionError("could not construct a dhash chain")
+
+
+def test_media_ingest_stream_matches_one_shot_funnel(spark, tmp_path_factory):
+    import os
+    import time
+
+    import numpy as np
+
+    from pulsar_replay_spark.operators import multimodal as mm
+    from pulsar_replay_spark.pipeline import curate_media
+
+    rng = np.random.default_rng(11)
+    png_a, png_b, png_c = _image_chain(rng)
+    png_d = _png_bytes(bytes(rng.integers(60, 196, size=1024).astype("uint8")))
+
+    def clip(seed: int) -> bytes:
+        lv = np.cumsum(np.random.default_rng(seed).integers(-40, 41, size=60)) % 200
+        return np.repeat(lv, 500).astype("uint8").tobytes()
+
+    wav_a = _wav_bytes(clip(1))
+    nudged = bytearray(wav_a)
+    for i in np.random.default_rng(2).integers(100, len(nudged), size=40):
+        nudged[i] = min(255, nudged[i] + 2)
+    wav_b = bytes(nudged)  # perceptual clone of wav_a
+    wav_c = _wav_bytes(clip(3))  # distinct
+
+    vid_body = bytes(rng.integers(0, 256, size=2048).astype("uint8"))
+    mp4_a = _mp4_bytes(vid_body)
+    nudged_v = bytearray(mp4_a)
+    for i in range(30, len(nudged_v), 301):
+        nudged_v[i] = min(255, nudged_v[i] + 2)
+    mp4_b = bytes(nudged_v)  # perceptual frame clones of mp4_a
+    mp4_c = _mp4_bytes(bytes(rng.integers(0, 256, size=2048).astype("uint8")))
+
+    drop = str(tmp_path_factory.mktemp("media_drop"))
+    batches = [
+        {"a.png": png_a, "w1.wav": wav_a, "v1.mp4": mp4_a,
+         "bad.png": b"\xde\xad\xbe\xef not a png"},
+        {"b.png": png_b, "w2.wav": wav_b, "copy_of_a.png": png_a,
+         "pic.jpeg": bytes(rng.integers(0, 256, size=512).astype("uint8"))},
+        {"c.png": png_c, "v2.mp4": mp4_b, "w3.wav": wav_c, "d.png": png_d},
+    ]
+    now = time.time()
+    for i, files in enumerate(batches):
+        for name, payload in files.items():
+            p = os.path.join(drop, name)
+            with open(p, "wb") as fh:
+                fh.write(payload)
+            os.utime(p, (now + 10 * i, now + 10 * i))
+
+    knobs = dict(max_hamming=4, n_frames=3, grid=8, fake=True, frame_len=64)
+
+    state = str(tmp_path_factory.mktemp("media_state"))
+    ck = str(tmp_path_factory.mktemp("media_ck"))
+    pipelines.media_ingest_sink(
+        pipelines.media_dir_stream(spark, drop, max_files_per_trigger=4),
+        state, ck, **knobs,
+    ).awaitTermination()
+
+    served = pipelines.media_curation_read(spark, state)
+    batch = curate_media(mm.read_media_dir(spark, drop), **knobs)
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+    def rows(df, cols):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert ids(served["parsed"]) == ids(batch["parsed"])
+    assert ids(served["passthrough"]) == ids(batch["passthrough"])
+    assert ids(served["exact_deduped"]) == ids(batch["exact_deduped"])
+    mark_cols = ["doc_id", "cluster_id", "keep"]
+    assert rows(served["image_marks"], mark_cols) == rows(batch["image_marks"], mark_cols)
+    assert rows(served["audio_marks"], mark_cols) == rows(batch["audio_marks"], mark_cols)
+    assert ids(served["deduped"]) == ids(batch["deduped"])
+    fcols = ["doc_id", "frame_idx", "cluster_doc", "cluster_frame", "keep"]
+    assert rows(served["frame_marks"], fcols) == rows(batch["frame_marks"], fcols)
+
+    # the transitive chain collapsed to ONE cluster in BOTH paths — the
+    # greedy-admission counterexample the label maintenance exists for
+    def cid(payload: bytes) -> int:
+        import hashlib
+
+        return int(hashlib.sha256(payload).hexdigest()[:15], 16)
+
+    marks = {r["doc_id"]: r for r in served["image_marks"].collect()}
+    ca, cb, cc_ = marks[cid(png_a)], marks[cid(png_b)], marks[cid(png_c)]
+    assert ca["cluster_id"] == cb["cluster_id"] == cc_["cluster_id"]
+    assert sum(m["keep"] for m in (ca, cb, cc_)) == 1
+    # audio clone collapsed, distinct clip survived
+    amarks = {r["doc_id"]: r for r in served["audio_marks"].collect()}
+    assert amarks[cid(wav_a)]["cluster_id"] == amarks[cid(wav_b)]["cluster_id"]
+    assert amarks[cid(wav_c)]["keep"]
+    # video clone frames collapsed cross-doc
+    fm = served["frame_marks"].collect()
+    assert any(
+        (not r["keep"]) and r["doc_id"] != r["cluster_doc"] for r in fm
+    )
+
+    # crash-retry: rewriting batch 1's partitions of two stores changes nothing
+    before = rows(served["frame_marks"], fcols) + rows(served["image_marks"], mark_cols)
+    for store in ("media", "image_labels"):
+        path = f"{state}/{store}"
+        part = spark.read.parquet(path).where("batch_id = 1")
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    served2 = pipelines.media_curation_read(spark, state)
+    after = rows(served2["frame_marks"], fcols) + rows(served2["image_marks"], mark_cols)
+    assert after == before
