@@ -44,6 +44,10 @@ HEADLINE = [
     "near_dup_clusters",
     "dedup_corpus_stats",
     "scrubbed_corpus",
+    # r8: perceptual dHash joined the contract (image_near_dup_pairs took
+    # q18's slot) — benched with the dedup family so the banded-hamming
+    # serving path's regressions stay visible
+    "image_near_dup_pairs",
     "generator",
 ]
 

@@ -385,3 +385,15 @@ def test_blocked_semdedup_scan_has_no_cartesian(spark, embeddings):
         )
         assert "CartesianProduct" not in plan, blk
         assert "BroadcastNestedLoopJoin" not in plan, blk
+
+
+def test_image_near_dup_contract_join_is_hash_not_cartesian(spark):
+    """The r8 contract row: the perceptual dHash pair query (thumbnails →
+    56-bit dHash → banded pigeonhole join) must plan as a hash equi-join
+    on (blk, val), never a cartesian/BNLJ pair scan."""
+    from pulsar_replay_spark.queries_llm import q_image_near_dup_pairs
+
+    plan = _plan(q_image_near_dup_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
