@@ -1085,3 +1085,81 @@ def test_media_ingest_stream_matches_one_shot_funnel(spark, tmp_path_factory):
     served2 = pipelines.media_curation_read(spark, state)
     after = rows(served2["frame_marks"], fcols) + rows(served2["image_marks"], mark_cols)
     assert after == before
+
+
+def test_warc_dropfolder_to_curated_corpus(spark, tmp_path_factory):
+    """The production composition r8 closes: a drop-folder of raw-WARC
+    segments (response records = HTTP messages with markup) streams through
+    stream_warc_corpus straight into curation_ingest_sink — the accepted
+    store ends with clean extracted text only (no headers/markup), exact
+    and near dup pages rejected across segments, junk below the quality
+    threshold out."""
+    import gzip
+    import os
+    import time
+
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.sources.corpusio import stream_warc_corpus
+
+    def response_record(uri: str, html: str) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            + html.encode()
+        )
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return hdr + http + b"\r\n\r\n"
+
+    body_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    body_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(40))
+    seg0 = (
+        response_record("https://a.example/1", f"<html><body><p>{body_a}</p></body></html>")
+        + response_record("https://b.example/1", f"<html><body><p>{body_b}</p></body></html>")
+    )
+    seg1 = (
+        # exact dup of page A under a new URI (same extracted text -> same
+        # content-hash doc_id; the sink's hash probe absorbs it)
+        response_record("https://mirror.example/1", f"<html><body><p>{body_a}</p></body></html>")
+        # near dup of page B (one appended clause -> MinHash pair)
+        + response_record("https://b.example/2", f"<html><body><p>{body_b} trailing clause</p></body></html>")
+        # junk below the quality threshold
+        + response_record("https://junk.example/1", "<html><body>zz</body></html>")
+        # a novel clean page
+        + response_record("https://c.example/1", "<html><script>nav()</script><body><p>"
+                          + " ".join(f"eta{i} theta{i}" for i in range(40)) + "</p></body></html>")
+    )
+    drop = str(tmp_path_factory.mktemp("warc_drop"))
+    now = time.time()
+    for i, seg in enumerate((seg0, seg1)):
+        p = os.path.join(drop, f"seg{i}.warc.gz")
+        with open(p, "wb") as fh:
+            fh.write(gzip.compress(seg))
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    accepted_dir = str(tmp_path_factory.mktemp("warc_accepted"))
+    index_dir = str(tmp_path_factory.mktemp("warc_index"))
+    ck = str(tmp_path_factory.mktemp("warc_ck"))
+
+    def score_fn(df):
+        return df.select(
+            "doc_id", token_count(F.col("text")).cast("double").alias("score")
+        )
+
+    pipelines.curation_ingest_sink(
+        stream_warc_corpus(spark, drop, max_files_per_trigger=1),
+        accepted_dir, index_dir, ck, score_fn, threshold=10.0,
+    ).awaitTermination()
+
+    accepted = spark.read.parquet(accepted_dir)
+    texts = {r["source"]: r["text"] for r in accepted.collect()}
+    # the three distinct, above-threshold pages survive — dups and junk out
+    assert set(texts) == {
+        "https://a.example/1", "https://b.example/1", "https://c.example/1"
+    }
+    for t in texts.values():
+        assert "<" not in t and "HTTP/1.1" not in t and "nav()" not in t
+    assert body_a.split()[0] in texts["https://a.example/1"]
+    # store invariants hold across segments
+    assert accepted.select("_h").distinct().count() == accepted.count()
