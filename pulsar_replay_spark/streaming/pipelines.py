@@ -1536,6 +1536,65 @@ def media_curation_read(spark: SparkSession, state_dir: str) -> dict:
     }
 
 
+def media_state_compact(
+    spark: SparkSession, state_dir: str, compact_dir: str
+) -> None:
+    """Lifecycle op for the media funnel's seven stores: fold every store
+    under ``state_dir`` to its bounded form under ``compact_dir`` (same
+    layout, so ``media_curation_read`` serves the identical snapshot from
+    either root — pinned in tests):
+
+    - media: one gated row per (doc_id, media_type, sha256, lane) — a
+      re-dropped identical payload stops accumulating rows;
+    - image/audio/frame signature stores: distinct signature rows
+      (signatures are deterministic, so re-ingest duplicates are exact);
+    - the three label delta stores: per-key winners (``labels_compact``'s
+      latest-wins fold).
+
+    Rows keep their ORIGINAL batch_id (the ``labels_compact`` discipline),
+    so a sink resumed against the compacted root keeps its retry-exclusion
+    semantics. Same in-place guard as every compactor: lazy reads mean an
+    in-place overwrite would clobber its own input."""
+    if compact_dir.rstrip("/") == state_dir.rstrip("/"):
+        raise ValueError(
+            "compact_dir must differ from state_dir: an in-place overwrite "
+            "would read and clobber the same parquet files"
+        )
+    from pyspark.sql.window import Window
+
+    src, dst = _media_state_dirs(state_dir), _media_state_dirs(compact_dir)
+
+    def _fold(path: str, out: str, schema: str, keys: list[str]) -> None:
+        store = read_parquet_or_empty(spark, path, schema)
+        w = Window.partitionBy(*keys).orderBy(F.desc("batch_id"))
+        (
+            store.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    _fold(
+        src["media"], dst["media"],
+        MEDIA_SCHEMA + ", lane string, batch_id long",
+        ["doc_id", "media_type", "sha256", "lane"],
+    )
+    sig_schema = "doc_id long, simhash long, batch_id long"
+    _fold(src["image_sigs"], dst["image_sigs"], sig_schema, ["doc_id", "simhash"])
+    _fold(src["audio_sigs"], dst["audio_sigs"], sig_schema, ["doc_id", "simhash"])
+    _fold(
+        src["frame_sigs"], dst["frame_sigs"],
+        "item_id long, doc_id long, frame_idx int, simhash long, batch_id long",
+        ["item_id", "simhash"],
+    )
+    label_schema = "doc_id long, cluster_id long, batch_id long"
+    for store in ("image_labels", "audio_labels", "frame_labels"):
+        _fold(src[store], dst[store], label_schema, ["doc_id"])
+
+
 def rollup_ewma(
     spark: SparkSession, rollup_dir: str, alpha: float = 0.3
 ) -> DataFrame:

@@ -505,7 +505,12 @@ def test_curation_ingest_sink_end_to_end(spark, tmp_path_factory):
 
     # crash-retry: rewriting batch 1's partitions must change nothing
     before = sorted(map(tuple, accepted.drop("batch_id").collect()))
-    b1_part = spark.read.parquet(accepted_dir).where("batch_id = 1").drop("batch_id")
+    b1_part = (
+        spark.read.parquet(accepted_dir)
+        .where("batch_id = 1")
+        .drop("batch_id")
+        .localCheckpoint(eager=True)  # materialize before the in-place rewrite
+    )
     (
         b1_part.withColumn("batch_id", F.lit(1))
         .write.mode("overwrite")
@@ -1073,9 +1078,16 @@ def test_media_ingest_stream_matches_one_shot_funnel(spark, tmp_path_factory):
 
     # crash-retry: rewriting batch 1's partitions of two stores changes nothing
     before = rows(served["frame_marks"], fcols) + rows(served["image_marks"], mark_cols)
+    exact_before = ids(served["exact_deduped"])  # capture now: the rewrite
+    # below replaces part files, so `served`'s listings go stale
     for store in ("media", "image_labels"):
         path = f"{state}/{store}"
-        part = spark.read.parquet(path).where("batch_id = 1")
+        # materialize before the overwrite: a lazy read of the same files
+        # the dynamic overwrite deletes is the in-place trap the compactors
+        # guard against
+        part = spark.read.parquet(path).where("batch_id = 1").localCheckpoint(
+            eager=True
+        )
         (
             part.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1085,6 +1097,20 @@ def test_media_ingest_stream_matches_one_shot_funnel(spark, tmp_path_factory):
     served2 = pipelines.media_curation_read(spark, state)
     after = rows(served2["frame_marks"], fcols) + rows(served2["image_marks"], mark_cols)
     assert after == before
+
+    # lifecycle: compacting all seven stores serves the identical snapshot,
+    # bounds the media store at one row per gated key, refuses in-place
+    compact = str(tmp_path_factory.mktemp("media_compact"))
+    pipelines.media_state_compact(spark, state, compact)
+    served3 = pipelines.media_curation_read(spark, compact)
+    assert rows(served3["frame_marks"], fcols) + rows(
+        served3["image_marks"], mark_cols
+    ) == before
+    assert ids(served3["exact_deduped"]) == exact_before
+    m = spark.read.parquet(f"{compact}/media")
+    assert m.count() == m.select("doc_id", "media_type", "sha256", "lane").distinct().count()
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.media_state_compact(spark, state, state)
 
 
 def test_warc_dropfolder_to_curated_corpus(spark, tmp_path_factory):
