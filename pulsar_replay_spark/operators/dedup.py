@@ -466,6 +466,156 @@ def incremental_hamming_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-word signatures: the mitigation the 56-bit dHash selectivity ceiling
+# documents — one long holds ≤63 usable bits, so wider signatures (dHash
+# grid > 8, long audio fingerprints) pack little-endian into SIG_WORD_BITS-
+# bit words of an array<long>. The banded pigeonhole join is unchanged in
+# SHAPE (blocks over the concatenated bit string, equi-join on (blk, val),
+# exact XOR-popcount verify); only block extraction (may span a word
+# boundary) and the hamming fold (zip_with + aggregate, pure JVM
+# expressions) generalize.
+# ---------------------------------------------------------------------------
+
+SIG_WORD_BITS = 60
+
+
+def pack_sig_words(sig: int, bits: int) -> list[int]:
+    """One arbitrary-width python int → little-endian SIG_WORD_BITS-bit
+    words (the kernel-side packing contract for array<long> signatures)."""
+    n_words = (bits + SIG_WORD_BITS - 1) // SIG_WORD_BITS
+    mask = (1 << SIG_WORD_BITS) - 1
+    return [(sig >> (SIG_WORD_BITS * i)) & mask for i in range(n_words)]
+
+
+def _multi_word_blocks(
+    sigs: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """(doc_id, sig, blk, val): the pigeonhole block index of a
+    (doc_id, sig array<long>) frame — ``_simhash_blocks`` for multi-word
+    signatures. A block's bit range may straddle one word boundary; the
+    extraction is two shifts and an OR, all JVM-side."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    if width == 0:
+        raise ValueError(
+            f"bits={bits} gives zero-width banding blocks for "
+            f"max_hamming={max_hamming} (need bits >= max_hamming + 1); "
+            "widen the signature or lower the radius"
+        )
+    if width > SIG_WORD_BITS:
+        raise ValueError(
+            f"block width {width} exceeds {SIG_WORD_BITS} bits and cannot "
+            "host an equi-join key in one long; raise max_hamming (more, "
+            "narrower blocks) or shorten the signature"
+        )
+    entries = []
+    for b in range(n_blocks):
+        lo = b * width
+        w0, off = divmod(lo, SIG_WORD_BITS)
+        take = min(SIG_WORD_BITS - off, width)
+        part0 = F.shiftrightunsigned(
+            F.element_at(F.col("sig"), w0 + 1), off
+        ).bitwiseAND(F.lit((1 << take) - 1))
+        if take < width:
+            rest = width - take
+            part1 = F.element_at(F.col("sig"), w0 + 2).bitwiseAND(
+                F.lit((1 << rest) - 1)
+            )
+            val = part0.bitwiseOR(F.shiftleft(part1, take))
+        else:
+            val = part0
+        entries.append(F.struct(F.lit(b).alias("blk"), val.alias("val")))
+    return sigs.select("doc_id", "sig", F.explode(F.array(*entries)).alias("b")).select(
+        "doc_id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+
+
+def _multi_hamming(a, b):
+    """Hamming distance of two array<long> signature columns — zip_with XOR
+    + popcount fold, whole-stage-codegen-friendly (no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("int")
+
+
+def banded_hamming_pairs_multi(
+    sigs: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) within ``max_hamming`` over a (doc_id,
+    sig array<long>) frame — ``banded_hamming_pairs`` for signatures wider
+    than one long. Same completeness argument (pigeonhole over
+    max_hamming+1 blocks), same equi-join shape, exact verify."""
+    idx = _multi_word_blocks(sigs, max_hamming, bits)
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _multi_hamming(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def incremental_hamming_pairs_multi(
+    new_sigs: DataFrame,
+    existing_sigs: DataFrame,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """``incremental_hamming_pairs`` for array<long> signatures: block-probe
+    the NEW batch against the persisted store, exact multi-word verify.
+    Returns (doc_a, doc_b, hamming) pairs touching ≥1 new doc."""
+    nb = _multi_word_blocks(new_sigs, max_hamming, bits)
+    eb = _multi_word_blocks(existing_sigs, max_hamming, bits)
+    ham = _multi_hamming(F.col("a_sig"), F.col("b_sig"))
+
+    a, b = nb.alias("a"), nb.alias("b")
+    new_new = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sig").alias("a_sig"),
+        F.col("b.sig").alias("b_sig"),
+    )
+    n, e = nb.alias("n"), eb.alias("e")
+    cross = (
+        n.join(
+            e,
+            (F.col("n.blk") == F.col("e.blk")) & (F.col("n.val") == F.col("e.val")),
+        )
+        .filter(F.col("n.doc_id") != F.col("e.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("e.doc_id")).alias("doc_b"),
+            F.col("n.sig").alias("a_sig"),
+            F.col("e.sig").alias("b_sig"),
+        )
+    )
+    return (
+        new_new.unionAll(cross)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def compact_simhash_store(
     store: DataFrame, retain_docs: DataFrame | None = None
 ) -> DataFrame:

@@ -866,6 +866,37 @@ def dhash_signatures(thumbs: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
     )
 
 
+def dhash_signatures_wide(thumbs: DataFrame, grid: int) -> DataFrame:
+    """(doc_id, sig array<long>): wide-grid dHash — grid·(grid−1) bits
+    packed little-endian into 60-bit words (``dedup.pack_sig_words``), the
+    multi-long mitigation the 56-bit selectivity ceiling documents. Same
+    ``_dhash_bytes`` math (python ints are arbitrary-width); only the
+    packing differs from ``dhash_signatures``."""
+    from pulsar_replay_spark.operators.dedup import pack_sig_words
+
+    bits = grid * (grid - 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": [
+                        pack_sig_words(
+                            _dhash_bytes(bytes(t), int(w), int(h), grid), bits
+                        )
+                        for t, w, h in zip(pdf["thumb"], pdf["width"], pdf["height"])
+                    ],
+                }
+            )
+
+    return thumbs.select("doc_id", "width", "height", "thumb").mapInPandas(
+        run, schema="doc_id long, sig array<long>"
+    )
+
+
 def image_near_dup_pairs(
     thumbs: DataFrame, max_hamming: int = 4, grid: int = DHASH_GRID
 ) -> DataFrame:
@@ -879,13 +910,23 @@ def image_near_dup_pairs(
     the 56-bit signature splits into max_hamming+1 blocks, so at k=4 each
     block key carries 11 bits — per-block bucket population ~N/2048. That
     is fine through hundreds of millions of images; at billions, run the
-    EXACT sha256 dedup first (``pipeline.curate_media`` does), raise
-    ``grid`` only with multi-long signatures (a long holds ≤63 bits), or
-    lower the radius — k=3 gives 14-bit blocks, 8× finer buckets."""
-    from pulsar_replay_spark.operators.dedup import banded_hamming_pairs
+    EXACT sha256 dedup first (``pipeline.curate_media`` does), lower the
+    radius (k=3 gives 14-bit blocks, 8× finer buckets), or raise ``grid``
+    — grids wider than 8 route automatically to the multi-word signature
+    path (``dedup.banded_hamming_pairs_multi``: array<long> signatures,
+    same pigeonhole join; grid=12 → 132 bits → 26-bit block keys at k=4,
+    ~32,000× finer buckets than the 8-grid)."""
+    from pulsar_replay_spark.operators.dedup import (
+        banded_hamming_pairs,
+        banded_hamming_pairs_multi,
+    )
 
-    sigs = dhash_signatures(thumbs, grid).localCheckpoint(eager=True)
-    return banded_hamming_pairs(sigs, max_hamming, grid * (grid - 1))
+    bits = grid * (grid - 1)
+    if bits <= 60:
+        sigs = dhash_signatures(thumbs, grid).localCheckpoint(eager=True)
+        return banded_hamming_pairs(sigs, max_hamming, bits)
+    sigs = dhash_signatures_wide(thumbs, grid).localCheckpoint(eager=True)
+    return banded_hamming_pairs_multi(sigs, max_hamming, bits)
 
 
 def image_dedup(
@@ -1157,12 +1198,21 @@ def incremental_image_pairs(
     the batch's signature rows to append to the store. The image twin of
     ``incremental_frame_pairs`` (images key directly on doc_id, so no
     mapping join is needed); incremental == full recompute restricted to
-    the batch, pinned in tests."""
-    from pulsar_replay_spark.operators.dedup import incremental_hamming_pairs
+    the batch, pinned in tests. Wide grids (> 8) route to the multi-word
+    signature path; the store then holds (doc_id, sig array<long>) rows."""
+    from pulsar_replay_spark.operators.dedup import (
+        incremental_hamming_pairs,
+        incremental_hamming_pairs_multi,
+    )
 
-    new_sigs = dhash_signatures(new_thumbs, grid).localCheckpoint(eager=True)
-    pairs = incremental_hamming_pairs(
-        new_sigs, existing_sigs, max_hamming, grid * (grid - 1)
+    bits = grid * (grid - 1)
+    if bits <= 60:
+        new_sigs = dhash_signatures(new_thumbs, grid).localCheckpoint(eager=True)
+        pairs = incremental_hamming_pairs(new_sigs, existing_sigs, max_hamming, bits)
+        return pairs, new_sigs
+    new_sigs = dhash_signatures_wide(new_thumbs, grid).localCheckpoint(eager=True)
+    pairs = incremental_hamming_pairs_multi(
+        new_sigs, existing_sigs, max_hamming, bits
     )
     return pairs, new_sigs
 

@@ -357,3 +357,110 @@ def test_compact_frame_store_probe_equality(spark):
     expired = mm.compact_frame_store(grown, retain_items=retain)
     p_exp, _ = mm.incremental_frame_pairs(new_frames, expired.localCheckpoint(eager=True))
     assert {r["doc_b"] for r in p_exp.collect()} <= {1, 9}
+
+
+# ---------------------------------------------------------------------------
+# r8: multi-word signatures — the 56-bit selectivity ceiling's mitigation
+# with code: grids wider than 8 pack grid·(grid−1) bits into 60-bit words
+# of an array<long> and route to dedup.banded_hamming_pairs_multi (same
+# pigeonhole join, block extraction may straddle a word boundary).
+# ---------------------------------------------------------------------------
+
+
+def test_multi_word_blocks_match_python_bit_slicing(spark):
+    """Spark-side block extraction (two shifts + OR across a straddled word
+    boundary) == naive python bit slicing of the same wide signature, for
+    every block, over random signatures."""
+    from pulsar_replay_spark.operators.dedup import (
+        SIG_WORD_BITS,
+        _multi_word_blocks,
+        pack_sig_words,
+    )
+
+    bits, k = 132, 4  # grid=12; width=26 — blocks 2 and 4 straddle words
+    width = bits // (k + 1)
+    rng = np.random.default_rng(12)
+    sigs = [int.from_bytes(rng.bytes(17), "little") % (1 << bits) for _ in range(50)]
+    df = spark.createDataFrame(
+        [(i, pack_sig_words(s, bits)) for i, s in enumerate(sigs)],
+        "doc_id long, sig array<long>",
+    )
+    got = {
+        (r["doc_id"], r["blk"]): r["val"]
+        for r in _multi_word_blocks(df, k, bits).collect()
+    }
+    for i, s in enumerate(sigs):
+        for b in range(k + 1):
+            want = (s >> (b * width)) & ((1 << width) - 1)
+            assert got[(i, b)] == want, (i, b)
+    assert SIG_WORD_BITS == 60
+
+
+def test_wide_dhash_matches_oracle_and_routes_multi(spark):
+    """grid=12 signatures equal the python oracle word-for-word; the wide
+    pair path finds exactly the oracle's all-pairs hamming≤k set; the plan
+    is still the banded equi-join (no cartesian)."""
+    from pulsar_replay_spark.operators.dedup import pack_sig_words
+
+    grid, k = 12, 4
+    bits = grid * (grid - 1)
+    base0, base1 = _gradient_thumb(21, w=24, h=24), _gradient_thumb(22, w=24, h=24)
+    rows = [
+        (0, 24, 24, base0),
+        (1, 24, 24, _nudge(base0, 31)),
+        (2, 24, 24, _nudge(base0, 32)),
+        (10, 24, 24, base1),
+        (11, 24, 24, _nudge(base1, 33)),
+    ] + [
+        (20 + i, 24, 24,
+         np.random.default_rng(200 + i).integers(0, 256, size=24 * 24)
+         .astype(np.uint8).tobytes())
+        for i in range(4)
+    ]
+    df = _thumb_df(spark, rows)
+
+    sigs = {r["doc_id"]: r["sig"] for r in mm.dhash_signatures_wide(df, grid).collect()}
+    oracle = {i: _oracle_dhash(t, w, h, grid) for i, w, h, t in rows}
+    for i, s in oracle.items():
+        assert list(sigs[i]) == pack_sig_words(s, bits), i
+
+    pairs_df = mm.image_near_dup_pairs(df, max_hamming=k, grid=grid)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs_df.collect()}
+    ids = sorted(oracle)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(oracle[ids[x]] ^ oracle[ids[y]]).count("1")
+            if h <= k:
+                want[(ids[x], ids[y])] = h
+    assert got == want
+    assert {(0, 1), (0, 2), (10, 11)} <= set(want)  # planted clones load-bear
+
+
+def test_incremental_image_pairs_wide_equals_full_recompute(spark):
+    """Wide-grid incremental probe: batch-2 pairs == the full wide recompute
+    restricted to pairs touching batch 2; the appended store rows equal the
+    batch's own signatures."""
+    grid, k = 12, 4
+    base = _gradient_thumb(41, w=24, h=24)
+    b1 = [(0, 24, 24, base), (1, 24, 24, _nudge(base, 51))]
+    b2 = [(2, 24, 24, _nudge(base, 52)),
+          (3, 24, 24,
+           np.random.default_rng(300).integers(0, 256, size=24 * 24)
+           .astype(np.uint8).tobytes())]
+    store = mm.dhash_signatures_wide(_thumb_df(spark, b1), grid)
+    pairs, new_sigs = mm.incremental_image_pairs(
+        _thumb_df(spark, b2), store, max_hamming=k, grid=grid
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+    full = mm.image_near_dup_pairs(_thumb_df(spark, b1 + b2), max_hamming=k, grid=grid)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_a"] in (2, 3) or r["doc_b"] in (2, 3)
+    }
+    assert got == want and (0, 2) in got  # cross-batch clone recovered
+    assert {r["doc_id"] for r in new_sigs.collect()} == {2, 3}
