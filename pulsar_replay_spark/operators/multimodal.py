@@ -710,6 +710,44 @@ def audio_fingerprints(
     )
 
 
+def audio_fingerprints_wide(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bits: int = 120,
+    fake: bool = True,
+) -> DataFrame:
+    """(doc_id, sig array<long>): wide audio fingerprints for long clips,
+    where 56 resampled points blur hours of audio into too few sign bits —
+    same ``_audio_fp_bytes`` math (python ints are arbitrary-width), packed
+    into 60-bit words (``dedup.pack_sig_words``) for the multi-word banded
+    join. The multimodal twin of ``dhash_signatures_wide``."""
+    from pulsar_replay_spark.operators.dedup import pack_sig_words
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": [
+                        pack_sig_words(
+                            _audio_fp_bytes(bytes(p), window_ms, hop_ms, bits, fake),
+                            bits,
+                        )
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type").startswith("audio/"))
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema="doc_id long, sig array<long>")
+    )
+
+
 def audio_near_dup_pairs(
     media: DataFrame,
     max_hamming: int = 4,
@@ -722,11 +760,23 @@ def audio_near_dup_pairs(
     fingerprint bits — re-encoded/amplitude-nudged clones collide (energy
     delta signs survive small noise), distinct clips land ~bits/2 apart.
     Candidates come from the pigeonhole banded equi-join; nothing all-pairs
-    ever runs."""
-    from pulsar_replay_spark.operators.dedup import banded_hamming_pairs
+    ever runs. ``bits`` > 60 routes to the multi-word signature path
+    (long-clip corpora: more windows survive the resample, finer block
+    keys — the image family's grid>8 story)."""
+    from pulsar_replay_spark.operators.dedup import (
+        banded_hamming_pairs,
+        banded_hamming_pairs_multi,
+    )
 
-    sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
-    return banded_hamming_pairs(sigs.localCheckpoint(eager=True), max_hamming, bits)
+    if bits <= 60:
+        sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
+        return banded_hamming_pairs(
+            sigs.localCheckpoint(eager=True), max_hamming, bits
+        )
+    sigs = audio_fingerprints_wide(media, window_ms, hop_ms, bits, fake)
+    return banded_hamming_pairs_multi(
+        sigs.localCheckpoint(eager=True), max_hamming, bits
+    )
 
 
 def audio_dedup(
@@ -741,15 +791,23 @@ def audio_dedup(
     ``image_dedup`` shape: near-dup clusters from the banded pairs'
     transitive closure, keeper = min doc_id per cluster
     (``connected_components``' label IS the min member, so keep =
-    (doc_id == cluster_id) with no keeper agg/join)."""
+    (doc_id == cluster_id) with no keeper agg/join). ``bits`` > 60 routes
+    to the multi-word signature path."""
     from pulsar_replay_spark.operators.dedup import (
         banded_hamming_pairs,
+        banded_hamming_pairs_multi,
         connected_components,
     )
 
-    sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
-    sigs = sigs.localCheckpoint(eager=True)
-    cc = connected_components(banded_hamming_pairs(sigs, max_hamming, bits))
+    if bits <= 60:
+        sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
+        sigs = sigs.localCheckpoint(eager=True)
+        pairs = banded_hamming_pairs(sigs, max_hamming, bits)
+    else:
+        sigs = audio_fingerprints_wide(media, window_ms, hop_ms, bits, fake)
+        sigs = sigs.localCheckpoint(eager=True)
+        pairs = banded_hamming_pairs_multi(sigs, max_hamming, bits)
+    cc = connected_components(pairs)
     return (
         sigs.select("doc_id")
         .join(cc, "doc_id", "left")
@@ -775,12 +833,23 @@ def incremental_audio_pairs(
     persisted (doc_id, simhash) store with the banded block join. Returns
     (pairs, new_sigs); old clips are never re-fingerprinted, and
     incremental == full recompute restricted to pairs touching the batch
-    (pinned in tests)."""
-    from pulsar_replay_spark.operators.dedup import incremental_hamming_pairs
+    (pinned in tests). ``bits`` > 60 routes to the multi-word path; the
+    store then holds (doc_id, sig array<long>) rows."""
+    from pulsar_replay_spark.operators.dedup import (
+        incremental_hamming_pairs,
+        incremental_hamming_pairs_multi,
+    )
 
-    new_sigs = audio_fingerprints(new_media, window_ms, hop_ms, bits, fake)
+    if bits <= 60:
+        new_sigs = audio_fingerprints(new_media, window_ms, hop_ms, bits, fake)
+        new_sigs = new_sigs.localCheckpoint(eager=True)
+        pairs = incremental_hamming_pairs(new_sigs, existing_sigs, max_hamming, bits)
+        return pairs, new_sigs
+    new_sigs = audio_fingerprints_wide(new_media, window_ms, hop_ms, bits, fake)
     new_sigs = new_sigs.localCheckpoint(eager=True)
-    pairs = incremental_hamming_pairs(new_sigs, existing_sigs, max_hamming, bits)
+    pairs = incremental_hamming_pairs_multi(
+        new_sigs, existing_sigs, max_hamming, bits
+    )
     return pairs, new_sigs
 
 

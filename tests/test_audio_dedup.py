@@ -189,3 +189,58 @@ def test_incremental_audio_pairs_equals_full_recompute(spark):
 
     doubled = store.unionAll(store)
     assert dedup.compact_simhash_store(doubled).count() == store.count()
+
+
+def test_wide_audio_fingerprints_route_multi_and_match_oracle(spark):
+    """r8 multi-word path: bits=120 fingerprints equal the oracle packed
+    into 60-bit words; the pair set equals the oracle's all-pairs sweep at
+    the wide width; plan stays a hash join; incremental wide probe == full
+    recompute restricted to the batch."""
+    from pulsar_replay_spark.operators.dedup import pack_sig_words
+
+    bits, k = 120, 4
+    base_a, base_b = _clip(11, n_bytes=90_000), _clip(12, n_bytes=90_000)
+    clips = {
+        10: base_a,
+        11: _nudge(base_a, seed=200),
+        20: base_b,
+        30: _clip(15, n_bytes=90_000),
+    }
+    media = _media_df(spark, clips)
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in mm.audio_fingerprints_wide(media, bits=bits).collect()
+    }
+    oracle = {k_: _oracle_audio_fp(v, bits=bits) for k_, v in clips.items()}
+    for d, s in oracle.items():
+        assert sigs[d] == pack_sig_words(s, bits), d
+
+    pairs_df = mm.audio_near_dup_pairs(media, max_hamming=k, bits=bits)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs_df.collect()}
+    want = {}
+    ids = sorted(clips)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(oracle[ids[x]] ^ oracle[ids[y]]).count("1")
+            if h <= k:
+                want[(ids[x], ids[y])] = h
+    assert got == want and (10, 11) in got
+
+    # wide marks: clone loses, distinct clips keep
+    marks = {r["doc_id"]: r.asDict()
+             for r in mm.audio_dedup(media, max_hamming=k, bits=bits).collect()}
+    assert {d for d, m in marks.items() if m["keep"]} == {10, 20, 30}
+
+    # incremental: probe a second batch against the first batch's store
+    store = mm.audio_fingerprints_wide(
+        _media_df(spark, {10: base_a, 20: base_b}), bits=bits
+    )
+    batch2 = _media_df(spark, {11: clips[11], 30: clips[30]})
+    ipairs, new_sigs = mm.incremental_audio_pairs(
+        batch2, store, max_hamming=k, bits=bits
+    )
+    got_inc = {(r["doc_a"], r["doc_b"]) for r in ipairs.collect()}
+    assert got_inc == {p for p in want if 11 in p or 30 in p}
+    assert {r["doc_id"] for r in new_sigs.collect()} == {11, 30}
