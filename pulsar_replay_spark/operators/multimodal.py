@@ -1116,11 +1116,35 @@ def frame_signatures(
     batch (``incremental_frame_pairs`` probes it; the streaming sink lands
     it as batch_id partitions)."""
     items = _frame_items(frames, grid, fake)
-    sigs = dhash_signatures(
-        items.select(F.col("item_id").alias("doc_id"), "width", "height", "thumb"),
-        grid,
-    ).toDF("item_id", "simhash")
+    thumb_side = items.select(
+        F.col("item_id").alias("doc_id"), "width", "height", "thumb"
+    )
+    if grid * (grid - 1) <= 60:
+        sigs = dhash_signatures(thumb_side, grid).toDF("item_id", "simhash")
+    else:  # wide grid: (item_id, sig array<long>) — the multi-word store
+        sigs = dhash_signatures_wide(thumb_side, grid).toDF("item_id", "sig")
     return items.select("item_id", "doc_id", "frame_idx").join(sigs, "item_id")
+
+
+def _frame_raw_pairs(sigs: DataFrame, max_hamming: int, grid: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) over ITEM ids from a frame-signature frame —
+    routes single-long vs multi-word on the grid width (shared by the batch
+    pair/dedup paths)."""
+    from pulsar_replay_spark.operators.dedup import (
+        banded_hamming_pairs,
+        banded_hamming_pairs_multi,
+    )
+
+    bits = grid * (grid - 1)
+    if bits <= 60:
+        return banded_hamming_pairs(
+            sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
+            max_hamming,
+            bits,
+        )
+    return banded_hamming_pairs_multi(
+        sigs.select(F.col("item_id").alias("doc_id"), "sig"), max_hamming, bits
+    )
 
 
 def _decode_frame_pairs(raw: DataFrame, mapping: DataFrame) -> DataFrame:
@@ -1158,15 +1182,10 @@ def frame_near_dup_pairs(
     """(doc_a, frame_a, doc_b, frame_b, hamming): perceptual near-dup frame
     pairs — thumbnails → dHash → ``banded_hamming_pairs`` over the 60-bit
     item ids, decoded back through the id mapping. Raw frame bytes never
-    join or shuffle; everything past the thumbnail kernel is ids + longs."""
-    from pulsar_replay_spark.operators.dedup import banded_hamming_pairs
-
+    join or shuffle; everything past the thumbnail kernel is ids + longs.
+    Grids > 8 route to the multi-word signature path."""
     sigs = frame_signatures(frames, grid, fake).localCheckpoint(eager=True)
-    raw = banded_hamming_pairs(
-        sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
-        max_hamming,
-        grid * (grid - 1),
-    )
+    raw = _frame_raw_pairs(sigs, max_hamming, grid)
     return _decode_frame_pairs(raw, sigs)
 
 
@@ -1186,17 +1205,10 @@ def frame_dedup_perceptual(
     uniform-random member, the right default when no quality score ranks
     frames (any deterministic choice works; stability across reruns is what
     matters, and md5 ids give exactly that)."""
-    from pulsar_replay_spark.operators.dedup import (
-        banded_hamming_pairs,
-        connected_components,
-    )
+    from pulsar_replay_spark.operators.dedup import connected_components
 
     sigs = frame_signatures(frames, grid, fake).localCheckpoint(eager=True)
-    raw = banded_hamming_pairs(
-        sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
-        max_hamming,
-        grid * (grid - 1),
-    )
+    raw = _frame_raw_pairs(sigs, max_hamming, grid)
     cc = connected_components(raw)
     marks = (
         sigs.select("item_id", "doc_id", "frame_idx")
@@ -1238,16 +1250,30 @@ def incremental_frame_pairs(
     rows to append. Old frames are never re-thumbnailed or re-hashed;
     incremental == full recompute restricted to pairs touching the batch
     (pinned in tests). Pair decode joins the union of the store's and the
-    batch's id mappings — ids only."""
-    from pulsar_replay_spark.operators.dedup import incremental_hamming_pairs
-
-    new_sigs = frame_signatures(new_frames, grid, fake).localCheckpoint(eager=True)
-    raw = incremental_hamming_pairs(
-        new_sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
-        existing_sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
-        max_hamming,
-        grid * (grid - 1),
+    batch's id mappings — ids only. Grids > 8 route to the multi-word
+    path; the store then holds (item_id, doc_id, frame_idx, sig
+    array<long>) rows."""
+    from pulsar_replay_spark.operators.dedup import (
+        incremental_hamming_pairs,
+        incremental_hamming_pairs_multi,
     )
+
+    bits = grid * (grid - 1)
+    new_sigs = frame_signatures(new_frames, grid, fake).localCheckpoint(eager=True)
+    if bits <= 60:
+        raw = incremental_hamming_pairs(
+            new_sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
+            existing_sigs.select(F.col("item_id").alias("doc_id"), "simhash"),
+            max_hamming,
+            bits,
+        )
+    else:
+        raw = incremental_hamming_pairs_multi(
+            new_sigs.select(F.col("item_id").alias("doc_id"), "sig"),
+            existing_sigs.select(F.col("item_id").alias("doc_id"), "sig"),
+            max_hamming,
+            bits,
+        )
     mapping = existing_sigs.select("item_id", "doc_id", "frame_idx").unionByName(
         new_sigs.select("item_id", "doc_id", "frame_idx")
     )

@@ -464,3 +464,54 @@ def test_incremental_image_pairs_wide_equals_full_recompute(spark):
     }
     assert got == want and (0, 2) in got  # cross-batch clone recovered
     assert {r["doc_id"] for r in new_sigs.collect()} == {2, 3}
+
+
+def test_frame_pipeline_wide_grid_routes_multi(spark):
+    """Wide-grid frame dedup end-to-end: grid=12 signatures are array<long>
+    rows, nudged clone frames still collapse cross-video, the plan has no
+    cartesian, and the wide incremental probe == full recompute restricted
+    to the batch."""
+    rng = np.random.default_rng(77)
+    base = bytes(rng.integers(0, 256, size=4096).astype(np.uint8))
+    nudged = bytearray(base)
+    for i in range(0, len(nudged), 301):
+        nudged[i] = min(255, nudged[i] + 2)
+    distinct = bytes(rng.integers(0, 256, size=4096).astype(np.uint8))
+    media = spark.createDataFrame(
+        [(1, bytes(base), "video/mp4"), (2, bytes(nudged), "video/mp4"),
+         (3, distinct, "video/mp4")],
+        "doc_id long, payload binary, media_type string",
+    )
+    frames = mm.frame_sample(media, n_frames=3, frame_len=576)  # 24x24 thumbs
+    grid = 12
+
+    sigs = mm.frame_signatures(frames, grid=grid)
+    assert dict(sigs.dtypes)["sig"] == "array<bigint>"
+
+    pairs_df = mm.frame_near_dup_pairs(frames, max_hamming=6, grid=grid)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pairs = {
+        ((r["doc_a"], r["frame_a"]), (r["doc_b"], r["frame_b"]))
+        for r in pairs_df.collect()
+    }
+    for idx in range(3):  # each nudged frame pairs with its original
+        assert ((1, idx), (2, idx)) in pairs or ((2, idx), (1, idx)) in pairs
+    assert not any(3 in (a[0], b[0]) for a, b in pairs)
+
+    marks = mm.frame_dedup_perceptual(frames, max_hamming=6, grid=grid)
+    keep = {(r["doc_id"], r["frame_idx"]): r["keep"] for r in marks.collect()}
+    assert sum(keep.values()) == 6  # 3 clone-pair keepers + 3 distinct frames
+
+    # incremental: probe video 2+3's frames against video 1's store
+    f1 = mm.frame_sample(media.filter("doc_id = 1"), n_frames=3, frame_len=576)
+    f23 = mm.frame_sample(media.filter("doc_id != 1"), n_frames=3, frame_len=576)
+    store = mm.frame_signatures(f1, grid=grid)
+    ipairs, new_sigs = mm.incremental_frame_pairs(f23, store, max_hamming=6, grid=grid)
+    got = {
+        ((r["doc_a"], r["frame_a"]), (r["doc_b"], r["frame_b"]))
+        for r in ipairs.collect()
+    }
+    want = {p for p in pairs if 2 in (p[0][0], p[1][0]) or 3 in (p[0][0], p[1][0])}
+    assert got == want
+    assert new_sigs.count() == 6
