@@ -298,6 +298,40 @@ def _strip_html(markup: str) -> str:
     return txt.strip()
 
 
+_BLOCK_TAG_RE = re.compile(
+    r"(?i)</?(?:p|div|td|th|li|ul|ol|dl|dt|dd|h[1-6]|article|section|header"
+    r"|footer|nav|aside|main|blockquote|pre|table|tr|form|figure|br)\b[^>]*>"
+)
+_A_TEXT_RE = re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+
+
+def extract_main_text(
+    markup: str, min_words: int = 5, max_link_density: float = 0.33
+) -> str:
+    """Density-based main-content extraction (the jusText/Arc90 heuristic,
+    library-free): split the page at block-level tags, score each block by
+    word count and LINK density (words inside ``<a>`` / words), and keep
+    only blocks that read like body text — navigation bars, menus, footers,
+    and related-links chrome are short and link-saturated, so they fall
+    below ``min_words`` or above ``max_link_density``. Same totality
+    contract as ``_strip_html`` (pure regex, never raises); blocks joined
+    with newlines, entities decoded after tag removal."""
+    import html as _html
+
+    txt = _HTML_COMMENT_RE.sub(" ", markup)
+    txt = _SCRIPT_STYLE_RE.sub(" ", txt)
+    kept: list[str] = []
+    for block in _BLOCK_TAG_RE.split(txt):
+        link_words = 0
+        for m in _A_TEXT_RE.finditer(block):
+            link_words += len(_TAG_RE.sub(" ", m.group(1)).split())
+        words = _html.unescape(_TAG_RE.sub(" ", block)).split()
+        n = len(words)
+        if n > 0 and n >= min_words and link_words / n <= max_link_density:
+            kept.append(" ".join(words))
+    return "\n".join(kept)
+
+
 def _dechunk(payload: bytes) -> bytes:
     """Decode HTTP/1.1 chunked transfer encoding; tolerant — if the very
     first size line is unparsable the payload wasn't really chunked and is
@@ -322,7 +356,9 @@ def _dechunk(payload: bytes) -> bytes:
     return b"".join(out)
 
 
-def _http_payload(body: bytes, extract_html: bool = True) -> tuple[str | None, str | None]:
+def _http_payload(
+    body: bytes, extract_html: bool = True, html_mode: str = "strip"
+) -> tuple[str | None, str | None]:
     """One HTTP response message → (text, skip_reason); exactly one is
     non-None. Skips (reason-named, never raised): no header/body split, not
     a status line, non-2xx status, or a content type that isn't text/HTML —
@@ -386,7 +422,9 @@ def _http_payload(body: bytes, extract_html: bool = True) -> tuple[str | None, s
     except LookupError:
         text = payload.decode("utf-8", "replace")
     if extract_html and html_like:
-        text = _strip_html(text)
+        text = (
+            extract_main_text(text) if html_mode == "main" else _strip_html(text)
+        )
     return text, None
 
 
@@ -397,6 +435,7 @@ def read_warc_corpus(
     pattern: str | None = None,
     keep_corrupt: bool = False,
     extract_http: bool = True,
+    html_mode: str = "strip",
 ) -> DataFrame:
     """WARC/WET files → the documents contract.
 
@@ -427,7 +466,7 @@ def read_warc_corpus(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     files = reader.load(path).select("path", "content")
-    return _warc_documents(files, record_types, keep_corrupt, extract_http)
+    return _warc_documents(files, record_types, keep_corrupt, extract_http, html_mode)
 
 
 def stream_warc_corpus(
@@ -438,6 +477,7 @@ def stream_warc_corpus(
     keep_corrupt: bool = False,
     max_files_per_trigger: int | None = None,
     extract_http: bool = True,
+    html_mode: str = "strip",
 ) -> DataFrame:
     """Streaming twin of ``read_warc_corpus``: a WARC/WET drop-folder as a
     STREAMING documents frame (the ``stream_jsonl_corpus`` discipline —
@@ -469,7 +509,7 @@ def stream_warc_corpus(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path", "content")
-    return _warc_documents(files, record_types, keep_corrupt, extract_http)
+    return _warc_documents(files, record_types, keep_corrupt, extract_http, html_mode)
 
 
 def _warc_documents(
@@ -477,9 +517,12 @@ def _warc_documents(
     record_types: tuple[str, ...],
     keep_corrupt: bool,
     extract_http: bool = True,
+    html_mode: str = "strip",
 ) -> DataFrame:
     """Shared batch/streaming tail: the record-splitting Arrow kernel plus
-    the documents-contract projection."""
+    the documents-contract projection. ``html_mode``: "strip" (tag removal
+    only) or "main" (density-based main-content extraction,
+    ``extract_main_text`` — drops nav/menu/footer chrome)."""
     want = tuple(t.lower() for t in record_types)
 
     def run(batches):
@@ -506,7 +549,7 @@ def _warc_documents(
                     if wtype not in want:
                         continue
                     if wtype == "response" and extract_http:
-                        text, skip = _http_payload(body)
+                        text, skip = _http_payload(body, True, html_mode)
                         if skip is not None:
                             continue  # redirect/image/etc: a record, not a doc
                     else:

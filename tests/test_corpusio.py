@@ -590,3 +590,151 @@ def test_jsonl_quarantine_ids_distinguish_null_patterns(spark, tmp_path):
     )
     ids = [r["doc_id"] for r in docs.collect()]
     assert len(ids) == 2 and ids[0] != ids[1]
+
+
+# ---------------------------------------------------------------------------
+# r8: density-based main-content extraction (html_mode="main") — the
+# boilerplate tier above tag-stripping: nav/menu/footer chrome is short and
+# link-saturated, body text is neither.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_main_text(markup: str, min_words: int = 5,
+                      max_link_density: float = 0.33) -> str:
+    """Independent re-derivation with stdlib html.parser (event-driven
+    block building — no shared code with the regex kernel): same block
+    tags, same word/link-word counts, same keep rule."""
+    import html as html_mod
+    from html.parser import HTMLParser
+
+    block_tags = {
+        "p", "div", "td", "th", "li", "ul", "ol", "dl", "dt", "dd",
+        "h1", "h2", "h3", "h4", "h5", "h6", "article", "section", "header",
+        "footer", "nav", "aside", "main", "blockquote", "pre", "table",
+        "tr", "form", "figure", "br",
+    }
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.blocks = [{"words": [], "link_words": 0}]
+            self.in_a = 0
+            self.skip = 0  # script/style depth
+
+        def _cut(self):
+            self.blocks.append({"words": [], "link_words": 0})
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            if tag in block_tags:
+                self._cut()
+            if tag == "a":
+                self.in_a += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self.skip = max(0, self.skip - 1)
+            if tag in block_tags:
+                self._cut()
+            if tag == "a":
+                self.in_a = max(0, self.in_a - 1)
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            ws = html_mod.unescape(data).split()
+            self.blocks[-1]["words"].extend(ws)
+            if self.in_a:
+                self.blocks[-1]["link_words"] += len(ws)
+
+        def handle_entityref(self, name):
+            self.handle_data(html_mod.unescape(f"&{name};"))
+
+        def handle_charref(self, name):
+            self.handle_data(html_mod.unescape(f"&#{name};"))
+
+    p = P()
+    p.feed(markup)
+    kept = []
+    for b in p.blocks:
+        n = len(b["words"])
+        if n > 0 and n >= min_words and b["link_words"] / n <= max_link_density:
+            kept.append(" ".join(b["words"]))
+    return "\n".join(kept)
+
+
+_BOILERPLATE_PAGE = """<html><head><title>t</title>
+<script>nav_init();</script><style>.x{}</style></head><body>
+<nav><a href="/">Home</a> <a href="/news">News</a> <a href="/about">About</a>
+<a href="/contact">Contact</a> <a href="/login">Login</a></nav>
+<div class="menu"><ul><li><a href="/a">Politics</a></li>
+<li><a href="/b">Sports and games</a></li><li><a href="/c">Weather</a></li></ul></div>
+<article><p>The quick brown fox jumps over the lazy dog while seventeen
+researchers watch the experiment unfold with considerable interest.</p>
+<p>A second substantial paragraph follows the first one here, describing
+the methodology in enough words to pass any reasonable density floor. See
+the <a href="/ref">reference</a> for details.</p></article>
+<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a>
+<a href="/imprint">Imprint</a> &copy; 2026 Example Corp</footer>
+</body></html>"""
+
+
+def test_extract_main_text_drops_chrome_keeps_body():
+    from pulsar_replay_spark.sources.corpusio import extract_main_text
+
+    got = extract_main_text(_BOILERPLATE_PAGE)
+    assert "quick brown fox" in got and "methodology" in got
+    for chrome in ("Home", "Login", "Politics", "Weather", "Terms", "Privacy",
+                   "nav_init"):
+        assert chrome not in got, chrome
+    # the in-body link's text survives (low density within a long block)
+    assert "reference" in got
+
+
+def test_extract_main_text_matches_independent_parser_oracle():
+    from pulsar_replay_spark.sources.corpusio import extract_main_text
+
+    pages = [
+        _BOILERPLATE_PAGE,
+        "<p>one two three four five six</p>",
+        "<div><a href=x>all link text here five words</a></div>",
+        "plain text with no markup at all in one run",
+        "<td>cell one has five words</td><td>x</td>",
+        "<p>amp &amp; lt &lt; entities &#65; count as words too</p>",
+    ]
+    for page in pages:
+        assert extract_main_text(page) == _oracle_main_text(page), page[:40]
+
+
+def test_extract_main_text_total_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_replay_spark.sources.corpusio import extract_main_text
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=400))
+    def fuzz(s):
+        assert isinstance(extract_main_text(s), str)
+
+    fuzz()
+
+
+def test_read_warc_corpus_html_mode_main(spark, tmp_path):
+    """End-to-end: html_mode='main' drops the chrome the default strip mode
+    keeps (both modes drop tags/headers)."""
+    import gzip
+
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + _BOILERPLATE_PAGE.encode())
+    rec = _warc_record("response", http, uri="https://x.example/page")
+    (tmp_path / "seg.warc.gz").write_bytes(gzip.compress(rec))
+
+    from pulsar_replay_spark.sources.corpusio import read_warc_corpus
+
+    strip = read_warc_corpus(spark, str(tmp_path)).collect()[0]["text"]
+    main = read_warc_corpus(spark, str(tmp_path), html_mode="main").collect()[0]["text"]
+    assert "Login" in strip and "quick brown fox" in strip  # strip keeps chrome text
+    assert "Login" not in main and "quick brown fox" in main
+    assert "<" not in main and "nav_init" not in main
