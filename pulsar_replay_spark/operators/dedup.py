@@ -300,6 +300,75 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def simhash_multi(docs: DataFrame, bits: int = 120) -> DataFrame:
+    """(doc_id, sig array<long>): SimHash wider than token_hash60's 60
+    bits — word w draws its per-token bit source from an INDEPENDENTLY
+    salted 60-bit token hash (md5 of token + \\x1f + w, the engine's hash
+    discipline), so the words are independent hash functions over the same
+    token multiset, exactly the Charikar construction at any width. Packed
+    for ``banded_hamming_pairs_multi`` (``SIG_WORD_BITS``-bit words; the
+    last word may be partial). Use when the 60-bit ceiling's bits/(k+1)
+    block keys get too coarse for the corpus — the text twin of the
+    perceptual families' wide grids. Widening changes hamming GRANULARITY
+    too: recalibrate ``max_hamming`` (an edit flips ~proportionally many
+    bits)."""
+    if bits <= SIG_WORD_BITS:
+        raise ValueError(
+            f"bits={bits} fits one long — use simhash(docs, bits={bits})"
+        )
+    words = [
+        _simhash_word_expr(
+            F.col("text"), min(SIG_WORD_BITS, bits - lo), lo // SIG_WORD_BITS
+        )
+        for lo in range(0, bits, SIG_WORD_BITS)
+    ]
+    return docs.select("doc_id", F.array(*words).alias("sig"))
+
+
+def _simhash_word_expr(text, bits: int, word_idx: int):
+    """One 60-bit-or-less SimHash word from the word_idx-salted token hash —
+    ``simhash_expr``'s arithmetic with ``token_hash60(token + salt)`` as
+    the bit source (word 0 is NOT the unsalted ``simhash_expr``; the wide
+    signature is its own hash family)."""
+    from pulsar_replay_spark.functions.text import token_hash60, tokens
+
+    salt = F.lit(f"\x1f{word_idx}")
+    hs = F.transform(tokens(text), lambda t: token_hash60(F.concat(t, salt)))
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            weights,
+            lambda a, w: a
+            + F.when(h.bitwiseAND(w) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def simhash_near_pairs_multi(
+    docs: DataFrame, max_hamming: int = 8, bits: int = 120
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs under the wide SimHash —
+    ``simhash_near_pairs`` beyond the 60-bit ceiling, on the shared
+    multi-word banded join. Default radius 8 ≈ the 60-bit family's k=4
+    scaled to double width (hamming grows ~linearly with bits)."""
+    sigs = simhash_multi(docs, bits).localCheckpoint(eager=True)
+    return banded_hamming_pairs_multi(sigs, max_hamming, bits)
+
+
 def simhash_dup_clusters(docs: DataFrame) -> DataFrame:
     """Documents sharing an identical SimHash signature (hamming-0 clusters;
     hamming≤k pairing is ``simhash_near_pairs``)."""

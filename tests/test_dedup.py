@@ -693,3 +693,81 @@ def test_dedup_corpus_serves_from_maintained_labels(spark, documents):
     served = {r.doc_id for r in dedup.dedup_corpus(documents, clusters=labels).select("doc_id").collect()}
     scratch = {r.doc_id for r in dedup.dedup_corpus(documents).select("doc_id").collect()}
     assert served == scratch and served
+
+
+def test_simhash_multi_matches_python_oracle_and_lossless_banding(spark, documents):
+    """r8 wide text SimHash: (1) the salted multi-word signature equals an
+    independent python md5 re-derivation word for word; (2) the multi-word
+    banded pair operator is LOSSLESS — it finds exactly the pairs a
+    brute-force array-XOR hamming scan finds; (3) planted near-dup docs
+    pair under the wide radius; (4) no cartesian in the plan."""
+    import hashlib
+
+    bits, k = 120, 8
+    docs = documents.limit(60)
+
+    def py_sig(text: str) -> list[int]:
+        toks = text.split(" ")
+        words = []
+        for w_idx, lo in enumerate(range(0, bits, 60)):
+            wb = min(60, bits - lo)
+            sums = [0] * wb
+            for t in toks:
+                h = int(hashlib.md5(f"{t}\x1f{w_idx}".encode()).hexdigest()[:15], 16)
+                for j in range(wb):
+                    sums[j] += 1 if (h >> j) & 1 else -1
+            word = 0
+            for j in range(wb):
+                if sums[j] > 0:
+                    word |= 1 << j
+            words.append(word)
+        return words
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got_sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.simhash_multi(docs, bits).collect()
+    }
+    for d, text in rows.items():
+        assert got_sigs[d] == py_sig(text), d
+
+    pairs_df = dedup.simhash_near_pairs_multi(docs, max_hamming=k, bits=bits)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = sorted(map(tuple, pairs_df.collect()))
+
+    def ham(a: list[int], b: list[int]) -> int:
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    ids = sorted(rows)
+    want = sorted(
+        (ids[x], ids[y], ham(got_sigs[ids[x]], got_sigs[ids[y]]))
+        for x in range(len(ids))
+        for y in range(x + 1, len(ids))
+        if ham(got_sigs[ids[x]], got_sigs[ids[y]]) <= k
+    )
+    assert got == want
+
+    # planted: a doc and a one-token-appended near-copy pair up wide. A
+    # single added token flips ~bits·P(|token-sum| small) sign bits, so
+    # scan (deterministically — md5 is fixed) for a suffix within radius
+    # instead of assuming every suffix lands there.
+    body = " ".join(f"word{i}" for i in range(400))
+    suffix = next(
+        s for s in (f"tail{j}" for j in range(50))
+        if ham(py_sig(body), py_sig(body + " " + s)) <= k
+    )
+    far = " ".join(f"other{i}" for i in range(400))
+    assert ham(py_sig(body), py_sig(far)) > k  # distinct docs stay apart
+    base = spark.createDataFrame(
+        [(1, body), (2, body + " " + suffix), (3, far)],
+        "doc_id long, text string",
+    )
+    planted = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs_multi(base, max_hamming=k, bits=bits).collect()
+    }
+    assert (1, 2) in planted and not any(3 in p for p in planted)
+
+    with pytest.raises(ValueError, match="fits one long"):
+        dedup.simhash_multi(docs, bits=60)
