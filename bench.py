@@ -213,6 +213,27 @@ def main() -> None:
                 )
             ),
         )
+
+        # r8: the multi-word banded join (wide 132-bit dHash, grid=12) —
+        # the scale geometry whose 26-bit block keys keep candidates near
+        # the true-pair floor (see wide_sig_probe: 4,000× fewer candidates
+        # than grid=8 at 30k thumbs); benched over the same thumb corpus
+        # the contract row uses so the serving deltas stay attributable.
+        from pulsar_replay_spark.operators import multimodal as mm
+
+        def _wide_pairs():
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            frames = docs.filter(F.col("doc_id") % 3 == 0).select(
+                "doc_id",
+                F.lit(0).alias("frame_idx"),
+                F.encode("text", "UTF-8").alias("frame_bytes"),
+            )
+            thumbs = mm.frame_thumbs(frames, width=12, height=12).select(
+                "doc_id", "width", "height", "thumb"
+            )
+            return mm.image_near_dup_pairs(thumbs, max_hamming=4, grid=12)
+
+        timed("image_near_dup_wide_pairs", lambda: _noop_write(_wide_pairs()))
     except Exception as e:  # noqa: BLE001
         errors["ann_ivf_pq_index"] = f"{type(e).__name__}: {e}"[:400]
 
