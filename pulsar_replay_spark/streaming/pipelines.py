@@ -1595,6 +1595,125 @@ def media_state_compact(
         _fold(src[store], dst[store], label_schema, ["doc_id"])
 
 
+def media_state_expire(
+    spark: SparkSession,
+    state_dir: str,
+    out_dir: str,
+    drop_docs: DataFrame,
+    grid: int = 8,
+    max_hamming: int = 4,
+) -> None:
+    """Deletion ("right to be forgotten") for the media funnel's state:
+    remove ``drop_docs`` (doc_id) from every store under ``state_dir``,
+    writing the surviving state to ``out_dir``.
+
+    Media rows, signature rows, and frame rows are exact anti-join filters.
+    Cluster labels are REBUILT from the retained signatures (banded join →
+    CC, per modality) rather than filtered: a deleted doc can be a
+    cluster's bridge, so correct deletion may SPLIT clusters — and it can
+    be a cluster's keeper, so a surviving member must be promoted. Both
+    fall out of the rebuild for free; a filter would leave orphan labels
+    pointing at the deleted doc (keeperless clusters). The rebuild is
+    corpus-bound — the honest price of exact deletion; run it at takeout
+    cadence, not per ingest. ``grid``/``max_hamming`` must match the
+    sink's knobs (the stores carry single-long signatures at grid ≤ 8).
+
+    Same in-place guard as every store rewriter."""
+    if out_dir.rstrip("/") == state_dir.rstrip("/"):
+        raise ValueError(
+            "out_dir must differ from state_dir: an in-place overwrite "
+            "would read and clobber the same parquet files"
+        )
+    from pulsar_replay_spark.operators.dedup import (
+        banded_hamming_pairs,
+        connected_components,
+    )
+
+    src, dst = _media_state_dirs(state_dir), _media_state_dirs(out_dir)
+    drop = drop_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+
+    def _filtered(path: str, schema: str) -> DataFrame:
+        return read_parquet_or_empty(spark, path, schema).join(
+            drop, "doc_id", "left_anti"
+        )
+
+    def _write(df: DataFrame, out: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    _write(
+        _filtered(src["media"], MEDIA_SCHEMA + ", lane string, batch_id long"),
+        dst["media"],
+    )
+
+    bits = grid * (grid - 1)
+    sig_schema = "doc_id long, simhash long, batch_id long"
+    for fam in ("image", "audio"):
+        kept = _filtered(src[f"{fam}_sigs"], sig_schema).localCheckpoint(eager=True)
+        _write(kept, dst[f"{fam}_sigs"])
+        labels = connected_components(
+            banded_hamming_pairs(
+                kept.select("doc_id", "simhash").distinct(), max_hamming, bits
+            )
+        )
+        _write(labels.withColumn("batch_id", F.lit(0)), dst[f"{fam}_labels"])
+
+    fkept = _filtered(
+        src["frame_sigs"],
+        "item_id long, doc_id long, frame_idx int, simhash long, batch_id long",
+    ).localCheckpoint(eager=True)
+    _write(fkept, dst["frame_sigs"])
+    flabels = connected_components(
+        banded_hamming_pairs(
+            fkept.select(F.col("item_id").alias("doc_id"), "simhash").distinct(),
+            max_hamming,
+            bits,
+        )
+    )
+    _write(flabels.withColumn("batch_id", F.lit(0)), dst["frame_labels"])
+
+
+def curation_state_expire(
+    spark: SparkSession,
+    accepted_dir: str,
+    index_dir: str,
+    out_accepted: str,
+    out_index: str,
+    drop_docs: DataFrame,
+) -> None:
+    """Deletion for the text-curation state (``curation_ingest_sink``):
+    remove ``drop_docs`` from the accepted store AND its band index, so a
+    future ingest of near-identical text is no longer suppressed by the
+    deleted doc (the index row is the suppressor — forgetting the text but
+    keeping its bands would keep rejecting its near-dups forever). Pure
+    anti-join filters: the text sink maintains no cluster labels."""
+    for a, b in ((out_accepted, accepted_dir), (out_index, index_dir)):
+        if a.rstrip("/") == b.rstrip("/"):
+            raise ValueError(
+                "output dirs must differ from store dirs: an in-place "
+                "overwrite would read and clobber the same parquet files"
+            )
+    drop = drop_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    accepted = spark.read.parquet(accepted_dir).join(drop, "doc_id", "left_anti")
+    (
+        accepted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_accepted)
+    )
+    index = spark.read.parquet(index_dir).join(drop, "doc_id", "left_anti")
+    (
+        index.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_index)
+    )
+
+
 def rollup_ewma(
     spark: SparkSession, rollup_dir: str, alpha: float = 0.3
 ) -> DataFrame:

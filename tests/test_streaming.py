@@ -1189,3 +1189,171 @@ def test_warc_dropfolder_to_curated_corpus(spark, tmp_path_factory):
     assert body_a.split()[0] in texts["https://a.example/1"]
     # store invariants hold across segments
     assert accepted.select("_h").distinct().count() == accepted.count()
+
+
+def test_media_state_expire_exact_deletion(spark, tmp_path_factory):
+    """Right-to-be-forgotten for the media funnel: expiring docs removes
+    them from every store, REBUILDS labels so bridge deletions split
+    clusters and keeper deletions promote survivors — served state after
+    expiry must equal one-shot curate_media over the retained corpus."""
+    import os
+    import time
+
+    import numpy as np
+
+    from pulsar_replay_spark.operators import multimodal as mm
+    from pulsar_replay_spark.pipeline import curate_media
+
+    rng = np.random.default_rng(19)
+    png_a, png_b, png_c = _image_chain(rng)  # a-b<=4, b-c<=4, a-c>4: b bridges
+
+    def clip(seed: int) -> bytes:
+        lv = np.cumsum(np.random.default_rng(seed).integers(-40, 41, size=60)) % 200
+        return np.repeat(lv, 100).astype("uint8").tobytes()
+
+    wav_1 = _wav_bytes(clip(4))
+    nudged = bytearray(wav_1)
+    for i in np.random.default_rng(5).integers(100, len(nudged), size=40):
+        nudged[i] = min(255, nudged[i] + 2)
+    wav_2 = bytes(nudged)
+
+    drop = str(tmp_path_factory.mktemp("expire_drop"))
+    files = {"a.png": png_a, "b.png": png_b, "c.png": png_c,
+             "w1.wav": wav_1, "w2.wav": wav_2,
+             "v.mp4": _mp4_bytes(bytes(rng.integers(0, 256, size=1024).astype("uint8")))}
+    now = time.time()
+    for name, payload in files.items():
+        p = os.path.join(drop, name)
+        with open(p, "wb") as fh:
+            fh.write(payload)
+        os.utime(p, (now, now))
+
+    knobs = dict(max_hamming=4, n_frames=3, grid=8, fake=True, frame_len=64)
+    state = str(tmp_path_factory.mktemp("expire_state"))
+    ck = str(tmp_path_factory.mktemp("expire_ck"))
+    pipelines.media_ingest_sink(
+        pipelines.media_dir_stream(spark, drop), state, ck, **knobs
+    ).awaitTermination()
+
+    def cid(payload: bytes) -> int:
+        import hashlib
+
+        return int(hashlib.sha256(payload).hexdigest()[:15], 16)
+
+    # before expiry: the chain is ONE cluster
+    served = pipelines.media_curation_read(spark, state)
+    marks = {r["doc_id"]: r for r in served["image_marks"].collect()}
+    assert marks[cid(png_a)]["cluster_id"] == marks[cid(png_c)]["cluster_id"]
+    keeper_wav = cid(wav_1) if marks is not None else None  # min id wins below
+
+    # expire the bridge image AND whichever wav is the keeper
+    amarks = {r["doc_id"]: r for r in served["audio_marks"].collect()}
+    wav_keeper = next(d for d, m in amarks.items() if m["keep"])
+    wav_survivor = next(d for d, m in amarks.items() if not m["keep"])
+    drop_df = spark.createDataFrame(
+        [(cid(png_b),), (wav_keeper,)], "doc_id long"
+    )
+    out = str(tmp_path_factory.mktemp("expire_out"))
+    pipelines.media_state_expire(spark, state, out, drop_df, grid=8, max_hamming=4)
+
+    after = pipelines.media_curation_read(spark, out)
+    # dropped docs are gone from every served frame
+    gone = {cid(png_b), wav_keeper}
+    for key in ("parsed", "exact_deduped", "image_marks", "audio_marks", "deduped"):
+        ids = {r["doc_id"] for r in after[key].select("doc_id").collect()}
+        assert not (ids & gone), key
+
+    # bridge deletion SPLIT the chain: a and c are separate keepers now
+    m2 = {r["doc_id"]: r for r in after["image_marks"].collect()}
+    assert m2[cid(png_a)]["cluster_id"] != m2[cid(png_c)]["cluster_id"]
+    assert m2[cid(png_a)]["keep"] and m2[cid(png_c)]["keep"]
+    # keeper deletion PROMOTED the surviving clone
+    a2 = {r["doc_id"]: r for r in after["audio_marks"].collect()}
+    assert a2[wav_survivor]["keep"]
+
+    # gold: served-after-expiry == one-shot funnel over the retained corpus
+    retained = mm.read_media_dir(spark, drop)
+    retained = retained.join(drop_df, "doc_id", "left_anti")
+    batch = curate_media(retained, **knobs)
+
+    def rows(df, cols):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    mark_cols = ["doc_id", "cluster_id", "keep"]
+    assert rows(after["image_marks"], mark_cols) == rows(batch["image_marks"], mark_cols)
+    assert rows(after["audio_marks"], mark_cols) == rows(batch["audio_marks"], mark_cols)
+    fcols = ["doc_id", "frame_idx", "cluster_doc", "cluster_frame", "keep"]
+    assert rows(after["frame_marks"], fcols) == rows(batch["frame_marks"], fcols)
+
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.media_state_expire(spark, state, state, drop_df)
+
+
+def test_curation_state_expire_unsuppresses_near_dups(spark, tmp_path_factory):
+    """Expiring an accepted doc removes its text AND its band-index rows,
+    so a later ingest of a near-duplicate is admitted instead of being
+    rejected by a forgotten doc's ghost."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_replay_spark.functions.text import token_count
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+         ("source", pa.string()), ("n_chars", pa.int64())]
+    )
+    body = " ".join(f"tok{i}" for i in range(60))
+    rows0 = [{"doc_id": 1, "text": body, "lang": "en", "source": "s", "n_chars": 1}]
+    rows1 = [{"doc_id": 2, "text": body + " tail", "lang": "en", "source": "s",
+              "n_chars": 1}]
+
+    src = str(tmp_path_factory.mktemp("exp_src"))
+    accepted = str(tmp_path_factory.mktemp("exp_acc"))
+    index = str(tmp_path_factory.mktemp("exp_idx"))
+
+    def score_fn(df):
+        return df.select("doc_id", token_count(F.col("text")).cast("double").alias("score"))
+
+    ck = str(tmp_path_factory.mktemp("exp_ck"))  # ONE checkpoint: the
+    # expired store is resumed against it (source progress carries over)
+
+    def ingest(rows, fname, acc, idx):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), f"{src}/{fname}")
+        pipelines.curation_ingest_sink(
+            pipelines.documents_stream(spark, src), acc, idx,
+            ck, score_fn, threshold=5.0,
+        ).awaitTermination()
+
+    now = time.time()
+    ingest(rows0, "b0.parquet", accepted, index)
+    os.utime(f"{src}/b0.parquet", (now, now))
+
+    # near-dup of doc 1 rejected while doc 1 is remembered
+    ingest(rows1, "b1.parquet", accepted, index)
+    ids = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert ids == {1}
+
+    # forget doc 1 -> re-ingest the near-dup under a fresh id: admitted
+    out_acc = str(tmp_path_factory.mktemp("exp_acc2"))
+    out_idx = str(tmp_path_factory.mktemp("exp_idx2"))
+    pipelines.curation_state_expire(
+        spark, accepted, index, out_acc, out_idx,
+        spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    assert pipelines.read_parquet_or_empty(
+        spark, out_acc, "doc_id long, batch_id long"
+    ).count() == 0  # doc 2 was never accepted (empty store reads via the sinks' helper)
+    rows2 = [{"doc_id": 3, "text": body + " tail", "lang": "en", "source": "s",
+              "n_chars": 1}]
+    ingest(rows2, "b2.parquet", out_acc, out_idx)  # same checkpoint: only b2
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out_acc).collect()}
+    assert 3 in ids2
+
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.curation_state_expire(
+            spark, accepted, index, accepted, out_idx,
+            spark.createDataFrame([(1,)], "doc_id long"),
+        )
