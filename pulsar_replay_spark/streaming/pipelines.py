@@ -1813,6 +1813,87 @@ def semantic_dedup_sink(
     )
 
 
+def semantic_state_expire(
+    spark: SparkSession,
+    corpus_dir: str,
+    verdicts_dir: str,
+    out_corpus: str,
+    out_verdicts: str,
+    drop_vecs: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.6,
+) -> None:
+    """Deletion for the SemDeDup state: remove ``drop_vecs`` (vec_id) from
+    the corpus store and re-verdict ONLY the cells they lived in — the
+    ``incremental_semantic_dedup`` argument run backwards: removing a
+    vector can flip its cell-mates drop→keep (their dominator left), and
+    with frozen centroids the recompute over the cell's retained members
+    reproduces the from-scratch verdicts exactly; every other cell is
+    untouched by cell independence. Unlike the media-label rebuild this is
+    AFFECTED-CELL-bound, not corpus-bound — SemDeDup deletion is cheap.
+
+    The output verdict store is written compacted (one winner row per
+    retained vec_id, original batch_id kept for untouched rows). Same
+    in-place guard as every store rewriter."""
+    for a, b in ((out_corpus, corpus_dir), (out_verdicts, verdicts_dir)):
+        if a.rstrip("/") == b.rstrip("/"):
+            raise ValueError(
+                "output dirs must differ from store dirs: an in-place "
+                "overwrite would read and clobber the same parquet files"
+            )
+    from pulsar_replay_spark.operators.similarity import semantic_dedup
+
+    drop = drop_vecs.select("vec_id").distinct().localCheckpoint(eager=True)
+    corpus = read_parquet_or_empty(
+        spark, corpus_dir, "vec_id long, embedding array<float>, batch_id long"
+    )
+    retained = corpus.join(drop, "vec_id", "left_anti").localCheckpoint(eager=True)
+    (
+        retained.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_corpus)
+    )
+
+    current = read_semantic_verdicts(spark, verdicts_dir)
+    store = read_parquet_or_empty(
+        spark,
+        verdicts_dir,
+        "vec_id long, cell_id int, centroid_sim double, keep boolean, batch_id long",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
+    winners = (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    affected = (
+        current.join(drop, "vec_id", "semi").select("cell_id").distinct()
+    ).localCheckpoint(eager=True)
+    untouched = winners.join(drop, "vec_id", "left_anti").join(
+        affected, "cell_id", "left_anti"
+    )
+    members = (
+        current.join(affected, "cell_id", "semi")
+        .join(drop, "vec_id", "left_anti")
+        .select("vec_id")
+    )
+    redone = semantic_dedup(
+        retained.join(members, "vec_id", "semi").select("vec_id", "embedding"),
+        threshold=threshold,
+        centroids=centroids,
+    ).withColumn("batch_id", F.lit(0))
+    (
+        untouched.unionByName(redone)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_verdicts)
+    )
+
+
 def read_semantic_verdicts(
     spark: SparkSession, verdicts_dir: str, exclude_batch_id: int | None = None
 ) -> DataFrame:

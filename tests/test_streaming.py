@@ -1357,3 +1357,75 @@ def test_curation_state_expire_unsuppresses_near_dups(spark, tmp_path_factory):
             spark, accepted, index, accepted, out_idx,
             spark.createDataFrame([(1,)], "doc_id long"),
         )
+
+
+def test_semantic_state_expire_restores_dominated_and_matches_fresh(spark, tmp_path_factory):
+    """SemDeDup deletion: dropping vectors re-verdicts ONLY their cells —
+    a dominated vector whose dominator is forgotten flips back to keep,
+    untouched cells keep their rows verbatim, and the expired store equals
+    a from-scratch semantic_dedup over the retained corpus."""
+    from pulsar_replay_spark.operators import similarity
+
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # plant exact clones (vec_id + 100000): identical vectors always
+    # dominate within their cell, guaranteeing keep=false rows to restore
+    emb = base.select("vec_id", "embedding").unionByName(
+        base.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+        )
+    ).localCheckpoint(eager=True)
+    cents = similarity.kmeans_refine(emb, 16, n_iter=1).localCheckpoint(eager=True)
+
+    corpus_dir = str(tmp_path_factory.mktemp("sem_corpus"))
+    verdicts_dir = str(tmp_path_factory.mktemp("sem_verdicts"))
+    (
+        emb.select("vec_id", "embedding").withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(corpus_dir)
+    )
+    verdicts = similarity.semantic_dedup(emb, centroids=cents).localCheckpoint(
+        eager=True
+    )
+    (
+        verdicts.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(verdicts_dir)
+    )
+
+    # pick a dropped vector and forget every keeper in its cell that
+    # dominates it — the minimal "dominator leaves" scenario is simplest
+    # as: forget ALL keepers of one cell that has drops; survivors of that
+    # cell must then contain at least one restored keep=true row
+    by_cell = {}
+    for r in verdicts.collect():
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    cell, rows = next(
+        (c, rs) for c, rs in sorted(by_cell.items())
+        if any(not r["keep"] for r in rs) and any(r["keep"] for r in rs)
+    )
+    dropped_keepers = [r["vec_id"] for r in rows if r["keep"]]
+    survivor_drops = [r["vec_id"] for r in rows if not r["keep"]]
+    drop_df = spark.createDataFrame([(v,) for v in dropped_keepers], "vec_id long")
+
+    out_corpus = str(tmp_path_factory.mktemp("sem_corpus_out"))
+    out_verdicts = str(tmp_path_factory.mktemp("sem_verdicts_out"))
+    pipelines.semantic_state_expire(
+        spark, corpus_dir, verdicts_dir, out_corpus, out_verdicts, drop_df, cents
+    )
+
+    served = pipelines.read_semantic_verdicts(spark, out_verdicts)
+    got = {r["vec_id"]: (r["cell_id"], r["keep"]) for r in served.collect()}
+    assert not (set(got) & set(dropped_keepers))  # forgotten rows gone
+    # at least one formerly-dominated survivor is restored to keep
+    assert any(got[v][1] for v in survivor_drops if v in got)
+
+    # gold: expired == from-scratch over the retained corpus
+    retained = emb.join(drop_df, "vec_id", "left_anti")
+    fresh = {
+        r["vec_id"]: (r["cell_id"], r["keep"])
+        for r in similarity.semantic_dedup(retained, centroids=cents).collect()
+    }
+    assert got == fresh
+
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.semantic_state_expire(
+            spark, corpus_dir, verdicts_dir, corpus_dir, out_verdicts, drop_df, cents
+        )
