@@ -1288,6 +1288,12 @@ def media_ingest_sink(
     from pulsar_replay_spark.operators.dedup import cluster_label_deltas
     from pulsar_replay_spark.pipeline import media_parse_gate
 
+    if grid * (grid - 1) > 60:
+        raise ValueError(
+            f"grid={grid} needs multi-word (array<long>) signatures, but the "
+            "streaming stores' schemas are single-long; keep grid <= 8 in the "
+            "sink (the batch family routes wide grids automatically)"
+        )
     dirs = _media_state_dirs(state_dir)
 
     def _write(df: DataFrame, batch_id: int, path: str) -> None:
@@ -1629,6 +1635,11 @@ def media_state_expire(
         connected_components,
     )
 
+    if grid * (grid - 1) > 60:
+        raise ValueError(
+            f"grid={grid} needs multi-word signatures; the funnel stores are "
+            "single-long (grid <= 8)"
+        )
     src, dst = _media_state_dirs(state_dir), _media_state_dirs(out_dir)
     drop = drop_docs.select("doc_id").distinct().localCheckpoint(eager=True)
 

@@ -1429,3 +1429,17 @@ def test_semantic_state_expire_restores_dominated_and_matches_fresh(spark, tmp_p
         pipelines.semantic_state_expire(
             spark, corpus_dir, verdicts_dir, corpus_dir, out_verdicts, drop_df, cents
         )
+
+
+def test_media_sink_and_expire_reject_wide_grids(spark, tmp_path_factory):
+    """The streaming stores are single-long; a wide grid must be refused
+    up front (the batch family routes wide grids automatically)."""
+    base = str(tmp_path_factory.mktemp("wide_guard"))
+    stream = spark.readStream.schema(pipelines.MEDIA_SCHEMA).parquet(base)
+    with pytest.raises(ValueError, match="multi-word"):
+        pipelines.media_ingest_sink(stream, f"{base}/state", f"{base}/ck", grid=12)
+    with pytest.raises(ValueError, match="multi-word"):
+        pipelines.media_state_expire(
+            spark, f"{base}/state", f"{base}/out",
+            spark.createDataFrame([(1,)], "doc_id long"), grid=12,
+        )
