@@ -248,7 +248,7 @@ def incremental_minhash_pairs(
     return pairs, nb
 
 
-def simhash_expr(text, bits: int = SIMHASH_BITS) -> "F.Column":
+def simhash_expr(text, bits: int = SIMHASH_BITS, salt: str | None = None) -> "F.Column":
     """``bits``-wide SimHash as a single shuffle-free expression: bit j of the
     signature is the sign of Σ_tokens (2·bit_j(h(token)) − 1).
 
@@ -258,8 +258,17 @@ def simhash_expr(text, bits: int = SIMHASH_BITS) -> "F.Column":
     so per-bit aggregates would re-md5 every token 16×). A per-doc
     signature needs no explode/groupBy — the aggregation formulation costs
     a full corpus shuffle for the same arithmetic and forces every consumer
-    (``doc_profile``'s one-scan featurization) into a doc_id join."""
-    hs = F.transform(tokens(text), lambda t: token_hash60(t))
+    (``doc_profile``'s one-scan featurization) into a doc_id join.
+
+    ``salt`` (the multi-word family's lever) switches the per-token bit
+    source to ``token_hash60(token + salt)`` — an independent hash function
+    over the same token multiset; the arithmetic is shared so the wide
+    family can never drift from this contract-pinned expression."""
+    if salt is None:
+        hs = F.transform(tokens(text), lambda t: token_hash60(t))
+    else:
+        s = F.lit(salt)
+        hs = F.transform(tokens(text), lambda t: token_hash60(F.concat(t, s)))
     if not 1 <= bits <= 60:  # token_hash60 supplies 60 usable bits
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     weights = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
@@ -326,36 +335,10 @@ def simhash_multi(docs: DataFrame, bits: int = 120) -> DataFrame:
 
 
 def _simhash_word_expr(text, bits: int, word_idx: int):
-    """One 60-bit-or-less SimHash word from the word_idx-salted token hash —
-    ``simhash_expr``'s arithmetic with ``token_hash60(token + salt)`` as
-    the bit source (word 0 is NOT the unsalted ``simhash_expr``; the wide
-    signature is its own hash family)."""
-    from pulsar_replay_spark.functions.text import token_hash60, tokens
-
-    salt = F.lit(f"\x1f{word_idx}")
-    hs = F.transform(tokens(text), lambda t: token_hash60(F.concat(t, salt)))
-    weights = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
-    sums = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            weights,
-            lambda a, w: a
-            + F.when(h.bitwiseAND(w) != 0, F.lit(1).cast("long")).otherwise(
-                F.lit(-1).cast("long")
-            ),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            sums,
-            weights,
-            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    """One 60-bit-or-less SimHash word from the word_idx-salted token hash
+    (word 0 is NOT the unsalted ``simhash_expr``; the wide signature is its
+    own hash family)."""
+    return simhash_expr(text, bits, salt=f"\x1f{word_idx}")
 
 
 def simhash_near_pairs_multi(

@@ -94,21 +94,7 @@ def read_media_dir(
         reader = reader.option("pathGlobFilter", pattern)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    df = reader.load(path)
-    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1))
-    mime = F.create_map(
-        *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
-    )
-    out = df.select(
-        F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 15), 16, 10)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("payload"),
-        F.coalesce(mime[ext], F.lit("application/octet-stream")).alias("media_type"),
-        F.octet_length(F.col("content")).alias("byte_len"),
-        F.sha2(F.col("content"), 256).alias("sha256"),
-        F.col("path").alias("source_path"),
-    )
+    out = media_contract_projection(reader.load(path))
     if not dedupe_content:
         return out
     from pyspark.sql.window import Window
@@ -118,6 +104,30 @@ def read_media_dir(
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def media_contract_projection(files: DataFrame) -> DataFrame:
+    """(path, content) → the media-row contract (doc_id, payload,
+    media_type, byte_len, sha256, source_path) — THE id-derivation contract
+    (60-bit content-sha256 slice, ``_EXT_MIME`` extension hint), shared by
+    batch ``read_media_dir`` and the streaming ``media_dir_stream`` so
+    their ids can never fork (the streaming funnel's exact-dedup absorption
+    equality rests on it). Pure projection: valid on batch and streaming
+    frames alike."""
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1))
+    mime = F.create_map(
+        *[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv]
+    )
+    return files.select(
+        F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.coalesce(mime[ext], F.lit("application/octet-stream")).alias("media_type"),
+        F.octet_length(F.col("content")).alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        F.col("path").alias("source_path"),
     )
 
 
@@ -162,11 +172,26 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 return [*means.tolist(), *stds.tolist(), lum, aspect][:FEATURE_DIM]
 
         for pdf in batches:
-            decode = _fake_decode if fake else real_decode
+            if fake:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "feature": [_fake_decode(bytes(p)) for p in pdf["payload"]],
+                    }
+                )
+                continue
+            ids, feats = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                # undecodable bytes skip the row, never fail the task
+                try:
+                    feats.append(real_decode(bytes(p)))
+                    ids.append(doc_id)
+                except Exception:
+                    continue
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "feature": [decode(bytes(p)) for p in pdf["payload"]],
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "feature": pd.Series(feats, dtype="object"),
                 }
             )
 
@@ -358,20 +383,31 @@ def frame_sample(
                     with tempfile.NamedTemporaryFile(suffix=".mp4") as tf:
                         tf.write(bytes(payload))
                         tf.flush()
-                        probe = subprocess.run(
-                            ["ffprobe", "-v", "error", "-show_entries",
-                             "format=duration", "-of", "csv=p=0", tf.name],
-                            capture_output=True, text=True, check=True,
-                        )
-                        dur_ms = int(float(probe.stdout.strip()) * 1000)
-                        for i in range(n_frames):
-                            off = (i * dur_ms) // n_frames
-                            frame = subprocess.run(
-                                ["ffmpeg", "-v", "error", "-ss", f"{off / 1000:.3f}",
-                                 "-i", tf.name, "-frames:v", "1", "-f", "image2",
-                                 "-c:v", "png", "pipe:1"],
-                                capture_output=True, check=True,
-                            ).stdout
+                        # undecodable payloads (the gate's passthrough lane
+                        # is deliberately unverified) skip the DOC, never
+                        # fail the task — one corrupt clip in 100 TB must
+                        # not abort the funnel
+                        try:
+                            probe = subprocess.run(
+                                ["ffprobe", "-v", "error", "-show_entries",
+                                 "format=duration", "-of", "csv=p=0", tf.name],
+                                capture_output=True, text=True, check=True,
+                            )
+                            dur_ms = int(float(probe.stdout.strip()) * 1000)
+                            doc_frames = []
+                            for i in range(n_frames):
+                                off = (i * dur_ms) // n_frames
+                                frame = subprocess.run(
+                                    ["ffmpeg", "-v", "error", "-ss",
+                                     f"{off / 1000:.3f}",
+                                     "-i", tf.name, "-frames:v", "1", "-f",
+                                     "image2", "-c:v", "png", "pipe:1"],
+                                    capture_output=True, check=True,
+                                ).stdout
+                                doc_frames.append((i, off, frame))
+                        except (subprocess.CalledProcessError, ValueError):
+                            continue
+                        for i, off, frame in doc_frames:
                             out["doc_id"].append(doc_id)
                             out["frame_idx"].append(i)
                             out["offset_ms"].append(off)
@@ -429,12 +465,25 @@ def resize_thumbnail(
         npx = width * height
         for pdf in batches:
             if not fake:
-                thumbs = []
-                for p in pdf["payload"]:
-                    img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
-                    thumbs.append(img.resize((width, height)).tobytes())
+                thumbs, ids = [], []
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                    # undecodable bytes (corrupt jpeg in the unverified
+                    # passthrough lane) skip the ROW, never fail the task;
+                    # rows with no thumb produce no signature downstream
+                    # and survive dedup as keepers — the conservative call
+                    try:
+                        img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
+                        thumbs.append(img.resize((width, height)).tobytes())
+                        ids.append(doc_id)
+                    except Exception:
+                        continue
                 yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"], "width": width, "height": height, "thumb": thumbs}
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "width": width,
+                        "height": height,
+                        "thumb": pd.Series(thumbs, dtype="object"),
+                    }
                 )
                 continue
             thumbs = []

@@ -161,24 +161,54 @@ _VERIFIABLE_CONTAINERS = ("image/png", "audio/wav", "video/mp4")
 def media_parse_gate(media: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(parsed, passthrough): the media funnel's admission gate, shared by
     the one-shot ``curate_media`` and the streaming ``media_ingest_sink``
-    so both admit EXACTLY the same rows. ``parsed`` = verifiable-container
-    rows whose headers parse (corrupt blobs leave here); ``passthrough`` =
+    so both admit EXACTLY the same rows. ``parsed`` = rows whose sniffed
+    headers parse (corrupt blobs leave here) — including unrecognized
+    media_types (e.g. an extensionless PNG) whose magic bytes verify, with
+    media_type repaired from the sniffed container; ``passthrough`` =
     recognized media types the header decoder has no parser for
     (jpeg/gif/webm/…) — their own accounted lane, never conflated with
     corrupt blobs. Row-local per doc: the gate commutes with any batching,
     which is what makes the streaming twin exactly equal."""
     from pulsar_replay_spark.operators import multimodal as mm
 
-    ok_ids = mm.parse_media_headers(media).filter(F.col("parse_ok")).select("doc_id")
-    verifiable = media.filter(F.col("media_type").isin(*_VERIFIABLE_CONTAINERS))
-    parsed = verifiable.join(ok_ids, "doc_id", "left_semi")
+    recognized = (
+        F.col("media_type").startswith("image/")
+        | F.col("media_type").startswith("audio/")
+        | F.col("media_type").startswith("video/")
+    )
     passthrough = media.filter(
-        ~F.col("media_type").isin(*_VERIFIABLE_CONTAINERS)
-        & (
-            F.col("media_type").startswith("image/")
-            | F.col("media_type").startswith("audio/")
-            | F.col("media_type").startswith("video/")
+        ~F.col("media_type").isin(*_VERIFIABLE_CONTAINERS) & recognized
+    )
+    # Everything else — verifiable containers AND unrecognized media_types —
+    # is admitted by CONTENT: media_type is a routing hint only
+    # (read_media_dir's contract), so an extensionless PNG whose magic bytes
+    # sniff fine belongs in `parsed`, not the corrupt lane. The passthrough
+    # lane skips the header kernel entirely (its result was never consulted
+    # for those rows — no full-payload Arrow pass wasted on them).
+    candidates = media.filter(
+        F.col("media_type").isin(*_VERIFIABLE_CONTAINERS) | ~recognized
+    )
+    sniffed_ok = (
+        mm.parse_media_headers(candidates)
+        .filter(F.col("parse_ok"))
+        .select("doc_id", "container")
+    )
+    sniffed_mime = (
+        F.when(F.col("container") == "png", F.lit("image/png"))
+        .when(F.col("container") == "wav", F.lit("audio/wav"))
+        .when(F.col("container") == "mp4", F.lit("video/mp4"))
+    )
+    # doc_id is the media contract's unique key (content-hash, deduped at
+    # ingest), so this inner join is 1:1 admission. Rows admitted by sniff
+    # alone get media_type repaired from the container so the downstream
+    # prefix-keyed stages (thumbnails, fingerprints, frames) cover them.
+    parsed = (
+        candidates.join(sniffed_ok, "doc_id")
+        .withColumn(
+            "media_type",
+            F.when(recognized, F.col("media_type")).otherwise(sniffed_mime),
         )
+        .drop("container")
     )
     return parsed, passthrough
 

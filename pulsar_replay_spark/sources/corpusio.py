@@ -396,10 +396,23 @@ def _http_payload(
         payload = _dechunk(payload)
     coding = headers.get("content-encoding", "").lower()
     if coding in ("gzip", "x-gzip") or payload[:2] == b"\x1f\x8b":
+        # truncated streams raise EOFError and corrupt deflate data raises
+        # zlib.error — neither is an OSError, and both are routine in crawl
+        # data, so the totality contract must absorb all three
         try:
             payload = gzip.decompress(payload)
-        except OSError:
-            pass  # stored un-encoded despite the header: keep the raw bytes
+        except (OSError, EOFError, zlib.error):
+            if payload[:2] == b"\x1f\x8b":
+                # a real-but-damaged gzip stream (cut off mid-transfer):
+                # salvage the decompressible prefix rather than emit
+                # compressed bytes as text
+                try:
+                    got = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(payload)
+                    if got:
+                        payload = got
+                except zlib.error:
+                    pass
+            # else: stored un-encoded despite the header — keep raw bytes
     elif coding == "deflate":
         try:
             payload = zlib.decompress(payload)
@@ -527,6 +540,7 @@ def _warc_documents(
 
     def run(batches):
         import gzip
+        import zlib
 
         import pandas as pd
 
@@ -535,9 +549,12 @@ def _warc_documents(
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
                 if raw[:2] == b"\x1f\x8b":
+                    # EOFError (truncated member, e.g. a half-copied
+                    # drop-folder file) and zlib.error (corrupt deflate)
+                    # escape an OSError-only handler and would fail the task
                     try:
                         raw = gzip.decompress(raw)  # handles multi-member
-                    except OSError as e:
+                    except (OSError, EOFError, zlib.error) as e:
                         out["text"].append(None)
                         out["lang"].append(None)
                         out["source"].append(fpath)

@@ -1199,7 +1199,7 @@ def media_dir_stream(
     routing hint, contract columns), one file-listing micro-batch at a
     time. Content-hash ids mean a re-dropped identical file is the SAME
     doc_id — the sink's exact stage absorbs it instead of forking state."""
-    from pulsar_replay_spark.operators.multimodal import _EXT_MIME
+    from pulsar_replay_spark.operators.multimodal import media_contract_projection
 
     reader = spark.readStream.format("binaryFile").schema(
         "path string, modificationTime timestamp, length long, content binary"
@@ -1208,19 +1208,7 @@ def media_dir_stream(
         reader = reader.option("pathGlobFilter", pattern)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load(path)
-    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1))
-    mime = F.create_map(*[F.lit(x) for kv in sorted(_EXT_MIME.items()) for x in kv])
-    return df.select(
-        F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 15), 16, 10)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("payload"),
-        F.coalesce(mime[ext], F.lit("application/octet-stream")).alias("media_type"),
-        F.octet_length(F.col("content")).alias("byte_len"),
-        F.sha2(F.col("content"), 256).alias("sha256"),
-        F.col("path").alias("source_path"),
-    )
+    return media_contract_projection(reader.load(path))
 
 
 def _media_state_dirs(state_dir: str) -> dict:
@@ -1671,7 +1659,12 @@ def media_state_expire(
                 kept.select("doc_id", "simhash").distinct(), max_hamming, bits
             )
         )
-        _write(labels.withColumn("batch_id", F.lit(0)), dst[f"{fam}_labels"])
+        # reserved batch_id=-1 (the compactor convention): a sink resumed
+        # against out_dir with a FRESH checkpoint starts at micro-batch 0,
+        # whose retry guard excludes batch_id=0 and whose dynamic overwrite
+        # replaces that partition — rebuilt labels under 0 would be hidden
+        # then wiped; -1 can never collide with a real micro-batch id
+        _write(labels.withColumn("batch_id", F.lit(-1)), dst[f"{fam}_labels"])
 
     fkept = _filtered(
         src["frame_sigs"],
@@ -1685,7 +1678,7 @@ def media_state_expire(
             bits,
         )
     )
-    _write(flabels.withColumn("batch_id", F.lit(0)), dst["frame_labels"])
+    _write(flabels.withColumn("batch_id", F.lit(-1)), dst["frame_labels"])
 
 
 def curation_state_expire(
@@ -1891,11 +1884,14 @@ def semantic_state_expire(
         .join(drop, "vec_id", "left_anti")
         .select("vec_id")
     )
+    # reserved batch_id=-1: a fresh-checkpoint resume's first micro-batch is
+    # 0 — its retry guard would hide re-verdicts stored under 0 and its
+    # dynamic overwrite would then wipe them (see media_state_expire)
     redone = semantic_dedup(
         retained.join(members, "vec_id", "semi").select("vec_id", "embedding"),
         threshold=threshold,
         centroids=centroids,
-    ).withColumn("batch_id", F.lit(0))
+    ).withColumn("batch_id", F.lit(-1))
     (
         untouched.unionByName(redone)
         .write.mode("overwrite")

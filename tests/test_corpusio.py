@@ -347,6 +347,18 @@ def test_read_warc_corpus_quarantines_corrupt_tail(spark, tmp_path):
     got = corpusio.read_warc_corpus(spark, str(tmp_path), keep_corrupt=True).collect()
     assert len(got) == 1 and "truncated body" in got[0]["corrupt"]
 
+    # a half-copied .warc.gz (truncated gzip raises EOFError, not OSError)
+    # quarantines as the file's gzip row instead of failing the task
+    import gzip
+
+    whole = gzip.compress(_warc_record("conversion", b"doomed doc"))
+    (tmp_path / "broken.warc").unlink()
+    (tmp_path / "half.warc.gz").write_bytes(whole[: len(whole) // 2])
+    got = corpusio.read_warc_corpus(spark, str(tmp_path), keep_corrupt=True).collect()
+    q = [r for r in got if r["corrupt"] is not None]
+    assert len(q) == 1 and q[0]["corrupt"].startswith("gzip:")
+    assert q[0]["source"].endswith("half.warc.gz")
+
 
 def test_split_warc_records_never_raises_on_fuzz():
     """The splitter is total: any byte string yields (records, reason) —
@@ -532,11 +544,19 @@ def test_http_payload_is_total_on_fuzz():
 
     fuzz()
 
+    import gzip as _gzip
+
+    whole = _gzip.compress(b"cut off mid transfer " * 20)
     # seeded structured cases the random fuzz rarely hits
     for body in (
         b"HTTP/1.1 200 OK\r\n\r\n",
         b"HTTP/1.1 twohundred OK\r\n\r\nx",
         b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip",
+        # truncated gzip raises EOFError, corrupt deflate zlib.error —
+        # neither is an OSError; both must degrade, never fail the task
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + whole[: len(whole) // 2],
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + whole[:12] + bytes(64) + whole[12:],
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nx",
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=bogus-enc\r\n\r\nhi",
         b"\n\n",

@@ -204,6 +204,7 @@ def test_curate_media_funnel(spark):
         struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
         + bytes(rng.integers(0, 256, size=2048).astype(np.uint8))
     )
+    png_d = png_hdr + bytes(rng.integers(0, 256, size=1024).astype(np.uint8))
     rows = [
         (1, "image/png", png_a),
         (2, "image/png", png_b),     # perceptual dup of 1
@@ -211,6 +212,10 @@ def test_curate_media_funnel(spark):
         (4, "image/png", png_c),     # distinct image
         (5, "video/mp4", mp4),
         (6, "video/mp4", b"\xde\xad\xbe\xef garbage"),  # unparseable
+        # extensionless valid PNG: media_type is a routing HINT — the gate
+        # must admit by sniffed magic bytes and repair the media_type so
+        # the prefix-keyed image stages cover it
+        (7, "application/octet-stream", png_d),
     ]
     media = spark.createDataFrame(
         rows, "doc_id long, media_type string, payload binary"
@@ -221,21 +226,24 @@ def test_curate_media_funnel(spark):
     )
     out = curate_media(media, max_hamming=4, n_frames=3, grid=8)
 
-    assert {r.doc_id for r in out["parsed"].select("doc_id").collect()} == {1, 2, 3, 4, 5}
-    assert {r.doc_id for r in out["exact_deduped"].select("doc_id").collect()} == {1, 2, 4, 5}
+    assert {r.doc_id for r in out["parsed"].select("doc_id").collect()} == {1, 2, 3, 4, 5, 7}
+    repaired = {r["doc_id"]: r["media_type"] for r in out["parsed"].collect()}
+    assert repaired[7] == "image/png" and repaired[5] == "video/mp4"
+    assert {r.doc_id for r in out["exact_deduped"].select("doc_id").collect()} == {1, 2, 4, 5, 7}
     marks = {r["doc_id"]: r for r in out["image_marks"].collect()}
     assert marks[1]["cluster_id"] == marks[2]["cluster_id"] == 1
     assert marks[1]["keep"] and not marks[2]["keep"]
     assert marks[4]["keep"] and marks[4]["cluster_id"] == 4
-    assert {r.doc_id for r in out["deduped"].select("doc_id").collect()} == {1, 4, 5}
+    assert marks[7]["keep"] and marks[7]["cluster_id"] == 7
+    assert {r.doc_id for r in out["deduped"].select("doc_id").collect()} == {1, 4, 5, 7}
 
     fm = out["frame_marks"].collect()
     assert {(r["doc_id"]) for r in fm} == {5} and len(fm) == 3
     assert out["frames_kept"].count() >= 1
 
     rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
-    assert rep["input"] == 6 and rep["parsed"] == 5
-    assert rep["exact_deduped"] == 4 and rep["image_deduped"] == 3
+    assert rep["input"] == 7 and rep["parsed"] == 6
+    assert rep["exact_deduped"] == 5 and rep["image_deduped"] == 4
     assert rep["frames"] == 3 and rep["frames_kept"] == out["frames_kept"].count()
     # monotone funnel over the doc stages
     assert rep["input"] >= rep["parsed"] >= rep["exact_deduped"] >= rep["image_deduped"]

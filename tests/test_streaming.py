@@ -1212,14 +1212,21 @@ def test_media_state_expire_exact_deletion(spark, tmp_path_factory):
         return np.repeat(lv, 100).astype("uint8").tobytes()
 
     wav_1 = _wav_bytes(clip(4))
-    nudged = bytearray(wav_1)
-    for i in np.random.default_rng(5).integers(100, len(nudged), size=40):
-        nudged[i] = min(255, nudged[i] + 2)
-    wav_2 = bytes(nudged)
+
+    def nudge(base: bytes, seed: int) -> bytes:
+        arr = bytearray(base)
+        for i in np.random.default_rng(seed).integers(100, len(arr), size=40):
+            arr[i] = min(255, arr[i] + 2)
+        return bytes(arr)
+
+    # THREE clones: deleting the keeper must leave a surviving PAIR, so the
+    # rebuilt audio label store is provably non-empty (and exactly one
+    # survivor is promoted)
+    wav_2, wav_3 = nudge(wav_1, 5), nudge(wav_1, 11)
 
     drop = str(tmp_path_factory.mktemp("expire_drop"))
     files = {"a.png": png_a, "b.png": png_b, "c.png": png_c,
-             "w1.wav": wav_1, "w2.wav": wav_2,
+             "w1.wav": wav_1, "w2.wav": wav_2, "w3.wav": wav_3,
              "v.mp4": _mp4_bytes(bytes(rng.integers(0, 256, size=1024).astype("uint8")))}
     now = time.time()
     for name, payload in files.items():
@@ -1249,7 +1256,8 @@ def test_media_state_expire_exact_deletion(spark, tmp_path_factory):
     # expire the bridge image AND whichever wav is the keeper
     amarks = {r["doc_id"]: r for r in served["audio_marks"].collect()}
     wav_keeper = next(d for d, m in amarks.items() if m["keep"])
-    wav_survivor = next(d for d, m in amarks.items() if not m["keep"])
+    wav_survivors = [d for d, m in amarks.items() if not m["keep"]]
+    assert len(wav_survivors) == 2
     drop_df = spark.createDataFrame(
         [(cid(png_b),), (wav_keeper,)], "doc_id long"
     )
@@ -1267,9 +1275,9 @@ def test_media_state_expire_exact_deletion(spark, tmp_path_factory):
     m2 = {r["doc_id"]: r for r in after["image_marks"].collect()}
     assert m2[cid(png_a)]["cluster_id"] != m2[cid(png_c)]["cluster_id"]
     assert m2[cid(png_a)]["keep"] and m2[cid(png_c)]["keep"]
-    # keeper deletion PROMOTED the surviving clone
+    # keeper deletion PROMOTED exactly one surviving clone
     a2 = {r["doc_id"]: r for r in after["audio_marks"].collect()}
-    assert a2[wav_survivor]["keep"]
+    assert sum(bool(a2[d]["keep"]) for d in wav_survivors) == 1
 
     # gold: served-after-expiry == one-shot funnel over the retained corpus
     retained = mm.read_media_dir(spark, drop)
@@ -1284,6 +1292,26 @@ def test_media_state_expire_exact_deletion(spark, tmp_path_factory):
     assert rows(after["audio_marks"], mark_cols) == rows(batch["audio_marks"], mark_cols)
     fcols = ["doc_id", "frame_idx", "cluster_doc", "cluster_frame", "keep"]
     assert rows(after["frame_marks"], fcols) == rows(batch["frame_marks"], fcols)
+
+    # fresh-checkpoint resume guard: a sink restarted against out starts at
+    # micro-batch 0, reading labels with exclude_batch_id=0 and dynamically
+    # overwriting that partition — rebuilt labels must live at the reserved
+    # batch_id=-1 (never 0) so they are neither hidden nor wiped by that
+    # first batch. (A rebuilt store may legitimately be EMPTY when deletion
+    # disconnects the pair graph — the invariant is about WHERE rows live.)
+    dirs = pipelines._media_state_dirs(out)
+    label_schema = "doc_id long, cluster_id long, batch_id long"
+    saw_rebuilt = 0
+    for store in ("image_labels", "audio_labels", "frame_labels"):
+        raw = pipelines.read_parquet_or_empty(spark, dirs[store], label_schema)
+        assert raw.filter(F.col("batch_id") == 0).count() == 0, store
+        n = raw.count()
+        saw_rebuilt += n
+        visible = pipelines.read_cluster_labels(spark, dirs[store], exclude_batch_id=0)
+        assert visible.count() == n, f"{store}: rebuilt labels hidden from batch 0"
+    # at least one family must actually carry rebuilt labels here (frames of
+    # the surviving clip pair among themselves)
+    assert saw_rebuilt > 0
 
     with pytest.raises(ValueError, match="differ"):
         pipelines.media_state_expire(spark, state, state, drop_df)
@@ -1424,6 +1452,14 @@ def test_semantic_state_expire_restores_dominated_and_matches_fresh(spark, tmp_p
         for r in similarity.semantic_dedup(retained, centroids=cents).collect()
     }
     assert got == fresh
+
+    # fresh-checkpoint resume guard: re-verdicts must live at the reserved
+    # batch_id=-1, visible to (and never overwritten by) micro-batch 0
+    visible = pipelines.read_semantic_verdicts(
+        spark, out_verdicts, exclude_batch_id=0
+    )
+    vis_ids = {r["vec_id"] for r in visible.collect()}
+    assert any(v in vis_ids for v in survivor_drops)
 
     with pytest.raises(ValueError, match="differ"):
         pipelines.semantic_state_expire(
