@@ -48,6 +48,10 @@ HEADLINE = [
     # q18's slot) — benched with the dedup family so the banded-hamming
     # serving path's regressions stay visible
     "image_near_dup_pairs",
+    # r8: iterative graph analytics (pagerank_trade took q4's slot) — the
+    # one driver-side-loop plan family; benched so per-round join+agg cost
+    # regressions are visible
+    "pagerank_trade",
     "generator",
 ]
 

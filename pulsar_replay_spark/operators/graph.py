@@ -1,0 +1,135 @@
+"""Distributed graph analytics: fixed-point integer PageRank.
+
+The training-data angle: web-crawl curation pipelines weight documents by
+the authority of their source domain (host-graph centrality is the classic
+prior — a page on a well-linked host is likelier to be quality text than
+one on a link farm). ``pagerank`` is the engine's centrality operator;
+``sources.corpusio.read_warc_links`` builds the host graph from raw crawl
+archives, and the two compose into a per-domain quality prior
+(``domain_rank``) that joins against any quality-scoring stage.
+
+Arithmetic discipline — FIXED-POINT INTEGERS, no floats anywhere:
+
+- ranks are BIGINTs scaled by ``scale`` (default 1e12, i.e. 12 fractional
+  decimal digits);
+- each out-edge carries ``pr div outdeg`` (integer floor);
+- the update is ``base + (damping_pct * Σ incoming) div 100`` with
+  ``base = ((100 - damping_pct) * scale) div 100``.
+
+Integer sums are ORDER-INDEPENDENT, so the result is bit-identical across
+partitionings, engines, and reruns — a DuckDB oracle can re-derive it
+exactly (float PageRank can't be cross-engine hash-compared: summation
+order perturbs the last ulps). Floor division and dangling nodes (no
+out-edges) LEAK mass rather than redistributing it — the standard
+"no-dangling-redistribution" PageRank variant, deterministic and
+rank-order-equivalent for curation purposes.
+
+Overflow bound: total mass never exceeds n_nodes·scale, and the widest
+intermediate is ``damping_pct · Σ incoming`` — callers must keep
+``n_nodes * scale * damping_pct < 2**63`` (raise ``scale`` for precision on
+small graphs, lower it for billion-node web graphs: at n=1e9, scale=1e6
+keeps 6 fractional digits with 10× headroom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(node, rank_fp): fixed-point PageRank over directed ``edges``
+    (src, dst) after ``n_iter`` synchronous iterations. Duplicate edges are
+    honored as weight (each row carries one share) — pre-``distinct`` for
+    the unweighted reading.
+
+    Scale shape: ``(src, dst, outdeg)`` is materialized ONCE (eager
+    localCheckpoint) and re-joined each round — the per-iteration work is
+    one edge-scale join on src plus one node-scale groupBy on dst, the
+    minimum PageRank's data flow admits. Ranks are eagerly checkpointed per
+    round: an iterative self-referential plan otherwise accretes lineage
+    until driver-side analysis, not execution, is the bottleneck. At
+    cluster scale, pre-bucketing/partitioning the edge table by ``src``
+    makes the per-round join shuffle ranks only (node-scale), never the
+    edge table (the GraphX/Pregel layout expressed relationally).
+
+    Reference analog: none in `pulsar-replay` — north-star extension for
+    crawl-corpus domain priors.
+    """
+    if not 1 <= int(damping_pct) <= 99:
+        raise ValueError(f"damping_pct must be in [1, 99], got {damping_pct}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    damping_pct, scale = int(damping_pct), int(scale)
+
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    base = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            # `div` = integral division (floor for the non-negative ranks
+            # here) — a float `/` would melt the exactness guarantee
+            .select(ed["dst"].alias("node"), F.expr("pr div outdeg").alias("share"))
+            .groupBy("node")
+            .agg(F.sum("share").alias("insum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(insum, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("pr").alias("rank_fp"))
+
+
+def domain_rank(
+    links: DataFrame,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(host, rank_fp): host-authority prior from a host-level link frame
+    (src_host, dst_host) — ``corpusio.read_warc_links``'s shape. Hosts are
+    mapped to stable 60-bit content-hash node ids for the integer kernel
+    and mapped back by join (the hash space makes collisions negligible at
+    web scale and keeps the rank table join-able against any host column
+    without carrying strings through the iterations)."""
+    from pulsar_replay_spark.functions.text import token_hash60
+
+    ids = (
+        links.select(F.col("src_host").alias("host"))
+        .unionByName(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .select("host", token_hash60(F.col("host")).alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    edges = links.select(
+        token_hash60(F.col("src_host")).alias("src"),
+        token_hash60(F.col("dst_host")).alias("dst"),
+    )
+    ranks = pagerank(edges, n_iter=n_iter, damping_pct=damping_pct, scale=scale)
+    return ids.join(ranks, "node").select("host", "rank_fp")

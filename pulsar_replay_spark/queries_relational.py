@@ -748,10 +748,13 @@ def q2_min_cost_supplier(spark, sf_dir):
 # correlated row (l_shipdate > o_orderdate) → left-semi join with a compound
 # condition. Catalyst plans this as one shuffle on the orderkey; the date
 # range filter on orders is pushed to the parquet scan.
+#
+# Not registered since r8: q4 ceded its contract slot to pagerank_trade (the
+# EXISTS/semi-join family stays contract-covered by q22_idle_rich_customers'
+# anti-join + the semi joins inside capture_pipeline/decontaminate); q4
+# remains oracle-gated via test_oracle_parity.py + parity --extras (x_q4).
 # ---------------------------------------------------------------------------
-@register(
-    "q4_order_priority",
-    """
+Q4_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -761,8 +764,9 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
   )
 GROUP BY o_orderpriority
-""",
-)
+"""
+
+
 def q4_order_priority(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
@@ -1528,3 +1532,68 @@ def q_rfm_segmentation(spark, sf_dir):
         F.ntile(5).over(Window.orderBy("frequency", "c_custkey")).alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary", "c_custkey")).alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics (r8 rotation: this row replaced q4's slot):
+# fixed-point integer PageRank over the bidirectional customer↔supplier
+# trade graph (distinct trading pairs from orders ⋈ lineitem). The DuckDB
+# oracle re-derives the SAME integer arithmetic with the iterations
+# unrolled as chained CTEs — sums of BIGINTs are order-independent, so the
+# comparison is hash-exact with no float tolerance anywhere. This is the
+# one query family whose Spark plan is a driver-side LOOP (a localCheckpoint
+# per round — see operators/graph.pagerank for the lineage argument).
+# ---------------------------------------------------------------------------
+_PR_ITER, _PR_DAMP, _PR_SCALE = 6, 85, 10**12
+
+
+def _pagerank_trade_oracle(n_iter: int, damping: int, scale: int) -> str:
+    base = ((100 - damping) * scale) // 100
+    sql = f"""
+WITH fwd AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM deg),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({damping} * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node, CAST(SUM(pr // outdeg) AS BIGINT) AS insum
+    FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node
+    GROUP BY ed.dst
+  ) s ON n.node = s.node)"""
+    return sql + f"\nSELECT node, pr AS rank_fp FROM r{n_iter} ORDER BY node"
+
+
+@register(
+    "pagerank_trade",
+    _pagerank_trade_oracle(_PR_ITER, _PR_DAMP, _PR_SCALE),
+)
+def pagerank_trade(spark, sf_dir):
+    """Supplier/customer authority in the trade graph after 6 synchronous
+    PageRank rounds — node ids encode side (custkey*2, suppkey*2+1)."""
+    from pulsar_replay_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(
+        edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    ).orderBy("node")

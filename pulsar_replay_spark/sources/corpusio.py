@@ -602,3 +602,96 @@ def _warc_documents(
     if keep_corrupt:
         return out
     return out.filter(F.col("corrupt").isNull()).drop("corrupt")
+
+
+# ---------------------------------------------------------------------------
+# Host-level link graph from raw WARC response records — the edge source for
+# operators.graph.domain_rank (host-authority quality priors). Pure helpers
+# first (fuzzable without Spark), then the binaryFile kernel mirroring
+# _warc_documents' scale shape.
+# ---------------------------------------------------------------------------
+
+_HREF_RE = re.compile(r"""href\s*=\s*["']?([^"'\s>]+)""", re.IGNORECASE)
+
+
+def _host_of(url: str) -> "str | None":
+    """Lowercased host of an absolute (or protocol-relative) http(s) URL;
+    None for anything else (relative links are same-host by construction
+    and carry no cross-host endorsement). Linear string splits only."""
+    u = url.strip()
+    if u.startswith("//"):
+        u = "http:" + u
+    low = u.lower()
+    if not (low.startswith("http://") or low.startswith("https://")):
+        return None
+    rest = u.split("://", 1)[1]
+    host = rest.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    host = host.rsplit("@", 1)[-1].split(":", 1)[0].lower().strip(".")
+    return host or None
+
+
+def page_link_hosts(html: str, src_host: "str | None") -> "list[str]":
+    """DISTINCT cross-host link targets of one page (sorted for
+    determinism). Distinct-per-page is the standard weighting: a page
+    linking the same host 40 times endorses it once; forty PAGES linking it
+    endorse it forty times."""
+    hosts = set()
+    for m in _HREF_RE.finditer(html):
+        h = _host_of(m.group(1))
+        if h is not None and h != src_host:
+            hosts.add(h)
+    return sorted(hosts)
+
+
+def read_warc_links(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+) -> DataFrame:
+    """Raw WARC archives → the host link graph (src_host, dst_host), one
+    row per (page, distinct cross-host link target). Feed to
+    ``operators.graph.domain_rank`` for host-authority priors, joinable
+    against any quality stage by host.
+
+    Scale shape: identical to ``read_warc_corpus`` — files are the
+    parallelism unit, HTML never leaves the Arrow kernel (only host pairs
+    do), and corrupt tails/undecodable records are SKIPPED here (the
+    documents reader owns quarantine accounting; run it over the same
+    segments for the audit trail).
+
+    Reference analog: none — north-star extension (crawl-curation tier)."""
+    reader = spark.read.format("binaryFile")
+    reader = reader.option("pathGlobFilter", pattern or "*.warc*")
+    files = reader.load(path).select("path", "content")
+
+    def run(batches):
+        import gzip
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"src_host": [], "dst_host": []}
+            for content in pdf["content"]:
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = gzip.decompress(raw)
+                    except (OSError, EOFError, zlib.error):
+                        continue  # damaged archive: no edges, never a failure
+                recs, _corrupt = _split_warc_records(raw)
+                for headers, body in recs:
+                    if headers.get("warc-type", "").lower() != "response":
+                        continue
+                    src = _host_of(headers.get("warc-target-uri", ""))
+                    if src is None:
+                        continue
+                    html, skip = _http_payload(body, extract_html=False)
+                    if skip is not None:
+                        continue  # redirect/non-text/etc — not a page
+                    for dst in page_link_hosts(html, src):
+                        out["src_host"].append(src)
+                        out["dst_host"].append(dst)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(run, schema="src_host string, dst_host string")

@@ -758,3 +758,69 @@ def test_read_warc_corpus_html_mode_main(spark, tmp_path):
     assert "Login" in strip and "quick brown fox" in strip  # strip keeps chrome text
     assert "Login" not in main and "quick brown fox" in main
     assert "<" not in main and "nav_init" not in main
+
+
+def test_read_warc_links_builds_host_graph(spark, tmp_path):
+    """Raw WARC → (src_host, dst_host) edges: absolute + protocol-relative
+    hrefs resolve to hosts, per-page duplicates collapse to one endorsement,
+    same-host/relative/mailto links drop, redirects and damaged archives
+    contribute nothing — and the graph composes into domain_rank."""
+    import gzip
+
+    page_a = (
+        b'<html><body>'
+        b'<a href="https://hub.example/x">x</a>'
+        b'<a href="https://hub.example/y">same host twice: one edge</a>'
+        b'<a href="//cdn.example/lib.js">proto-relative</a>'
+        b'<a href="/local">relative: dropped</a>'
+        b'<a href="mailto:a@b.c">mailto: dropped</a>'
+        b'<a href="https://A.example/self">self link: dropped</a>'
+        b"</body></html>"
+    )
+    page_b = b'<a href="https://hub.example/z">b endorses hub</a>'
+    recs = (
+        _warc_record("response", _http_response(page_a), uri="https://a.example/p1")
+        + _warc_record("response", _http_response(page_b), uri="https://b.example/p2")
+        # a redirect and a conversion record: no edges
+        + _warc_record("response", _http_response(b"", status="302 Found",
+                       headers=("Location: https://x",)),
+                       uri="https://r.example/r")
+        + _warc_record("conversion", b"plain text, no markup parsing",
+                       uri="https://t.example/t")
+    )
+    (tmp_path / "seg.warc").write_bytes(recs)
+    # damaged archive alongside: silently contributes nothing
+    whole = gzip.compress(_warc_record("response", _http_response(page_b),
+                                       uri="https://c.example/p"))
+    (tmp_path / "half.warc.gz").write_bytes(whole[: len(whole) // 2])
+
+    edges = corpusio.read_warc_links(spark, str(tmp_path))
+    got = sorted(map(tuple, edges.collect()))
+    assert got == [
+        ("a.example", "cdn.example"),
+        ("a.example", "hub.example"),
+        ("b.example", "hub.example"),
+    ]
+
+    from pulsar_replay_spark.operators.graph import domain_rank
+
+    ranks = {r["host"]: r["rank_fp"] for r in domain_rank(edges, n_iter=5).collect()}
+    assert ranks["hub.example"] == max(ranks.values())
+
+
+def test_page_link_hosts_is_total_on_fuzz():
+    """The href extractor is total and emits only plausible hosts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_replay_spark.sources.corpusio import page_link_hosts
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300), st.none() | st.text(max_size=30))
+    def fuzz(html, src):
+        out = page_link_hosts(html, src)
+        assert out == sorted(set(out))
+        for h in out:
+            assert h and h == h.lower() and " " not in h
+
+    fuzz()

@@ -324,3 +324,16 @@ def test_minhash_planner_geometry_matches_oracle(spark, duck):
     ddf = duck.execute(MINHASH_24_ORACLE).df()
     problems = compare(sdf, ddf)
     assert not problems, f"minhash 2x4: {problems}"
+
+
+def test_unregistered_q4_matches_oracle(spark, duck):
+    """q4 lost its contract slot to pagerank_trade in r8 (the EXISTS/semi
+    family stays contract-covered by q22's anti-join and the semi joins in
+    capture_pipeline/decontaminate) but stays part of the engine surface —
+    same oracle gate, pytest-side."""
+    from pulsar_replay_spark.queries_relational import Q4_ORACLE, q4_order_priority
+
+    sdf = q4_order_priority(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(Q4_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"q4: {problems}"
