@@ -42,6 +42,7 @@ def pagerank(
     n_iter: int = 10,
     damping_pct: int = 85,
     scale: int = 10**12,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """(node, rank_fp): fixed-point PageRank over directed ``edges``
     (src, dst) after ``n_iter`` synchronous iterations. Duplicate edges are
@@ -51,12 +52,17 @@ def pagerank(
     Scale shape: ``(src, dst, outdeg)`` is materialized ONCE (eager
     localCheckpoint) and re-joined each round — the per-iteration work is
     one edge-scale join on src plus one node-scale groupBy on dst, the
-    minimum PageRank's data flow admits. Ranks are eagerly checkpointed per
-    round: an iterative self-referential plan otherwise accretes lineage
-    until driver-side analysis, not execution, is the bottleneck. At
-    cluster scale, pre-bucketing/partitioning the edge table by ``src``
-    makes the per-round join shuffle ranks only (node-scale), never the
-    edge table (the GraphX/Pregel layout expressed relationally).
+    minimum PageRank's data flow admits. Ranks are eagerly checkpointed
+    every ``checkpoint_interval`` rounds (and at the end): an iterative
+    plan otherwise accretes lineage until driver-side analysis, not
+    execution, is the bottleneck — but UNLIKE the self-join case
+    (connected components) the growth here is LINEAR (each round appends
+    one join+agg+join segment with a single rank consumer, so nothing
+    re-executes), which buys batching a few rounds per materialization job
+    instead of paying one job's fixed overhead per round. At cluster
+    scale, pre-bucketing/partitioning the edge table by ``src`` makes the
+    per-round join shuffle ranks only (node-scale), never the edge table
+    (the GraphX/Pregel layout expressed relationally).
 
     Reference analog: none in `pulsar-replay` — north-star extension for
     crawl-corpus domain priors.
@@ -79,31 +85,43 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
-    for _ in range(n_iter):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            # `div` = integral division (floor for the non-negative ranks
-            # here) — a float `/` would melt the exactness guarantee
-            .select(ed["dst"].alias("node"), F.expr("pr div outdeg").alias("share"))
-            .groupBy("node")
-            .agg(F.sum("share").alias("insum"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(f"({damping_pct} * coalesce(insum, 0L)) div 100")
-                )
-                .cast("long")
-                .alias("pr"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    for i in range(n_iter):
+        ranks = _pagerank_round(nodes, ed, ranks, base, damping_pct)
+        if (i + 1) % checkpoint_interval == 0 or i + 1 == n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("pr").alias("rank_fp"))
+
+
+def _pagerank_round(
+    nodes: DataFrame, ed: DataFrame, ranks: DataFrame, base: int, damping_pct: int
+) -> DataFrame:
+    """One synchronous PageRank round, UNcheckpointed — factored out so the
+    per-iteration physical plan is gate-able (test_plans.py: equi-joins
+    only, never a cartesian) even though ``pagerank`` checkpoints each
+    round away."""
+    contrib = (
+        ed.join(ranks, ed["src"] == ranks["node"])
+        # `div` = integral division (floor for the non-negative ranks
+        # here) — a float `/` would melt the exactness guarantee
+        .select(ed["dst"].alias("node"), F.expr("pr div outdeg").alias("share"))
+        .groupBy("node")
+        .agg(F.sum("share").alias("insum"))
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        (
+            F.lit(base).cast("long")
+            + F.expr(f"({damping_pct} * coalesce(insum, 0L)) div 100")
+        )
+        .cast("long")
+        .alias("pr"),
+    )
 
 
 def domain_rank(

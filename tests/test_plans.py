@@ -397,3 +397,28 @@ def test_image_near_dup_contract_join_is_hash_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_round_is_equi_join_not_cartesian(spark):
+    """The r8 contract row's per-iteration plan (pagerank checkpoints each
+    round away, so the gate runs on the factored _pagerank_round): the
+    edge⋈ranks join and the nodes⋈contrib join must both plan as hash/merge
+    equi-joins — never a cartesian/BNLJ — and the share aggregation must
+    carry a map-side partial_sum."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators.graph import _pagerank_round
+
+    edges = spark.range(500).select(
+        F.pmod(F.xxhash64("id"), F.lit(50)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)).alias("dst"),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(10**12).cast("long").alias("pr"))
+    plan = _plan(_pagerank_round(nodes, ed, ranks, 150_000_000_000, 85))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "partial_sum" in plan
