@@ -151,3 +151,33 @@ def domain_rank(
     )
     ranks = pagerank(edges, n_iter=n_iter, damping_pct=damping_pct, scale=scale)
     return ids.join(ranks, "node").select("host", "rank_fp")
+
+
+def host_expr(url) -> "F.Column":
+    """JVM-side host of an absolute http(s) URL column — the COLUMN twin of
+    ``corpusio._host_of`` (equality property-tested), so a corpus-scale
+    prior join never runs a Python kernel: lowercase, userinfo/port
+    stripped, edge dots trimmed; NULL for relative/mailto/other schemes."""
+    h = F.regexp_extract(url, r"^(?i:https?)://([^/?#]+)", 1)
+    h = F.regexp_extract(h, r"([^@]*)$", 1)
+    h = F.regexp_extract(h, r"^([^:]*)", 1)
+    h = F.lower(F.regexp_replace(F.regexp_replace(h, r"\.+$", ""), r"^\.+", ""))
+    return F.when(h != "", h).otherwise(F.lit(None).cast("string"))
+
+
+def with_domain_prior(docs: DataFrame, domain_ranks: DataFrame) -> DataFrame:
+    """docs + (host, domain_rank_fp): join each document's source-URL host
+    against a ``domain_rank`` table. LEFT join — documents from hosts the
+    link graph never saw carry NULL, and the drop policy belongs to the
+    caller (a missing prior is absence of evidence, not low quality).
+
+    Scale shape: the rank table is host-scale (corpus/10³–10⁴); the join
+    key is a short string and Spark's AQE will broadcast it when it fits —
+    no hint needed, no Python kernel anywhere (``host_expr`` is pure
+    Catalyst)."""
+    ranks = domain_ranks.select(
+        F.col("host"), F.col("rank_fp").alias("domain_rank_fp")
+    )
+    return docs.withColumn("host", host_expr(F.col("source"))).join(
+        ranks, "host", "left"
+    )

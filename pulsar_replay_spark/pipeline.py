@@ -39,6 +39,8 @@ def curate_corpus(
     seq_len: int = 64,
     n_shards: int = 8,
     min_overlap: int = 8,
+    domain_ranks: DataFrame | None = None,
+    domain_floor_quantile: float = 0.25,
 ) -> dict:
     """Run the full funnel; returns every stage frame plus a funnel report.
 
@@ -56,6 +58,26 @@ def curate_corpus(
     else:
         decontaminated = deduped
     stages.append(("decontaminated", decontaminated))
+
+    # optional host-authority floor (graph.domain_rank over the crawl's
+    # link graph): drop docs whose source host sits in the bottom
+    # domain_floor_quantile of HOSTS by rank. The threshold is an exact
+    # percentile over the host-scale rank table (corpus/10³–10⁴ rows — a
+    # bounded scalar collect, the funnel's established pattern); docs whose
+    # host the graph never saw PASS — a missing prior is absence of
+    # evidence, not low quality.
+    if domain_ranks is not None:
+        from pulsar_replay_spark.operators import graph
+
+        thr = domain_ranks.agg(
+            F.expr(f"percentile(rank_fp, {float(domain_floor_quantile)})")
+        ).collect()[0][0]
+        pri = graph.with_domain_prior(decontaminated, domain_ranks)
+        keep_ids = pri.filter(
+            F.col("domain_rank_fp").isNull() | (F.col("domain_rank_fp") >= thr)
+        ).select("doc_id")
+        decontaminated = decontaminated.join(keep_ids, "doc_id", "left_semi")
+        stages.append(("domain_filtered", decontaminated))
 
     # per-source quality floor on TTR — cheap, text-local, runs before any
     # model scoring so the scorer never sees the bottom tail

@@ -102,3 +102,40 @@ def test_domain_rank_maps_hosts_back(spark):
     edges = [(h60(a), h60(b)) for a, b in links]
     mirror = naive_pagerank(edges, n_iter=25)
     assert {h60(k): v for k, v in got.items()} == mirror
+
+
+def test_host_expr_matches_python_host_of(spark):
+    """The Catalyst host extractor must equal corpusio._host_of on every
+    absolute-URL-ish input (one vectorized pass over seeded + generated
+    strings; the protocol-relative '//host' form is _host_of-only by
+    design — read_warc_links feeds it page hrefs, host_expr feeds on
+    source URIs, which always carry a scheme)."""
+    import random
+
+    from pulsar_replay_spark.operators.graph import host_expr, with_domain_prior
+    from pulsar_replay_spark.sources.corpusio import _host_of
+
+    seeds = [
+        "https://Ex.Com./x", "HTTP://user:p@WWW.a.B:8080/q?y#z", "http:///x",
+        "https://@host/", "https://:443/", "ftp://nope", "/rel", "mailto:a@b",
+        "https://trailing.dots...", "https://...leading", "http://a.b?q",
+        "http://a.b#f", "", "https://", "https://x", "HtTpS://MiXeD.CaSe/Path",
+    ]
+    rng = random.Random(7)
+    alphabet = "aB.:/@?#-_%"
+    fuzz = ["http://" + "".join(rng.choice(alphabet) for _ in range(rng.randrange(12)))
+            for _ in range(200)]
+    urls = [u for u in seeds + fuzz if not u.startswith("//")]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["h"] for r in df.select("url", host_expr(F.col("url")).alias("h")).collect()}
+    for u in urls:
+        assert got[u] == _host_of(u), repr(u)
+
+    # with_domain_prior: LEFT join — unknown hosts carry NULL
+    docs = spark.createDataFrame(
+        [(1, "https://hub.example/p"), (2, "https://unknown.example/q")],
+        "doc_id long, source string",
+    )
+    ranks = spark.createDataFrame([("hub.example", 7)], "host string, rank_fp long")
+    out = {r["doc_id"]: r["domain_rank_fp"] for r in with_domain_prior(docs, ranks).collect()}
+    assert out == {1: 7, 2: None}

@@ -313,3 +313,45 @@ def test_curate_media_passthrough_and_audio_stages(spark):
     assert rep["exact_deduped"] == 5 and rep["audio_deduped"] == 4
     # the two lanes together bound the funnel
     assert rep["parsed"] + rep["passthrough"] >= rep["exact_deduped"]
+
+
+def test_curate_corpus_domain_floor(spark, documents):
+    """The optional host-authority floor: docs from bottom-quantile hosts
+    drop, docs from unseen hosts PASS (missing prior is not low quality),
+    and the stage is accounted in the funnel report."""
+    from pulsar_replay_spark.operators.graph import domain_rank
+
+    sample = documents.limit(30).localCheckpoint(eager=True)
+    ids = [r["doc_id"] for r in sample.select("doc_id").collect()]
+    lows, highs, unknowns = ids[0::3], ids[1::3], ids[2::3]
+    host = (
+        F.when(F.col("doc_id").isin(lows), F.lit("https://spam.example/p"))
+        .when(F.col("doc_id").isin(highs), F.lit("https://hub.example/p"))
+        .otherwise(F.lit("https://never-linked.example/p"))
+    )
+    docs = sample.withColumn("source", host)
+    # link graph: a 4-cycle keeps a/b/c/hub at ~full mass; spam only LINKS
+    # OUT (zero in-edges) so its rank is exactly the damping base — strictly
+    # below the 0.5 host-percentile threshold
+    links = spark.createDataFrame(
+        [("a.example", "b.example"), ("b.example", "c.example"),
+         ("c.example", "hub.example"), ("hub.example", "a.example"),
+         ("spam.example", "a.example")],
+        "src_host string, dst_host string",
+    )
+    ranks = domain_rank(links, n_iter=8)
+    out = pipeline.curate_corpus(
+        docs, domain_ranks=ranks, domain_floor_quantile=0.5, budget_tokens=10**9
+    )
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert "domain_filtered" in report
+    # out["decontaminated"] is the post-domain-floor frame when the stage
+    # runs — the right place to observe the floor in isolation (later
+    # stages add the TTR quality drop)
+    after = {r["doc_id"] for r in out["decontaminated"].select("doc_id").collect()}
+    deduped_ids = {r["doc_id"] for r in out["deduped"].select("doc_id").collect()}
+    # every spam-host doc that survived dedup is gone at the domain stage
+    assert not (after & set(lows)) and (deduped_ids & set(lows))
+    # no unknown- or hub-host doc is dropped BY THE FLOOR
+    assert (set(unknowns) & deduped_ids) <= after
+    assert (set(highs) & deduped_ids) <= after
