@@ -181,3 +181,75 @@ def with_domain_prior(docs: DataFrame, domain_ranks: DataFrame) -> DataFrame:
     return docs.withColumn("host", host_expr(F.col("source"))).join(
         ranks, "host", "left"
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    scale: int = 10**9,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """(node, auth_fp, hub_fp): Kleinberg HITS after ``n_iter`` synchronous
+    rounds — authorities are endorsed BY good hubs (in-edge sums of hub
+    scores), hubs endorse good authorities (out-edge sums of authority
+    scores). The crawl-curation use: hub scores find link directories /
+    seed lists, authority scores find canonical content hosts — the two
+    roles PageRank's single score conflates.
+
+    Same integer discipline as ``pagerank`` (order-independent sums,
+    bit-identical across partitionings; duplicate edges carry weight), with
+    max-normalization per half-round: scores renormalize to [0, scale] via
+    ``raw div ((max_raw + scale - 1) div scale)`` — a pure integer floor
+    (no L2 norm: sqrt would reintroduce float drift; max-norm preserves the
+    ORDER semantics HITS is used for). The normalizing max rides a 1-row
+    broadcast crossJoin (the engine's stat-join pattern), so no driver
+    round-trip per iteration. Zero-in-degree (or zero-out-degree) nodes
+    hold score 0 after round one — isolated-role nodes, by definition.
+
+    Reference analog: none — north-star extension (graph tier)."""
+    from pyspark.sql.functions import broadcast
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _half_round(scores: DataFrame, col: str, key_in: str, key_out: str) -> DataFrame:
+        """Sum `col` over edges arriving at key_out (auth: in-edges sum hub;
+        hub: out-edges sum auth), then max-normalize back to [0, scale]."""
+        raw = (
+            e.join(scores, e[key_in] == scores["node"])
+            .select(e[key_out].alias("node"), F.col(col).alias("x"))
+            .groupBy("node")
+            .agg(F.sum("x").alias("raw"))
+        )
+        raw = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0).cast("long")).alias("raw")
+        )
+        q = raw.agg(
+            F.expr(f"(greatest(max(raw), 1) + {scale} - 1) div {scale}").alias("q")
+        )
+        return raw.crossJoin(broadcast(q)).select(
+            "node", F.expr("raw div q").cast("long").alias(col)
+        )
+
+    auth = nodes.select("node", F.lit(scale).cast("long").alias("a"))
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    for i in range(n_iter):
+        auth = _half_round(hub, "h", "src", "dst").withColumnRenamed("h", "a")
+        hub = _half_round(auth, "a", "dst", "src").withColumnRenamed("a", "h")
+        if (i + 1) % checkpoint_interval == 0 or i + 1 == n_iter:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return (
+        auth.join(hub, "node")
+        .select("node", F.col("a").alias("auth_fp"), F.col("h").alias("hub_fp"))
+    )
