@@ -662,7 +662,45 @@ def read_warc_links(
     Reference analog: none — north-star extension (crawl-curation tier)."""
     reader = spark.read.format("binaryFile")
     reader = reader.option("pathGlobFilter", pattern or "*.warc*")
-    files = reader.load(path).select("path", "content")
+    return _warc_links(reader.load(path).select("path", "content"))
+
+
+def stream_warc_links(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_warc_links`` (the ``stream_warc_corpus``
+    discipline — same kernel, gated equal in tests): a crawl drop-folder as
+    a STREAMING (src_host, dst_host) edge frame, appendable to a link-graph
+    store for periodic ``domain_rank`` refreshes."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    reader = reader.option("pathGlobFilter", pattern or "*.warc*")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _warc_links(reader.load(path).select("path", "content"))
+
+
+def _warc_links(files: DataFrame) -> DataFrame:
+    """Shared batch/streaming tail of the link-graph readers."""
 
     def run(batches):
         import gzip

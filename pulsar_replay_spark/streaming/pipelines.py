@@ -1955,3 +1955,50 @@ def semantic_verdicts_compact(
         .partitionBy("batch_id")
         .parquet(compact_dir)
     )
+
+
+def link_graph_sink(
+    edge_stream: DataFrame, store_dir: str, checkpoint_dir: str
+):
+    """Maintain a host link-graph store from a streaming edge frame
+    (``corpusio.stream_warc_links``): one idempotent batch_id partition per
+    micro-batch (crash-retry overwrites its own partition — the engine's
+    exactly-once discipline), appending edges as crawl segments land.
+    Refresh authority priors at takeout cadence with
+    ``domain_rank_refresh`` — PageRank is global, so the refresh is
+    corpus-bound by nature; the STORE is what streams."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        edge_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_link_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(src_host, dst_host) from the maintained link store — the edge frame
+    ``graph.domain_rank`` consumes."""
+    return read_parquet_or_empty(
+        spark, store_dir, "src_host string, dst_host string, batch_id long"
+    ).select("src_host", "dst_host")
+
+
+def domain_rank_refresh(
+    spark: SparkSession, store_dir: str, n_iter: int = 10
+) -> DataFrame:
+    """(host, rank_fp) over everything the link store has accumulated —
+    run at takeout cadence, serve the result as the ``curate_corpus``
+    domain floor (``domain_ranks=``) or any per-host quality join."""
+    from pulsar_replay_spark.operators.graph import domain_rank
+
+    return domain_rank(read_link_store(spark, store_dir), n_iter=n_iter)

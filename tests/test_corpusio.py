@@ -824,3 +824,30 @@ def test_page_link_hosts_is_total_on_fuzz():
             assert h and h == h.lower() and " " not in h
 
     fuzz()
+
+
+def test_stream_warc_links_matches_batch_reader(spark, tmp_path):
+    """The streaming link-graph twin must produce exactly the batch
+    reader's edges for the same drop-folder."""
+    page = b'<a href="https://hub.example/x">x</a><a href="//cdn.example/y">y</a>'
+    recs = (
+        _warc_record("response", _http_response(page), uri="https://a.example/1")
+        + _warc_record("response", _http_response(page), uri="https://b.example/2")
+    )
+    (tmp_path / "seg.warc").write_bytes(recs)
+    out_dir = str(tmp_path / "out")
+
+    stream = corpusio.stream_warc_links(spark, str(tmp_path), max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within timeout"
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, corpusio.read_warc_links(spark, str(tmp_path)).collect()))
+    assert got == want and len(want) == 4

@@ -1479,3 +1479,47 @@ def test_media_sink_and_expire_reject_wide_grids(spark, tmp_path_factory):
             spark, f"{base}/state", f"{base}/out",
             spark.createDataFrame([(1,)], "doc_id long"), grid=12,
         )
+
+
+def test_link_graph_sink_accumulates_and_refreshes(spark, tmp_path_factory):
+    """Crawl segments dropped over time accumulate edges in the link store
+    (idempotent batch_id partitions); domain_rank_refresh over the store
+    equals domain_rank over the batch reader's edges for the same folder."""
+    from pulsar_replay_spark.operators.graph import domain_rank
+    from pulsar_replay_spark.sources import corpusio
+
+    def seg(src: str, targets: list[str]) -> bytes:
+        html = "".join(f'<a href="https://{t}/x">l</a>' for t in targets).encode()
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Target-URI: https://{src}/p\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n").encode()
+        return hdr + body + b"\r\n\r\n"
+
+    drop = str(tmp_path_factory.mktemp("links_drop"))
+    store = str(tmp_path_factory.mktemp("links_store"))
+    ck = str(tmp_path_factory.mktemp("links_ck"))
+
+    with open(f"{drop}/seg0.warc", "wb") as fh:
+        fh.write(seg("a.example", ["hub.example"]) + seg("b.example", ["hub.example"]))
+    pipelines.link_graph_sink(
+        corpusio.stream_warc_links(spark, drop, max_files_per_trigger=1), store, ck
+    ).awaitTermination()
+
+    # a later segment lands; the SAME checkpoint resumes and appends
+    with open(f"{drop}/seg1.warc", "wb") as fh:
+        fh.write(seg("c.example", ["hub.example", "a.example"]))
+    pipelines.link_graph_sink(
+        corpusio.stream_warc_links(spark, drop, max_files_per_trigger=1), store, ck
+    ).awaitTermination()
+
+    stored = sorted(map(tuple, pipelines.read_link_store(spark, store).collect()))
+    batch = sorted(map(tuple, corpusio.read_warc_links(spark, drop).collect()))
+    assert stored == batch and len(batch) == 4
+
+    got = {r["host"]: r["rank_fp"]
+           for r in pipelines.domain_rank_refresh(spark, store, n_iter=5).collect()}
+    want = {r["host"]: r["rank_fp"]
+            for r in domain_rank(corpusio.read_warc_links(spark, drop), n_iter=5).collect()}
+    assert got == want
+    assert got["hub.example"] == max(got.values())
