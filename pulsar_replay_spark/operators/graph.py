@@ -73,6 +73,13 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
+    # validate EVERY argument before the eager edge/node materialization
+    # jobs below — a bad knob must fail in milliseconds, not after two
+    # edge-scale Spark jobs
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     damping_pct, scale = int(damping_pct), int(scale)
 
     e = edges.select("src", "dst")
@@ -85,10 +92,6 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
-    if checkpoint_interval < 1:
-        raise ValueError(
-            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
-        )
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
     for i in range(n_iter):
@@ -158,10 +161,18 @@ def host_expr(url) -> "F.Column":
     ``corpusio._host_of`` (equality property-tested), so a corpus-scale
     prior join never runs a Python kernel: lowercase, userinfo/port
     stripped, edge dots trimmed; NULL for relative/mailto/other schemes."""
-    h = F.regexp_extract(url, r"^(?i:https?)://([^/?#]+)", 1)
+    # edge-whitespace strip mirrors _host_of (both pinned to Java's ASCII
+    # \s set): stray whitespace around a sloppy WARC-Target-URI must not
+    # silently exempt the doc from the prior join
+    h = F.regexp_extract(
+        F.regexp_replace(url, r"^\s+|\s+$", ""), r"^(?i:https?)://([^/?#]+)", 1
+    )
     h = F.regexp_extract(h, r"([^@]*)$", 1)
     h = F.regexp_extract(h, r"^([^:]*)", 1)
-    h = F.lower(F.regexp_replace(F.regexp_replace(h, r"\.+$", ""), r"^\.+", ""))
+    # \z, not $: Java's $ also matches BEFORE a final line terminator, so
+    # "\t.\n" would lose its inner dot; strip(".") in the python twin never
+    # looks through a trailing newline
+    h = F.lower(F.regexp_replace(F.regexp_replace(h, r"\.+\z", ""), r"^\.+", ""))
     return F.when(h != "", h).otherwise(F.lit(None).cast("string"))
 
 
@@ -213,6 +224,10 @@ def hits(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
 
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (

@@ -210,10 +210,15 @@ def media_parse_gate(media: DataFrame) -> tuple[DataFrame, DataFrame]:
     candidates = media.filter(
         F.col("media_type").isin(*_VERIFIABLE_CONTAINERS) | ~recognized
     )
+    # distinct: the sink's stream (and read_media_dir(dedupe_content=False))
+    # can carry the same content-hash doc_id on several rows — container is
+    # content-determined, so the fold is exact, and it keeps the admission
+    # join 1:n (like the old left_semi) instead of n:n row multiplication
     sniffed_ok = (
         mm.parse_media_headers(candidates)
         .filter(F.col("parse_ok"))
         .select("doc_id", "container")
+        .distinct()
     )
     sniffed_mime = (
         F.when(F.col("container") == "png", F.lit("image/png"))

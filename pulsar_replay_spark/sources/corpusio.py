@@ -499,6 +499,19 @@ def stream_warc_corpus(
     file is the unit), so ``max_files_per_trigger`` is the backpressure
     knob — one ~1 GB Common Crawl segment per trigger is a sane default on
     modest executors."""
+    files = _stream_warc_files(spark, path, pattern, max_files_per_trigger)
+    return _warc_documents(files, record_types, keep_corrupt, extract_http, html_mode)
+
+
+def _stream_warc_files(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """Shared streaming binaryFile front door for the WARC readers
+    (documents and link-graph twins): one schema/options definition, so the
+    twins can never drift."""
     from pyspark.sql.types import (
         BinaryType,
         LongType,
@@ -521,8 +534,7 @@ def stream_warc_corpus(
         reader = reader.option("pathGlobFilter", pattern)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    files = reader.load(path).select("path", "content")
-    return _warc_documents(files, record_types, keep_corrupt, extract_http, html_mode)
+    return reader.load(path).select("path", "content")
 
 
 def _warc_documents(
@@ -618,7 +630,10 @@ def _host_of(url: str) -> "str | None":
     """Lowercased host of an absolute (or protocol-relative) http(s) URL;
     None for anything else (relative links are same-host by construction
     and carry no cross-host endorsement). Linear string splits only."""
-    u = url.strip()
+    # explicit ASCII whitespace set = Java regex \s, so the Catalyst twin
+    # (graph.host_expr) is EXACTLY equal on every input — a bare .strip()
+    # also eats unicode whitespace the JVM side would keep
+    u = url.strip(" \t\n\r\x0b\x0c")
     if u.startswith("//"):
         u = "http:" + u
     low = u.lower()
@@ -675,28 +690,8 @@ def stream_warc_links(
     discipline — same kernel, gated equal in tests): a crawl drop-folder as
     a STREAMING (src_host, dst_host) edge frame, appendable to a link-graph
     store for periodic ``domain_rank`` refreshes."""
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
-    schema = StructType(
-        [
-            StructField("path", StringType()),
-            StructField("modificationTime", TimestampType()),
-            StructField("length", LongType()),
-            StructField("content", BinaryType()),
-        ]
-    )
-    reader = spark.readStream.format("binaryFile").schema(schema)
-    reader = reader.option("pathGlobFilter", pattern or "*.warc*")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return _warc_links(reader.load(path).select("path", "content"))
+    files = _stream_warc_files(spark, path, pattern or "*.warc*", max_files_per_trigger)
+    return _warc_links(files)
 
 
 def _warc_links(files: DataFrame) -> DataFrame:

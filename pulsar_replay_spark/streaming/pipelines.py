@@ -1612,6 +1612,14 @@ def media_state_expire(
     cadence, not per ingest. ``grid``/``max_hamming`` must match the
     sink's knobs (the stores carry single-long signatures at grid ≤ 8).
 
+    EVERY surviving row is folded (latest-wins per store key) and written
+    at the reserved ``batch_id = -1``: the expired output is a compacted
+    BASE state. Keeping original batch ids would re-open the
+    fresh-checkpoint hazard for the whole store — a sink resumed against
+    ``out_dir`` with a new checkpoint starts at micro-batch 0, whose retry
+    guard hides every batch-0-era row and whose dynamic overwrite then
+    wipes that partition.
+
     Same in-place guard as every store rewriter."""
     if out_dir.rstrip("/") == state_dir.rstrip("/"):
         raise ValueError(
@@ -1630,10 +1638,20 @@ def media_state_expire(
         )
     src, dst = _media_state_dirs(state_dir), _media_state_dirs(out_dir)
     drop = drop_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
 
-    def _filtered(path: str, schema: str) -> DataFrame:
-        return read_parquet_or_empty(spark, path, schema).join(
+    def _filtered(path: str, schema: str, keys: list[str]) -> DataFrame:
+        # anti-join the forgotten docs, then fold latest-wins per store key
+        # and rebase to batch_id=-1 (see the docstring's resume argument)
+        store = read_parquet_or_empty(spark, path, schema).join(
             drop, "doc_id", "left_anti"
+        )
+        w = Window.partitionBy(*keys).orderBy(F.desc("batch_id"))
+        return (
+            store.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("batch_id", F.lit(-1))
         )
 
     def _write(df: DataFrame, out: str) -> None:
@@ -1645,14 +1663,20 @@ def media_state_expire(
         )
 
     _write(
-        _filtered(src["media"], MEDIA_SCHEMA + ", lane string, batch_id long"),
+        _filtered(
+            src["media"],
+            MEDIA_SCHEMA + ", lane string, batch_id long",
+            ["doc_id", "media_type", "sha256", "lane"],
+        ),
         dst["media"],
     )
 
     bits = grid * (grid - 1)
     sig_schema = "doc_id long, simhash long, batch_id long"
     for fam in ("image", "audio"):
-        kept = _filtered(src[f"{fam}_sigs"], sig_schema).localCheckpoint(eager=True)
+        kept = _filtered(
+            src[f"{fam}_sigs"], sig_schema, ["doc_id", "simhash"]
+        ).localCheckpoint(eager=True)
         _write(kept, dst[f"{fam}_sigs"])
         labels = connected_components(
             banded_hamming_pairs(
@@ -1669,6 +1693,7 @@ def media_state_expire(
     fkept = _filtered(
         src["frame_sigs"],
         "item_id long, doc_id long, frame_idx int, simhash long, batch_id long",
+        ["item_id", "simhash"],
     ).localCheckpoint(eager=True)
     _write(fkept, dst["frame_sigs"])
     flabels = connected_components(
@@ -1694,7 +1719,15 @@ def curation_state_expire(
     future ingest of near-identical text is no longer suppressed by the
     deleted doc (the index row is the suppressor — forgetting the text but
     keeping its bands would keep rejecting its near-dups forever). Pure
-    anti-join filters: the text sink maintains no cluster labels."""
+    anti-join filters: the text sink maintains no cluster labels.
+
+    Surviving rows fold (per-doc winners / distinct index rows) and rebase
+    to the reserved ``batch_id = -1`` — the expired output is a compacted
+    BASE state, so a sink resumed against it with a FRESH checkpoint
+    (micro-batch 0: retry guard excludes batch_id 0, dynamic overwrite
+    replaces it) can neither hide nor wipe pre-expiry rows."""
+    from pyspark.sql.window import Window
+
     for a, b in ((out_accepted, accepted_dir), (out_index, index_dir)):
         if a.rstrip("/") == b.rstrip("/"):
             raise ValueError(
@@ -1702,14 +1735,28 @@ def curation_state_expire(
                 "overwrite would read and clobber the same parquet files"
             )
     drop = drop_docs.select("doc_id").distinct().localCheckpoint(eager=True)
-    accepted = spark.read.parquet(accepted_dir).join(drop, "doc_id", "left_anti")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    accepted = (
+        spark.read.parquet(accepted_dir)
+        .join(drop, "doc_id", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("batch_id", F.lit(-1))
+    )
     (
         accepted.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(out_accepted)
     )
-    index = spark.read.parquet(index_dir).join(drop, "doc_id", "left_anti")
+    index = (
+        spark.read.parquet(index_dir)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "band", "band_key")
+        .distinct()  # the dedup_index_compact fold
+        .withColumn("batch_id", F.lit(-1))
+    )
     (
         index.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1836,9 +1883,12 @@ def semantic_state_expire(
     untouched by cell independence. Unlike the media-label rebuild this is
     AFFECTED-CELL-bound, not corpus-bound — SemDeDup deletion is cheap.
 
-    The output verdict store is written compacted (one winner row per
-    retained vec_id, original batch_id kept for untouched rows). Same
-    in-place guard as every store rewriter."""
+    Both output stores are written compacted (one winner row per retained
+    vec_id; the corpus rows verbatim) at the reserved ``batch_id = -1`` —
+    the expired output is a BASE state, so a sink resumed against it with
+    a FRESH checkpoint (micro-batch 0 excludes-then-overwrites batch_id 0)
+    can neither hide nor wipe pre-expiry rows. Same in-place guard as
+    every store rewriter."""
     for a, b in ((out_corpus, corpus_dir), (out_verdicts, verdicts_dir)):
         if a.rstrip("/") == b.rstrip("/"):
             raise ValueError(
@@ -1853,7 +1903,8 @@ def semantic_state_expire(
     )
     retained = corpus.join(drop, "vec_id", "left_anti").localCheckpoint(eager=True)
     (
-        retained.write.mode("overwrite")
+        retained.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(out_corpus)
@@ -1876,8 +1927,10 @@ def semantic_state_expire(
     affected = (
         current.join(drop, "vec_id", "semi").select("cell_id").distinct()
     ).localCheckpoint(eager=True)
-    untouched = winners.join(drop, "vec_id", "left_anti").join(
-        affected, "cell_id", "left_anti"
+    untouched = (
+        winners.join(drop, "vec_id", "left_anti")
+        .join(affected, "cell_id", "left_anti")
+        .withColumn("batch_id", F.lit(-1))
     )
     members = (
         current.join(affected, "cell_id", "semi")

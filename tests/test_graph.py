@@ -119,10 +119,11 @@ def test_host_expr_matches_python_host_of(spark):
         "https://Ex.Com./x", "HTTP://user:p@WWW.a.B:8080/q?y#z", "http:///x",
         "https://@host/", "https://:443/", "ftp://nope", "/rel", "mailto:a@b",
         "https://trailing.dots...", "https://...leading", "http://a.b?q",
+        "  https://padded.example/x", "\thttps://tabbed.example\n",
         "http://a.b#f", "", "https://", "https://x", "HtTpS://MiXeD.CaSe/Path",
     ]
     rng = random.Random(7)
-    alphabet = "aB.:/@?#-_%"
+    alphabet = "aB.:/@?#-_% \t\n"
     fuzz = ["http://" + "".join(rng.choice(alphabet) for _ in range(rng.randrange(12)))
             for _ in range(200)]
     urls = [u for u in seeds + fuzz if not u.startswith("//")]

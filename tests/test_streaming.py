@@ -1294,23 +1294,35 @@ def test_media_state_expire_exact_deletion(spark, tmp_path_factory):
     assert rows(after["frame_marks"], fcols) == rows(batch["frame_marks"], fcols)
 
     # fresh-checkpoint resume guard: a sink restarted against out starts at
-    # micro-batch 0, reading labels with exclude_batch_id=0 and dynamically
-    # overwriting that partition — rebuilt labels must live at the reserved
-    # batch_id=-1 (never 0) so they are neither hidden nor wiped by that
-    # first batch. (A rebuilt store may legitimately be EMPTY when deletion
+    # micro-batch 0, reading every store with exclude_batch_id=0 and
+    # dynamically overwriting that partition — ALL expired output (media
+    # rows, signatures, labels) must live at the reserved batch_id=-1
+    # (never 0) so nothing is hidden or wiped by that first batch. (A
+    # rebuilt label store may legitimately be EMPTY when deletion
     # disconnects the pair graph — the invariant is about WHERE rows live.)
     dirs = pipelines._media_state_dirs(out)
-    label_schema = "doc_id long, cluster_id long, batch_id long"
+    schemas = {
+        "media": pipelines.MEDIA_SCHEMA + ", lane string, batch_id long",
+        "image_sigs": "doc_id long, simhash long, batch_id long",
+        "audio_sigs": "doc_id long, simhash long, batch_id long",
+        "frame_sigs": "item_id long, doc_id long, frame_idx int, simhash long, batch_id long",
+        "image_labels": "doc_id long, cluster_id long, batch_id long",
+        "audio_labels": "doc_id long, cluster_id long, batch_id long",
+        "frame_labels": "doc_id long, cluster_id long, batch_id long",
+    }
     saw_rebuilt = 0
-    for store in ("image_labels", "audio_labels", "frame_labels"):
-        raw = pipelines.read_parquet_or_empty(spark, dirs[store], label_schema)
-        assert raw.filter(F.col("batch_id") == 0).count() == 0, store
-        n = raw.count()
-        saw_rebuilt += n
-        visible = pipelines.read_cluster_labels(spark, dirs[store], exclude_batch_id=0)
-        assert visible.count() == n, f"{store}: rebuilt labels hidden from batch 0"
-    # at least one family must actually carry rebuilt labels here (frames of
-    # the surviving clip pair among themselves)
+    for store, schema in schemas.items():
+        raw = pipelines.read_parquet_or_empty(spark, dirs[store], schema)
+        assert raw.filter(F.col("batch_id") != -1).count() == 0, store
+        if store.endswith("_labels"):
+            n = raw.count()
+            saw_rebuilt += n
+            visible = pipelines.read_cluster_labels(
+                spark, dirs[store], exclude_batch_id=0
+            )
+            assert visible.count() == n, f"{store}: labels hidden from batch 0"
+    # at least one family must actually carry rebuilt labels here (the
+    # surviving audio clone pair)
     assert saw_rebuilt > 0
 
     with pytest.raises(ValueError, match="differ"):
@@ -1379,6 +1391,20 @@ def test_curation_state_expire_unsuppresses_near_dups(spark, tmp_path_factory):
     ingest(rows2, "b2.parquet", out_acc, out_idx)  # same checkpoint: only b2
     ids2 = {r["doc_id"] for r in spark.read.parquet(out_acc).collect()}
     assert 3 in ids2
+
+    # rebase guard: survivors fold to the reserved batch_id=-1 (a fresh-
+    # checkpoint resume's micro-batch 0 excludes-then-overwrites batch 0)
+    out_acc3 = str(tmp_path_factory.mktemp("exp_acc3"))
+    out_idx3 = str(tmp_path_factory.mktemp("exp_idx3"))
+    pipelines.curation_state_expire(
+        spark, accepted, index, out_acc3, out_idx3,
+        spark.createDataFrame([(99,)], "doc_id long"),  # drops nothing
+    )
+    for p in (out_acc3, out_idx3):
+        surv = spark.read.parquet(p)
+        assert surv.count() > 0
+        assert {r["batch_id"] for r in surv.select("batch_id").collect()} == {-1}, p
+        assert {r["doc_id"] for r in surv.select("doc_id").collect()} == {1}, p
 
     with pytest.raises(ValueError, match="differ"):
         pipelines.curation_state_expire(
@@ -1453,13 +1479,20 @@ def test_semantic_state_expire_restores_dominated_and_matches_fresh(spark, tmp_p
     }
     assert got == fresh
 
-    # fresh-checkpoint resume guard: re-verdicts must live at the reserved
-    # batch_id=-1, visible to (and never overwritten by) micro-batch 0
+    # fresh-checkpoint resume guard: the ENTIRE expired output (corpus rows,
+    # untouched winners, re-verdicts) lives at the reserved batch_id=-1, so
+    # micro-batch 0's exclude-then-overwrite can neither hide nor wipe it
+    for path, schema in (
+        (out_corpus, "vec_id long, embedding array<float>, batch_id long"),
+        (out_verdicts,
+         "vec_id long, cell_id int, centroid_sim double, keep boolean, batch_id long"),
+    ):
+        raw = pipelines.read_parquet_or_empty(spark, path, schema)
+        assert raw.filter(F.col("batch_id") != -1).count() == 0, path
     visible = pipelines.read_semantic_verdicts(
         spark, out_verdicts, exclude_batch_id=0
     )
-    vis_ids = {r["vec_id"] for r in visible.collect()}
-    assert any(v in vis_ids for v in survivor_drops)
+    assert {r["vec_id"] for r in visible.collect()} == set(got)
 
     with pytest.raises(ValueError, match="differ"):
         pipelines.semantic_state_expire(
