@@ -82,7 +82,10 @@ def pagerank(
         )
     damping_pct, scale = int(damping_pct), int(scale)
 
-    e = edges.select("src", "dst")
+    # materialize the edge frame ONCE: deg, the ed join, and the node set
+    # all consume it, and an expensive upstream derivation (join + distinct)
+    # would otherwise re-execute for each
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
