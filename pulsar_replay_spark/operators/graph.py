@@ -96,21 +96,36 @@ def pagerank(
     )
 
     base = ((100 - damping_pct) * scale) // 100
+    based = nodes.select("node", F.lit(base).cast("long").alias("base"))
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
+
+
+def _pagerank_loop(
+    based: DataFrame,
+    ed: DataFrame,
+    ranks: DataFrame,
+    damping_pct: int,
+    n_iter: int,
+    checkpoint_interval: int,
+) -> DataFrame:
+    """The shared synchronous iteration driver: ``based`` is the node table
+    carrying each node's per-round teleport ``base`` (uniform for
+    ``pagerank``, seed-concentrated for ``personalized_pagerank``)."""
     for i in range(n_iter):
-        ranks = _pagerank_round(nodes, ed, ranks, base, damping_pct)
+        ranks = _pagerank_round(based, ed, ranks, damping_pct)
         if (i + 1) % checkpoint_interval == 0 or i + 1 == n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("pr").alias("rank_fp"))
 
 
 def _pagerank_round(
-    nodes: DataFrame, ed: DataFrame, ranks: DataFrame, base: int, damping_pct: int
+    based: DataFrame, ed: DataFrame, ranks: DataFrame, damping_pct: int
 ) -> DataFrame:
     """One synchronous PageRank round, UNcheckpointed — factored out so the
     per-iteration physical plan is gate-able (test_plans.py: equi-joins
-    only, never a cartesian) even though ``pagerank`` checkpoints each
-    round away."""
+    only, never a cartesian) even though the loop checkpoints each
+    materialization away. ``based`` = (node, base)."""
     contrib = (
         ed.join(ranks, ed["src"] == ranks["node"])
         # `div` = integral division (floor for the non-negative ranks
@@ -119,15 +134,75 @@ def _pagerank_round(
         .groupBy("node")
         .agg(F.sum("share").alias("insum"))
     )
-    return nodes.join(contrib, "node", "left").select(
+    return based.join(contrib, "node", "left").select(
         "node",
         (
-            F.lit(base).cast("long")
+            F.col("base")
             + F.expr(f"({damping_pct} * coalesce(insum, 0L)) div 100")
         )
         .cast("long")
         .alias("pr"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """(node, rank_fp): PageRank with the teleport concentrated on
+    ``seeds`` (node) — the TrustRank shape: trust mass originates ONLY at a
+    vetted whitelist and flows along links, so link-farm hosts that inflate
+    plain PageRank stay near zero unless something trusted (transitively)
+    points at them. Use for crawl-frontier prioritization and spam
+    demotion: rank = proximity to the trusted set.
+
+    Same integer discipline, loop, and plan shape as ``pagerank``; only the
+    per-node base differs (seeds get the full (100-damping)·scale teleport,
+    everyone else 0) and initial mass sits on the seeds. Seeds not present
+    in the edge set are ignored (they have no links to flow through)."""
+    if not 1 <= int(damping_pct) <= 99:
+        raise ValueError(f"damping_pct must be in [1, 99], got {damping_pct}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
+    damping_pct, scale = int(damping_pct), int(scale)
+
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = ((100 - damping_pct) * scale) // 100
+    seed_marks = seeds.select("node").distinct().withColumn("_seed", F.lit(True))
+    based = (
+        nodes.join(seed_marks, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("base"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = based.select(
+        "node",
+        F.when(F.col("base") > 0, F.lit(scale)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
 
 
 def domain_rank(

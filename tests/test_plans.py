@@ -416,8 +416,9 @@ def test_pagerank_round_is_equi_join_not_cartesian(spark):
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     ed = edges.join(deg, "src")
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    based = nodes.select("node", F.lit(150_000_000_000).cast("long").alias("base"))
     ranks = nodes.select("node", F.lit(10**12).cast("long").alias("pr"))
-    plan = _plan(_pagerank_round(nodes, ed, ranks, 150_000_000_000, 85))
+    plan = _plan(_pagerank_round(based, ed, ranks, 85))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
