@@ -1197,3 +1197,57 @@ def scrub_repeated_chunks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept_chunks"),
     )
+
+
+def line_dedup_marks(docs: DataFrame, max_doc_freq: int = 5) -> DataFrame:
+    """CCNet-style line/paragraph-frequency dedup marks: one row per
+    (doc_id, line_idx, line, keep) where ``keep`` is false for lines
+    appearing in ``max_doc_freq``-or-more DISTINCT documents. The
+    complement of ``chunk_dedup_marks``' keep-first policy: a window that
+    repeats belongs to exactly one document, but a line that repeats across
+    many documents (nav chrome, cookie banners, share footers) belongs to
+    NONE — every copy drops.
+
+    Scale shape: the frequency decision shuffles ``md5(line)`` + doc_id
+    only (distinct then count, both with map-side combine); the
+    over-threshold relation — boilerplate, a tiny fraction of distinct
+    lines — broadcasts back, so unique lines never join at all."""
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_idx", "line")
+    )
+    h = F.md5("line")
+    common = (
+        lines.select(h.alias("_h"), "doc_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= max_doc_freq)
+        .select("_h")
+    )
+    joined = lines.join(F.broadcast(common), h == F.col("_h"), "left")
+    return joined.select(
+        "doc_id", "line_idx", "line", F.col("_h").isNull().alias("keep")
+    )
+
+
+def scrub_boilerplate_lines(docs: DataFrame, max_doc_freq: int = 5) -> DataFrame:
+    """End product of line-frequency dedup: each document's text with every
+    over-threshold line removed (surviving line order preserved), plus the
+    per-doc counts. Every input document appears — a fully-scrubbed doc
+    keeps an empty cleaned_text (the corpus writer drops it). Shuffle
+    profile = ``line_dedup_marks`` + one per-document aggregation
+    (collect_list bounded by doc length, never key-global)."""
+    marks = line_dedup_marks(docs, max_doc_freq)
+    kept_struct = F.when(F.col("keep"), F.struct("line_idx", "line"))
+    return marks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept_lines"),
+    )

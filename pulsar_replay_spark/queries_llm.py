@@ -1335,3 +1335,34 @@ def q_pack_sequences(spark, sf_dir):
 # source_profile's oracle is built here because it reuses _REP_SIG_SQL,
 # defined above its registration point.
 _ORACLES["source_profile"] = _source_profile_sql()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style line-frequency boilerplate scrub (r8): the complement of
+# scrubbed_corpus' keep-first chunks — a line in >= max_doc_freq distinct
+# docs (nav chrome, cookie banners) is removed from EVERY document. Not
+# registered (the 50-slot contract carries the chunk family via
+# scrubbed_corpus); oracle-gated in pytest + parity --extras (x_line_scrub).
+# ---------------------------------------------------------------------------
+LINE_SCRUB_ORACLE = """
+WITH sp AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+lines AS (
+  SELECT doc_id, CAST(u.i AS INT) - 1 AS line_idx, lines[u.i] AS line
+  FROM sp, UNNEST(range(1, len(lines) + 1)) AS u(i)
+),
+common AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+)
+SELECT l.doc_id,
+       COALESCE(string_agg(l.line, chr(10) ORDER BY l.line_idx)
+                FILTER (WHERE c.line IS NULL), '') AS cleaned_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN c.line IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_lines
+FROM lines l LEFT JOIN common c ON l.line = c.line
+GROUP BY l.doc_id
+"""
+
+
+def q_line_scrubbed_corpus(spark, sf_dir):
+    return dedup.scrub_boilerplate_lines(_docs(spark, sf_dir), max_doc_freq=3)

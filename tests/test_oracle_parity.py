@@ -337,3 +337,41 @@ def test_unregistered_q4_matches_oracle(spark, duck):
     ddf = duck.execute(Q4_ORACLE).df()
     problems = compare(sdf, ddf)
     assert not problems, f"q4: {problems}"
+
+
+def test_line_scrub_matches_oracle(spark, duck):
+    """The r8 line-frequency scrub (CCNet boilerplate removal): pytest-tier
+    oracle gate over a PLANTED corpus (the synthetic documents carry no
+    newlines, so the SF gate alone would be structurally empty); also in
+    parity --extras as x_line_scrub. Boilerplate in >=3 distinct docs
+    vanishes from EVERY copy; unique lines survive in order."""
+    from pulsar_replay_spark.operators import dedup
+    from pulsar_replay_spark.queries_llm import LINE_SCRUB_ORACLE
+
+    rows = []
+    for i in range(12):
+        body = f"unique line {i}\nsecond unique {i}"
+        if i % 2 == 0:
+            body += "\nCOOKIE BANNER"   # 6 docs: over the threshold
+        if i % 3 == 0:
+            body += "\nSHARE THIS PAGE"  # 4 docs: over the threshold
+        if i in (0, 1):
+            body += "\nrare pair line"  # 2 docs: UNDER the threshold, kept
+        rows.append((i, body))
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    sdf = dedup.scrub_boilerplate_lines(planted, max_doc_freq=3).toPandas()
+
+    import pandas as pd
+
+    duck.register("planted_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ddf = duck.execute(
+        LINE_SCRUB_ORACLE.replace("FROM documents", "FROM planted_docs")
+    ).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"line_scrub: {problems}"
+
+    cleaned = dict(zip(sdf["doc_id"], sdf["cleaned_text"]))
+    assert all("COOKIE BANNER" not in t and "SHARE THIS" not in t
+               for t in cleaned.values())
+    assert cleaned[0].endswith("rare pair line")  # under-threshold kept
+    assert cleaned[5] == "unique line 5\nsecond unique 5"
