@@ -381,3 +381,161 @@ def quarantine(
     clean = marked.filter(F.size("violations") == 0).drop("violations")
     bad = marked.filter(F.size("violations") > 0)
     return clean, bad
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring (r8): PSI over score histograms — the gate a
+# CONTINUOUS pipeline runs per ingest window. Quality scores sliding because
+# a crawl source changed its boilerplate (or a scorer was retrained) poisons
+# every downstream threshold; PSI against a frozen reference histogram is
+# the standard detector (banking's population-stability-index, applied to
+# corpus curation). Reference analog: none — north-star extension.
+# ---------------------------------------------------------------------------
+
+
+def score_histogram(
+    scored: DataFrame, bins: list[float], col: str = "score"
+) -> DataFrame:
+    """(bin, n): counts per threshold bin — bin i holds values in
+    [bins[i-1], bins[i]), bin 0 everything below bins[0], bin len(bins)
+    everything at-or-above the last threshold. One aggregate pass; the bin
+    expression is a pure Catalyst fold over the (small, literal) threshold
+    array, so the histogram costs one |bins|-key shuffle however large the
+    corpus. NULL scores are excluded (count them via check_suite)."""
+    if not bins or sorted(bins) != list(bins):
+        raise ValueError(f"bins must be a non-empty ascending list, got {bins}")
+    thresholds = F.array(*[F.lit(float(b)) for b in bins])
+    bin_expr = F.aggregate(
+        thresholds,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.when(F.col(col) >= t, 1).otherwise(0).cast("long"),
+    )
+    return (
+        scored.filter(F.col(col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def psi_drift(
+    ref_hist: DataFrame, cur_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """One-row (psi, n_ref, n_cur) + per-bin contributions are available via
+    ``psi_contributions``. PSI = Σ (p−q)·ln(p/q) over bin proportions with
+    ``eps`` additive smoothing (an empty bin on either side must not yield
+    ±inf). Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    Both inputs are |bins|-row frames — driver-scale arithmetic expressed
+    relationally so it composes with streaming windows."""
+    contrib = psi_contributions(ref_hist, cur_hist, eps)
+    return contrib.agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+    )
+
+
+def psi_contributions(
+    ref_hist: DataFrame, cur_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """(bin, n_ref, n_cur, p_ref, p_cur, psi_term): the per-bin PSI
+    breakdown — WHICH part of the distribution moved, not just that it
+    did. Full outer join on bin (a bin empty on one side is the signal,
+    not a join casualty)."""
+    from pyspark.sql.functions import broadcast
+
+    ref = ref_hist.select("bin", F.col("n").alias("n_ref"))
+    cur = cur_hist.select("bin", F.col("n").alias("n_cur"))
+    joined = (
+        ref.join(cur, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)) + F.lit(eps)
+    q = F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)) + F.lit(eps)
+    return (
+        joined.crossJoin(broadcast(totals))  # 1-row stat join, engine pattern
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p, 9).alias("p_ref"),
+            F.round(q, 9).alias("p_cur"),
+            ((p - q) * F.log(p / q)).alias("psi_term"),
+        )
+    )
+
+
+def drift_by_window(
+    scored: DataFrame,
+    ref_hist: DataFrame,
+    bins: list[float],
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    col: str = "score",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """(window_start, psi, n_cur): PSI of each event-time window's score
+    distribution against the frozen reference — the continuous-monitoring
+    serve (run it over the accepted store or a rollup, alert on the
+    threshold your ops picks). One pass: histogram per (window, bin), then
+    the |windows|·|bins|-row PSI arithmetic against the broadcast
+    reference."""
+    if not bins or sorted(bins) != list(bins):
+        raise ValueError(f"bins must be a non-empty ascending list, got {bins}")
+    from pyspark.sql.functions import broadcast
+
+    thresholds = F.array(*[F.lit(float(b)) for b in bins])
+    bin_expr = F.aggregate(
+        thresholds,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.when(F.col(col) >= t, 1).otherwise(0).cast("long"),
+    )
+    cur = (
+        scored.filter(F.col(col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n_cur"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n_cur")
+    )
+    ref_total = ref_hist.agg(F.sum("n").alias("t_ref"))
+    ref = (
+        ref_hist.crossJoin(broadcast(ref_total))
+        .select(
+            "bin",
+            (F.col("n") / F.greatest(F.col("t_ref"), F.lit(1))).alias("p_ref_raw"),
+        )
+    )
+    # the bin axis is ref bins ∪ current bins: a bin empty on EITHER side is
+    # the drift signal (score_histogram emits only non-empty bins), so the
+    # per-window grid must carry both
+    bin_axis = (
+        ref.select("bin").unionByName(cur.select("bin")).distinct()
+    )
+    win_totals = cur.groupBy("window_start").agg(F.sum("n_cur").alias("t_cur"))
+    grid = (
+        win_totals.crossJoin(broadcast(bin_axis))
+        .join(broadcast(ref), "bin", "left")
+        .join(cur, ["window_start", "bin"], "left")
+        .select(
+            "window_start",
+            "bin",
+            "t_cur",
+            F.coalesce("p_ref_raw", F.lit(0.0)).alias("p_ref_raw"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    p = F.col("p_ref_raw") + F.lit(eps)
+    q = F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)) + F.lit(eps)
+    return (
+        grid.groupBy("window_start")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.sum("n_cur").cast("bigint").alias("n_cur"),
+        )
+        .orderBy("window_start")
+    )

@@ -4,6 +4,7 @@ benchmark probe)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pulsar_replay_spark.operators.dedup import benchmark_overlap
@@ -302,3 +303,107 @@ def test_quarantine_splits_and_names_violations(spark, documents):
     # zero-shuffle: pure projection + filter
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r8: PSI distribution-drift monitoring
+# ---------------------------------------------------------------------------
+
+
+def _naive_psi(ref_counts, cur_counts, eps=1e-6):
+    import math
+
+    bins = set(ref_counts) | set(cur_counts)
+    t_ref = max(sum(ref_counts.values()), 1)
+    t_cur = max(sum(cur_counts.values()), 1)
+    psi = 0.0
+    for b in bins:
+        p = ref_counts.get(b, 0) / t_ref + eps
+        q = cur_counts.get(b, 0) / t_cur + eps
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
+def test_score_histogram_bins_and_psi_mirror(spark):
+    """Histogram bin edges are [lo, hi) with open tails; PSI matches an
+    independent math.log mirror to 1e-9; identical distributions sit at ~0
+    and a shifted one crosses the 0.25 'shifted' rule of thumb."""
+    from pulsar_replay_spark.operators import quality
+
+    bins = [0.2, 0.5, 0.8]
+    ref_rows = [(i, 0.1 + 0.05 * (i % 16)) for i in range(400)]   # spread
+    cur_rows = [(i, 0.65 + 0.02 * (i % 16)) for i in range(300)]  # shifted up
+    ref = spark.createDataFrame(ref_rows, "doc_id long, score double")
+    cur = spark.createDataFrame(cur_rows, "doc_id long, score double")
+
+    rh = {r["bin"]: r["n"] for r in quality.score_histogram(ref, bins).collect()}
+    # mirror the binning rule: bin = #thresholds <= score
+    import collections
+
+    mirror = collections.Counter(
+        sum(1 for t in bins if s >= t) for _, s in ref_rows
+    )
+    assert rh == dict(mirror)
+
+    ref_h = quality.score_histogram(ref, bins)
+    cur_h = quality.score_histogram(cur, bins)
+    got = quality.psi_drift(ref_h, cur_h).collect()[0]
+    want = _naive_psi(rh, {r["bin"]: r["n"]
+                           for r in cur_h.collect()})
+    assert abs(got["psi"] - round(want, 6)) < 1e-9
+    assert got["psi"] > 0.25            # the planted shift is 'shifted'
+    assert got["n_ref"] == 400 and got["n_cur"] == 300
+
+    same = quality.psi_drift(ref_h, ref_h).collect()[0]
+    assert abs(same["psi"]) < 1e-6      # self-PSI ~ 0 (eps smoothing only)
+
+    # per-bin contributions: the bins the mass moved INTO carry the signal
+    contrib = {r["bin"]: r["psi_term"]
+               for r in quality.psi_contributions(ref_h, cur_h).collect()}
+    assert set(contrib) == set(rh) | {r["bin"] for r in cur_h.collect()}
+
+    with pytest.raises(ValueError, match="ascending"):
+        quality.score_histogram(ref, [0.5, 0.2])
+
+
+def test_drift_by_window_flags_the_drifted_hour(spark):
+    """Windowed drift: a stable hour scores ~0 PSI against the reference, a
+    shifted hour scores high — and a window whose mass lands in a bin the
+    REFERENCE never saw still accounts for it (the union bin axis)."""
+    import datetime as dt
+
+    from pulsar_replay_spark.operators import quality
+
+    bins = [0.2, 0.5, 0.8]
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):  # hour 0: matches the reference shape
+        rows.append((base + dt.timedelta(seconds=10 * i), 0.1 + 0.05 * (i % 16)))
+    for i in range(200):  # hour 1: all mass at the top tail
+        rows.append(
+            (base + dt.timedelta(hours=1, seconds=10 * i), 0.92 + 0.001 * (i % 10))
+        )
+    cur = spark.createDataFrame(rows, "ts timestamp, score double")
+    ref = spark.createDataFrame(
+        [(i, 0.1 + 0.05 * (i % 16)) for i in range(400)], "doc_id long, score double"
+    )
+    ref_h = quality.score_histogram(ref, bins)
+    got = {
+        r["window_start"]: r for r in
+        quality.drift_by_window(cur, ref_h, bins, window="1 hour").collect()
+    }
+    assert len(got) == 2
+    stable, drifted = got[base], got[base + dt.timedelta(hours=1)]
+    assert stable["psi"] < 0.01
+    assert drifted["psi"] > 0.25
+    assert stable["n_cur"] == drifted["n_cur"] == 200
+
+    # mirror the drifted hour exactly
+    import collections
+
+    rh = {r["bin"]: r["n"] for r in ref_h.collect()}
+    cur_counts = collections.Counter(
+        sum(1 for t in bins if s >= t)
+        for ts, s in rows if ts >= base + dt.timedelta(hours=1)
+    )
+    assert abs(drifted["psi"] - round(_naive_psi(rh, cur_counts), 6)) < 1e-9
