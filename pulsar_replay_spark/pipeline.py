@@ -342,3 +342,109 @@ def curate_media(
         "frames_kept": frames_kept,
         "report": report,
     }
+
+
+def data_card(docs: DataFrame, length_bins: list[float] | None = None) -> dict:
+    """The release artifact every published corpus ships with: one call →
+    the summary frames a dataset card reports, each a small aggregate over
+    ONE corpus scan family (no frame here is corpus-sized):
+
+    - ``summary``: 1 row — docs, tokens, chars, distinct langs/sources,
+      exact-duplicate rate (docs sharing a byte-identical text);
+    - ``by_lang`` / ``by_source``: doc + token counts with corpus shares;
+    - ``top_hosts``: doc counts per source-URL host (``graph.host_expr`` —
+      NULL host = non-URL sources, reported as their own row);
+    - ``length_hist``: token-count histogram over ``length_bins``
+      (``quality.score_histogram``; default decade-ish edges);
+    - ``quality_quartiles``: per-lang quartiles of the default TTR quality
+      score (approx_percentile — exactness is not the point of a card).
+
+    Compose with ``curate_corpus``: card the input AND the selected output,
+    and the diff IS the curation story a release documents."""
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.operators import dedup, quality
+    from pulsar_replay_spark.operators.curation import default_quality_score
+    from pulsar_replay_spark.operators.graph import host_expr
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        default_quality_score(F.col("text")).alias("score"),
+    ).localCheckpoint(eager=True)
+
+    n_docs = F.count("*")
+    dup_docs = (
+        dedup.exact_dup_groups(docs)
+        .agg(F.coalesce(F.sum(F.col("n_docs") - 1), F.lit(0)).alias("d"))
+        .collect()[0]["d"]
+    )
+    summary = base.agg(
+        n_docs.cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    ).withColumn(
+        "exact_dup_rate",
+        F.round(F.lit(int(dup_docs)) / F.greatest(F.col("n_docs"), F.lit(1)), 6),
+    )
+
+    def _by(key: str) -> DataFrame:
+        from pyspark.sql.functions import broadcast
+
+        totals = base.agg(
+            n_docs.alias("_td"), F.sum("n_tokens").alias("_tt")
+        )
+        return (
+            base.groupBy(key)
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+            .crossJoin(broadcast(totals))  # 1-row stat join, engine pattern
+            .select(
+                key,
+                "n_docs",
+                "n_tokens",
+                F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
+                F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("token_share"),
+            )
+            .orderBy(F.desc("n_tokens"), key)
+        )
+
+    top_hosts = (
+        docs.select(host_expr(F.col("source")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "host")
+    )
+    bins = length_bins or [16.0, 64.0, 256.0, 1024.0, 4096.0]
+    length_hist = quality.score_histogram(
+        base.select(F.col("n_tokens").cast("double").alias("score")), bins
+    ).orderBy("bin")
+    quality_quartiles = (
+        base.groupBy("lang")
+        .agg(
+            F.round(
+                F.percentile_approx("score", [0.25, 0.5, 0.75])[0], 4
+            ).alias("q25"),
+            F.round(
+                F.percentile_approx("score", [0.25, 0.5, 0.75])[1], 4
+            ).alias("q50"),
+            F.round(
+                F.percentile_approx("score", [0.25, 0.5, 0.75])[2], 4
+            ).alias("q75"),
+        )
+        .orderBy("lang")
+    )
+    return {
+        "summary": summary,
+        "by_lang": _by("lang"),
+        "by_source": _by("source"),
+        "top_hosts": top_hosts,
+        "length_hist": length_hist,
+        "quality_quartiles": quality_quartiles,
+    }

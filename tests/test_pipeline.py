@@ -355,3 +355,40 @@ def test_curate_corpus_domain_floor(spark, documents):
     # no unknown- or hub-host doc is dropped BY THE FLOOR
     assert (set(unknowns) & deduped_ids) <= after
     assert (set(highs) & deduped_ids) <= after
+
+
+def test_data_card_reports_the_corpus(spark):
+    """The release-card composition: counts/shares/dup-rate/host rollup all
+    agree with directly-computed values on a planted corpus."""
+    rows = [
+        (1, "alpha beta gamma delta", "en", "https://a.example/1"),
+        (2, "alpha beta gamma delta", "en", "https://a.example/2"),  # exact dup
+        (3, "uno dos tres", "es", "https://b.example/1"),
+        (4, "un deux trois quatre cinq six sept huit", "fr", "files/local.txt"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    card = pipeline.data_card(docs, length_bins=[4.0, 8.0])
+
+    s = card["summary"].collect()[0]
+    assert s["n_docs"] == 4 and s["n_langs"] == 3 and s["n_sources"] == 4
+    assert s["n_tokens"] == 4 + 4 + 3 + 8
+    assert s["exact_dup_rate"] == 0.25  # 1 redundant copy of 4 docs
+
+    by_lang = {r["lang"]: r for r in card["by_lang"].collect()}
+    assert by_lang["en"]["n_docs"] == 2 and by_lang["en"]["n_tokens"] == 8
+    assert abs(by_lang["fr"]["token_share"] - 8 / 19) < 1e-6
+    # ordered by tokens desc
+    assert [r["lang"] for r in card["by_lang"].collect()][0] in ("en", "fr")
+
+    hosts = {r["host"]: r["n_docs"] for r in card["top_hosts"].collect()}
+    assert hosts["a.example"] == 2 and hosts["b.example"] == 1
+    assert hosts[None] == 1  # the non-URL source is its own accounted row
+
+    hist = {r["bin"]: r["n"] for r in card["length_hist"].collect()}
+    assert hist == {0: 1, 1: 2, 2: 1}  # 3 tok | 4,4 tok | 8 tok
+
+    q = {r["lang"]: r for r in card["quality_quartiles"].collect()}
+    assert set(q) == {"en", "es", "fr"}
+    assert all(r["q25"] <= r["q50"] <= r["q75"] for r in q.values())
