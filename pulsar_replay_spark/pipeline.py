@@ -427,16 +427,12 @@ def data_card(docs: DataFrame, length_bins: list[float] | None = None) -> dict:
     ).orderBy("bin")
     quality_quartiles = (
         base.groupBy("lang")
-        .agg(
-            F.round(
-                F.percentile_approx("score", [0.25, 0.5, 0.75])[0], 4
-            ).alias("q25"),
-            F.round(
-                F.percentile_approx("score", [0.25, 0.5, 0.75])[1], 4
-            ).alias("q50"),
-            F.round(
-                F.percentile_approx("score", [0.25, 0.5, 0.75])[2], 4
-            ).alias("q75"),
+        .agg(F.percentile_approx("score", [0.25, 0.5, 0.75]).alias("_q"))
+        .select(
+            "lang",
+            F.round(F.col("_q")[0], 4).alias("q25"),
+            F.round(F.col("_q")[1], 4).alias("q50"),
+            F.round(F.col("_q")[2], 4).alias("q75"),
         )
         .orderBy("lang")
     )
