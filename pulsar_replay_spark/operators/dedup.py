@@ -1159,7 +1159,11 @@ def chunk_dedup_marks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
 def _doc_chunks(docs: DataFrame, chunk_tokens: int) -> DataFrame:
     """(doc_id, chunk_idx, chunk): consecutive ``chunk_tokens``-token
     windows of each document."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # coalesce NULL text to "" — the scrub contract promises every input
+    # doc appears (a NULL split explodes to zero rows)
+    toks = docs.select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("t")
+    )
     n_chunks = F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("int")
     return toks.select(
         "doc_id",
@@ -1184,18 +1188,31 @@ def scrub_repeated_chunks(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     collect_list is per-document (bounded by doc length), never
     per-key-global, so it holds at 100 TB."""
     marks = chunk_dedup_marks(docs, chunk_tokens)
-    kept_struct = F.when(
-        F.col("keep"), F.struct("chunk_idx", "chunk")
-    )  # null for dropped chunks → excluded from collect_list
+    return _reassemble(marks, "chunk_idx", "chunk", " ", "n_chunks", "n_kept_chunks")
+
+
+def _reassemble(
+    marks: DataFrame,
+    idx_col: str,
+    val_col: str,
+    sep: str,
+    total_alias: str,
+    kept_alias: str,
+) -> DataFrame:
+    """Shared scrub end-product aggregation: per-doc in-order join of the
+    kept segments plus total/kept counts (collect_list is per-document —
+    bounded by doc length, never key-global). Dropped segments become NULL
+    structs, which collect_list excludes."""
+    kept_struct = F.when(F.col("keep"), F.struct(idx_col, val_col))
     return marks.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s[val_col]
             ),
-            " ",
+            sep,
         ).alias("cleaned_text"),
-        F.count("*").alias("n_chunks"),
-        F.sum(F.col("keep").cast("bigint")).alias("n_kept_chunks"),
+        F.count("*").alias(total_alias),
+        F.sum(F.col("keep").cast("bigint")).alias(kept_alias),
     )
 
 
@@ -1212,10 +1229,18 @@ def line_dedup_marks(docs: DataFrame, max_doc_freq: int = 5) -> DataFrame:
     only (distinct then count, both with map-side combine); the
     over-threshold relation — boilerplate, a tiny fraction of distinct
     lines — broadcasts back, so unique lines never join at all."""
-    if max_doc_freq < 1:
-        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    # floor 2: at max_doc_freq=1 EVERY line appears in >= 1 doc, so the
+    # operator degenerates to deleting the whole corpus — never meaningful
+    if max_doc_freq < 2:
+        raise ValueError(f"max_doc_freq must be >= 2, got {max_doc_freq}")
+    # coalesce NULL text to "" so every input doc appears in the marks (a
+    # NULL-text doc otherwise explodes to zero rows and silently vanishes
+    # from the scrub output, breaking the every-doc-appears contract)
     lines = docs.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_idx", "line")
+        "doc_id",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n")).alias(
+            "line_idx", "line"
+        ),
     )
     h = F.md5("line")
     common = (
@@ -1240,14 +1265,4 @@ def scrub_boilerplate_lines(docs: DataFrame, max_doc_freq: int = 5) -> DataFrame
     profile = ``line_dedup_marks`` + one per-document aggregation
     (collect_list bounded by doc length, never key-global)."""
     marks = line_dedup_marks(docs, max_doc_freq)
-    kept_struct = F.when(F.col("keep"), F.struct("line_idx", "line"))
-    return marks.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
-            ),
-            "\n",
-        ).alias("cleaned_text"),
-        F.count("*").alias("n_lines"),
-        F.sum(F.col("keep").cast("bigint")).alias("n_kept_lines"),
-    )
+    return _reassemble(marks, "line_idx", "line", "\n", "n_lines", "n_kept_lines")

@@ -67,38 +67,55 @@ def pagerank(
     Reference analog: none in `pulsar-replay` — north-star extension for
     crawl-corpus domain priors.
     """
-    if not 1 <= int(damping_pct) <= 99:
+    damping_pct, scale = _validate_knobs(
+        n_iter, scale, checkpoint_interval, damping_pct
+    )
+    ed, nodes = _edge_frames(edges)
+    base = ((100 - damping_pct) * scale) // 100
+    based = nodes.select("node", F.lit(base).cast("long").alias("base"))
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
+
+
+def _validate_knobs(
+    n_iter: int, scale: int, checkpoint_interval: int, damping_pct: int | None = None
+) -> tuple[int, int]:
+    """Shared knob validation for the graph family — every check runs
+    BEFORE the eager edge/node materialization jobs (a bad knob must fail
+    in milliseconds, not after edge-scale Spark jobs)."""
+    if damping_pct is not None and not 1 <= int(damping_pct) <= 99:
         raise ValueError(f"damping_pct must be in [1, 99], got {damping_pct}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
-    # validate EVERY argument before the eager edge/node materialization
-    # jobs below — a bad knob must fail in milliseconds, not after two
-    # edge-scale Spark jobs
     if checkpoint_interval < 1:
         raise ValueError(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
         )
-    damping_pct, scale = int(damping_pct), int(scale)
+    return int(damping_pct or 0), int(scale)
 
-    # materialize the edge frame ONCE: deg, the ed join, and the node set
-    # all consume it, and an expensive upstream derivation (join + distinct)
-    # would otherwise re-execute for each
+
+def _edge_frames(
+    edges: DataFrame, with_outdeg: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(edge frame, node frame), both eagerly materialized ONCE: the degree
+    agg, the per-round joins, and the node set all consume the caller's
+    edge frame, and an expensive upstream derivation (join + distinct)
+    would otherwise re-execute for each. With ``with_outdeg`` the edge
+    frame carries (src, dst, outdeg) — PageRank's share denominator; HITS
+    passes False (its max-normalization needs no degrees)."""
     e = edges.select("src", "dst").localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    if with_outdeg:
+        deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+        e = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-
-    base = ((100 - damping_pct) * scale) // 100
-    based = nodes.select("node", F.lit(base).cast("long").alias("base"))
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
-    return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
+    return e, nodes
 
 
 def _pagerank_loop(
@@ -164,41 +181,27 @@ def personalized_pagerank(
     per-node base differs (seeds get the full (100-damping)·scale teleport,
     everyone else 0) and initial mass sits on the seeds. Seeds not present
     in the edge set are ignored (they have no links to flow through)."""
-    if not 1 <= int(damping_pct) <= 99:
-        raise ValueError(f"damping_pct must be in [1, 99], got {damping_pct}")
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    if scale < 1:
-        raise ValueError(f"scale must be >= 1, got {scale}")
-    if checkpoint_interval < 1:
-        raise ValueError(
-            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
-        )
-    damping_pct, scale = int(damping_pct), int(scale)
-
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    damping_pct, scale = _validate_knobs(
+        n_iter, scale, checkpoint_interval, damping_pct
     )
+    ed, nodes = _edge_frames(edges)
     base = ((100 - damping_pct) * scale) // 100
+    # carry seedness EXPLICITLY: base floors to 0 when
+    # (100-damping)·scale < 100, so `base > 0` is not a seed test — seeds
+    # must still start with the full initial mass
     seed_marks = seeds.select("node").distinct().withColumn("_seed", F.lit(True))
-    based = (
-        nodes.join(seed_marks, "node", "left")
-        .select(
-            "node",
-            F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
-            .cast("long")
-            .alias("base"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    ranks = based.select(
+    marked = nodes.join(seed_marks, "node", "left").select(
+        "node", F.coalesce("_seed", F.lit(False)).alias("_seed")
+    ).localCheckpoint(eager=True)
+    based = marked.select(
         "node",
-        F.when(F.col("base") > 0, F.lit(scale)).otherwise(F.lit(0))
+        F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("base"),
+    )
+    ranks = marked.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(scale)).otherwise(F.lit(0))
         .cast("long")
         .alias("pr"),
     )
@@ -298,22 +301,8 @@ def hits(
     Reference analog: none — north-star extension (graph tier)."""
     from pyspark.sql.functions import broadcast
 
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    if scale < 1:
-        raise ValueError(f"scale must be >= 1, got {scale}")
-    if checkpoint_interval < 1:
-        raise ValueError(
-            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
-        )
-
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    _, scale = _validate_knobs(n_iter, scale, checkpoint_interval)
+    e, nodes = _edge_frames(edges, with_outdeg=False)
 
     def _half_round(scores: DataFrame, col: str, key_in: str, key_out: str) -> DataFrame:
         """Sum `col` over edges arriving at key_out (auth: in-edges sum hub;

@@ -393,6 +393,23 @@ def quarantine(
 # ---------------------------------------------------------------------------
 
 
+def _bin_expr(bins: list[float], col: str):
+    """Validated [lo, hi) threshold-fold binning shared by the histogram
+    and the windowed drift monitor — ONE definition, so the two sides of a
+    PSI comparison can never bin differently. Strictly ascending required:
+    a duplicate threshold silently makes a bin unreachable."""
+    if not bins or any(a >= b for a, b in zip(bins, bins[1:])):
+        raise ValueError(
+            f"bins must be a non-empty strictly ascending list, got {bins}"
+        )
+    thresholds = F.array(*[F.lit(float(b)) for b in bins])
+    return F.aggregate(
+        thresholds,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.when(F.col(col) >= t, 1).otherwise(0).cast("long"),
+    )
+
+
 def score_histogram(
     scored: DataFrame, bins: list[float], col: str = "score"
 ) -> DataFrame:
@@ -402,17 +419,9 @@ def score_histogram(
     expression is a pure Catalyst fold over the (small, literal) threshold
     array, so the histogram costs one |bins|-key shuffle however large the
     corpus. NULL scores are excluded (count them via check_suite)."""
-    if not bins or sorted(bins) != list(bins):
-        raise ValueError(f"bins must be a non-empty ascending list, got {bins}")
-    thresholds = F.array(*[F.lit(float(b)) for b in bins])
-    bin_expr = F.aggregate(
-        thresholds,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + F.when(F.col(col) >= t, 1).otherwise(0).cast("long"),
-    )
     return (
         scored.filter(F.col(col).isNotNull())
-        .groupBy(bin_expr.alias("bin"))
+        .groupBy(_bin_expr(bins, col).alias("bin"))
         .agg(F.count("*").alias("n"))
     )
 
@@ -486,16 +495,9 @@ def drift_by_window(
     threshold your ops picks). One pass: histogram per (window, bin), then
     the |windows|·|bins|-row PSI arithmetic against the broadcast
     reference."""
-    if not bins or sorted(bins) != list(bins):
-        raise ValueError(f"bins must be a non-empty ascending list, got {bins}")
     from pyspark.sql.functions import broadcast
 
-    thresholds = F.array(*[F.lit(float(b)) for b in bins])
-    bin_expr = F.aggregate(
-        thresholds,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + F.when(F.col(col) >= t, 1).otherwise(0).cast("long"),
-    )
+    bin_expr = _bin_expr(bins, col)
     cur = (
         scored.filter(F.col(col).isNotNull())
         .groupBy(F.window(F.col(ts_col), window).alias("w"), bin_expr.alias("bin"))

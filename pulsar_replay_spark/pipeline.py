@@ -415,8 +415,10 @@ def data_card(docs: DataFrame, length_bins: list[float] | None = None) -> dict:
             .orderBy(F.desc("n_tokens"), key)
         )
 
+    # built from the checkpointed projection, not the raw docs — the raw
+    # frame would re-scan the full input (text column included) per collect
     top_hosts = (
-        docs.select(host_expr(F.col("source")).alias("host"))
+        base.select(host_expr(F.col("source")).alias("host"))
         .groupBy("host")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "host")

@@ -245,3 +245,25 @@ def test_personalized_pagerank_matches_mirror_and_demotes_far_nodes(spark):
     # ...while plain pagerank happily scores the clique
     plain = {r["node"]: r["rank_fp"] for r in pagerank(df, n_iter=10).collect()}
     assert plain[10] > 0 and plain[11] > 0
+
+
+def test_personalized_pagerank_tiny_scale_keeps_seed_identity(spark):
+    """Regression: when (100-damping)·scale floors the teleport base to 0,
+    seedness must still be carried explicitly — seeds start with full mass
+    and the result stays bit-exact vs the mirror (a base>0 proxy would
+    zero every rank)."""
+    from pulsar_replay_spark.operators.graph import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank(
+            df, seeds, n_iter=3, damping_pct=99, scale=50
+        ).collect()
+    }
+    assert got == naive_personalized_pagerank(
+        edges, [0], n_iter=3, damping_pct=99, scale=50
+    )
+    assert any(v > 0 for v in got.values())
