@@ -2055,3 +2055,58 @@ def domain_rank_refresh(
     from pulsar_replay_spark.operators.graph import domain_rank
 
     return domain_rank(read_link_store(spark, store_dir), n_iter=n_iter)
+
+
+def drift_monitor_sink(
+    scored_stream: DataFrame,
+    ref_hist: DataFrame,
+    bins: list,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    col: str = "score",
+):
+    """Continuous distribution-drift monitoring: per micro-batch, compute
+    the event-time-windowed PSI of the batch's score distribution against
+    the frozen reference histogram (``quality.drift_by_window``) and append
+    it as one idempotent batch_id partition of the monitor store. Serve
+    with ``drift_monitor_read`` — per (window, batch) rows let ops see
+    drift the moment the offending ingest lands, and re-aggregate exactly
+    because histogram counts are additive.
+
+    The reference histogram is the FROZEN baseline (build once from a
+    vetted corpus via ``quality.score_histogram``); recompute it only on a
+    deliberate re-baselining, never per batch."""
+    from pulsar_replay_spark.operators.quality import drift_by_window
+
+    ref = ref_hist.localCheckpoint(eager=True)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = drift_by_window(
+            batch_df, ref, bins, window=window, ts_col=ts_col, col=col
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_dir)
+        )
+
+    return (
+        scored_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drift_monitor_read(spark: SparkSession, monitor_dir: str) -> DataFrame:
+    """(window_start, psi, n_cur, batch_id) rows from the monitor store,
+    newest window first — the alerting query reads the head."""
+    return read_parquet_or_empty(
+        spark,
+        monitor_dir,
+        "window_start timestamp, psi double, n_cur long, batch_id long",
+    ).orderBy(F.desc("window_start"), "batch_id")
