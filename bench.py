@@ -373,6 +373,27 @@ def main() -> None:
                 "unigram_token_counts",
                 lambda: _noop_write(unigram.unigram_token_counts(docs, um)),
             )
+
+        # r8: line-frequency boilerplate scrub (the chunk family's
+        # cross-doc complement) and the PSI drift monitor's serve path
+        from pulsar_replay_spark.operators import dedup as dd
+        from pulsar_replay_spark.operators import quality as qy
+
+        timed_op(
+            "line_scrub_corpus",
+            lambda: _noop_write(dd.scrub_boilerplate_lines(docs, max_doc_freq=3)),
+        )
+        score_bins = [1.0, 2.0, 4.0, 8.0]
+        ref_hist = qy.score_histogram(
+            docs.select(
+                (F.length("text") / 100.0).alias("score")
+            ),
+            score_bins,
+        ).localCheckpoint(eager=True)
+        timed_op(
+            "psi_drift_vs_self",
+            lambda: _noop_write(qy.psi_drift(ref_hist, ref_hist)),
+        )
     except Exception as e:  # noqa: BLE001
         errors["llm_ops"] = f"{type(e).__name__}: {e}"[:400]
 
