@@ -71,10 +71,31 @@ def pagerank(
         n_iter, scale, checkpoint_interval, damping_pct
     )
     ed, nodes = _edge_frames(edges)
+    _check_overflow_bound(nodes, scale, damping_pct)
     base = ((100 - damping_pct) * scale) // 100
     based = nodes.select("node", F.lit(base).cast("long").alias("base"))
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
     return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
+
+
+def _check_overflow_bound(nodes: DataFrame, scale: int, damping_pct: int) -> None:
+    """Enforce the module docstring's overflow bound with a NAMED error.
+    Total fixed-point mass never exceeds n_nodes·scale and the widest
+    intermediate is ``damping_pct · Σ incoming``, so worst-case mass
+    concentration (a mega-hub receiving everything) needs
+    ``n_nodes · scale · damping_pct < 2**63`` — otherwise ANSI mode raises
+    an opaque BIGINT overflow mid-iteration on exactly the skewed graphs
+    the operator exists for (found by the probe's --mega-hub rehearsal).
+    The count is one action on the already-materialized node frame."""
+    n = nodes.count()
+    if n * scale * damping_pct >= 2**63:
+        max_scale = (2**63 - 1) // max(n * damping_pct, 1)
+        raise ValueError(
+            f"scale={scale} can overflow BIGINT on this graph "
+            f"({n} nodes x damping {damping_pct}): worst-case mass "
+            f"concentration exceeds 2^63. Use scale <= {max_scale} "
+            "(rank precision is relative to scale, so 1e6+ is still ample)."
+        )
 
 
 def _validate_knobs(
@@ -185,6 +206,7 @@ def personalized_pagerank(
         n_iter, scale, checkpoint_interval, damping_pct
     )
     ed, nodes = _edge_frames(edges)
+    _check_overflow_bound(nodes, scale, damping_pct)
     base = ((100 - damping_pct) * scale) // 100
     # carry seedness EXPLICITLY: base floors to 0 when
     # (100-damping)·scale < 100, so `base > 0` is not a seed test — seeds

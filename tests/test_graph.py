@@ -267,3 +267,26 @@ def test_personalized_pagerank_tiny_scale_keeps_seed_identity(spark):
         edges, [0], n_iter=3, damping_pct=99, scale=50
     )
     assert any(v > 0 for v in got.values())
+
+
+def test_pagerank_overflow_bound_raises_named_error(spark):
+    """A scale violating n·scale·damping < 2^63 must fail with the NAMED
+    bound error before any iteration runs — not an opaque ANSI BIGINT
+    overflow mid-job on a skewed graph (found by the probe's mega-hub
+    rehearsal at 300k nodes × 1e12 scale)."""
+    from pulsar_replay_spark.operators.graph import pagerank, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 2000) for i in range(2000)], "src long, dst long"
+    )
+    bad_scale = 2**63 // (2000 * 85) + 1
+    with pytest.raises(ValueError, match="overflow BIGINT"):
+        pagerank(edges, n_iter=1, scale=bad_scale)
+    with pytest.raises(ValueError, match="overflow BIGINT"):
+        personalized_pagerank(
+            edges, spark.createDataFrame([(0,)], "node long"),
+            n_iter=1, scale=bad_scale,
+        )
+    # one notch under the bound runs fine
+    ok = pagerank(edges, n_iter=1, scale=2**63 // (2000 * 85) - 1)
+    assert ok.count() == 2000

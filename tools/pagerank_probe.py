@@ -27,7 +27,9 @@ def main() -> None:
 
     from pulsar_replay_spark.operators.graph import pagerank
 
-    sizes = [int(float(a)) for a in sys.argv[1:]] or [1_000_000, 2_000_000, 3_000_000]
+    mega_hub = "--mega-hub" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sizes = [int(float(a)) for a in args] or [1_000_000, 2_000_000, 3_000_000]
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -38,36 +40,52 @@ def main() -> None:
 
     for n_edges in sizes:
         n_nodes = max(n_edges // 10, 1000)
+        # honor the operator's overflow bound (n·scale·damping < 2^63) —
+        # the --mega-hub rehearsal is exactly the worst-case concentration
+        # the bound guards; pagerank raises a named error past it
+        scale = min(10**12, (2**63 - 1) // (100 * n_nodes) // 2)
         ids = spark.range(n_edges)
+        if mega_hub:
+            # worst-case skew: HALF of all edges land on ONE node — the
+            # hottest groupBy(dst) key a web graph can produce
+            dst = (
+                F.when(F.pmod("id", F.lit(2)) == 0, F.lit(0))
+                .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)))
+            )
+        else:
+            dst = (
+                F.when(
+                    F.pmod("id", F.lit(5)) == 0,
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)),
+                )
+                .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)))
+            )
         edges = ids.select(
             F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
-            F.when(
-                F.pmod("id", F.lit(5)) == 0,
-                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)),
-            )
-            .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)))
-            .alias("dst"),
+            dst.alias("dst"),
         ).localCheckpoint(eager=True)
 
         t0 = time.perf_counter()
-        ranks = pagerank(edges, n_iter=6)
+        ranks = pagerank(edges, n_iter=6, scale=scale)
         stats = ranks.agg(
             F.count("*").alias("nodes"),
             F.sum("rank_fp").alias("mass"),
         ).collect()[0]
         wall = time.perf_counter() - t0
 
+        n_hubs = 1 if mega_hub else 100
         hub_min = (
-            ranks.filter(F.col("node") < 100).agg(F.min("rank_fp")).collect()[0][0]
+            ranks.filter(F.col("node") < n_hubs).agg(F.min("rank_fp")).collect()[0][0]
         )
         tail_avg = (
-            ranks.filter(F.col("node") >= 100).agg(F.avg("rank_fp")).collect()[0][0]
+            ranks.filter(F.col("node") >= n_hubs).agg(F.avg("rank_fp")).collect()[0][0]
         )
-        assert stats["mass"] <= stats["nodes"] * 10**12, "mass exploded"
+        assert stats["mass"] <= stats["nodes"] * scale, "mass exploded"
         assert hub_min > tail_avg, "hubs should out-rank the tail"
         print(
             json.dumps(
                 {
+                    "mode": "mega_hub" if mega_hub else "hubs100",
                     "n_edges": n_edges,
                     "n_nodes": stats["nodes"],
                     "iters": 6,
