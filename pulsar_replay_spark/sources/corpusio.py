@@ -728,3 +728,103 @@ def _warc_links(files: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return files.mapInPandas(run, schema="src_host string, dst_host string")
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text mining from raw WARC (r8): (src_host, dst_host, anchor) —
+# anchor text is training data in its own right (query→document retrieval
+# pairs, title generation) and the classic relevance signal for the target
+# page. Pure helper first (fuzzable), then batch + streaming front doors on
+# the shared kernels.
+# ---------------------------------------------------------------------------
+
+_A_FULL_RE = re.compile(r"(?is)<a\b([^>]*)>(.*?)</a\s*>")
+
+
+def page_anchors(
+    html: str, max_chars: int = 256
+) -> "list[tuple[str, str]]":
+    """(dst_host, anchor_text) per link whose href resolves to an http(s)
+    host AND whose visible text is non-empty (image-only/empty anchors
+    carry no language). The anchor markup is stripped with the SAME
+    ``_strip_html`` the documents path uses (nested tags out, entities
+    decoded after), then capped at ``max_chars``. Two-step matching — find
+    ``<a …>…</a>`` spans, then href within the small attribute string — so
+    no regex backtracks across attribute runs."""
+    out = []
+    for m in _A_FULL_RE.finditer(html):
+        hm = _HREF_RE.search(m.group(1))
+        if hm is None:
+            continue
+        dst = _host_of(hm.group(1))
+        if dst is None:
+            continue
+        text = _strip_html(m.group(2))[:max_chars].strip()
+        if text:
+            out.append((dst, text))
+    return out
+
+
+def read_warc_anchors(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Raw WARC archives → (src_host, dst_host, anchor) rows, one per
+    anchored link (same-host anchors INCLUDED — navigation text is signal
+    for title/retrieval mining even within a site; filter
+    ``src_host != dst_host`` for the endorsement reading). Scale shape =
+    ``read_warc_links``: files parallelize, HTML never leaves the kernel,
+    damaged archives/records contribute nothing."""
+    reader = spark.read.format("binaryFile")
+    reader = reader.option("pathGlobFilter", pattern or "*.warc*")
+    return _warc_anchors(reader.load(path).select("path", "content"))
+
+
+def stream_warc_anchors(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_warc_anchors`` (shared kernel, gated equal
+    in tests)."""
+    files = _stream_warc_files(spark, path, pattern or "*.warc*", max_files_per_trigger)
+    return _warc_anchors(files)
+
+
+def _warc_anchors(files: DataFrame) -> DataFrame:
+    """Shared batch/streaming tail of the anchor readers."""
+
+    def run(batches):
+        import gzip
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"src_host": [], "dst_host": [], "anchor": []}
+            for content in pdf["content"]:
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = gzip.decompress(raw)
+                    except (OSError, EOFError, zlib.error):
+                        continue
+                recs, _corrupt = _split_warc_records(raw)
+                for headers, body in recs:
+                    if headers.get("warc-type", "").lower() != "response":
+                        continue
+                    src = _host_of(headers.get("warc-target-uri", ""))
+                    if src is None:
+                        continue
+                    html, skip = _http_payload(body, extract_html=False)
+                    if skip is not None:
+                        continue
+                    for dst, text in page_anchors(html):
+                        out["src_host"].append(src)
+                        out["dst_host"].append(dst)
+                        out["anchor"].append(text)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        run, schema="src_host string, dst_host string, anchor string"
+    )

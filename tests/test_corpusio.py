@@ -851,3 +851,52 @@ def test_stream_warc_links_matches_batch_reader(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     want = sorted(map(tuple, corpusio.read_warc_links(spark, str(tmp_path)).collect()))
     assert got == want and len(want) == 4
+
+
+def test_read_warc_anchors_mines_link_text(spark, tmp_path):
+    """(src_host, dst_host, anchor) mining: nested markup stripped,
+    entities decoded, image-only/hostless anchors dropped, same-host
+    anchors KEPT (navigation text is signal) — and the streaming twin
+    produces exactly the batch rows."""
+    page = (
+        b'<a href="https://t.example/p"><b>Great</b> &amp; useful guide</a>'
+        b'<a href="/local">same-host nav</a>'
+        b'<a href="https://img.example"><img src="x.png"></a>'
+        b'<a href="https://a.example/self">about us</a>'
+    )
+    recs = _warc_record("response", _http_response(page), uri="https://a.example/p1")
+    (tmp_path / "seg.warc").write_bytes(recs)
+
+    got = sorted(map(tuple, corpusio.read_warc_anchors(spark, str(tmp_path)).collect()))
+    assert got == [
+        ("a.example", "a.example", "about us"),      # same-host kept
+        ("a.example", "t.example", "Great & useful guide"),
+    ]
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        corpusio.stream_warc_anchors(spark, str(tmp_path), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(out_dir).collect())) == got
+
+
+def test_page_anchors_is_total_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_replay_spark.sources.corpusio import page_anchors
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def fuzz(html):
+        for dst, text in page_anchors(html):
+            assert dst and text
+            assert len(text) <= 256
+
+    fuzz()
