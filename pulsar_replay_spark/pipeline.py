@@ -41,12 +41,23 @@ def curate_corpus(
     min_overlap: int = 8,
     domain_ranks: DataFrame | None = None,
     domain_floor_quantile: float = 0.25,
+    url_dedup: bool = False,
 ) -> dict:
     """Run the full funnel; returns every stage frame plus a funnel report.
 
     Keys: deduped, decontaminated, filtered, scored, selected, split,
     packed, report (stage, n_docs rows in pipeline order)."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # optional URL-level pre-dedup: canonicalized source URLs shed exact
+    # re-fetches BEFORE any text is hashed (the crawl pipeline's cheapest
+    # stage — one shuffle on the canonical-url key, no text movement)
+    if url_dedup:
+        from pulsar_replay_spark.functions.urls import url_dedup_marks
+
+        keep_ids = url_dedup_marks(docs).filter(F.col("keep")).select("doc_id")
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
+        stages.append(("url_deduped", docs))
 
     deduped = dedup.dedup_corpus(docs)
     stages.append(("deduped", deduped))

@@ -392,3 +392,27 @@ def test_data_card_reports_the_corpus(spark):
     q = {r["lang"]: r for r in card["quality_quartiles"].collect()}
     assert set(q) == {"en", "es", "fr"}
     assert all(r["q25"] <= r["q50"] <= r["q75"] for r in q.values())
+
+
+def test_curate_corpus_url_dedup_stage(spark, documents):
+    """url_dedup=True sheds re-fetches of the same canonical URL before any
+    text hashing; non-URL sources pass untouched."""
+    dup = documents.limit(5).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.concat(F.lit("different text "), "text").alias("text"),
+        "lang",
+        F.lit("HTTPS://Re.Crawl.example/Page?utm_source=x").alias("source"),
+        "n_chars",
+    )
+    first = documents.limit(5).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"),
+        "text", "lang",
+        F.lit("https://re.crawl.example/Page").alias("source"),
+        "n_chars",
+    ).limit(1)
+    corpus = documents.unionByName(dup).unionByName(first)
+    out = pipeline.curate_corpus(corpus, url_dedup=True, budget_tokens=10**9)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert "url_deduped" in report
+    # the 6 same-canonical-URL rows collapse to 1; everything else passes
+    assert report["input"] - report["url_deduped"] == 5
