@@ -39,7 +39,12 @@ def canonical_url(url) -> Column:
     """Canonical form of an absolute http(s) URL column; NULL for anything
     that does not parse as one (relative links, mailto, junk) — callers
     coalesce to the raw value when passthrough is wanted."""
-    u = F.regexp_replace(url, r"^\s+|\s+$", "")
+    # explicit ASCII whitespace class (= Java \s) on BOTH twins: python's
+    # \s also eats unicode whitespace (NBSP, U+2028) the JVM would keep —
+    # and \A/\z anchors, not ^/$: Java's $ matches before a final line
+    # TERMINATOR (U+2028 included), which would strip whitespace from the
+    # middle of a host
+    u = F.regexp_replace(url, r"\A[ \t\n\r\x0b\f]+|[ \t\n\r\x0b\f]+\z", "")
     scheme = F.lower(F.regexp_extract(u, r"^(?i:(https?))://", 1))
     rest = F.substr(u, F.instr(u, "://") + F.lit(3))
     # fragment off first (never server-visible), then split query
@@ -58,7 +63,9 @@ def canonical_url(url) -> Column:
     # authority → (userinfo@)? host (:port)?  — host lowercased, trailing
     # dots stripped, default port removed. (IPv6 bracket hosts are out of
     # scope: crawl URLs address named hosts.)
-    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    # ((?:[^@]*@)+) not (.*@): negated classes cross \r/\n identically in
+    # BOTH engines, while Java's . excludes \r (python's only \n)
+    userinfo = F.regexp_extract(authority, r"^((?:[^@]*@)+)", 1)
     hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
     host = F.lower(
         F.regexp_replace(F.substring_index(hostport, ":", 1), r"\.+\z", "")
@@ -99,7 +106,7 @@ def _is_tracking(name: Column) -> Column:
 
 def canonical_url_py(url: str) -> str | None:
     """Bit-equal python twin of ``canonical_url`` (property-gated)."""
-    u = re.sub(r"^\s+|\s+$", "", url)
+    u = re.sub(r"\A[ \t\n\r\x0b\f]+|[ \t\n\r\x0b\f]+\Z", "", url)
     m = re.match(r"^(?i:(https?))://", u)
     if not m:
         return None
@@ -115,7 +122,7 @@ def canonical_url_py(url: str) -> str | None:
         authority, path = hostpath[:i], hostpath[i:]
     else:
         authority, path = hostpath, "/"
-    am = re.match(r"^(.*@)", authority)
+    am = re.match(r"^((?:[^@]*@)+)", authority)
     userinfo = am.group(1) if am else ""
     hostport = re.search(r"([^@]*)$", authority).group(1)
     host = re.sub(r"\.+\Z", "", hostport.split(":", 1)[0]).lower()

@@ -78,22 +78,26 @@ def pagerank(
     return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
 
 
-def _check_overflow_bound(nodes: DataFrame, scale: int, damping_pct: int) -> None:
+def _check_overflow_bound(
+    mass_carriers: DataFrame, scale: int, damping_pct: int, what: str = "graph"
+) -> None:
     """Enforce the module docstring's overflow bound with a NAMED error.
-    Total fixed-point mass never exceeds n_nodes·scale and the widest
-    intermediate is ``damping_pct · Σ incoming``, so worst-case mass
-    concentration (a mega-hub receiving everything) needs
-    ``n_nodes · scale · damping_pct < 2**63`` — otherwise ANSI mode raises
-    an opaque BIGINT overflow mid-iteration on exactly the skewed graphs
-    the operator exists for (found by the probe's --mega-hub rehearsal).
-    The count is one action on the already-materialized node frame."""
-    n = nodes.count()
+    Total fixed-point mass never exceeds |mass carriers|·scale (every node
+    for plain PageRank, the SEEDS for the personalized variant — teleport
+    only lands there) and the widest intermediate is
+    ``damping_pct · Σ incoming``, so worst-case mass concentration (a
+    mega-hub receiving everything) needs
+    ``n · scale · damping_pct < 2**63`` — otherwise ANSI mode raises an
+    opaque BIGINT overflow mid-iteration on exactly the skewed graphs the
+    operator exists for (found by the probe's --mega-hub rehearsal). The
+    count is one action on an already-materialized frame."""
+    n = mass_carriers.count()
     if n * scale * damping_pct >= 2**63:
         max_scale = (2**63 - 1) // max(n * damping_pct, 1)
         raise ValueError(
-            f"scale={scale} can overflow BIGINT on this graph "
-            f"({n} nodes x damping {damping_pct}): worst-case mass "
-            f"concentration exceeds 2^63. Use scale <= {max_scale} "
+            f"scale={scale} can overflow BIGINT on this {what} "
+            f"({n} mass-carrying nodes x damping {damping_pct}): worst-case "
+            f"mass concentration exceeds 2^63. Use scale <= {max_scale} "
             "(rank precision is relative to scale, so 1e6+ is still ample)."
         )
 
@@ -206,7 +210,6 @@ def personalized_pagerank(
         n_iter, scale, checkpoint_interval, damping_pct
     )
     ed, nodes = _edge_frames(edges)
-    _check_overflow_bound(nodes, scale, damping_pct)
     base = ((100 - damping_pct) * scale) // 100
     # carry seedness EXPLICITLY: base floors to 0 when
     # (100-damping)·scale < 100, so `base > 0` is not a seed test — seeds
@@ -215,6 +218,13 @@ def personalized_pagerank(
     marked = nodes.join(seed_marks, "node", "left").select(
         "node", F.coalesce("_seed", F.lit(False)).alias("_seed")
     ).localCheckpoint(eager=True)
+    # PPR's total mass is bounded by the SEED count (teleport only lands on
+    # seeds), not the node count — the plain-pagerank bound would falsely
+    # reject a small whitelist on a huge graph
+    _check_overflow_bound(
+        marked.filter(F.col("_seed")), scale, damping_pct,
+        what="seed whitelist",
+    )
     based = marked.select(
         "node",
         F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
@@ -265,10 +275,12 @@ def host_expr(url) -> "F.Column":
     prior join never runs a Python kernel: lowercase, userinfo/port
     stripped, edge dots trimmed; NULL for relative/mailto/other schemes."""
     # edge-whitespace strip mirrors _host_of (both pinned to Java's ASCII
-    # \s set): stray whitespace around a sloppy WARC-Target-URI must not
-    # silently exempt the doc from the prior join
+    # \s set), anchored \A/\z not ^/$ — Java's $ also matches before a
+    # final line TERMINATOR (U+2028 etc.), which would strip whitespace
+    # from the middle of the value: stray whitespace around a sloppy
+    # WARC-Target-URI must not silently exempt the doc from the prior join
     h = F.regexp_extract(
-        F.regexp_replace(url, r"^\s+|\s+$", ""), r"^(?i:https?)://([^/?#]+)", 1
+        F.regexp_replace(url, r"\A\s+|\s+\z", ""), r"^(?i:https?)://([^/?#]+)", 1
     )
     h = F.regexp_extract(h, r"([^@]*)$", 1)
     h = F.regexp_extract(h, r"^([^:]*)", 1)

@@ -495,14 +495,47 @@ def drift_by_window(
     threshold your ops picks). One pass: histogram per (window, bin), then
     the |windows|·|bins|-row PSI arithmetic against the broadcast
     reference."""
-    from pyspark.sql.functions import broadcast
+    return psi_from_window_hist(
+        window_histogram(scored, bins, window=window, ts_col=ts_col, col=col),
+        ref_hist,
+        eps=eps,
+    )
 
-    bin_expr = _bin_expr(bins, col)
-    cur = (
+
+def window_histogram(
+    scored: DataFrame,
+    bins: list[float],
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    col: str = "score",
+) -> DataFrame:
+    """(window_start, bin, n_cur): the per-event-time-window histogram —
+    counts are ADDITIVE, so partial histograms of the same window (e.g. one
+    per micro-batch in a streaming monitor store) re-aggregate exactly with
+    a sum; PSI itself does NOT re-aggregate, which is why the monitor store
+    persists THIS shape and computes PSI at read time."""
+    return (
         scored.filter(F.col(col).isNotNull())
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), bin_expr.alias("bin"))
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            _bin_expr(bins, col).alias("bin"),
+        )
         .agg(F.count("*").alias("n_cur"))
         .select(F.col("w.start").alias("window_start"), "bin", "n_cur")
+    )
+
+
+def psi_from_window_hist(
+    cur: DataFrame, ref_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """(window_start, psi, n_cur) from an already-built per-window histogram
+    (``window_histogram``'s shape — rows may be PARTIAL per (window, bin);
+    they are summed first, so counts from any batching re-aggregate
+    exactly)."""
+    from pyspark.sql.functions import broadcast
+
+    cur = cur.groupBy("window_start", "bin").agg(
+        F.sum("n_cur").cast("long").alias("n_cur")
     )
     ref_total = ref_hist.agg(F.sum("n").alias("t_ref"))
     ref = (

@@ -694,34 +694,45 @@ def stream_warc_links(
     return _warc_links(files)
 
 
+def _response_pages(content) -> "list[tuple[str, str]]":
+    """(src_host, raw_html) per extractable response record of ONE archive
+    file — the shared page walk of the link-graph and anchor kernels
+    (damaged gzip, non-response records, hostless URIs, and non-text
+    payloads all contribute nothing, never a failure)."""
+    import gzip
+    import zlib
+
+    raw = bytes(content)
+    if raw[:2] == b"\x1f\x8b":
+        try:
+            raw = gzip.decompress(raw)
+        except (OSError, EOFError, zlib.error):
+            return []
+    recs, _corrupt = _split_warc_records(raw)
+    pages = []
+    for headers, body in recs:
+        if headers.get("warc-type", "").lower() != "response":
+            continue
+        src = _host_of(headers.get("warc-target-uri", ""))
+        if src is None:
+            continue
+        html, skip = _http_payload(body, extract_html=False)
+        if skip is not None:
+            continue
+        pages.append((src, html))
+    return pages
+
+
 def _warc_links(files: DataFrame) -> DataFrame:
     """Shared batch/streaming tail of the link-graph readers."""
 
     def run(batches):
-        import gzip
-        import zlib
-
         import pandas as pd
 
         for pdf in batches:
             out = {"src_host": [], "dst_host": []}
             for content in pdf["content"]:
-                raw = bytes(content)
-                if raw[:2] == b"\x1f\x8b":
-                    try:
-                        raw = gzip.decompress(raw)
-                    except (OSError, EOFError, zlib.error):
-                        continue  # damaged archive: no edges, never a failure
-                recs, _corrupt = _split_warc_records(raw)
-                for headers, body in recs:
-                    if headers.get("warc-type", "").lower() != "response":
-                        continue
-                    src = _host_of(headers.get("warc-target-uri", ""))
-                    if src is None:
-                        continue
-                    html, skip = _http_payload(body, extract_html=False)
-                    if skip is not None:
-                        continue  # redirect/non-text/etc — not a page
+                for src, html in _response_pages(content):
                     for dst in page_link_hosts(html, src):
                         out["src_host"].append(src)
                         out["dst_host"].append(dst)
@@ -738,7 +749,11 @@ def _warc_links(files: DataFrame) -> DataFrame:
 # the shared kernels.
 # ---------------------------------------------------------------------------
 
-_A_FULL_RE = re.compile(r"(?is)<a\b([^>]*)>(.*?)</a\s*>")
+_A_OPEN_RE = re.compile(r"(?is)<a\b([^>]*)>")
+# raw anchor bodies longer than this aren't anchor text — and bounding the
+# close-tag search keeps an UNCLOSED <a> (truncated/adversarial page) from
+# scanning to end-of-document per anchor (O(anchors × tail) blowup)
+ANCHOR_BODY_CAP = 4096
 
 
 def page_anchors(
@@ -748,18 +763,24 @@ def page_anchors(
     host AND whose visible text is non-empty (image-only/empty anchors
     carry no language). The anchor markup is stripped with the SAME
     ``_strip_html`` the documents path uses (nested tags out, entities
-    decoded after), then capped at ``max_chars``. Two-step matching — find
-    ``<a …>…</a>`` spans, then href within the small attribute string — so
-    no regex backtracks across attribute runs."""
+    decoded after), then capped at ``max_chars``. Matching is find-based
+    and bounded: the open tag is one linear regex, href matches within the
+    small attribute string, and the close tag is a windowed ``str.find``
+    (``ANCHOR_BODY_CAP``) — an unclosed anchor costs one bounded window,
+    never a rescan of the document tail."""
     out = []
-    for m in _A_FULL_RE.finditer(html):
+    for m in _A_OPEN_RE.finditer(html):
         hm = _HREF_RE.search(m.group(1))
         if hm is None:
             continue
         dst = _host_of(hm.group(1))
         if dst is None:
             continue
-        text = _strip_html(m.group(2))[:max_chars].strip()
+        start = m.end()
+        close = html.find("</a", start, start + ANCHOR_BODY_CAP)
+        if close < 0:
+            continue
+        text = _strip_html(html[start:close])[:max_chars].strip()
         if text:
             out.append((dst, text))
     return out
@@ -792,33 +813,16 @@ def stream_warc_anchors(
 
 
 def _warc_anchors(files: DataFrame) -> DataFrame:
-    """Shared batch/streaming tail of the anchor readers."""
+    """Shared batch/streaming tail of the anchor readers (same
+    ``_response_pages`` walk as the link-graph kernel)."""
 
     def run(batches):
-        import gzip
-        import zlib
-
         import pandas as pd
 
         for pdf in batches:
             out = {"src_host": [], "dst_host": [], "anchor": []}
             for content in pdf["content"]:
-                raw = bytes(content)
-                if raw[:2] == b"\x1f\x8b":
-                    try:
-                        raw = gzip.decompress(raw)
-                    except (OSError, EOFError, zlib.error):
-                        continue
-                recs, _corrupt = _split_warc_records(raw)
-                for headers, body in recs:
-                    if headers.get("warc-type", "").lower() != "response":
-                        continue
-                    src = _host_of(headers.get("warc-target-uri", ""))
-                    if src is None:
-                        continue
-                    html, skip = _http_payload(body, extract_html=False)
-                    if skip is not None:
-                        continue
+                for src, html in _response_pages(content):
                     for dst, text in page_anchors(html):
                         out["src_host"].append(src)
                         out["dst_host"].append(dst)

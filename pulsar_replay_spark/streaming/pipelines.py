@@ -2059,7 +2059,6 @@ def domain_rank_refresh(
 
 def drift_monitor_sink(
     scored_stream: DataFrame,
-    ref_hist: DataFrame,
     bins: list,
     monitor_dir: str,
     checkpoint_dir: str,
@@ -2067,24 +2066,22 @@ def drift_monitor_sink(
     ts_col: str = "ts",
     col: str = "score",
 ):
-    """Continuous distribution-drift monitoring: per micro-batch, compute
-    the event-time-windowed PSI of the batch's score distribution against
-    the frozen reference histogram (``quality.drift_by_window``) and append
-    it as one idempotent batch_id partition of the monitor store. Serve
-    with ``drift_monitor_read`` — per (window, batch) rows let ops see
-    drift the moment the offending ingest lands, and re-aggregate exactly
-    because histogram counts are additive.
+    """Continuous distribution-drift monitoring: per micro-batch, append the
+    batch's per-(event-time window, bin) histogram COUNTS as one idempotent
+    batch_id partition of the monitor store. Counts are ADDITIVE — a window
+    whose rows span several micro-batches re-aggregates exactly at read
+    time — so PSI is computed by ``drift_monitor_read``, never persisted
+    per batch (PSI of a partial batch is meaningless and would false-alarm
+    on a one-row straggler).
 
     The reference histogram is the FROZEN baseline (build once from a
     vetted corpus via ``quality.score_histogram``); recompute it only on a
     deliberate re-baselining, never per batch."""
-    from pulsar_replay_spark.operators.quality import drift_by_window
-
-    ref = ref_hist.localCheckpoint(eager=True)
+    from pulsar_replay_spark.operators.quality import window_histogram
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        out = drift_by_window(
-            batch_df, ref, bins, window=window, ts_col=ts_col, col=col
+        out = window_histogram(
+            batch_df, bins, window=window, ts_col=ts_col, col=col
         )
         (
             out.withColumn("batch_id", F.lit(batch_id))
@@ -2102,11 +2099,20 @@ def drift_monitor_sink(
     )
 
 
-def drift_monitor_read(spark: SparkSession, monitor_dir: str) -> DataFrame:
-    """(window_start, psi, n_cur, batch_id) rows from the monitor store,
-    newest window first — the alerting query reads the head."""
-    return read_parquet_or_empty(
+def drift_monitor_read(
+    spark: SparkSession, monitor_dir: str, ref_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """(window_start, psi, n_cur): PSI per event-time window against the
+    frozen reference, computed over the monitor store's re-aggregated
+    counts (partial per-batch histograms of one window sum exactly).
+    Newest window first — the alerting query reads the head."""
+    from pulsar_replay_spark.operators.quality import psi_from_window_hist
+
+    counts = read_parquet_or_empty(
         spark,
         monitor_dir,
-        "window_start timestamp, psi double, n_cur long, batch_id long",
-    ).orderBy(F.desc("window_start"), "batch_id")
+        "window_start timestamp, bin long, n_cur long, batch_id long",
+    ).select("window_start", "bin", "n_cur")
+    return psi_from_window_hist(counts, ref_hist, eps=eps).orderBy(
+        F.desc("window_start")
+    )

@@ -120,10 +120,11 @@ def test_host_expr_matches_python_host_of(spark):
         "https://@host/", "https://:443/", "ftp://nope", "/rel", "mailto:a@b",
         "https://trailing.dots...", "https://...leading", "http://a.b?q",
         "  https://padded.example/x", "\thttps://tabbed.example\n",
+        "https://h \u2028", "http://h\t\u2028", "\rhttp://cr.example/x",
         "http://a.b#f", "", "https://", "https://x", "HtTpS://MiXeD.CaSe/Path",
     ]
     rng = random.Random(7)
-    alphabet = "aB.:/@?#-_% \t\n"
+    alphabet = "aB.:/@?#-_% \t\n\r\xa0\u2028"
     fuzz = ["http://" + "".join(rng.choice(alphabet) for _ in range(rng.randrange(12)))
             for _ in range(200)]
     urls = [u for u in seeds + fuzz if not u.startswith("//")]
@@ -282,11 +283,15 @@ def test_pagerank_overflow_bound_raises_named_error(spark):
     bad_scale = 2**63 // (2000 * 85) + 1
     with pytest.raises(ValueError, match="overflow BIGINT"):
         pagerank(edges, n_iter=1, scale=bad_scale)
+    # PPR's bound counts SEEDS, not nodes: a whitelist as big as the graph
+    # trips it, but a small whitelist at the same scale is mathematically
+    # safe and must RUN (the plain bound would falsely reject it)
+    all_seeds = spark.createDataFrame([(i,) for i in range(2000)], "node long")
     with pytest.raises(ValueError, match="overflow BIGINT"):
-        personalized_pagerank(
-            edges, spark.createDataFrame([(0,)], "node long"),
-            n_iter=1, scale=bad_scale,
-        )
+        personalized_pagerank(edges, all_seeds, n_iter=1, scale=bad_scale)
+    one_seed = spark.createDataFrame([(0,)], "node long")
+    ppr = personalized_pagerank(edges, one_seed, n_iter=1, scale=bad_scale)
+    assert ppr.count() == 2000
     # one notch under the bound runs fine
     ok = pagerank(edges, n_iter=1, scale=2**63 // (2000 * 85) - 1)
     assert ok.count() == 2000

@@ -1559,10 +1559,12 @@ def test_link_graph_sink_accumulates_and_refreshes(spark, tmp_path_factory):
 
 
 def test_drift_monitor_sink_flags_the_drifted_window(spark, tmp_path_factory):
-    """Streaming drift monitoring: scored rows stream in, the sink appends
-    per-window PSI rows against the frozen reference, and the drifted hour
-    crosses the threshold while the stable hour stays near zero — equal to
-    the one-shot drift_by_window over the same rows."""
+    """Streaming drift monitoring: the sink stores ADDITIVE per-(window,
+    bin) counts per micro-batch, so a window whose rows arrive across
+    SEVERAL micro-batches (files here, maxFilesPerTrigger=1) re-aggregates
+    exactly at read time — PSI computed over the folded counts equals the
+    one-shot drift_by_window over all rows, the drifted hour crosses the
+    threshold, and a one-row straggler batch cannot false-alarm."""
     import datetime as dt
 
     from pulsar_replay_spark.operators import quality
@@ -1574,37 +1576,48 @@ def test_drift_monitor_sink_flags_the_drifted_window(spark, tmp_path_factory):
     ref_h = quality.score_histogram(ref, bins).localCheckpoint(eager=True)
 
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
-    rows = []
+    stable, drifted = [], []
     for i in range(200):
-        rows.append((base + dt.timedelta(seconds=10 * i), 0.1 + 0.05 * (i % 16)))
+        stable.append((base + dt.timedelta(seconds=10 * i), 0.1 + 0.05 * (i % 16)))
     for i in range(200):
-        rows.append(
+        drifted.append(
             (base + dt.timedelta(hours=1, seconds=10 * i), 0.92 + 0.001 * (i % 10))
         )
     src = str(tmp_path_factory.mktemp("drift_src"))
-    spark.createDataFrame(rows, "ts timestamp, score double").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
+    schema = "ts timestamp, score double"
+    # the drifted hour is SPLIT across batches — including a one-row
+    # straggler file, the case that false-alarmed a per-batch-PSI store
+    for fname, part in (
+        ("b0", stable), ("b1", drifted[:150]), ("b2", drifted[150:199]),
+        ("b3", drifted[199:]),
+    ):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{fname}")
 
     monitor = str(tmp_path_factory.mktemp("drift_mon"))
     ck = str(tmp_path_factory.mktemp("drift_ck"))
-    stream = spark.readStream.schema("ts timestamp, score double").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
     pipelines.drift_monitor_sink(
-        stream, ref_h, bins, monitor, ck, window="1 hour"
+        stream, bins, monitor, ck, window="1 hour"
     ).awaitTermination()
 
     got = {r["window_start"]: r for r in
-           pipelines.drift_monitor_read(spark, monitor).collect()}
+           pipelines.drift_monitor_read(spark, monitor, ref_h).collect()}
     assert len(got) == 2
     assert got[base]["psi"] < 0.01
     assert got[base + dt.timedelta(hours=1)]["psi"] > 0.25
+    assert got[base + dt.timedelta(hours=1)]["n_cur"] == 200
 
-    # stream ≡ one-shot over the same rows (one file → one micro-batch here;
-    # additive histogram counts make per-batch rows re-aggregable in general)
+    # stream ≡ one-shot over ALL rows despite the multi-batch window split
     one_shot = {
         r["window_start"]: r["psi"]
         for r in quality.drift_by_window(
-            spark.read.parquet(src), ref_h, bins, window="1 hour"
+            spark.read.parquet(f"{src}/*"), ref_h, bins, window="1 hour"
         ).collect()
     }
     assert {w: r["psi"] for w, r in got.items()} == one_shot

@@ -21,13 +21,15 @@ def test_canonical_url_matches_python_twin(spark):
         "https://h/?gclid=1", "https://h/?z=1&a=2&", "https://h/p?&&",
         "http://h", "http://h/", "http://h#f", "http://h?", "http://h?#",
         " https://pad.example/x ", "\thttp://tab.example\n", "/rel",
+        "http://h/x\xa0", "\u2028https://h/p", "http://a\r@h/x",
+        "http://h\r.example/", "\rhttp://cr.example/",
         "mailto:a@b", "ftp://x", "", "https://", "http:///nohost",
         "http://@/", "https://dots...:8443/p", "httpsx://not-a-scheme/x",
         "http://a@b@c/x", "http://h/?utm_campaign=1&UTM_SOURCE=2&keep=3",
         "http://h/path?a=2&a=1", "HtTp://MiXed.CaSe/QueryCase?B=1&b=2",
     ]
     rng = random.Random(11)
-    alphabet = "aB.:/@?#&=_-% \t\nhttps"
+    alphabet = "aB.:/@?#&=_-% \t\n\r\xa0\u2028https"
     fuzz = [
         "http://" + "".join(rng.choice(alphabet) for _ in range(rng.randrange(24)))
         for _ in range(300)
