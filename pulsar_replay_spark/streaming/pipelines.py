@@ -42,6 +42,31 @@ def read_parquet_or_empty(spark: SparkSession, path: str, empty_schema: str) -> 
         raise
 
 
+def _require_distinct_dirs(out_dir: str, src_dir: str) -> None:
+    """Every compactor/rewriter's guard: parquet reads are lazy, so writing
+    a store's fold over the store itself would clobber the very files the
+    plan still scans."""
+    if out_dir.rstrip("/") == src_dir.rstrip("/"):
+        raise ValueError(
+            "output dir must differ from the source dir: an in-place "
+            "overwrite would read and clobber the same parquet files"
+        )
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str) -> "DataFrame | None":
+    """``read_parquet_or_empty`` for stores whose schema the caller cannot
+    declare up front (CDC payloads, sample rows): None when the store does
+    not exist yet, the frame otherwise, any OTHER failure re-raised."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
 def events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-based stream of the events fixture (one file per micro-batch) —
     the broker-free stand-in for a Pulsar topic subscription."""
@@ -185,7 +210,10 @@ def stream_stream_interval_join(
     state Spark must hold — without them state grows forever; with them
     expired rows are evicted at the watermark.
 
-    Column contract: left must expose ``l_ts``, right ``r_ts``.
+    Column contract: left exposes ``l_ts`` and the bare ``key``; right
+    exposes ``r_ts`` AND the key prefixed as ``r_<key>`` (e.g. ``r_user_id``
+    for key='user_id') — the prefix is what keeps the self-join reference
+    unambiguous.
     """
     return left.withWatermark("l_ts", left_wm).join(
         right.withWatermark("r_ts", right_wm),
@@ -201,7 +229,7 @@ def run_available_now(stream_df: DataFrame, sink_table: str, checkpoint_dir: str
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("append" if stream_df.isStreaming else "complete")
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -621,6 +649,7 @@ def dsir_scoring_sink(
     results_dir: str,
     checkpoint_dir: str,
     salt: str = "dsir-v1",
+    tie_doc_id: int | None = None,
 ):
     """Streaming DSIR selection against an offline-trained model: the
     bucket log-ratio table (``curation.dsir_bucket_log_ratio`` — the ≤16^hex
@@ -633,18 +662,25 @@ def dsir_scoring_sink(
     offline ``dsir_select`` — a pure function of (salt, doc_id, logw) — so
     streaming with τ = the offline top-k's minimum key admits EXACTLY the
     offline winners regardless of how ingest shards the docs (pinned in
-    tests). This is how resampling deploys at ingest: global top-k is
-    calibrated offline into a threshold, the stream applies it statelessly.
+    tests). Keys round to 6 decimals, so the BOUNDARY can tie: calibrate
+    ``tie_doc_id = max(doc_id of offline winners whose key == τ)`` and the
+    admission replicates the offline (key desc, doc_id asc) cut exactly;
+    without it the filter is the inclusive ``key >= τ``, which admits
+    every boundary tie (a superset on ties). This is how resampling
+    deploys at ingest: global top-k is calibrated offline into a
+    threshold, the stream applies it statelessly.
 
     Exactly-once: batch_id-partitioned dynamic overwrites (the
     ``foreach_batch_idempotent`` discipline)."""
     from pulsar_replay_spark.operators.curation import dsir_gumbel_key, dsir_score
 
+    admit = _dsir_admission(threshold, tie_doc_id)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = (
             dsir_score(batch_df, ratio, default)
             .withColumn("key", dsir_gumbel_key(salt))
-            .filter(F.col("key") >= threshold)
+            .filter(admit)
         )
         (
             out.withColumn("batch_id", F.lit(batch_id))
@@ -659,6 +695,18 @@ def dsir_scoring_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _dsir_admission(threshold: float, tie_doc_id: "int | None"):
+    """The streaming replica of ``dsir_select``'s (key desc, doc_id asc)
+    cut: strictly-above always admits; AT the boundary, only doc_ids up to
+    the calibrated tie winner. Without ``tie_doc_id`` the legacy inclusive
+    ``>=`` applies (admits every boundary tie)."""
+    if tie_doc_id is None:
+        return F.col("key") >= threshold
+    return (F.col("key") > threshold) | (
+        (F.col("key") == threshold) & (F.col("doc_id") <= tie_doc_id)
     )
 
 
@@ -785,6 +833,7 @@ def rollup_compact(spark: SparkSession, rollup_dir: str, compact_dir: str) -> No
 
     Run on the slow path when #batches grows; ``rollup_read`` over the
     compacted store returns identical results (merge is associative)."""
+    _require_distinct_dirs(compact_dir, rollup_dir)
     merged = (
         spark.read.parquet(rollup_dir)
         .groupBy("bucket_start", "event_type")
@@ -921,11 +970,12 @@ def cdc_read(
     probe, one union; the base never re-sorts."""
     from pulsar_replay_spark.operators.curation import merge_upsert
 
-    changes = (
-        spark.read.parquet(store_dir)
-        .withColumn("_seq", F.struct(F.col(seq_col), F.col("batch_id")))
-        .drop("batch_id", seq_col)
-    )
+    store = _read_parquet_or_none(spark, store_dir)
+    if store is None:
+        return base  # no changes committed yet: the snapshot IS the base
+    changes = store.withColumn(
+        "_seq", F.struct(F.col(seq_col), F.col("batch_id"))
+    ).drop("batch_id", seq_col)
     return merge_upsert(base, changes, key=key, op_col=op_col, seq_col="_seq")
 
 
@@ -1039,9 +1089,19 @@ def sample_read(
     candidates (≤ k·batches rows — the only data this read touches) ==
     bottom-k of every row the stream ever carried. Drops the bookkeeping
     columns; the result is a plain uniform k-sample frame."""
-    store = spark.read.parquet(store_dir)
+    store = _read_parquet_or_none(spark, store_dir)
+    if store is None:
+        raise ValueError(
+            f"sample store {store_dir} does not exist yet — run sample_sink "
+            "over at least one micro-batch first"
+        )
+    # an at-least-once source can redeliver a doc in a LATER batch: its
+    # priority is deterministic per key, so both copies land in the stored
+    # candidates — dedupe before the bottom-k or the served "k-sample
+    # without replacement" carries duplicates
     return (
-        store.orderBy("_pri", key)
+        store.dropDuplicates([key])
+        .orderBy("_pri", key)
         .limit(k)
         .drop("_pri", "batch_id")
     )

@@ -159,6 +159,7 @@ def test_streaming_threshold_selects_offline_topk(
 
     offline = curation.dsir_select(documents, target, N_SELECT).collect()
     tau = min(r.key for r in offline)
+    tie_doc_id = max(r.doc_id for r in offline if r.key == tau)
 
     ratio, default = curation.dsir_bucket_log_ratio(
         curation.dsir_features(target), curation.dsir_features(documents)
@@ -172,6 +173,7 @@ def test_streaming_threshold_selects_offline_topk(
         tau,
         str(tmp_path / "results"),
         str(tmp_path / "ck"),
+        tie_doc_id=tie_doc_id,
     )
     q.awaitTermination()
 
@@ -231,3 +233,19 @@ def test_dsir_select_per_group_balances_and_refines(spark, documents):
         documents.repartition(7), target, k_per_group=5
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_dsir_admission_replicates_boundary_ties(spark):
+    """Keys round to 6 decimals, so the calibrated cut can TIE: with
+    tie_doc_id the admission replicates dsir_select's (key desc, doc_id
+    asc) boundary exactly; without it the legacy inclusive >= admits every
+    tie (documented superset)."""
+    from pulsar_replay_spark.streaming.pipelines import _dsir_admission
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 0.9), (4, 1.1)], "doc_id long, key double"
+    )
+    exact = {r.doc_id for r in df.filter(_dsir_admission(1.0, 1)).collect()}
+    assert exact == {1, 4}  # strictly-above + the calibrated tie winner
+    legacy = {r.doc_id for r in df.filter(_dsir_admission(1.0, None)).collect()}
+    assert legacy == {1, 2, 4}
