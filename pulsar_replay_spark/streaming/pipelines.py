@@ -993,6 +993,7 @@ def cdc_compact(
     by the LIVE key count however long the feed runs."""
     from pyspark.sql.window import Window
 
+    _require_distinct_dirs(compact_dir, store_dir)
     store = spark.read.parquet(store_dir)
     payload = [c for c in store.columns if c not in (key, op_col, seq_col, "batch_id")]
     # (seq, batch_id) is unique per key when the store came from

@@ -1621,3 +1621,13 @@ def test_drift_monitor_sink_flags_the_drifted_window(spark, tmp_path_factory):
         ).collect()
     }
     assert {w: r["psi"] for w, r in got.items()} == one_shot
+
+
+def test_compactors_refuse_in_place_overwrite(spark, tmp_path_factory):
+    """rollup_compact and cdc_compact must refuse out_dir == source dir —
+    lazy parquet reads would clobber their own input mid-fold."""
+    d = str(tmp_path_factory.mktemp("inplace"))
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.rollup_compact(spark, d, d)
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.cdc_compact(spark, d, d)
