@@ -24,8 +24,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_replay_spark.functions.vectors import cosine
-
 N_PLANES = 8
 DIM = 64
 
@@ -51,6 +49,23 @@ def _hyperplane_matrix(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[fl
 
 
 _H = _hyperplane_matrix()
+
+
+def _require_lsh_dim(df: DataFrame, what: str) -> None:
+    """The hyperplane pool (and its DuckDB oracle twin) is pinned to
+    ``DIM``-dim embeddings. Any other width silently DEGENERATES instead of
+    erroring — the JVM zip_with pads with nulls (every signature 0: the
+    whole corpus lands in one bucket and the 'ANN' join goes O(N²)), the
+    Arrow kernel truncates or throws an opaque broadcast error. One bounded
+    first() per operator call buys a named failure instead. (Checks the
+    first row; a ragged corpus still fails inside the kernels.)"""
+    row = df.select(F.size(F.col("embedding")).alias("d")).first()
+    if row is not None and row["d"] != DIM:
+        raise ValueError(
+            f"LSH hyperplanes are pinned to {DIM}-dim embeddings (the "
+            f"oracle-shared plane pool); {what} has dim={row['d']} — use the "
+            "dim-agnostic IVF/brute-force paths, or regenerate the pool"
+        )
 
 
 def lsh_signature(vec: Column) -> Column:
@@ -601,6 +616,7 @@ def lsh_table_buckets(
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     if impl not in ("arrow", "jvm"):
         raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
+    _require_lsh_dim(embeddings, "embeddings")
     n_planes = n_tables * bits_per_table
     if impl == "jvm":
         h = _hyperplane_matrix(n_planes)
@@ -763,7 +779,13 @@ def lsh_topk(
     3.6 s at 12×12, occupancy ~5) — occupancy ≥ 8 rows/bucket routes to
     arrow, below to the JVM broadcast-join form (the cutover sits between
     the two measured regimes). Both impls are bit-identical
-    (equality-gated), so the switch is plan-only."""
+    (equality-gated), so the switch is plan-only.
+
+    Column contract: ``queries`` must be CORPUS MEMBERS — candidates come
+    from the corpus bucket table joined on vec_id, so an out-of-corpus
+    query vector has no signature and silently yields zero rows. For
+    fresh/out-of-corpus query vectors use ``ivf_topk``/``ivf_pq_topk``
+    (they signature the query side directly)."""
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     if impl not in ("arrow", "jvm", "auto"):
@@ -787,6 +809,7 @@ def lsh_topk(
     # 20k-vector stress). Default geometry keeps the oracle-pinned fixed
     # (4×2) contract tables; a corpus-scaled (n_tables, bits_per_table)
     # from ``lsh_params`` is the serving path (bounded candidate fraction).
+    _require_lsh_dim(embeddings, "embeddings")
     t = (
         lsh_tables(embeddings)
         if n_tables is None
@@ -1178,6 +1201,11 @@ def ivf_topk(
     if impl not in ("arrow", "jvm"):
         raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
+    # ``cells``: optional precomputed (vec_id, cell_id) assignment of EXACTLY
+    # this embeddings frame under ``cents`` — assignment is a pure function
+    # of (vector, centroids), so callers that already hold it (the
+    # incremental path: old verdicts carry it, the new batch was assigned to
+    # find the affected cells) skip the O(N·cells·dim) recompute.
     if corpus_cells is None:
         corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
     if query_cells is None:
@@ -1403,8 +1431,22 @@ def pq_index(
     only trains codebooks and encodes codes."""
     books = pq_codebooks(embeddings, n_iter)
     codes = pq_encode(embeddings, books).localCheckpoint(eager=True)
-    if centroids is not None and corpus_cells is not None:
-        cents, cells = centroids, corpus_cells
+    if corpus_cells is not None and centroids is None:
+        raise ValueError(
+            "corpus_cells without centroids: the cells are meaningless "
+            "without the quantizer that produced them — pass both"
+        )
+    if centroids is not None:
+        # cells are a pure function of (vectors, centroids): derive them
+        # when only the quantizer was shared, NEVER silently rebuild both
+        # from the unrefined seed (that forks the two serving paths onto
+        # different quantizers while claiming to share one)
+        cents = centroids
+        cells = (
+            corpus_cells
+            if corpus_cells is not None
+            else ivf_assign(embeddings, cents, n_probe=1).localCheckpoint(eager=True)
+        )
     else:
         cents = ivf_centroids(embeddings).localCheckpoint(eager=True)
         cells = ivf_assign(embeddings, cents, n_probe=1).localCheckpoint(eager=True)
@@ -1630,6 +1672,15 @@ def nearest_cells(
     dim = C.shape[1]
     # centroid norms: same sequential fold as norm() (sqrt of fold-dot)
     c_norm = _fold_norms(C, dim)
+    # a zero-norm CENTROID would NaN an entire chunk's sims and make the
+    # running argmax skip it for every vector — fail loudly on the driver
+    # (the JVM twin raises DIVIDE_BY_ZERO under ANSI; same failure, named)
+    z = np.flatnonzero(c_norm == 0.0)
+    if len(z):
+        raise ValueError(
+            f"zero-norm centroid (cell_id={int(cell_ids[z[0]])}): cosine is "
+            "undefined — refine or filter degenerate centroids upstream"
+        )
 
     run = functools.partial(
         _nearest_cells_batches, cell_ids=cell_ids, C=C, c_norm=c_norm, dim=dim
@@ -1651,6 +1702,17 @@ def _nearest_cells_batches(batches, *, cell_ids, C, c_norm, dim, chunk=4096):
             continue
         V = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
         v_norm = _fold_norms(V, dim)
+        # zero-norm vectors NaN every sim: the strict > running argmax then
+        # leaves best_cell at its 0 init — a possibly-nonexistent cell the
+        # downstream cell join would silently drop. Raise named instead
+        # (the convention of every cosine kernel in this module).
+        z = np.flatnonzero(v_norm == 0.0)
+        if len(z):
+            vid = int(pdf["vec_id"].iloc[int(z[0])])
+            raise ValueError(
+                f"zero-norm embedding (vec_id={vid}): cosine is undefined "
+                "— filter degenerate vectors upstream"
+            )
         best_sim = np.full(len(V), -np.inf)
         best_cell = np.zeros(len(V), dtype="int64")
         for lo in range(0, len(cell_ids), chunk):
@@ -1685,6 +1747,7 @@ def semantic_dedup(
     n_cells: int = N_CELLS,
     centroids: DataFrame | None = None,
     block_rows: int | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Per-vector keep/drop verdict: (vec_id, cell_id, centroid_sim, keep).
 
@@ -1734,6 +1797,11 @@ def semantic_dedup(
     from pulsar_replay_spark.functions.vectors import dot, norm
 
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
+    # ``cells``: optional precomputed (vec_id, cell_id) assignment of EXACTLY
+    # this embeddings frame under ``cents`` — assignment is a pure function
+    # of (vector, centroids), so callers that already hold it (the
+    # incremental path: old verdicts carry it, the new batch was assigned to
+    # find the affected cells) skip the O(N·cells·dim) recompute.
     # Assignment: Arrow-vectorized nearest-centroid (raw-cosine argmax,
     # cell_id tie-break — see nearest_cells). The rounded centroid_sim the
     # verdict priority and the output carry is then recomputed JVM-side for
@@ -1747,7 +1815,12 @@ def semantic_dedup(
         embeddings.select(
             "vec_id", "embedding", norm(F.col("embedding")).alias("v_norm")
         )
-        .join(nearest_cells(embeddings, cents), "vec_id")
+        .join(
+            cells.select("vec_id", "cell_id")
+            if cells is not None
+            else nearest_cells(embeddings, cents),
+            "vec_id",
+        )
         .join(
             F.broadcast(
                 cents.select(
@@ -2124,19 +2197,36 @@ def incremental_semantic_dedup(
             "incremental_semantic_dedup requires the FROZEN centroids the "
             "old verdicts were built with (re-seeding is a full rebuild)"
         )
-    affected = (
-        nearest_cells(new_embeddings, centroids).select("cell_id").distinct()
-    ).localCheckpoint(eager=True)
-    old_member_ids = (
-        old_verdicts.join(affected, "cell_id", "semi").select("vec_id")
+    # assign the batch ONCE: the affected-cell set, the subset's cell table,
+    # and semantic_dedup's member join all reuse it (previously the
+    # O(|new|·cells·dim) Arrow job ran twice per ingest)
+    new_cells = nearest_cells(new_embeddings, centroids).localCheckpoint(eager=True)
+    affected = new_cells.select("cell_id").distinct()
+    new_ids = new_embeddings.select("vec_id").distinct()
+    # a RE-INGESTED vec_id (at-least-once redelivery, or an update) must not
+    # appear twice in the subset — latest wins: the old copy is excluded and
+    # the fresh verdict rides the delta. (An update that MOVES cells is a
+    # remove+add; the add side is handled here, the remove side is deletion
+    # semantics — semantic_state_expire.)
+    old_member_rows = (
+        old_verdicts.join(affected, "cell_id", "semi")
+        .select("vec_id", "cell_id")
+        .join(new_ids, "vec_id", "left_anti")
     )
     subset = (
-        old_embeddings.join(old_member_ids, "vec_id", "semi")
+        old_embeddings.join(old_member_rows.select("vec_id"), "vec_id", "semi")
         .select("vec_id", "embedding")
         .unionByName(new_embeddings.select("vec_id", "embedding"))
     )
+    # old verdicts already carry the frozen-centroid assignment; the new
+    # batch was just assigned — no member needs a recompute
+    subset_cells = old_member_rows.unionByName(new_cells.select("vec_id", "cell_id"))
     verdicts = semantic_dedup(
-        subset, threshold=threshold, centroids=centroids, block_rows=block_rows
+        subset,
+        threshold=threshold,
+        centroids=centroids,
+        block_rows=block_rows,
+        cells=subset_cells,
     ).localCheckpoint(eager=True)
     new_rows = verdicts.join(
         new_embeddings.select("vec_id"), "vec_id", "semi"

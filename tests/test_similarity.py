@@ -1102,3 +1102,55 @@ def test_incremental_semantic_dedup_equals_full_recompute(spark, embeddings):
 
     with pytest.raises(ValueError, match="FROZEN centroids"):
         similarity.incremental_semantic_dedup(b1, b0, verdicts, None)
+
+
+def test_lsh_rejects_non_contract_dim(spark):
+    """The hyperplane pool (and its DuckDB oracle twin) is pinned to 64-dim
+    embeddings; any other width previously DEGENERATED silently (all
+    signatures 0 -> one bucket -> O(N^2) join). Named error now."""
+    from pulsar_replay_spark.operators import similarity
+
+    bad = spark.createDataFrame(
+        [(i, [0.1] * 128) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="pinned to 64-dim"):
+        similarity.lsh_table_buckets(bad)
+    with pytest.raises(ValueError, match="pinned to 64-dim"):
+        similarity.lsh_topk(bad, bad.limit(1))
+
+
+def test_nearest_cells_rejects_zero_norm(spark, embeddings):
+    """Zero-norm vectors/centroids previously produced silent wrong
+    assignments (NaN sims -> stale argmax init); both raise named now."""
+    from pulsar_replay_spark.operators import similarity
+
+    cents = similarity.ivf_centroids(embeddings.limit(64))
+    zero_vec = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="zero-norm embedding"):
+        similarity.nearest_cells(zero_vec, cents).collect()
+    zero_cent = spark.createDataFrame(
+        [(0, [0.0] * 64)], "cell_id int, centroid array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        similarity.nearest_cells(embeddings.limit(4), zero_cent).collect()
+
+
+def test_pq_index_shares_a_half_supplied_quantizer(spark, embeddings):
+    """Passing only centroids derives the cells from THEM (never a silent
+    rebuild from the unrefined seed); cells without centroids raise."""
+    from pulsar_replay_spark.operators import similarity
+
+    emb = embeddings.limit(200)
+    cents = similarity.kmeans_refine(emb, 16, n_iter=1)
+    idx = similarity.pq_index(emb, centroids=cents)
+    assert idx["cents"] is cents
+    want = {
+        (r["vec_id"], r["cell_id"])
+        for r in similarity.ivf_assign(emb, cents, n_probe=1).collect()
+    }
+    got = {(r["vec_id"], r["cell_id"]) for r in idx["cells"].collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="without centroids"):
+        similarity.pq_index(emb, corpus_cells=idx["cells"])
