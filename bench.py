@@ -394,6 +394,29 @@ def main() -> None:
             "psi_drift_vs_self",
             lambda: _noop_write(qy.psi_drift(ref_hist, ref_hist)),
         )
+
+        # r8: BM25 lexical retrieval — 32 corpus-derived queries, k=10.
+        # The serving shape: query vocabulary broadcast into the scan,
+        # micro-unit integer scores (see tools/bm25_probe.py for the
+        # Zipf-corpus scale rehearsal the fixtures can't express).
+        from pulsar_replay_spark.functions.text import tokens as _toks
+        from pulsar_replay_spark.operators import retrieval
+
+        bm25_queries = (
+            docs.orderBy("doc_id")
+            .limit(32)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.array_join(F.slice(_toks(F.col("text")), 1, 6), " ").alias(
+                    "query"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        timed_op(
+            "bm25_topk_32q",
+            lambda: _noop_write(retrieval.bm25_topk(docs, bm25_queries, k=10)),
+        )
     except Exception as e:  # noqa: BLE001
         errors["llm_ops"] = f"{type(e).__name__}: {e}"[:400]
 

@@ -1,0 +1,241 @@
+"""Lexical retrieval: distributed BM25 over the documents contract.
+
+BM25 (Robertson et al., Okapi; the Lucene idf variant) is the standard
+lexical primitive of a training-data pipeline: mining (query, document)
+retrieval training pairs from anchor text or synthetic queries, lexical
+decontamination (an eval question finding its near-verbatim source even when
+shingle dedup misses a paraphrase-with-shared-phrases), and corpus QA
+("which docs answer this probe query"). No reference analog — north-star
+extension alongside the ANN tier (this is its sparse twin).
+
+Scale shape (the only one that survives 100 TB):
+- the corpus is NEVER indexed for terms the queries don't mention: the
+  distinct query vocabulary broadcasts to the document scan, so the
+  token explode is filtered map-side and only (doc_id, query term)
+  postings ever shuffle. A full inverted index of 100 TB is a product in
+  itself; a query-bounded one is a single filtered pass.
+- doc length rides the scan (``F.size`` of the token array, computed next
+  to the explode) so no corpus-sized join re-attaches it.
+- document frequency is an agg over the query-bounded postings (df of a
+  term = #docs containing it, countable after the filter because the
+  filter keeps EVERY posting of a kept term) — a ≤|query vocab| frame,
+  broadcast back.
+- corpus stats (N, avgdl) are one 1-row agg joined as a broadcast literal
+  frame (the engine-wide stats-crossJoin pattern).
+- scores sum in integer micro-units (round(contribution · 1e6) as BIGINT):
+  bigint sums are order-independent, so results are bit-identical across
+  partitionings and engines — the pagerank discipline — and the top-k
+  tie-break (score_u DESC, doc_id) is a pure integer ordering.
+- ``max_df_ratio`` is the skew lever: a stopword's posting list at corpus
+  scale is a hot join key AND carries near-zero idf; capping df drops it
+  before the fan-out. Off by default (Lucene keeps stopwords; planted
+  tests want exact textbook scores) — turn it on for web-scale corpora.
+
+Query-term weighting follows Lucene: query term frequency is ignored
+(DISTINCT terms per query); the k3 saturation term of original Okapi is a
+no-op for the short queries this mines and is omitted on both engine and
+oracle sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_replay_spark.functions.text import tokens
+
+K1 = 1.2
+B = 0.75
+SCALE = 1_000_000  # micro-unit fixed point for order-independent score sums
+
+
+def query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, term): DISTINCT non-empty whitespace tokens per query —
+    the Lucene weighting (qtf ignored). Input contract: (query_id, query)."""
+    return (
+        queries.select(
+            "query_id", F.explode(tokens(F.col("query"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) over the whole corpus — exact bigint sums, one
+    division, so both engines compute the identical double."""
+    dl = F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
+    return docs.select(dl.cast("long").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+
+def query_postings(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) for query terms only. The distinct query
+    vocabulary broadcasts into the scan stage, so non-query tokens die
+    map-side and the only shuffle is the (doc_id, term) partial-agg. dl
+    (FULL token count, query-relevant or not) rides the same projection —
+    functionally dependent on doc_id, so carrying it through the groupBy
+    keys costs nothing and saves a corpus-sized re-join."""
+    vocab = query_terms(queries).select("term").distinct()
+    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _contribution_u(k1: float, b: float) -> "F.Column":
+    """Per-(doc, term) BM25 contribution in micro-units. Expects columns
+    tf, dl, df, n_docs, avgdl. idf is the Lucene shape
+    ln(1 + (N - df + ½)/(df + ½)) — non-negative for every df ≤ N. Written
+    as ONE expression shape so the DuckDB oracle mirrors it verbatim and
+    the doubles agree to the micro-unit rounding."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return F.round(idf * tf_norm * F.lit(SCALE)).cast("long")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score_u): every document with at least one query
+    term, scored; ``score_u`` is the micro-unit bigint (callers rank on it —
+    integer compares, no float ties). ``max_df_ratio`` drops terms whose df
+    exceeds the ratio of the corpus (the stopword/skew cap)."""
+    postings = query_postings(docs, queries)
+    df_t = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = doc_stats(docs)
+    scored = postings.join(F.broadcast(df_t), "term").join(F.broadcast(stats))
+    if max_df_ratio is not None:
+        scored = scored.filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
+    qt = query_terms(queries)
+    return (
+        scored.withColumn("c_u", _contribution_u(k1, b))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_u").cast("long").alias("score_u"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Top-k BM25 hits per query: (query_id, doc_id, score, rk). score is
+    the micro-unit sum scaled back (round 4 — display only; the RANKING is
+    the exact integer). Deterministic total order: (score_u DESC, doc_id)."""
+    scores = bm25_scores(docs, queries, k1, b, max_df_ratio)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), "doc_id")
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_u") / F.lit(float(SCALE)), 4).alias("score"),
+            "rk",
+        )
+    )
+
+
+def lexical_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    min_score: float = 0.0,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Lexical decontamination: every eval document becomes a BM25 query
+    against the training corpus; training docs ranking in any eval doc's
+    top-k above ``min_score`` are flagged. Complements the shingle/MinHash
+    decontamination tier — BM25 catches the paraphrase that shares its rare
+    vocabulary but no exact 5-gram. Returns (doc_id, eval_id, score) — one
+    row per flagged training doc with its STRONGEST accusing eval doc
+    (min eval_id on score ties, total order). Anti-join the result's doc_id
+    against the corpus to scrub."""
+    queries = eval_docs.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    hits = bm25_topk(docs, queries, k, k1, b, max_df_ratio).filter(
+        F.col("score") >= F.lit(min_score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "query_id")
+    return (
+        hits.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select("doc_id", F.col("query_id").alias("eval_id"), "score")
+    )
+
+
+RRF_C = 60  # Cormack et al. 2009's constant; callers rarely need to change it
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query rankings —
+    the standard way to hybridize sparse (``bm25_topk``) and dense
+    (``similarity.ivf_topk`` / ``lsh_topk``) retrieval without score
+    calibration: ranks are comparable where raw scores never are. Each input
+    frame carries (query_id, ``id_col``, rk); the fused score of a candidate
+    is Σ over lists of 1/(c + rk), in the engine's micro-unit fixed point
+    (round(SCALE/(c+rk)) per list, exact bigint sum) so fusion is
+    bit-identical across partitionings and ties break on pure integers
+    (score_u DESC, id). A candidate absent from a list simply contributes
+    nothing — no outer-join NULL juggling.
+
+    Scale shape: inputs are already top-k-per-query frames (bounded:
+    |queries| · k rows each), so the union + (query_id, id) agg is tiny
+    relative to the retrieval passes that produced them."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    contrib = F.round(F.lit(SCALE) / (F.lit(c) + F.col("rk"))).cast("long")
+    parts = [
+        r.select("query_id", F.col(id_col).alias("_id"), contrib.alias("c_u"))
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("query_id", "_id").agg(
+        F.sum("c_u").cast("long").alias("score_u")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), "_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("_id").alias(id_col),
+            F.round(F.col("score_u") / F.lit(float(SCALE)), 4).alias("score"),
+            "rk",
+        )
+    )

@@ -1366,3 +1366,84 @@ GROUP BY l.doc_id
 
 def q_line_scrubbed_corpus(spark, sf_dir):
     return dedup.scrub_boilerplate_lines(_docs(spark, sf_dir), max_doc_freq=3)
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (r8): top-k Okapi/Lucene BM25 hits per query over
+# the documents table. Not registered (the 50-slot contract is full; the
+# sparse-retrieval family enters pytest-tier like x_line_scrub) —
+# oracle-gated in pytest + parity --extras (x_bm25). Queries derive from the
+# corpus itself (first 6 tokens of the 5 lowest doc_ids) so the gate is
+# self-contained at any SF. The oracle mirrors operators/retrieval.py's
+# arithmetic SHAPE term for term — identical literals, identical
+# association — and the micro-unit bigint sum makes the comparison exact
+# across engines and partitionings.
+# ---------------------------------------------------------------------------
+BM25_ORACLE = """
+WITH q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(string_split(text, ' ')[1:6], ' ') AS query
+  FROM documents ORDER BY doc_id LIMIT 5
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(string_split(query, ' ')) AS term FROM q
+  ) WHERE term <> ''
+),
+vocab AS (SELECT DISTINCT term FROM qt),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+post AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok JOIN vocab USING (term)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS DOUBLE) / COUNT(*) AS avgdl
+  FROM documents
+),
+contrib AS (
+  SELECT post.doc_id, post.term,
+         CAST(ROUND((LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * (1.2 + 1.0))
+                  / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) * 1000000)
+              AS BIGINT) AS c_u
+  FROM post JOIN dfreq USING (term) CROSS JOIN stats
+),
+sc AS (
+  SELECT query_id, doc_id, CAST(SUM(c_u) AS BIGINT) AS score_u
+  FROM contrib JOIN qt USING (term)
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_u,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_u DESC, doc_id) AS rk
+  FROM sc
+)
+SELECT query_id, doc_id, ROUND(score_u / 1000000.0, 4) AS score,
+       CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    from pulsar_replay_spark.operators import retrieval
+
+    docs = _docs(spark, sf_dir)
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(tokens(F.col("text")), 1, 6), " ").alias("query"),
+        )
+    )
+    return retrieval.bm25_topk(docs, queries, k=10)

@@ -375,3 +375,16 @@ def test_line_scrub_matches_oracle(spark, duck):
                for t in cleaned.values())
     assert cleaned[0].endswith("rare pair line")  # under-threshold kept
     assert cleaned[5] == "unique line 5\nsecond unique 5"
+
+
+def test_bm25_matches_oracle(spark, duck):
+    """The r8 BM25 lexical-retrieval tier: pytest-tier oracle gate (the
+    50-slot contract is full; also in parity --extras as x_bm25). Queries
+    derive from the corpus itself, scores sum in integer micro-units, so the
+    comparison is hash-exact across engines."""
+    from pulsar_replay_spark.queries_llm import BM25_ORACLE, q_bm25_topk
+
+    sdf = q_bm25_topk(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(BM25_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"bm25: {problems}"
