@@ -667,10 +667,15 @@ def corpus_drift(
     totals = joined.groupBy(by).agg(
         F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
     )
+    # greatest(total, 1): a group present in only ONE snapshot has a zero
+    # total on the other side — 0/0 doubles are NaN (not an ANSI error) and
+    # would poison the whole group's sum; clamping makes the absent side the
+    # zero measure, so the group reports ln(2)/2 deterministically (only the
+    # present side's half-sum contributes; regression-pinned in tests)
     z = joined.join(F.broadcast(totals), by).select(
         by,
-        (F.col("c_old") / F.col("t_old")).alias("pp"),
-        (F.col("c_new") / F.col("t_new")).alias("qq"),
+        (F.col("c_old") / F.greatest(F.col("t_old"), F.lit(1.0))).alias("pp"),
+        (F.col("c_new") / F.greatest(F.col("t_new"), F.lit(1.0))).alias("qq"),
     )
     m = (F.col("pp") + F.col("qq")) / 2
     term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731

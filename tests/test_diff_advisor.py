@@ -226,3 +226,28 @@ def test_corpus_drift_properties(spark, documents):
         if qq > 0:
             js += 0.5 * qq * math.log(qq / m)
     assert abs(mild_js[src] - round(js, 6)) < 2e-6
+
+
+def test_corpus_drift_group_in_one_snapshot_reports_ln2(spark):
+    """A source present in only ONE snapshot: its other-side total is 0 and
+    the proportions must clamp to the zero measure — the group reports
+    ln(2)/2 (only the present side's half-sum contributes), never NaN (the
+    unclamped 0/0 double poisons the whole group sum)."""
+    import math
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma", "keeps"), (2, "alpha beta", "vanishes")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(3, "alpha beta gamma", "keeps"), (4, "delta epsilon", "appears")],
+        "doc_id long, text string, source string",
+    )
+    js = {
+        r["source"]: r["js_divergence"]
+        for r in curation.corpus_drift(old, new).collect()
+    }
+    assert abs(js["keeps"]) < 1e-9
+    for one_sided in ("vanishes", "appears"):
+        assert js[one_sided] == js[one_sided], f"{one_sided}: NaN"  # not NaN
+        assert abs(js[one_sided] - math.log(2) / 2) < 1e-6
