@@ -2240,3 +2240,71 @@ def incremental_semantic_dedup(
                 F.col("n.keep").alias("keep"))
     )
     return new_rows.unionByName(flipped)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift (r8): the vector twin of the scalar PSI
+# monitor (operators/quality.psi_drift). The bin axis is the IVF cell — a
+# FROZEN coarse quantizer plays the role frozen score bins play for scalars,
+# so "did the embedding distribution shift" (encoder swapped, a new source's
+# vectors landing, a crawl moving topics) becomes PSI over per-cell
+# occupancy. Cell counts are additive like the window histograms, so the
+# same shape streams: persist per-batch (cell, n) rows, fold at read.
+# Reference analog: none — north-star extension (ops tier).
+# ---------------------------------------------------------------------------
+
+
+def embedding_cell_histogram(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(bin, n): occupancy of each IVF cell under the FROZEN ``centroids``
+    quantizer — ``quality.score_histogram`` for vectors. One assignment pass
+    (the Arrow ``nearest_cells`` kernel) + one |cells|-key agg; empty cells
+    are absent rows (the PSI join treats absence as the signal, exactly as
+    the scalar monitor does)."""
+    return (
+        ivf_assign(embeddings, centroids, n_probe=1)
+        .select(F.col("cell_id").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def embedding_drift(
+    ref_embeddings: DataFrame,
+    cur_embeddings: DataFrame,
+    centroids: DataFrame,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """One-row (psi, n_ref, n_cur): PSI between two embedding snapshots'
+    cell-occupancy distributions under ONE frozen quantizer. Both sides MUST
+    assign against the same ``centroids`` frame — comparing histograms from
+    two different quantizers compares axes, not distributions (the same
+    contract as comparing score histograms built with different bins).
+    Same thresholds as the scalar monitor (<0.1 stable, >0.25 shifted)."""
+    from pulsar_replay_spark.operators import quality
+
+    return quality.psi_drift(
+        embedding_cell_histogram(ref_embeddings, centroids),
+        embedding_cell_histogram(cur_embeddings, centroids),
+        eps=eps,
+    )
+
+
+def embedding_drift_contributions(
+    ref_embeddings: DataFrame,
+    cur_embeddings: DataFrame,
+    centroids: DataFrame,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """(bin, n_ref, n_cur, p_ref, p_cur, psi_term): the per-cell breakdown —
+    WHICH region of embedding space gained/lost mass (join ``bin`` back to
+    ``centroids.cell_id`` for the representative vector of each moving
+    cell)."""
+    from pulsar_replay_spark.operators import quality
+
+    return quality.psi_contributions(
+        embedding_cell_histogram(ref_embeddings, centroids),
+        embedding_cell_histogram(cur_embeddings, centroids),
+        eps=eps,
+    )

@@ -407,3 +407,46 @@ def test_drift_by_window_flags_the_drifted_hour(spark):
         for ts, s in rows if ts >= base + dt.timedelta(hours=1)
     )
     assert abs(drifted["psi"] - round(_naive_psi(rh, cur_counts), 6)) < 1e-9
+
+
+def test_embedding_drift_vector_twin_of_psi(spark):
+    """Embedding drift (similarity.embedding_drift): PSI over IVF-cell
+    occupancy under a frozen quantizer — self-drift ~0; mass moving from one
+    cell's region to another crosses the 0.25 'shifted' rule; the per-cell
+    contributions name exactly the cells that exchanged mass."""
+    from pulsar_replay_spark.operators import similarity
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "cell_id long, centroid array<double>",
+    )
+
+    def emb(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # reference: 20 vectors near cell 0, 20 near cell 1, none near cell 2
+    ref = emb(
+        [(i, [1.0, 0.1 * (i % 3), 0.0, 0.0]) for i in range(20)]
+        + [(100 + i, [0.1 * (i % 3), 1.0, 0.0, 0.0]) for i in range(20)]
+    )
+    psi_self = similarity.embedding_drift(ref, ref, cents).first()
+    assert abs(psi_self["psi"]) < 1e-6
+    assert psi_self["n_ref"] == psi_self["n_cur"] == 40
+
+    # current: cell 0's mass moved to the previously-EMPTY cell 2
+    cur = emb(
+        [(i, [0.0, 0.1 * (i % 3), 1.0, 0.0]) for i in range(20)]
+        + [(100 + i, [0.1 * (i % 3), 1.0, 0.0, 0.0]) for i in range(20)]
+    )
+    drift = similarity.embedding_drift(ref, cur, cents).first()
+    assert drift["psi"] > 0.25
+
+    contrib = {
+        r["bin"]: r
+        for r in similarity.embedding_drift_contributions(ref, cur, cents).collect()
+    }
+    assert contrib[0]["n_ref"] == 20 and contrib[0]["n_cur"] == 0
+    assert contrib[2]["n_ref"] == 0 and contrib[2]["n_cur"] == 20
+    assert abs(contrib[1]["psi_term"]) < 1e-9  # the stable cell contributes ~0
+    assert contrib[0]["psi_term"] > 0 and contrib[2]["psi_term"] > 0
