@@ -2177,3 +2177,101 @@ def drift_monitor_read(
     return psi_from_window_hist(counts, ref_hist, eps=eps).orderBy(
         F.desc("window_start")
     )
+
+
+def embedding_drift_sink(
+    emb_stream: DataFrame,
+    centroids: DataFrame,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    ts_col: str | None = None,
+):
+    """Continuous EMBEDDING-distribution drift monitoring — the vector twin
+    of ``drift_monitor_sink``: per micro-batch, assign the batch's vectors
+    to the FROZEN coarse quantizer (``centroids`` — frozen exactly like the
+    scalar monitor's bins; re-deriving it per batch would compare axes, not
+    distributions) and append the per-(window, cell) occupancy COUNTS as one
+    idempotent batch_id partition. Counts are additive, so PSI computes at
+    read (``embedding_drift_read``), never per partial batch.
+
+    ``ts_col=None`` (embedding streams often carry no event time): counts
+    land under a NULL window_start and the read serves ONE cumulative row —
+    drift of everything ingested since the baseline."""
+    from pulsar_replay_spark.operators.similarity import ivf_assign
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cells = ivf_assign(
+            batch_df.select("vec_id", "embedding"), centroids, n_probe=1
+        )
+        if ts_col is not None:
+            out = (
+                cells.join(
+                    batch_df.select("vec_id", F.col(ts_col).alias("_ts")), "vec_id"
+                )
+                .groupBy(
+                    F.window("_ts", window).alias("w"),
+                    F.col("cell_id").alias("bin"),
+                )
+                .agg(F.count("*").alias("n_cur"))
+                .select(F.col("w.start").alias("window_start"), "bin", "n_cur")
+            )
+        else:
+            out = (
+                cells.groupBy(F.col("cell_id").alias("bin"))
+                .agg(F.count("*").alias("n_cur"))
+                .select(
+                    F.lit(None).cast("timestamp").alias("window_start"),
+                    "bin",
+                    "n_cur",
+                )
+            )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(monitor_dir)
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def embedding_drift_read(
+    spark: SparkSession,
+    monitor_dir: str,
+    ref_hist: DataFrame,
+    eps: float = 1e-6,
+    windowed: bool = False,
+) -> DataFrame:
+    """PSI against the frozen reference cell histogram
+    (``similarity.embedding_cell_histogram`` over the vetted baseline, built
+    with the SAME centroids the sink assigns against).
+
+    ``windowed=False`` (the sink's ``ts_col=None`` mode): the store's counts
+    fold to ONE cumulative histogram and the result is ``psi_drift``'s
+    single (psi, n_ref, n_cur) row — drift of everything ingested since the
+    baseline. (The NULL window_start those stores carry would silently
+    empty the windowed read's equi-join — NULL keys never match — so the
+    cumulative mode folds explicitly rather than sharing that path.)
+    ``windowed=True`` (the sink ran with ``ts_col``): per-window
+    (window_start, psi, n_cur) via the scalar monitor's shared read."""
+    if windowed:
+        return drift_monitor_read(spark, monitor_dir, ref_hist, eps=eps)
+    from pulsar_replay_spark.operators.quality import psi_drift
+
+    cur_hist = (
+        read_parquet_or_empty(
+            spark,
+            monitor_dir,
+            "window_start timestamp, bin long, n_cur long, batch_id long",
+        )
+        .groupBy("bin")
+        .agg(F.sum("n_cur").cast("long").alias("n"))
+    )
+    return psi_drift(ref_hist, cur_hist, eps=eps)

@@ -1631,3 +1631,110 @@ def test_compactors_refuse_in_place_overwrite(spark, tmp_path_factory):
         pipelines.rollup_compact(spark, d, d)
     with pytest.raises(ValueError, match="differ"):
         pipelines.cdc_compact(spark, d, d)
+
+
+def test_embedding_drift_sink_matches_batch_monitor(spark, tmp_path):
+    """The streaming embedding-drift monitor: counts accumulated across
+    micro-batches fold to EXACTLY the one-shot cell histogram (cumulative
+    NULL-window mode), the read's PSI equals similarity.embedding_drift over
+    the same frames, and a crash-retry of a batch partition leaves the
+    store unchanged (idempotent batch_id overwrite)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators import similarity
+    from pulsar_replay_spark.streaming.pipelines import (
+        embedding_drift_read,
+        embedding_drift_sink,
+        embeddings_stream,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.kmeans_refine(corpus, 8, n_iter=1)
+    # baseline = even vec_ids; the "ingest" = odd vec_ids (a real shift:
+    # halves of a random corpus differ a little, not massively)
+    ref = corpus.filter(F.col("vec_id") % 2 == 0)
+    cur = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    src = str(tmp_path / "emb_src")
+    cur.repartition(3).write.mode("overwrite").parquet(src)
+    monitor = str(tmp_path / "monitor")
+    q = embedding_drift_sink(
+        embeddings_stream(spark, src), cents, monitor, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+
+    # folded counts == one-shot histogram over the same vectors
+    folded = {
+        r["bin"]: r["n"]
+        for r in spark.read.parquet(monitor)
+        .groupBy("bin")
+        .agg(F.sum("n_cur").alias("n"))
+        .collect()
+    }
+    oneshot = {
+        r["bin"]: r["n"]
+        for r in similarity.embedding_cell_histogram(cur, cents).collect()
+    }
+    assert folded == oneshot and sum(folded.values()) == cur.count()
+
+    ref_hist = similarity.embedding_cell_histogram(ref, cents)
+    served = embedding_drift_read(spark, monitor, ref_hist).collect()
+    batch = similarity.embedding_drift(ref, cur, cents).first()
+    assert len(served) == 1
+    assert abs(served[0]["psi"] - batch["psi"]) < 1e-9
+    assert served[0]["n_cur"] == cur.count() == batch["n_cur"]
+    assert served[0]["n_ref"] == ref.count()
+
+    # crash-retry: rewriting one batch partition must not change the read
+    import glob
+    import os
+
+    part = sorted(glob.glob(os.path.join(monitor, "batch_id=*")))[0]
+    batch_id = int(part.rsplit("=", 1)[1])
+    rows = spark.read.parquet(part).withColumn("batch_id", F.lit(batch_id))
+    rows.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(monitor)
+    retry = embedding_drift_read(spark, monitor, ref_hist).collect()
+    assert abs(retry[0]["psi"] - served[0]["psi"]) < 1e-12
+    assert retry[0]["n_cur"] == served[0]["n_cur"]
+
+
+def test_embedding_drift_sink_windowed_mode(spark, tmp_path):
+    """ts mode: per-(event-time window, cell) counts land in the store and
+    the windowed read serves per-window PSI — with all rows in one hour the
+    single window's PSI equals the cumulative batch number."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators import similarity
+    from pulsar_replay_spark.streaming.pipelines import (
+        embedding_drift_read,
+        embedding_drift_sink,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.kmeans_refine(corpus, 8, n_iter=1)
+    ref = corpus.filter(F.col("vec_id") % 2 == 0)
+    cur = corpus.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "ts", F.to_timestamp(F.lit("2026-08-16 12:30:00"))
+    )
+
+    src = str(tmp_path / "emb_src")
+    cur.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    monitor = str(tmp_path / "monitor")
+    q = embedding_drift_sink(
+        stream, cents, monitor, str(tmp_path / "ck"), ts_col="ts"
+    )
+    q.awaitTermination()
+
+    ref_hist = similarity.embedding_cell_histogram(ref, cents)
+    served = embedding_drift_read(spark, monitor, ref_hist, windowed=True).collect()
+    assert len(served) == 1 and served[0]["window_start"] is not None
+    batch_psi = similarity.embedding_drift(ref, cur, cents).first()["psi"]
+    assert abs(served[0]["psi"] - batch_psi) < 1e-9
+    assert served[0]["n_cur"] == cur.count()
