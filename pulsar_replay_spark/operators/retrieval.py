@@ -72,13 +72,25 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def query_postings(docs: DataFrame, queries: DataFrame) -> DataFrame:
+def _maybe_broadcast(df: DataFrame, broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if broadcast else df
+
+
+def query_postings(
+    docs: DataFrame, queries: DataFrame, broadcast_queries: bool = True
+) -> DataFrame:
     """(doc_id, dl, term, tf) for query terms only. The distinct query
     vocabulary broadcasts into the scan stage, so non-query tokens die
     map-side and the only shuffle is the (doc_id, term) partial-agg. dl
     (FULL token count, query-relevant or not) rides the same projection —
     functionally dependent on doc_id, so carrying it through the groupBy
-    keys costs nothing and saves a corpus-sized re-join."""
+    keys costs nothing and saves a corpus-sized re-join.
+
+    ``broadcast_queries=False`` is the escape hatch for query sets whose
+    DISTINCT vocabulary is itself corpus-scale (``lexical_decontaminate``
+    with a huge eval suite): every query-side join downgrades to a shuffle
+    equi-join — the token explode then shuffles on term, so prefer the
+    broadcast path whenever the vocabulary fits an executor."""
     vocab = query_terms(queries).select("term").distinct()
     toks = F.filter(tokens(F.col("text")), lambda t: t != "")
     return (
@@ -87,7 +99,7 @@ def query_postings(docs: DataFrame, queries: DataFrame) -> DataFrame:
             F.size(toks).cast("long").alias("dl"),
             F.explode(toks).alias("term"),
         )
-        .join(F.broadcast(vocab), "term")
+        .join(_maybe_broadcast(vocab, broadcast_queries), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
@@ -116,21 +128,25 @@ def bm25_scores(
     k1: float = K1,
     b: float = B,
     max_df_ratio: float | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, doc_id, score_u): every document with at least one query
     term, scored; ``score_u`` is the micro-unit bigint (callers rank on it —
     integer compares, no float ties). ``max_df_ratio`` drops terms whose df
-    exceeds the ratio of the corpus (the stopword/skew cap)."""
-    postings = query_postings(docs, queries)
+    exceeds the ratio of the corpus (the stopword/skew cap);
+    ``broadcast_queries`` — see ``query_postings``."""
+    postings = query_postings(docs, queries, broadcast_queries)
     df_t = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     stats = doc_stats(docs)
-    scored = postings.join(F.broadcast(df_t), "term").join(F.broadcast(stats))
+    scored = postings.join(
+        _maybe_broadcast(df_t, broadcast_queries), "term"
+    ).join(F.broadcast(stats))
     if max_df_ratio is not None:
         scored = scored.filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
     qt = query_terms(queries)
     return (
         scored.withColumn("c_u", _contribution_u(k1, b))
-        .join(F.broadcast(qt), "term")
+        .join(_maybe_broadcast(qt, broadcast_queries), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c_u").cast("long").alias("score_u"))
     )
@@ -143,11 +159,12 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     max_df_ratio: float | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k BM25 hits per query: (query_id, doc_id, score, rk). score is
     the micro-unit sum scaled back (round 4 — display only; the RANKING is
     the exact integer). Deterministic total order: (score_u DESC, doc_id)."""
-    scores = bm25_scores(docs, queries, k1, b, max_df_ratio)
+    scores = bm25_scores(docs, queries, k1, b, max_df_ratio, broadcast_queries)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), "doc_id")
     return (
         scores.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -169,6 +186,7 @@ def lexical_decontaminate(
     k1: float = K1,
     b: float = B,
     max_df_ratio: float | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Lexical decontamination: every eval document becomes a BM25 query
     against the training corpus; training docs ranking in any eval doc's
@@ -181,7 +199,7 @@ def lexical_decontaminate(
     queries = eval_docs.select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("query")
     )
-    hits = bm25_topk(docs, queries, k, k1, b, max_df_ratio).filter(
+    hits = bm25_topk(docs, queries, k, k1, b, max_df_ratio, broadcast_queries).filter(
         F.col("score") >= F.lit(min_score)
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "query_id")

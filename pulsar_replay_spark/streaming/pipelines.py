@@ -2275,3 +2275,28 @@ def embedding_drift_read(
         .agg(F.sum("n_cur").cast("long").alias("n"))
     )
     return psi_drift(ref_hist, cur_hist, eps=eps)
+
+
+def embedding_drift_from_index(
+    spark: SparkSession, index_dir: str, ref_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """Cumulative embedding drift read STRAIGHT off the maintained IVF cells
+    store (``ivf_ingest_sink``'s index): a pipeline already serving ANN has
+    every ingested vector's cell assignment persisted, so drift costs one
+    |cells|-key agg over (vec_id, cell_id) rows — no second assignment pass
+    and no dedicated monitor sink. Same contract as ``embedding_drift_read``
+    cumulative mode: ``ref_hist`` is ``similarity.embedding_cell_histogram``
+    over the vetted baseline under the SAME centroids the index was built
+    with (a centroid refresh rebuilds the index AND re-baselines — drift
+    across quantizers compares axes, not distributions). Returns one
+    (psi, n_ref, n_cur) row."""
+    from pulsar_replay_spark.operators.quality import psi_drift
+
+    cur_hist = (
+        read_parquet_or_empty(
+            spark, index_dir, "vec_id long, cell_id long, batch_id long"
+        )
+        .groupBy(F.col("cell_id").alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return psi_drift(ref_hist, cur_hist, eps=eps)

@@ -202,3 +202,21 @@ def test_hybrid_bm25_plus_dense_shape(spark, planted):
     assert sorted(by_q[100])[0] == (1, 5)
     # rare-vocab query: doc 3 tops both lists, stays rk1
     assert sorted(by_q[200])[0] == (1, 3)
+
+
+def test_bm25_shuffle_join_path_equals_broadcast_path(spark, planted):
+    """broadcast_queries=False (the huge-eval-suite escape hatch) must
+    produce the identical micro-unit scores — the flag changes join
+    strategy, never semantics."""
+    docs, queries = planted
+    bc = {
+        (r.query_id, r.doc_id): r.score_u
+        for r in retrieval.bm25_scores(docs, queries).collect()
+    }
+    sh = {
+        (r.query_id, r.doc_id): r.score_u
+        for r in retrieval.bm25_scores(
+            docs, queries, broadcast_queries=False
+        ).collect()
+    }
+    assert bc == sh and bc

@@ -1738,3 +1738,34 @@ def test_embedding_drift_sink_windowed_mode(spark, tmp_path):
     batch_psi = similarity.embedding_drift(ref, cur, cents).first()["psi"]
     assert abs(served[0]["psi"] - batch_psi) < 1e-9
     assert served[0]["n_cur"] == cur.count()
+
+
+def test_embedding_drift_from_maintained_ivf_index(spark, tmp_path):
+    """Drift served straight off the ANN cells store: a pipeline already
+    running ivf_ingest_sink gets the monitor for one aggregation — PSI off
+    the index equals batch embedding_drift over the same vectors."""
+    from pyspark.sql import functions as F
+
+    from pulsar_replay_spark.operators import similarity
+    from pulsar_replay_spark.streaming.pipelines import (
+        embedding_drift_from_index,
+        embeddings_stream,
+        ivf_ingest_sink,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.kmeans_refine(corpus, 8, n_iter=1)
+    ref = corpus.filter(F.col("vec_id") % 2 == 0)
+    cur = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    src = str(tmp_path / "emb_src")
+    cur.repartition(2).write.mode("overwrite").parquet(src)
+    index = str(tmp_path / "index")
+    q = ivf_ingest_sink(embeddings_stream(spark, src), cents, index, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    ref_hist = similarity.embedding_cell_histogram(ref, cents)
+    got = embedding_drift_from_index(spark, index, ref_hist).first()
+    want = similarity.embedding_drift(ref, cur, cents).first()
+    assert abs(got["psi"] - want["psi"]) < 1e-9
+    assert got["n_cur"] == want["n_cur"] == cur.count()
