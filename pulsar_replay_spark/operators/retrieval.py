@@ -257,3 +257,114 @@ def rrf_fuse(
             "rk",
         )
     )
+
+
+def anchor_retrieval_pairs(
+    docs: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    n_negatives: int = 2,
+    min_score: float = 0.0,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Mine (query, positive, hard-negative) retrieval TRIPLETS from the
+    WARC anchor-text tier — the training-pair product the anchor miners
+    exist for (``corpusio.read_warc_anchors``: anchor text is a human-
+    written query for the page it points at).
+
+    Recipe (the classic weak-supervision shape): each DISTINCT
+    (anchor, dst_host) is a query; its BM25 top-k over the corpus is split
+    by the hit's source host (``graph.host_expr``) — the best-ranked
+    same-host hit above ``min_score`` is the POSITIVE (the anchor's target,
+    lexically confirmed), and the top ``n_negatives`` other-host hits are
+    HARD negatives (lexically similar, wrong site — exactly the negatives a
+    bi-encoder needs; random negatives are free and not worth a pass).
+    Anchors with no qualifying same-host hit yield nothing — an anchor
+    whose target the corpus lacks is not a training pair.
+
+    Returns one row per (triplet, negative): (query_id, anchor, dst_host,
+    pos_doc_id, pos_score, neg_doc_id, neg_score, neg_rank ∈ 1..n_negatives).
+    query_id is the engine-wide 60-bit content hash of anchor ⊕ dst_host
+    (the same anchor text pointing at two hosts is two queries with two
+    positives).
+
+    Scale shape: one BM25 pass (query-bounded postings — see
+    ``query_postings``; thread ``broadcast_queries=False`` for an anchor
+    corpus whose vocabulary outgrows a broadcast), then |anchors|·k-bounded
+    window work; the docs side contributes hosts via a pure-Catalyst
+    projection, never a Python kernel."""
+    from pulsar_replay_spark.functions.text import token_hash60
+    from pulsar_replay_spark.operators.graph import host_expr
+
+    queries = (
+        anchors.select("anchor", "dst_host")
+        .distinct()
+        .select(
+            token_hash60(
+                F.concat_ws("\x1f", F.col("anchor"), F.col("dst_host"))
+            ).alias("query_id"),
+            F.col("anchor").alias("query"),
+            "dst_host",
+        )
+        .localCheckpoint(eager=True)  # feeds the BM25 pass AND the meta join
+    )
+    hits = bm25_topk(
+        docs,
+        queries.select("query_id", "query"),
+        k=k,
+        k1=k1,
+        b=b,
+        max_df_ratio=max_df_ratio,
+        broadcast_queries=broadcast_queries,
+    )
+    hosted = hits.join(
+        docs.select(F.col("doc_id"), host_expr(F.col("source")).alias("_host")),
+        "doc_id",
+    ).join(
+        _maybe_broadcast(
+            queries.select(
+                "query_id", F.col("query").alias("anchor"), "dst_host"
+            ),
+            broadcast_queries,
+        ),
+        "query_id",
+    )
+    same = F.col("_host") == F.col("dst_host")
+    w_pos = Window.partitionBy("query_id").orderBy("rk")
+    positives = (
+        hosted.filter(same & (F.col("score") >= F.lit(min_score)))
+        .withColumn("_p", F.row_number().over(w_pos))
+        .filter(F.col("_p") == 1)
+        .select(
+            "query_id",
+            "anchor",
+            "dst_host",
+            F.col("doc_id").alias("pos_doc_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    w_neg = Window.partitionBy("query_id").orderBy("rk")
+    negatives = (
+        hosted.filter(~same)
+        .withColumn("neg_rank", F.row_number().over(w_neg).cast("int"))
+        .filter(F.col("neg_rank") <= n_negatives)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("score").alias("neg_score"),
+            "neg_rank",
+        )
+    )
+    return positives.join(negatives, "query_id").select(
+        "query_id",
+        "anchor",
+        "dst_host",
+        "pos_doc_id",
+        "pos_score",
+        "neg_doc_id",
+        "neg_score",
+        "neg_rank",
+    )

@@ -220,3 +220,49 @@ def test_bm25_shuffle_join_path_equals_broadcast_path(spark, planted):
         ).collect()
     }
     assert bc == sh and bc
+
+
+def test_anchor_retrieval_pairs_mines_triplets(spark):
+    """Anchor triplet mining: the anchor's positive is the best same-host
+    BM25 hit, negatives are lexically-similar other-host hits, anchors
+    whose target host has no qualifying hit yield nothing, and the same
+    anchor text toward two hosts makes two queries with two positives."""
+    docs = spark.createDataFrame(
+        [
+            (1, "solar panel installation guide for homes", "https://energy.example/guide"),
+            (2, "solar panel pricing and cost comparison", "https://energy.example/prices"),
+            (3, "solar panel installation tips and tricks blog", "https://blogspam.example/p1"),
+            (4, "fishing rod maintenance manual", "https://fish.example/rods"),
+            (5, "panel installation for aquarium solar lights", "https://aquarium.example/diy"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    anchors = spark.createDataFrame(
+        [
+            ("ref.example", "energy.example", "solar panel installation guide"),
+            ("ref.example", "aquarium.example", "solar panel installation guide"),
+            # target host absent from the corpus: no triplet
+            ("ref.example", "nowhere.example", "solar panel installation guide"),
+            # duplicate anchor rows collapse to one query
+            ("other.example", "energy.example", "solar panel installation guide"),
+        ],
+        "src_host string, dst_host string, anchor string",
+    )
+    rows = retrieval.anchor_retrieval_pairs(
+        docs, anchors, k=5, n_negatives=2, min_score=0.1
+    ).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.dst_host, []).append(r)
+    assert set(by_host) == {"energy.example", "aquarium.example"}
+    # energy's positive is doc 1 (best same-host lexical match), negatives
+    # are other-host docs, ranked, never the positive's host
+    e = sorted(by_host["energy.example"], key=lambda r: r.neg_rank)
+    assert all(r.pos_doc_id == 1 for r in e)
+    assert [r.neg_rank for r in e] == [1, 2]
+    assert {r.neg_doc_id for r in e}.isdisjoint({1, 2})
+    # same anchor text toward aquarium.example gets ITS host's positive
+    a = by_host["aquarium.example"]
+    assert all(r.pos_doc_id == 5 for r in a)
+    # two distinct query_ids for the two hosts
+    assert len({r.query_id for r in rows}) == 2
