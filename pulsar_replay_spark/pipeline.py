@@ -42,6 +42,9 @@ def curate_corpus(
     domain_ranks: DataFrame | None = None,
     domain_floor_quantile: float = 0.25,
     url_dedup: bool = False,
+    lexical_decontaminate: bool = False,
+    lexical_min_score: float = 2.0,
+    lexical_k: int = 5,
 ) -> dict:
     """Run the full funnel; returns every stage frame plus a funnel report.
 
@@ -69,6 +72,23 @@ def curate_corpus(
     else:
         decontaminated = deduped
     stages.append(("decontaminated", decontaminated))
+
+    # optional second decontamination lever: BM25 against the benchmark —
+    # catches the paraphrase that shares its RARE VOCABULARY with an eval
+    # doc but no exact 3-shingle run (the shingle stage's blind spot).
+    # lexical_min_score is corpus-dependent: a strong multi-rare-term match
+    # sums well above 2.0 at realistic corpus sizes; tune on a held-out
+    # sample before trusting the floor.
+    if benchmark is not None and lexical_decontaminate:
+        from pulsar_replay_spark.operators import retrieval
+
+        flagged = retrieval.lexical_decontaminate(
+            decontaminated, benchmark, k=lexical_k, min_score=lexical_min_score
+        )
+        decontaminated = decontaminated.join(
+            flagged.select("doc_id"), "doc_id", "left_anti"
+        )
+        stages.append(("lexically_decontaminated", decontaminated))
 
     # optional host-authority floor (graph.domain_rank over the crawl's
     # link graph): drop docs whose source host sits in the bottom

@@ -416,3 +416,39 @@ def test_curate_corpus_url_dedup_stage(spark, documents):
     assert "url_deduped" in report
     # the 6 same-canonical-URL rows collapse to 1; everything else passes
     assert report["input"] - report["url_deduped"] == 5
+
+
+def test_curate_corpus_lexical_decontamination_stage(spark):
+    """The BM25 decontamination lever: a paraphrase sharing an eval doc's
+    rare vocabulary (but no long exact shingle run) survives the shingle
+    stage and is dropped by the lexical stage; unrelated docs survive both;
+    the stage appears in the funnel report."""
+    docs = spark.createDataFrame(
+        [
+            # paraphrase of the benchmark question: rare terms shared,
+            # word order scrambled so 3-shingle overlap stays < min_overlap
+            (1, "mitochondria cellular respiration powerhouse organelle of eukaryotes explained simply", "web"),
+            (2, "completely unrelated sailing boat maintenance text", "web"),
+            (3, "another benign doc about cooking pasta at home", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    benchmark = spark.createDataFrame(
+        [(900, "which organelle is the powerhouse of eukaryotes mitochondria cellular respiration")],
+        "doc_id long, text string",
+    )
+    res = pipeline.curate_corpus(
+        docs,
+        benchmark=benchmark,
+        budget_tokens=1_000,
+        min_overlap=8,
+        lexical_decontaminate=True,
+        lexical_min_score=1.0,
+    )
+    # the shingle stage kept all 3 (no 8-shingle overlap exists); the
+    # lexical stage dropped exactly the paraphrase
+    stage_rows = {r.stage: r.n_docs for r in res["report"].collect()}
+    assert stage_rows["decontaminated"] == 3
+    assert stage_rows["lexically_decontaminated"] == 2
+    kept = {r.doc_id for r in res["filtered"].collect()}
+    assert 1 not in kept and {2, 3} & kept
