@@ -574,3 +574,78 @@ def psi_from_window_hist(
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (r8): deflate ratio per document — the
+# classic cheap detector the repetition signals can't replace: templated/
+# boilerplate text (machine-generated spam, scraped nav chrome, keyword
+# stuffing) compresses FAR below natural prose, while encoding junk (base64
+# blobs, minified bundles, binary-in-text) barely compresses at all. Used as
+# a two-sided gate (too compressible OR too incompressible = suspect) in
+# C4-descendant pipelines. zlib has no Catalyst expression, so this is an
+# Arrow-batched kernel — the sanctioned Python seam (one batch per call,
+# fixed narrow output, text never shuffles: the signal rides the scan).
+# ---------------------------------------------------------------------------
+
+
+def compression_signals(docs: DataFrame, level: int = 6) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compression_ratio): per-doc deflate
+    ratio (compressed/raw UTF-8 bytes, round 4; empty docs ratio NULL).
+    Natural prose lands ~0.3–0.6; heavily templated text < ~0.2; base64/
+    minified junk > ~0.9. zlib's fixed header/dictionary overhead dominates
+    SHORT documents (a 100-byte prose doc reads ~0.8), so apply the
+    two-sided gate only above a length floor — pair with the Gopher length
+    check, don't replace it. ``level`` is zlib's (6 = the default
+    trade-off; the RATIO is what matters, so don't chase 9). Deterministic:
+    zlib output for one (input, level) is stable across CPython builds."""
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["text"]]
+            n = [len(b) for b in raw]
+            c = [len(zlib.compress(b, level)) if b else None for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n, dtype="int64"),
+                    "n_compressed": pd.Series(c, dtype="Int64"),
+                    "compression_ratio": [
+                        round(ci / ni, 4) if ci is not None else None
+                        for ci, ni in zip(c, n)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, n_compressed long, "
+        "compression_ratio double",
+    )
+
+
+def compression_gate(
+    docs: DataFrame,
+    min_ratio: float = 0.15,
+    max_ratio: float = 0.95,
+    level: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, rejected): the two-sided compression filter — rejected rows
+    carry (doc_id, compression_ratio, reason ∈ {'too_compressible',
+    'too_incompressible'}); empty docs pass (nothing to judge — the length
+    floor is a different check). Composes like ``quarantine``: ids only,
+    text never shuffles."""
+    sig = compression_signals(docs, level)
+    reason = (
+        F.when(F.col("compression_ratio") < min_ratio, F.lit("too_compressible"))
+        .when(F.col("compression_ratio") > max_ratio, F.lit("too_incompressible"))
+    )
+    marked = sig.withColumn("reason", reason)
+    rejected = marked.filter(F.col("reason").isNotNull()).select(
+        "doc_id", "compression_ratio", "reason"
+    )
+    kept = docs.join(rejected.select("doc_id"), "doc_id", "left_anti")
+    return kept, rejected

@@ -450,3 +450,46 @@ def test_embedding_drift_vector_twin_of_psi(spark):
     assert contrib[2]["n_ref"] == 0 and contrib[2]["n_cur"] == 20
     assert abs(contrib[1]["psi_term"]) < 1e-9  # the stable cell contributes ~0
     assert contrib[0]["psi_term"] > 0 and contrib[2]["psi_term"] > 0
+
+
+def test_compression_signals_match_python_zlib_and_gate(spark):
+    """Compression ratio: exact equality vs direct python zlib on every row;
+    the two-sided gate drops the templated doc (too compressible) and the
+    base64-ish blob (too incompressible) while natural prose passes; empty
+    text rides through with a NULL ratio."""
+    import zlib
+
+    from pulsar_replay_spark.operators import quality
+
+    rows = [
+        # long enough that zlib's fixed overhead doesn't dominate: natural
+        # prose lands mid-range (measured 0.63 here)
+        (1, "the committee reviewed the proposal and requested two revisions "
+            "before the next quarterly meeting in september and the finance "
+            "team prepared an independent analysis of vendor costs while "
+            "legal examined the licensing implications for each deployment "
+            "region separately"),
+        (2, "buy now " * 200),                       # templated spam (0.018)
+        (3, "QmFzZTY0IGp1bmsgaXMgaW5jb21wcmVzc2libGUgbm9uc2Vuc2U4f9a0Zz"
+            "Kq7Lw2Xp1Rt5Vu3Yw6Ee8Ii0Oo2Aa4Ss6Dd8Ff0Gg2Hh4Jj6Kk8Ll0Mm2"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r for r in quality.compression_signals(docs).collect()}
+    for doc_id, text in rows:
+        b = text.encode("utf-8")
+        assert sig[doc_id].n_bytes == len(b)
+        if b:
+            want = len(zlib.compress(b, 6))
+            assert sig[doc_id].n_compressed == want
+            assert sig[doc_id].compression_ratio == round(want / len(b), 4)
+        else:
+            assert sig[doc_id].n_compressed is None
+            assert sig[doc_id].compression_ratio is None
+    assert sig[2].compression_ratio < 0.15 < sig[1].compression_ratio < 0.95
+    assert sig[3].compression_ratio > 0.95
+
+    kept, rejected = quality.compression_gate(docs)
+    assert {r.doc_id for r in kept.collect()} == {1, 4}
+    reasons = {r.doc_id: r.reason for r in rejected.collect()}
+    assert reasons == {2: "too_compressible", 3: "too_incompressible"}
