@@ -45,6 +45,8 @@ def curate_corpus(
     lexical_decontaminate: bool = False,
     lexical_min_score: float = 2.0,
     lexical_k: int = 5,
+    compression_filter: bool = False,
+    compression_bounds: tuple[float, float] = (0.15, 0.95),
 ) -> dict:
     """Run the full funnel; returns every stage frame plus a funnel report.
 
@@ -109,6 +111,18 @@ def curate_corpus(
         ).select("doc_id")
         decontaminated = decontaminated.join(keep_ids, "doc_id", "left_semi")
         stages.append(("domain_filtered", decontaminated))
+
+    # optional compression gate: deflate-ratio outliers (templated spam /
+    # encoded junk) out before the quantile floor — a junk-heavy source
+    # would otherwise drag its own TTR threshold down and sneak junk past a
+    # PER-SOURCE quantile. Two-sided; see quality.compression_signals for
+    # the short-doc caveat (pair with a length floor).
+    if compression_filter:
+        lo, hi = compression_bounds
+        decontaminated, _rej = quality.compression_gate(
+            decontaminated, min_ratio=lo, max_ratio=hi
+        )
+        stages.append(("compression_filtered", decontaminated))
 
     # per-source quality floor on TTR — cheap, text-local, runs before any
     # model scoring so the scorer never sees the bottom tail

@@ -452,3 +452,31 @@ def test_curate_corpus_lexical_decontamination_stage(spark):
     assert stage_rows["lexically_decontaminated"] == 2
     kept = {r.doc_id for r in res["filtered"].collect()}
     assert 1 not in kept and {2, 3} & kept
+
+
+def test_curate_corpus_compression_filter_stage(spark):
+    """The deflate gate in the funnel: templated spam leaves at the
+    compression stage (before the per-source quantile floor it would have
+    dragged down); natural prose passes."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the committee reviewed the proposal and requested two "
+                "revisions before the next quarterly meeting in september "
+                "while the finance team prepared an independent vendor "
+                "analysis and legal examined licensing for each region", "web"),
+            (2, "migratory birds navigate by combining magnetic field "
+                "sensing with celestial cues and landscape memory which "
+                "lets experienced individuals correct for wind drift over "
+                "open water during their long autumn crossings", "web"),
+            (9, "buy now " * 200, "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    res = pipeline.curate_corpus(
+        docs, budget_tokens=10_000, drop_quantile=0.0, compression_filter=True
+    )
+    stage_rows = {r.stage: r.n_docs for r in res["report"].collect()}
+    assert stage_rows["deduped"] == 3
+    assert stage_rows["compression_filtered"] == 2
+    kept = {r.doc_id for r in res["filtered"].collect()}
+    assert 9 not in kept and kept == {1, 2}
