@@ -150,3 +150,68 @@ def test_local_trainer_vocab_gate(spark, documents):
     wf = bpe.word_freqs(documents)
     with _pytest.raises(ValueError, match="max_vocab_rows"):
         bpe.bpe_train_local(wf, 5, max_vocab_rows=10)
+
+
+def test_encode_docs_matches_reference_segmentation(spark, documents, merges):
+    """bpe_encode_docs: per-doc token-id sequences rebuilt independently —
+    ref_segment every word in python, number pieces lexicographically, and
+    the flattened id sequence must match EXACTLY (order included); n_tokens
+    agrees with bpe_token_counts; empty/whitespace docs encode empty."""
+    docs = documents.limit(40)
+    encoded = {
+        r.doc_id: (list(r.token_ids), r.n_tokens)
+        for r in bpe.bpe_encode_docs(docs, merges).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    pieces = set()
+    seg_cache: dict[str, list[str]] = {}
+    for r in rows:
+        for w in r.text.split(" "):
+            if w and w not in seg_cache:
+                seg_cache[w] = ref_segment(w, merges)
+                pieces.update(seg_cache[w])
+    pid = {p: i for i, p in enumerate(sorted(pieces))}
+    for r in rows:
+        want = [pid[p] for w in r.text.split(" ") if w for p in seg_cache[w]]
+        got_ids, got_n = encoded[r.doc_id]
+        assert got_ids == want, r.doc_id
+        assert got_n == len(want)
+
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.bpe_token_counts(docs, merges).collect()
+    }
+    assert all(encoded[d][1] == counts[d] for d in encoded)
+
+    empty = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    enc = {r.doc_id: list(r.token_ids) for r in bpe.bpe_encode_docs(empty, merges).collect()}
+    assert enc == {1: [], 2: []}
+
+
+def test_piece_ids_are_dense_and_stable(spark, documents, merges):
+    """bpe_piece_ids: a bijection onto 0..n-1 in lexicographic piece order,
+    identical under repartitioning, and reusable as the frozen table for
+    encoding a NEW batch (ids stay stable across ingests)."""
+    docs = documents.limit(40)
+    tbl = bpe.bpe_piece_ids(docs, merges)
+    rows = sorted((r.piece, r.piece_id) for r in tbl.collect())
+    assert [i for _, i in rows] == list(range(len(rows)))
+    assert [p for p, _ in rows] == sorted(p for p, _ in rows)
+    again = sorted(
+        (r.piece, r.piece_id)
+        for r in bpe.bpe_piece_ids(docs.repartition(7), merges).collect()
+    )
+    assert again == rows
+
+    # frozen-table encoding of a sub-batch agrees with whole-corpus encoding
+    sub = docs.filter("doc_id % 2 = 0")
+    with_frozen = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe.bpe_encode_docs(sub, merges, piece_ids=tbl).collect()
+    }
+    whole = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe.bpe_encode_docs(docs, merges, piece_ids=tbl).collect()
+    }
+    assert all(with_frozen[d] == whole[d] for d in with_frozen)
