@@ -302,60 +302,39 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFram
     )
 
 
-def bpe_piece_ids(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
-    """(piece, piece_id): the deterministic id table of a trained BPE
-    tokenizer over a corpus — every piece the merge list produces on the
-    corpus vocabulary, numbered by lexicographic order (0-based). The table
-    is tokenizer-artifact-sized (≤ base alphabet + |merges| + residual
-    symbols), so the global row_number window is a bounded sort of a tiny
-    frame, and the result persists/broadcasts like every other model
-    artifact (``operators/artifacts.py``). Lexicographic numbering makes
-    ids reproducible across engines and runs — no dependence on partition
-    order."""
+def piece_ids_from_segmented(seg: DataFrame, pieces_col: str = "bpe") -> DataFrame:
+    """(piece, piece_id) from ANY (word, pieces array<string>) segmented
+    vocabulary — lexicographic 0-based numbering over the
+    tokenizer-artifact-sized distinct-piece frame (see ``bpe_piece_ids``'s
+    determinism note). Shared by the BPE/WordPiece/unigram encoders."""
     from pyspark.sql.window import Window
 
-    pieces = (
-        bpe_segment_words(word_freqs(docs), merges)
-        .select(F.explode("bpe").alias("piece"))
-        .distinct()
-    )
+    pieces = seg.select(F.explode(pieces_col).alias("piece")).distinct()
     w = Window.orderBy("piece")
     return pieces.select(
         "piece", (F.row_number().over(w) - 1).cast("long").alias("piece_id")
     )
 
 
-def bpe_encode_docs(
+def encode_docs_from_segmented(
     docs: DataFrame,
-    merges: list[tuple[str, str]],
+    seg: DataFrame,
+    pieces_col: str = "bpe",
     piece_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, token_ids array<long>, n_tokens): the corpus ENCODED under a
-    trained BPE tokenizer — the id sequences a trainer actually consumes
-    (``bpe_token_counts`` reports sizes; this materializes the tokens).
-
-    Plan shape: segmentation runs over the VOCABULARY (one Arrow pass per
-    distinct word, never per corpus row), per-word id arrays come from one
-    vocab-scale explode + broadcast join against the piece table, and the
-    corpus side is posexplode(words) ⋈ word→ids (vocabulary-keyspace join)
-    followed by ONE doc_id-keyed reassembly — word order restored via
-    sort_array over (position, ids) structs, a pure JVM expression. The
-    output shuffle carries the encoded ids themselves; that is the product,
-    not overhead. Pass a persisted ``piece_ids`` (from ``bpe_piece_ids``,
-    built on the TRAINING corpus) when encoding new batches so ids stay
-    stable across ingests; by default the table derives from ``docs``
-    itself. Words whose pieces are absent from the provided table (unseen
-    alphabet) drop those pieces' ids — filter with ``n_tokens`` vs
-    ``bpe_token_counts`` when that matters; with the default table the
-    situation cannot arise. Empty docs encode to an empty array."""
+    """The tokenizer-agnostic tail of ``bpe_encode_docs``: given ANY
+    (word, pieces array<string>) segmented vocabulary (BPE merges,
+    WordPiece greedy longest-match, unigram Viterbi — every trainer here
+    emits this shape), produce (doc_id, token_ids array<long>, n_tokens).
+    Same plan: vocab-scale piece→id join, corpus posexplode ⋈ word→ids,
+    one doc_id-keyed order-preserving reassembly. See ``bpe_encode_docs``
+    for the frozen-``piece_ids`` contract."""
     from pulsar_replay_spark.functions.text import tokens
 
     if piece_ids is None:
-        piece_ids = bpe_piece_ids(docs, merges)
-    vocab = word_freqs(docs)
-    seg = bpe_segment_words(vocab, merges)
+        piece_ids = piece_ids_from_segmented(seg, pieces_col)
     word_ids = (
-        seg.select("word", F.posexplode("bpe").alias("pos", "piece"))
+        seg.select("word", F.posexplode(pieces_col).alias("pos", "piece"))
         .join(F.broadcast(piece_ids), "piece")
         .groupBy("word")
         .agg(
@@ -393,3 +372,48 @@ def bpe_encode_docs(
             F.coalesce(F.size("token_ids"), F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_piece_ids(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(piece, piece_id): the deterministic id table of a trained BPE
+    tokenizer over a corpus — every piece the merge list produces on the
+    corpus vocabulary, numbered by lexicographic order (0-based). The table
+    is tokenizer-artifact-sized (≤ base alphabet + |merges| + residual
+    symbols), so the global row_number window is a bounded sort of a tiny
+    frame, and the result persists/broadcasts like every other model
+    artifact (``operators/artifacts.py``). Lexicographic numbering makes
+    ids reproducible across engines and runs — no dependence on partition
+    order."""
+    return piece_ids_from_segmented(
+        bpe_segment_words(word_freqs(docs), merges), "bpe"
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    piece_ids: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, token_ids array<long>, n_tokens): the corpus ENCODED under a
+    trained BPE tokenizer — the id sequences a trainer actually consumes
+    (``bpe_token_counts`` reports sizes; this materializes the tokens).
+
+    Plan shape: segmentation runs over the VOCABULARY (one Arrow pass per
+    distinct word, never per corpus row), per-word id arrays come from one
+    vocab-scale explode + broadcast join against the piece table, and the
+    corpus side is posexplode(words) ⋈ word→ids (vocabulary-keyspace join)
+    followed by ONE doc_id-keyed reassembly — word order restored via
+    sort_array over (position, ids) structs, a pure JVM expression. The
+    output shuffle carries the encoded ids themselves; that is the product,
+    not overhead. Pass a persisted ``piece_ids`` (from ``bpe_piece_ids``,
+    built on the TRAINING corpus) when encoding new batches so ids stay
+    stable across ingests; by default the table derives from ``docs``
+    itself. Words whose pieces are absent from the provided table (unseen
+    alphabet) drop those pieces' ids — filter with ``n_tokens`` vs
+    ``bpe_token_counts`` when that matters; with the default table the
+    situation cannot arise. Empty docs encode to an empty array."""
+    vocab = word_freqs(docs)
+    seg = bpe_segment_words(vocab, merges)
+    if piece_ids is None:
+        piece_ids = piece_ids_from_segmented(seg, "bpe")
+    return encode_docs_from_segmented(docs, seg, "bpe", piece_ids)

@@ -346,3 +346,20 @@ def tokenizer_report(
             ),
         ]
     return joined.groupBy("source").agg(*aggs)
+
+
+def unigram_encode_docs(
+    docs: DataFrame, model: DataFrame, piece_ids: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, token_ids array<long>, n_tokens): the corpus encoded under a
+    trained unigram-LM model — Viterbi segmentation over the word-frequency
+    table, then the engine's shared order-preserving id reassembly
+    (``bpe.encode_docs_from_segmented``). Freeze ``piece_ids`` from the
+    training corpus for stable ids across ingests."""
+    from pulsar_replay_spark.operators.bpe import (
+        encode_docs_from_segmented,
+        word_freqs,
+    )
+
+    seg = unigram_segment_words(word_freqs(docs), model)
+    return encode_docs_from_segmented(docs, seg, "pieces", piece_ids)

@@ -436,3 +436,24 @@ def wordpiece_token_counts(
             ),
         )
     )
+
+
+def wordpiece_encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    piece_ids: DataFrame | None = None,
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """(doc_id, token_ids array<long>, n_tokens): the corpus encoded under a
+    trained WordPiece vocabulary — greedy longest-match segmentation over
+    the word-frequency table, then the engine's shared order-preserving
+    id reassembly (``bpe.encode_docs_from_segmented``). Freeze ``piece_ids``
+    from the training corpus for stable ids across ingests (the
+    ``bpe_encode_docs`` contract)."""
+    from pulsar_replay_spark.operators.bpe import (
+        encode_docs_from_segmented,
+        word_freqs,
+    )
+
+    seg = wordpiece_segment_words(word_freqs(docs), vocab, max_piece_len)
+    return encode_docs_from_segmented(docs, seg, "pieces", piece_ids)

@@ -218,3 +218,34 @@ def test_local_trainer_bit_equals_distributed(spark, documents):
 
     with _pytest.raises(ValueError, match="unigram_train"):
         unigram.unigram_train_local(wf, 50, max_vocab_rows=10)
+
+
+def test_unigram_encode_docs_matches_python_assembly(spark, documents):
+    """unigram_encode_docs: the shared id reassembly under Viterbi
+    segmentation — python mirror per word (the module's own _viterbi over
+    the collected model: the segmentation itself is gated elsewhere; this
+    pins the NEW id-numbering and order-preserving assembly)."""
+    from pulsar_replay_spark.operators import bpe, unigram
+
+    docs = documents.limit(30)
+    wf = bpe.word_freqs(docs).localCheckpoint(eager=True)
+    model = unigram.unigram_train(wf, vocab_size=150, n_iters=1)
+    logp, max_len = unigram._model_dict(model)
+
+    encoded = {
+        r.doc_id: (list(r.token_ids), r.n_tokens)
+        for r in unigram.unigram_encode_docs(docs, model).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    seg_cache, pieces = {}, set()
+    for r in rows:
+        for w in r.text.split(" "):
+            if w and w not in seg_cache:
+                seg_cache[w] = unigram._viterbi(w, logp, max_len)
+                pieces.update(seg_cache[w])
+    pid = {p: i for i, p in enumerate(sorted(pieces))}
+    for r in rows:
+        want = [pid[p] for w in r.text.split(" ") if w for p in seg_cache[w]]
+        got_ids, got_n = encoded[r.doc_id]
+        assert got_ids == want, r.doc_id
+        assert got_n == len(want)

@@ -335,3 +335,34 @@ def test_trainer_equality_on_randomized_tie_heavy_vocabs(spark):
                 mpf,
                 pairs,
             )
+
+
+def test_wordpiece_encode_docs_matches_python_assembly(spark, documents):
+    """wordpiece_encode_docs: id sequences rebuilt independently — python
+    greedy segmentation per word, lexicographic piece numbering, flattened
+    in word order — must match exactly; n_tokens agrees with the
+    per-doc sum of piece counts."""
+    docs = documents.limit(30)
+    wf = bpe.word_freqs(docs)
+    vocab = wordpiece.wordpiece_vocab(wf, vocab_size=200).localCheckpoint(
+        eager=True
+    )
+    vset = {r["piece"] for r in vocab.select("piece").collect()}
+
+    encoded = {
+        r.doc_id: (list(r.token_ids), r.n_tokens)
+        for r in wordpiece.wordpiece_encode_docs(docs, vocab).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    seg_cache, pieces = {}, set()
+    for r in rows:
+        for w in r.text.split(" "):
+            if w and w not in seg_cache:
+                seg_cache[w] = _py_segment(w, vset)
+                pieces.update(seg_cache[w])
+    pid = {p: i for i, p in enumerate(sorted(pieces))}
+    for r in rows:
+        want = [pid[p] for w in r.text.split(" ") if w for p in seg_cache[w]]
+        got_ids, got_n = encoded[r.doc_id]
+        assert got_ids == want, r.doc_id
+        assert got_n == len(want)
