@@ -417,6 +417,19 @@ def main() -> None:
             "bm25_topk_32q",
             lambda: _noop_write(retrieval.bm25_topk(docs, bm25_queries, k=10)),
         )
+
+        # r8: corpus encoding to token-id arrays under the 20-merge BPE
+        # trained above — the shuffle that carries the ids IS the product
+        bpe_merges = bpe.bpe_train_local(bpe.word_freqs(docs), 20)
+        enc_piece_tbl = bpe.bpe_piece_ids(docs, bpe_merges).localCheckpoint(
+            eager=True
+        )
+        timed_op(
+            "bpe_encode_docs_20m",
+            lambda: _noop_write(
+                bpe.bpe_encode_docs(docs, bpe_merges, piece_ids=enc_piece_tbl)
+            ),
+        )
     except Exception as e:  # noqa: BLE001
         errors["llm_ops"] = f"{type(e).__name__}: {e}"[:400]
 
