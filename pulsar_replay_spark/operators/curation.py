@@ -98,37 +98,42 @@ def select_within_token_budget_naive(
     )
 
 
-def mixture_sample(docs: DataFrame, target_weights: dict[str, float]) -> DataFrame:
-    """Deterministic weighted mixture: sample each source so that kept
-    tokens approach the target proportions, scaled to the largest mixture
-    the scarcest source supports (K = min_s available_s / weight_s; source
-    s keeps ≈ K·weight_s tokens — the binding source keeps everything).
+def mixture_sample(
+    docs: DataFrame, target_weights: dict[str, float], by: str = "source"
+) -> DataFrame:
+    """Deterministic weighted mixture: sample each group (``by`` — source,
+    lang, domain, cluster label) so that kept tokens approach the target
+    proportions, scaled to the largest mixture the scarcest group supports
+    (K = min_g available_g / weight_g; group g keeps ≈ K·weight_g tokens —
+    the binding group keeps everything).
 
     Acceptance is by md5(doc_id) fraction — per-doc, stable under
     repartitioning/retries, reproducible in any engine. The only shuffle is
-    the per-source token-total agg, a |sources|-row frame the driver turns into
+    the per-group token-total agg, a |groups|-row frame the driver turns into
     literal rates (the broadcast-threshold pattern: a handful of scalars,
     not data). Proportions are approximate at doc granularity — exactness
     at token granularity would need the budget-selection machinery above.
 
-    Returns docs ∩ sample with (doc_id, source, n_tokens)."""
+    Returns docs ∩ sample with (doc_id, ``by``, n_tokens)."""
     weights = {s: float(w) for s, w in target_weights.items()}
     total_w = sum(weights.values())
-    scored = _scored(docs, None).filter(F.col("source").isin(list(weights)))
+    scored = docs.select(
+        "doc_id", by, token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    ).filter(F.col(by).isin(list(weights)))
     avail = {
-        r["source"]: r["t"]
-        for r in scored.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        r[by]: r["t"]
+        for r in scored.groupBy(by).agg(F.sum("n_tokens").alias("t")).collect()
     }
     k = min(avail[s] / (weights[s] / total_w) for s in avail)
     rates = {s: min(1.0, k * (weights[s] / total_w) / avail[s]) for s in avail}
     rate_col = F.coalesce(
-        *[F.when(F.col("source") == s, F.lit(r)) for s, r in rates.items()]
+        *[F.when(F.col(by) == s, F.lit(r)) for s, r in rates.items()]
     )
     # md5 prefix as a uniform [0,1) fraction: first 8 hex chars / 16^8
     frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "double"
     ) / F.lit(float(16**8))
-    return scored.filter(frac < rate_col).select("doc_id", "source", "n_tokens")
+    return scored.filter(frac < rate_col).select("doc_id", by, "n_tokens")
 
 
 def temperature_weights(
@@ -139,10 +144,12 @@ def temperature_weights(
     proportions, α→0 flattens toward uniform — the standard knob for
     upweighting low-resource sources without drowning high-resource ones.
     One |groups|-key token-count agg; returns weights summing to 1, ready
-    for ``mixture_sample``."""
+    for ``mixture_sample`` (same ``by``)."""
     sizes = {
         r[by]: r.t
-        for r in _scored(docs, None)
+        for r in docs.select(
+            by, token_count(F.col("text")).cast("bigint").alias("n_tokens")
+        )
         .groupBy(by)
         .agg(F.sum("n_tokens").alias("t"))
         .collect()
@@ -156,8 +163,10 @@ def temperature_mixture(
     docs: DataFrame, alpha: float = 0.3, by: str = "source"
 ) -> DataFrame:
     """``mixture_sample`` under temperature weights — the deterministic
-    md5-acceptance sampler targets the α-flattened proportions."""
-    return mixture_sample(docs, temperature_weights(docs, alpha, by))
+    md5-acceptance sampler targets the α-flattened proportions, grouped by
+    the SAME ``by`` the weights were computed over (a mismatch here
+    previously raised on any ``by`` other than source)."""
+    return mixture_sample(docs, temperature_weights(docs, alpha, by), by)
 
 
 def mixture_summary(selected: DataFrame, budget_tokens: int) -> DataFrame:
