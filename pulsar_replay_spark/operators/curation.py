@@ -633,6 +633,11 @@ def dsir_select_per_group(
     from pyspark.sql.window import Window
 
     w = dsir_log_weights(raw_docs, target_docs, hex_chars, alpha)
+    if by not in w.columns:
+        # the weights frame carries only (doc_id, source, logw); any other
+        # grouping (lang, domain, cluster label) re-attaches from the raw
+        # corpus by primary key — previously an UNRESOLVED_COLUMN error
+        w = w.join(raw_docs.select("doc_id", by), "doc_id")
     keyed = w.withColumn("key", dsir_gumbel_key(salt))
     win = Window.partitionBy(by).orderBy(F.desc("key"), "doc_id")
     return (

@@ -249,3 +249,32 @@ def test_dsir_admission_replicates_boundary_ties(spark):
     assert exact == {1, 4}  # strictly-above + the calibrated tie winner
     legacy = {r.doc_id for r in df.filter(_dsir_admission(1.0, None)).collect()}
     assert legacy == {1, 2, 4}
+
+
+def test_dsir_select_per_group_by_lang_regression(spark, documents):
+    """by= on a column the weights frame doesn't carry (lang): re-attached
+    from the raw corpus by doc_id — previously UNRESOLVED_COLUMN. Exactly
+    k winners per lang, and each group's winners are its top-k by the
+    shared Gumbel key."""
+    target = documents.filter(F.col("lang") == "es")
+    got = curation.dsir_select_per_group(documents, target, k_per_group=4, by="lang")
+    rows = got.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append((r.key, r.doc_id))
+    n_langs = documents.select("lang").distinct().count()
+    assert len(per_lang) == n_langs
+    assert all(len(v) == 4 for v in per_lang.values())
+    # winners are each group's top-k of the GLOBAL keyed order
+    w = curation.dsir_log_weights(documents, target)
+    keyed = (
+        w.join(documents.select("doc_id", "lang"), "doc_id")
+        .withColumn("key", curation.dsir_gumbel_key())
+        .collect()
+    )
+    best = {}
+    for r in keyed:
+        best.setdefault(r.lang, []).append((-r.key, r.doc_id))
+    for lang, v in per_lang.items():
+        want = {d for _, d in sorted(best[lang])[:4]}
+        assert {d for _, d in v} == want, lang
