@@ -1376,3 +1376,40 @@ def compact_frame_store(
     if retain_items is not None:
         out = out.join(retain_items.select("item_id").distinct(), "item_id", "semi")
     return out
+
+
+def best_member_marks(
+    marks: DataFrame, scores: DataFrame, score_col: str = "byte_len"
+) -> DataFrame:
+    """Re-mark perceptual dedup output (doc_id, cluster_id, keep — the
+    ``image_dedup``/``audio_dedup`` shape) so each multi-doc cluster's
+    keeper is its BEST-scoring member (ties → min doc_id) —
+    ``dedup.dedup_corpus(score=)``'s keeper nuance for the media families:
+    among near-duplicate copies keep the highest-resolution/largest/longest
+    one (``byte_len`` from the media contract is the zero-cost default; any
+    (doc_id, score) frame works, e.g. width·height from
+    ``parse_media_headers``).
+
+    Plan shape: multi-doc clusters are the duplicates-only slice — a tiny
+    relation vs the corpus — so the member rows BROADCAST against the score
+    frame and the re-ranking window runs over CLUSTER MEMBERS only;
+    singletons pass through untouched. Exactly one keeper per cluster by
+    construction (row_number, total order)."""
+    from pyspark.sql.window import Window
+
+    members = (
+        marks.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("cluster_id")
+        .distinct()
+    )
+    multi = marks.join(F.broadcast(members), "cluster_id")
+    scored = scores.select(
+        "doc_id", F.col(score_col).cast("double").alias("_score")
+    ).join(F.broadcast(multi.select("doc_id", "cluster_id")), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_score"), "doc_id")
+    remarked = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .select("doc_id", "cluster_id", (F.col("_rk") == 1).alias("keep"))
+    )
+    singles = marks.join(F.broadcast(members), "cluster_id", "left_anti")
+    return singles.unionByName(remarked)

@@ -471,3 +471,37 @@ def test_read_media_dir_binaryfile_ingest(spark, tmp_path):
         for r in read_media_dir(spark, str(tmp_path)).collect()
     }
     assert again == {r["source_path"]: r["doc_id"] for r in media.collect()}
+
+
+def test_best_member_marks_keeps_highest_scoring_copy(spark):
+    """The media quality-keeper: within each perceptual cluster the largest
+    copy survives (ties -> min doc_id), singletons pass untouched, exactly
+    one keeper per cluster, and the marks schema is unchanged."""
+    from pulsar_replay_spark.operators import multimodal as mm
+
+    marks = spark.createDataFrame(
+        [
+            (1, 1, True), (2, 1, False), (3, 1, False),   # cluster 1
+            (5, 5, True), (6, 5, False),                   # cluster 5 (tie)
+            (9, 9, True),                                  # singleton
+        ],
+        "doc_id long, cluster_id long, keep boolean",
+    )
+    scores = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 500), (5, 70), (6, 70), (9, 10)],
+        "doc_id long, byte_len long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in mm.best_member_marks(marks, scores).collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False),  # largest copy wins
+        5: (5, True), 6: (5, False),                 # tie -> min doc_id
+        9: (9, True),                                # singleton untouched
+    }
+    # exactly one keeper per cluster
+    per_cluster = {}
+    for d, (c, k) in got.items():
+        per_cluster[c] = per_cluster.get(c, 0) + int(k)
+    assert all(v == 1 for v in per_cluster.values())
