@@ -294,6 +294,7 @@ def curate_media(
     frame_len: int = 64,
     audio_window_ms: int = 1000,
     audio_hop_ms: int = 500,
+    keep_best: bool = False,
 ) -> dict:
     """End-to-end MEDIA curation — the multimodal twin of ``curate_corpus``,
     wiring the media tier's stages in production order:
@@ -352,6 +353,11 @@ def curate_media(
     thumbs = mm.resize_thumbnail(exact, width=grid, height=grid, fake=fake,
                                  fake_mode="sample")
     image_marks = mm.image_dedup(thumbs, max_hamming=max_hamming, grid=grid)
+    if keep_best:
+        # quality-keeper nuance: within each perceptual cluster keep the
+        # LARGEST copy (byte_len ≈ resolution), not the lowest id — the
+        # dedup_corpus(score=) policy for media (best_member_marks)
+        image_marks = mm.best_member_marks(image_marks, exact)
     image_losers = image_marks.filter(~F.col("keep")).select("doc_id")
     image_deduped = exact.join(image_losers, "doc_id", "left_anti")
     stages.append(("image_deduped", image_deduped))
@@ -360,6 +366,8 @@ def curate_media(
         image_deduped, max_hamming=max_hamming,
         window_ms=audio_window_ms, hop_ms=audio_hop_ms, fake=fake,
     )
+    if keep_best:
+        audio_marks = mm.best_member_marks(audio_marks, image_deduped)
     audio_losers = audio_marks.filter(~F.col("keep")).select("doc_id")
     deduped = image_deduped.join(audio_losers, "doc_id", "left_anti")
     stages.append(("audio_deduped", deduped))

@@ -480,3 +480,42 @@ def test_curate_corpus_compression_filter_stage(spark):
     assert stage_rows["compression_filtered"] == 2
     kept = {r.doc_id for r in res["filtered"].collect()}
     assert 9 not in kept and kept == {1, 2}
+
+
+def test_curate_media_keep_best_policy(spark):
+    """curate_media(keep_best=True): a perceptual AUDIO cluster (two
+    increasing-staircase WAV clips of different lengths — energy-delta SIGNS
+    agree, hamming 2) keeps its LARGEST member; default policy keeps the
+    min content-hash id. Audio is the right fixture: the image sample-fake
+    only collides same-length payloads, where byte_len cannot differ."""
+    import struct
+
+    from pulsar_replay_spark.operators import multimodal as mm
+    from pulsar_replay_spark.pipeline import curate_media
+
+    def wav(n_blocks):
+        pcm = b"".join(bytes([10 * (i + 1)]) * 1000 for i in range(n_blocks))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+
+    rows = spark.createDataFrame(
+        [(wav(3), "a.wav"), (wav(4), "b.wav")],
+        "content binary, path string",
+    ).select("path", "content")
+    media = mm.media_contract_projection(rows).drop("source_path")
+
+    default = curate_media(media, fake=True)
+    best = curate_media(media, fake=True, keep_best=True)
+    marks_default = {r.doc_id: r.keep for r in default["audio_marks"].collect()}
+    marks_best = {r.doc_id: r.keep for r in best["audio_marks"].collect()}
+    # the clips must actually collide perceptually, one keeper each way
+    assert len(marks_default) == 2 and sum(marks_default.values()) == 1
+    assert sum(marks_best.values()) == 1
+    lens = {r.doc_id: r.byte_len for r in media.collect()}
+    big_id = max(lens, key=lens.get)
+    assert marks_best[big_id] is True  # largest copy wins under keep_best
+    assert marks_default[min(marks_default)] is True  # default: min id
