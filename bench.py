@@ -374,11 +374,19 @@ def main() -> None:
                 lambda: _noop_write(unigram.unigram_token_counts(docs, um)),
             )
 
-        # r8: line-frequency boilerplate scrub (the chunk family's
-        # cross-doc complement) and the PSI drift monitor's serve path
+    except Exception as e:  # noqa: BLE001
+        errors["llm_ops"] = f"{type(e).__name__}: {e}"[:400]
+
+    # r8 tier, independently fenced with LOCAL imports (r8 verdict nit:
+    # sharing the earlier block's `bpe`/`docs` names let a failure there
+    # mask these rows behind a NameError instead of failing on its own).
+    try:
+        from pyspark.sql import functions as F
+
         from pulsar_replay_spark.operators import dedup as dd
         from pulsar_replay_spark.operators import quality as qy
 
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         timed_op(
             "line_scrub_corpus",
             lambda: _noop_write(dd.scrub_boilerplate_lines(docs, max_doc_freq=3)),
@@ -418,8 +426,34 @@ def main() -> None:
             lambda: _noop_write(retrieval.bm25_topk(docs, bm25_queries, k=10)),
         )
 
-        # r8: corpus encoding to token-id arrays under the 20-merge BPE
-        # trained above — the shuffle that carries the ids IS the product
+        # r9: the maintained postings store — build once (idempotent, so
+        # repeated reps overwrite themselves), then serve the SAME query
+        # batch from the index. The serve row is the repeated-query-batch
+        # cost the store exists to cut vs the rescan row above.
+        import shutil
+        import tempfile
+
+        idx_dir = tempfile.mkdtemp(prefix="bm25_idx_")
+        try:
+            timed_op(
+                "bm25_index_build",
+                lambda: retrieval.postings_index_build(docs, idx_dir),
+            )
+            timed_op(
+                "bm25_topk_32q_from_index",
+                lambda: _noop_write(
+                    retrieval.bm25_topk_from_index(
+                        spark, idx_dir, bm25_queries, k=10
+                    )
+                ),
+            )
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+
+        # r8: corpus encoding to token-id arrays under a 20-merge BPE —
+        # the shuffle that carries the ids IS the product
+        from pulsar_replay_spark.operators import bpe
+
         bpe_merges = bpe.bpe_train_local(bpe.word_freqs(docs), 20)
         enc_piece_tbl = bpe.bpe_piece_ids(docs, bpe_merges).localCheckpoint(
             eager=True
@@ -431,7 +465,7 @@ def main() -> None:
             ),
         )
     except Exception as e:  # noqa: BLE001
-        errors["llm_ops"] = f"{type(e).__name__}: {e}"[:400]
+        errors["llm_ops_r8"] = f"{type(e).__name__}: {e}"[:400]
 
     total = round(sum(times.values()), 3)
 
@@ -468,7 +502,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        "query_spread": spread,
+        "query_spread": {k: v for k, v in spread.items() if k in times},
+        # llm_ops medians carry their own min/max/reps (r8 verdict nit:
+        # the tier was only normalizable via the calibration anchor)
+        "llm_ops_spread": {k: v for k, v in spread.items() if k in llm_ops},
         "calibration": calibration,
         "index_build": index_build,
         "llm_ops": llm_ops,

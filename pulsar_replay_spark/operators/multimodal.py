@@ -1392,9 +1392,16 @@ def best_member_marks(
 
     Plan shape: multi-doc clusters are the duplicates-only slice — a tiny
     relation vs the corpus — so the member rows BROADCAST against the score
-    frame and the re-ranking window runs over CLUSTER MEMBERS only;
-    singletons pass through untouched. Exactly one keeper per cluster by
-    construction (row_number, total order)."""
+    frame (semi-pruned to members first, so the re-attach join is
+    broadcast-sized on BOTH sides) and the re-ranking window runs over
+    CLUSTER MEMBERS only; singletons pass through untouched. Exactly one
+    keeper per cluster by construction (row_number, total order).
+
+    A PARTIAL score frame is safe: members with no score row stay in the
+    output (NULL score sorts last, so an unscored copy loses to any scored
+    sibling and is still marked a duplicate — it never silently un-marks).
+    A cluster whose members are ALL unscored degrades to the min-doc_id
+    keeper, i.e. the plain ``image_dedup`` policy."""
     from pyspark.sql.window import Window
 
     members = (
@@ -1403,10 +1410,15 @@ def best_member_marks(
         .distinct()
     )
     multi = marks.join(F.broadcast(members), "cluster_id")
-    scored = scores.select(
-        "doc_id", F.col(score_col).cast("double").alias("_score")
-    ).join(F.broadcast(multi.select("doc_id", "cluster_id")), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("_score"), "doc_id")
+    member_rows = multi.select("doc_id", "cluster_id")
+    member_scores = (
+        scores.select("doc_id", F.col(score_col).cast("double").alias("_score"))
+        .join(F.broadcast(member_rows.select("doc_id")), "doc_id", "semi")
+    )
+    scored = member_rows.join(F.broadcast(member_scores), "doc_id", "left")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("_score"), "doc_id"
+    )
     remarked = (
         scored.withColumn("_rk", F.row_number().over(w))
         .select("doc_id", "cluster_id", (F.col("_rk") == 1).alias("keep"))

@@ -122,6 +122,54 @@ def _contribution_u(k1: float, b: float) -> "F.Column":
     return F.round(idf * tf_norm * F.lit(SCALE)).cast("long")
 
 
+def _score_from_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k1: float,
+    b: float,
+    max_df_ratio: float | None,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """The shared BM25 scoring tail: (term, doc_id, tf, dl) postings —
+    whether freshly scanned (``query_postings``) or served from the
+    maintained store (``bm25_scores_from_index``) — become
+    (query_id, doc_id, score_u). ONE code path for both producers is what
+    makes the served-index ≡ rescanned equality gate byte-exact: df, the
+    contribution expression, and the integer sum are literally the same
+    plan fragments."""
+    df_t = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = postings.join(
+        _maybe_broadcast(df_t, broadcast_queries), "term"
+    ).join(F.broadcast(stats))
+    if max_df_ratio is not None:
+        scored = scored.filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
+    qt = query_terms(queries)
+    return (
+        scored.withColumn("c_u", _contribution_u(k1, b))
+        .join(_maybe_broadcast(qt, broadcast_queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_u").cast("long").alias("score_u"))
+    )
+
+
+def _topk_of_scores(scores: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k tail over a (query_id, doc_id, score_u) frame:
+    (score_u DESC, doc_id) total order; score is the display-rounded float,
+    the RANKING is the exact integer."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), "doc_id")
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score_u") / F.lit(float(SCALE)), 4).alias("score"),
+            "rk",
+        )
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
@@ -135,20 +183,14 @@ def bm25_scores(
     integer compares, no float ties). ``max_df_ratio`` drops terms whose df
     exceeds the ratio of the corpus (the stopword/skew cap);
     ``broadcast_queries`` — see ``query_postings``."""
-    postings = query_postings(docs, queries, broadcast_queries)
-    df_t = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    stats = doc_stats(docs)
-    scored = postings.join(
-        _maybe_broadcast(df_t, broadcast_queries), "term"
-    ).join(F.broadcast(stats))
-    if max_df_ratio is not None:
-        scored = scored.filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
-    qt = query_terms(queries)
-    return (
-        scored.withColumn("c_u", _contribution_u(k1, b))
-        .join(_maybe_broadcast(qt, broadcast_queries), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("c_u").cast("long").alias("score_u"))
+    return _score_from_postings(
+        query_postings(docs, queries, broadcast_queries),
+        doc_stats(docs),
+        queries,
+        k1,
+        b,
+        max_df_ratio,
+        broadcast_queries,
     )
 
 
@@ -164,17 +206,8 @@ def bm25_topk(
     """Top-k BM25 hits per query: (query_id, doc_id, score, rk). score is
     the micro-unit sum scaled back (round 4 — display only; the RANKING is
     the exact integer). Deterministic total order: (score_u DESC, doc_id)."""
-    scores = bm25_scores(docs, queries, k1, b, max_df_ratio, broadcast_queries)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), "doc_id")
-    return (
-        scores.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= k)
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.col("score_u") / F.lit(float(SCALE)), 4).alias("score"),
-            "rk",
-        )
+    return _topk_of_scores(
+        bm25_scores(docs, queries, k1, b, max_df_ratio, broadcast_queries), k
     )
 
 
@@ -287,6 +320,10 @@ def anchor_retrieval_pairs(
 
     Returns one row per (triplet, negative): (query_id, anchor, dst_host,
     pos_doc_id, pos_score, neg_doc_id, neg_score, neg_rank ∈ 1..n_negatives).
+    A valid positive whose top-k contains NO other-host hit still yields
+    ONE row with NULL neg_doc_id/neg_score/neg_rank — the (query, positive)
+    pair is kept for in-batch-negative training rather than silently
+    dropped; filter ``neg_rank IS NOT NULL`` for strict triplets.
     query_id is the engine-wide 60-bit content hash of anchor ⊕ dst_host
     (the same anchor text pointing at two hosts is two queries with two
     positives).
@@ -358,7 +395,7 @@ def anchor_retrieval_pairs(
             "neg_rank",
         )
     )
-    return positives.join(negatives, "query_id").select(
+    return positives.join(negatives, "query_id", "left").select(
         "query_id",
         "anchor",
         "dst_host",
@@ -367,4 +404,238 @@ def anchor_retrieval_pairs(
         "neg_doc_id",
         "neg_score",
         "neg_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintained postings store (build once, serve forever)
+#
+# The query-bounded scan above is the right default for one-off query
+# batches — but continuous decontamination against a FIXED eval suite and
+# hybrid-retrieval serving re-run query batches every ingest, and at 100 TB
+# each call is a full-corpus scan. The store gives the retrieval tier the
+# lifecycle every other family already has (ANN/band stores,
+# streaming/pipelines.py): BUILD as idempotent batch_id partitions per
+# ingest, PROBE increments, COMPACT folds, EXPIRE forgets. Layout under
+# ``store_dir``:
+#
+#   postings/batch_id=N/term_bucket=B/  (term, doc_id, tf, dl)
+#   doclen/batch_id=N/                  (doc_id, dl)   — EVERY doc, even
+#                                       zero-token ones (they carry no
+#                                       postings but count in n_docs/avgdl)
+#   meta/                               (n_buckets)    — one row, frozen at
+#                                       build time; probes must hash query
+#                                       terms with the SAME modulus
+#
+# term_bucket = pmod(xxhash64(term), n_buckets) partitions the index so a
+# serve call PARTITION-PRUNES to the ≤|query vocab| buckets its terms hash
+# into — the scan is index-bounded, never corpus-bounded. Scores served
+# from the store are pinned BYTE-EQUAL to the query-bounded scan
+# (test_retrieval.py): same postings rows, same df, same stats, same
+# micro-unit integer sums, via the shared ``_score_from_postings`` tail.
+# ---------------------------------------------------------------------------
+
+N_TERM_BUCKETS = 64
+
+
+def term_bucket(term: "F.Column", n_buckets: int) -> "F.Column":
+    """The store's bucket hash — serve-side probes MUST use the store's
+    frozen n_buckets (read it from meta/, never assume the default)."""
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def postings_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One ingest batch's index delta: (postings, doclen).
+
+    postings — (term, doc_id, tf, dl): one row per distinct (doc, term),
+    the same shape ``query_postings`` produces minus the query bound.
+    doclen — (doc_id, dl) for EVERY doc of the batch: zero-token docs have
+    no postings row but still count toward n_docs/avgdl, exactly as
+    ``doc_stats`` counts them on the scan path."""
+    toks = F.filter(tokens(F.col("text")), lambda t: t != "")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    doclen = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    return postings, doclen
+
+
+def postings_index_build(
+    docs: DataFrame,
+    store_dir: str,
+    batch_id: int = 0,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Write one ingest batch into the store as ITS OWN batch_id partition
+    (dynamic partition overwrite: a crash-retried batch clobbers only
+    itself — the engine's exactly-once discipline). The one-shot batch
+    build is the same call with the default batch_id; the streaming sink
+    (``streaming.pipelines.postings_ingest_sink``) passes the micro-batch
+    id. meta/ is rewritten every call with identical content — idempotent
+    by construction; growing a store with a DIFFERENT n_buckets than it
+    was built with raises (the bucket hash would stop matching the
+    resident partitions)."""
+    spark = docs.sparkSession
+    existing = _store_n_buckets(spark, store_dir)
+    if existing is not None and existing != n_buckets:
+        raise ValueError(
+            f"postings store at {store_dir} was built with "
+            f"n_buckets={existing}; cannot ingest with n_buckets={n_buckets}"
+        )
+    postings, doclen = postings_frames(docs)
+    (
+        postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "term_bucket")
+        .parquet(f"{store_dir}/postings")
+    )
+    (
+        doclen.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{store_dir}/doclen")
+    )
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/meta")
+
+
+def _store_n_buckets(spark, store_dir: str) -> "int | None":
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{store_dir}/meta").head().n_buckets
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
+def index_doc_stats(spark, store_dir: str) -> DataFrame:
+    """1-row (n_docs, avgdl) over the store's doclen substore — DISTINCT by
+    (doc_id, dl) so a crash-retried or re-ingested content-addressed doc
+    counts once, then the exact agg ``doc_stats`` computes on the scan
+    path."""
+    dl = (
+        spark.read.parquet(f"{store_dir}/doclen")
+        .select("doc_id", "dl")
+        .distinct()
+    )
+    return dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+
+def index_query_postings(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(term, doc_id, tf, dl) for query terms, served from the store: the
+    query vocabulary's bucket ids (a ≤n_buckets bounded collect — the
+    engine's scalar-collect pattern) become a PARTITION filter, so the
+    parquet scan touches only the buckets the query terms hash into; the
+    term equi-join then drops same-bucket strangers. DISTINCT folds
+    crash-retried duplicate partitions."""
+    n_buckets = _store_n_buckets(spark, store_dir)
+    if n_buckets is None:
+        raise FileNotFoundError(f"no postings store at {store_dir}")
+    vocab = query_terms(queries).select("term").distinct()
+    bucket_ids = [
+        r.b
+        for r in vocab.select(
+            term_bucket(F.col("term"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    post = spark.read.parquet(f"{store_dir}/postings").filter(
+        F.col("term_bucket").isin(bucket_ids)
+    )
+    return (
+        post.join(_maybe_broadcast(vocab, broadcast_queries), "term")
+        .select("term", "doc_id", "tf", "dl")
+        .distinct()
+    )
+
+
+def bm25_scores_from_index(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """``bm25_scores`` served from the maintained store — pinned byte-equal
+    to the query-bounded scan over the same corpus (same postings, same df,
+    same stats, same integer sums through the shared tail), but the scan is
+    bounded by the INDEX (pruned buckets), not the corpus."""
+    postings = index_query_postings(spark, store_dir, queries, broadcast_queries)
+    stats = index_doc_stats(spark, store_dir)
+    return _score_from_postings(
+        postings, stats, queries, k1, b, max_df_ratio, broadcast_queries
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """``bm25_topk`` served from the maintained store."""
+    return _topk_of_scores(
+        bm25_scores_from_index(
+            spark, store_dir, queries, k1, b, max_df_ratio, broadcast_queries
+        ),
+        k,
+    )
+
+
+def lexical_decontaminate_from_index(
+    spark,
+    store_dir: str,
+    eval_docs: DataFrame,
+    k: int = 5,
+    min_score: float = 0.0,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """``lexical_decontaminate`` against the maintained store — the
+    continuous-decontamination serve path: a FIXED eval suite probed after
+    every ingest touches only its own buckets instead of rescanning the
+    grown corpus. Same output contract: (doc_id, eval_id, score), one row
+    per flagged indexed doc with its strongest accusing eval doc."""
+    queries = eval_docs.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    hits = bm25_topk_from_index(
+        spark, store_dir, queries, k, k1, b, max_df_ratio, broadcast_queries
+    ).filter(F.col("score") >= F.lit(min_score))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "query_id")
+    return (
+        hits.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select("doc_id", F.col("query_id").alias("eval_id"), "score")
     )

@@ -45,6 +45,8 @@ def curate_corpus(
     lexical_decontaminate: bool = False,
     lexical_min_score: float = 2.0,
     lexical_k: int = 5,
+    lexical_broadcast_queries: bool = True,
+    lexical_max_df_ratio: float | None = None,
     compression_filter: bool = False,
     compression_bounds: tuple[float, float] = (0.15, 0.95),
 ) -> dict:
@@ -80,12 +82,20 @@ def curate_corpus(
     # doc but no exact 3-shingle run (the shingle stage's blind spot).
     # lexical_min_score is corpus-dependent: a strong multi-rare-term match
     # sums well above 2.0 at realistic corpus sizes; tune on a held-out
-    # sample before trusting the floor.
+    # sample before trusting the floor. lexical_broadcast_queries=False is
+    # the escape hatch for benchmark suites whose DISTINCT vocabulary
+    # outgrows an executor broadcast (see retrieval.query_postings);
+    # lexical_max_df_ratio caps stopword posting lists at web scale.
     if benchmark is not None and lexical_decontaminate:
         from pulsar_replay_spark.operators import retrieval
 
         flagged = retrieval.lexical_decontaminate(
-            decontaminated, benchmark, k=lexical_k, min_score=lexical_min_score
+            decontaminated,
+            benchmark,
+            k=lexical_k,
+            min_score=lexical_min_score,
+            max_df_ratio=lexical_max_df_ratio,
+            broadcast_queries=lexical_broadcast_queries,
         )
         decontaminated = decontaminated.join(
             flagged.select("doc_id"), "doc_id", "left_anti"

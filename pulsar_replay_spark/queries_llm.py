@@ -1370,11 +1370,13 @@ def q_line_scrubbed_corpus(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # BM25 lexical retrieval (r8): top-k Okapi/Lucene BM25 hits per query over
-# the documents table. Not registered (the 50-slot contract is full; the
-# sparse-retrieval family enters pytest-tier like x_line_scrub) —
-# oracle-gated in pytest + parity --extras (x_bm25). Queries derive from the
-# corpus itself (first 6 tokens of the 5 lowest doc_ids) so the gate is
-# self-contained at any SF. The oracle mirrors operators/retrieval.py's
+# the documents table. Registered since r9 (q17 ceded its slot — the
+# COVERAGE.md rotation policy: slots go to the operators whose correctness
+# is hardest to trust from unit tests alone, and sparse retrieval is a plan
+# family the driver gate had never seen); also in parity --extras as
+# x_bm25. Queries derive from the corpus itself (first 6 tokens of the 5
+# lowest doc_ids) so the gate is self-contained and load-bearing at any
+# SF. The oracle mirrors operators/retrieval.py's
 # arithmetic SHAPE term for term — identical literals, identical
 # association — and the micro-unit bigint sum makes the comparison exact
 # across engines and partitionings.
@@ -1434,6 +1436,7 @@ FROM ranked WHERE rk <= 10
 """
 
 
+@register("bm25_topk", BM25_ORACLE)
 def q_bm25_topk(spark, sf_dir):
     from pulsar_replay_spark.operators import retrieval
 

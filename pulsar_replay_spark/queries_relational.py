@@ -476,10 +476,13 @@ def q_part_price_band_join(spark, sf_dir):
 # correlated aggregate as a join against a pre-aggregated per-part relation —
 # written explicitly here (agg once, broadcast the tiny per-part averages)
 # so the plan is the one a 100 TB run wants.
+#
+# Not registered since r9: q17 ceded its contract slot to bm25_topk (the
+# correlated-scalar-subquery family stays contract-covered by
+# q2_min_cost_supplier); q17 remains oracle-gated via test_oracle_parity.py
+# + parity --extras (x_q17).
 # ---------------------------------------------------------------------------
-@register(
-    "q17_small_quantity_revenue",
-    """
+Q17_ORACLE = """
 SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -487,8 +490,9 @@ WHERE p_brand = 'Brand#1'
   AND l_quantity < (
     SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
   )
-""",
-)
+"""
+
+
 def q17_small_quantity_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")

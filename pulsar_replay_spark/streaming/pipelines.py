@@ -2353,3 +2353,142 @@ def read_encoded_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .select("doc_id", "token_ids", "n_tokens")
         .distinct()
     )
+
+
+def postings_ingest_sink(
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+):
+    """Grow the BM25 postings store (``operators/retrieval.py``) from a
+    documents micro-batch stream: each batch lands as its own batch_id
+    partition of postings + doclen (dynamic partition overwrite — a
+    crash-retried batch clobbers only itself, the engine's exactly-once
+    discipline), so serving (``bm25_topk_from_index``,
+    ``lexical_decontaminate_from_index``) is index-bounded instead of
+    rescanning the grown corpus every query batch. n_buckets defaults to
+    the store's frozen modulus (or the library default on first build);
+    passing a conflicting value raises in the build."""
+    from pulsar_replay_spark.operators import retrieval
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        nb = n_buckets
+        if nb is None:
+            nb = (
+                retrieval._store_n_buckets(spark, store_dir)
+                or retrieval.N_TERM_BUCKETS
+            )
+        retrieval.postings_index_build(
+            batch_df, store_dir, batch_id=batch_id, n_buckets=nb
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def postings_compact(
+    spark: SparkSession,
+    store_dir: str,
+    compact_dir: str,
+    max_df_ratio: float | None = None,
+) -> None:
+    """Fold the postings store's accumulated batch_id partitions into one
+    base partition (batch_id = -1; the store-wide compaction discipline —
+    a resumed sink's micro-batch 0 can neither hide nor wipe it): DISTINCT
+    drops crash-retry and re-ingest duplicates in both substores.
+
+    ``max_df_ratio`` BAKES a document-frequency cap into the compacted
+    index: terms in more than that ratio of the store's docs lose their
+    posting lists entirely — the stopword lists that dominate index bytes
+    and carry near-zero idf. Serving an uncapped query against a capped
+    store equals serving the SAME cap against the full scan
+    (``bm25_scores(max_df_ratio=...)``) because the cap predicate is
+    df-over-global-corpus in both places; doclen is never capped, so
+    n_docs/avgdl stay corpus-exact."""
+    _require_distinct_dirs(compact_dir, store_dir)
+    post = (
+        spark.read.parquet(f"{store_dir}/postings")
+        .select("term_bucket", "term", "doc_id", "tf", "dl")
+        .distinct()
+    )
+    doclen = (
+        spark.read.parquet(f"{store_dir}/doclen")
+        .select("doc_id", "dl")
+        .distinct()
+    )
+    if max_df_ratio is not None:
+        n_docs = doclen.count()
+        df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+        keep_terms = df_t.filter(
+            F.col("df") <= F.lit(float(n_docs) * max_df_ratio)
+        ).select("term")
+        post = post.join(keep_terms, "term", "semi")
+    (
+        post.withColumn("batch_id", F.lit(-1))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "term_bucket")
+        .parquet(f"{compact_dir}/postings")
+    )
+    (
+        doclen.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{compact_dir}/doclen")
+    )
+    spark.read.parquet(f"{store_dir}/meta").write.mode("overwrite").parquet(
+        f"{compact_dir}/meta"
+    )
+
+
+def postings_index_expire(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    drop_docs: DataFrame,
+) -> None:
+    """Deletion / right-to-be-forgotten for the postings store: a dropped
+    doc's posting rows AND its doclen row leave, so future serves compute
+    df/n_docs/avgdl over exactly the retained corpus — pinned equal to
+    ``bm25_scores`` over the retained docs (test_retrieval.py). Folds to
+    the batch_id = -1 base partition like ``postings_compact``."""
+    _require_distinct_dirs(out_dir, store_dir)
+    drop = drop_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    post = (
+        spark.read.parquet(f"{store_dir}/postings")
+        .join(drop, "doc_id", "left_anti")
+        .select("term_bucket", "term", "doc_id", "tf", "dl")
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+    )
+    (
+        post.repartition("term_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "term_bucket")
+        .parquet(f"{out_dir}/postings")
+    )
+    doclen = (
+        spark.read.parquet(f"{store_dir}/doclen")
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "dl")
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+    )
+    (
+        doclen.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{out_dir}/doclen")
+    )
+    spark.read.parquet(f"{store_dir}/meta").write.mode("overwrite").parquet(
+        f"{out_dir}/meta"
+    )

@@ -505,3 +505,33 @@ def test_best_member_marks_keeps_highest_scoring_copy(spark):
     for d, (c, k) in got.items():
         per_cluster[c] = per_cluster.get(c, 0) + int(k)
     assert all(v == 1 for v in per_cluster.values())
+
+
+def test_best_member_marks_partial_scores_keep_members_marked(spark):
+    """r8 advice regression: a member missing from the score frame must
+    NOT vanish from the marks — NULL score sorts last, so an unscored copy
+    loses to any scored sibling but stays marked a duplicate; an
+    all-unscored cluster degrades to the min-doc_id keeper."""
+    from pulsar_replay_spark.operators import multimodal as mm
+
+    marks = spark.createDataFrame(
+        [
+            (1, 1, True), (2, 1, False), (3, 1, False),  # 3 unscored
+            (7, 7, True), (8, 7, False),                 # all unscored
+            (9, 9, True),                                # singleton
+        ],
+        "doc_id long, cluster_id long, keep boolean",
+    )
+    scores = spark.createDataFrame(
+        [(1, 100), (2, 900), (9, 10)],  # doc 3, 7, 8 absent
+        "doc_id long, byte_len long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in mm.best_member_marks(marks, scores).collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False),  # 3 kept AND marked loser
+        7: (7, True), 8: (7, False),                 # min-doc_id fallback
+        9: (9, True),
+    }

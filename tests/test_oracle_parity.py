@@ -326,6 +326,21 @@ def test_minhash_planner_geometry_matches_oracle(spark, duck):
     assert not problems, f"minhash 2x4: {problems}"
 
 
+def test_unregistered_q17_matches_oracle(spark, duck):
+    """q17 lost its contract slot to bm25_topk in r9 (correlated-scalar-
+    subquery family stays contract-covered by q2_min_cost_supplier) but
+    stays part of the engine surface — same oracle gate, pytest-side."""
+    from pulsar_replay_spark.queries_relational import (
+        Q17_ORACLE,
+        q17_small_quantity_revenue,
+    )
+
+    sdf = q17_small_quantity_revenue(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(Q17_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"q17: {problems}"
+
+
 def test_unregistered_q4_matches_oracle(spark, duck):
     """q4 lost its contract slot to pagerank_trade in r8 (the EXISTS/semi
     family stays contract-covered by q22's anti-join and the semi joins in
@@ -378,10 +393,11 @@ def test_line_scrub_matches_oracle(spark, duck):
 
 
 def test_bm25_matches_oracle(spark, duck):
-    """The r8 BM25 lexical-retrieval tier: pytest-tier oracle gate (the
-    50-slot contract is full; also in parity --extras as x_bm25). Queries
-    derive from the corpus itself, scores sum in integer micro-units, so the
-    comparison is hash-exact across engines."""
+    """The BM25 lexical-retrieval tier: registered in the 50-slot contract
+    since r9 (this standalone gate predates the rotation and stays as the
+    named anchor; also in parity --extras as x_bm25). Queries derive from
+    the corpus itself, scores sum in integer micro-units, so the comparison
+    is hash-exact across engines."""
     from pulsar_replay_spark.queries_llm import BM25_ORACLE, q_bm25_topk
 
     sdf = q_bm25_topk(spark, SF_SMOKE).toPandas()

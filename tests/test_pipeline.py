@@ -452,6 +452,20 @@ def test_curate_corpus_lexical_decontamination_stage(spark):
     assert stage_rows["lexically_decontaminated"] == 2
     kept = {r.doc_id for r in res["filtered"].collect()}
     assert 1 not in kept and {2, 3} & kept
+    # r8 advice: the broadcast escape hatch and the df cap thread through —
+    # the shuffle-join path must drop the very same paraphrase
+    res_sh = pipeline.curate_corpus(
+        docs,
+        benchmark=benchmark,
+        budget_tokens=1_000,
+        min_overlap=8,
+        lexical_decontaminate=True,
+        lexical_min_score=1.0,
+        lexical_broadcast_queries=False,
+        lexical_max_df_ratio=1.0,
+    )
+    stage_sh = {r.stage: r.n_docs for r in res_sh["report"].collect()}
+    assert stage_sh["lexically_decontaminated"] == 2
 
 
 def test_curate_corpus_compression_filter_stage(spark):

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from pulsar_replay_spark.operators import retrieval
 
@@ -266,3 +267,184 @@ def test_anchor_retrieval_pairs_mines_triplets(spark):
     assert all(r.pos_doc_id == 5 for r in a)
     # two distinct query_ids for the two hosts
     assert len({r.query_id for r in rows}) == 2
+
+
+def test_anchor_retrieval_pairs_positive_without_negatives_survives(spark):
+    """r8 advice regression: an anchor with a valid same-host positive but
+    ZERO other-host hits in its top-k still yields one row — NULL negative
+    columns — instead of silently losing the (query, positive) pair."""
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor calibration", "https://lab.example/a"),
+            (2, "gardening in clay heavy soil", "https://dirt.example/b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    anchors = spark.createDataFrame(
+        [("ref.example", "lab.example", "quantum flux capacitor")],
+        "src_host string, dst_host string, anchor string",
+    )
+    rows = retrieval.anchor_retrieval_pairs(
+        docs, anchors, k=5, n_negatives=2, min_score=0.1
+    ).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.pos_doc_id == 1 and r.pos_score > 0
+    assert r.neg_doc_id is None and r.neg_score is None and r.neg_rank is None
+
+
+# ---------------------------------------------------------------------------
+# Maintained postings store: served-from-index ≡ query-bounded rescan
+# ---------------------------------------------------------------------------
+
+
+def _scores_map(df):
+    return {(r.query_id, r.doc_id): r.score_u for r in df.collect()}
+
+
+def test_index_serving_matches_rescan_byte_equal(spark, planted, tmp_path):
+    """The store's core contract: bm25_scores_from_index over a built store
+    equals the query-bounded scan on score_u EXACTLY — with and without the
+    df cap — and the topk tail agrees row-for-row."""
+    docs, queries = planted
+    store = str(tmp_path / "bm25_store")
+    retrieval.postings_index_build(docs, store)
+    assert _scores_map(
+        retrieval.bm25_scores_from_index(spark, store, queries)
+    ) == _scores_map(retrieval.bm25_scores(docs, queries))
+    assert _scores_map(
+        retrieval.bm25_scores_from_index(spark, store, queries, max_df_ratio=0.5)
+    ) == _scores_map(retrieval.bm25_scores(docs, queries, max_df_ratio=0.5))
+    top_idx = {
+        (r.query_id, r.rk): (r.doc_id, r.score)
+        for r in retrieval.bm25_topk_from_index(spark, store, queries, k=3).collect()
+    }
+    top_scan = {
+        (r.query_id, r.rk): (r.doc_id, r.score)
+        for r in retrieval.bm25_topk(docs, queries, k=3).collect()
+    }
+    assert top_idx == top_scan and top_idx
+
+
+def test_index_grows_incrementally_and_retry_is_idempotent(spark, planted):
+    """Batch-id growth: three ingests serve as the union corpus; re-running
+    a batch (crash retry) changes nothing; a zero-token doc counts toward
+    n_docs/avgdl without posting rows; a conflicting n_buckets raises."""
+    import tempfile
+
+    docs, queries = planted
+    with tempfile.TemporaryDirectory() as d:
+        store = f"{d}/store"
+        rows = DOCS + [(7, "")]  # doc 7: zero tokens — stats-only
+        full = spark.createDataFrame(rows, "doc_id long, text string")
+        for i in range(3):
+            part = spark.createDataFrame(
+                rows[i::3], "doc_id long, text string"
+            )
+            retrieval.postings_index_build(part, store, batch_id=i)
+        retrieval.postings_index_build(  # crash-retry of batch 1
+            spark.createDataFrame(rows[1::3], "doc_id long, text string"),
+            store,
+            batch_id=1,
+        )
+        assert _scores_map(
+            retrieval.bm25_scores_from_index(spark, store, queries)
+        ) == _scores_map(retrieval.bm25_scores(full, queries))
+        stats = retrieval.index_doc_stats(spark, store).head()
+        assert stats.n_docs == len(rows)
+        with pytest.raises(ValueError, match="n_buckets"):
+            retrieval.postings_index_build(full, store, n_buckets=8)
+
+
+def test_streaming_ingest_compact_and_expire(spark, planted, tmp_path):
+    """The full lifecycle: streamed micro-batch ingest ≡ one-shot build;
+    compaction folds (df-capped compaction bakes the cap in: uncapped
+    serve over the capped store ≡ capped rescan); expiry removes a doc so
+    served df/n_docs match the retained corpus exactly; the in-place
+    guard refuses self-overwrite."""
+    from pulsar_replay_spark.streaming import pipelines as sp
+
+    docs, queries = planted
+    src = str(tmp_path / "src")
+    # one parquet file per micro-batch (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.filter((F.col("doc_id") % 3) == i).coalesce(1).select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("web").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        ).write.mode("append").parquet(src)
+    stream = sp.documents_stream(spark, src).select("doc_id", "text")
+    store = str(tmp_path / "stream_store")
+    q = sp.postings_ingest_sink(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    want = _scores_map(retrieval.bm25_scores(docs, queries))
+    assert _scores_map(
+        retrieval.bm25_scores_from_index(spark, store, queries)
+    ) == want
+
+    compacted = str(tmp_path / "compacted")
+    sp.postings_compact(spark, store, compacted, max_df_ratio=0.5)
+    assert _scores_map(
+        retrieval.bm25_scores_from_index(spark, compacted, queries)
+    ) == _scores_map(retrieval.bm25_scores(docs, queries, max_df_ratio=0.5))
+    with pytest.raises(ValueError, match="in-place|differ"):
+        sp.postings_compact(spark, store, store)
+
+    expired = str(tmp_path / "expired")
+    drop = spark.createDataFrame([(2,)], "doc_id long")
+    sp.postings_index_expire(spark, store, expired, drop)
+    retained = docs.filter(F.col("doc_id") != 2)
+    assert _scores_map(
+        retrieval.bm25_scores_from_index(spark, expired, queries)
+    ) == _scores_map(retrieval.bm25_scores(retained, queries))
+
+
+def test_lexical_decontaminate_from_index_matches_rescan(spark, tmp_path):
+    """The continuous-decontamination serve path flags the same docs with
+    the same strongest accuser as the full-scan lexical_decontaminate."""
+    docs = spark.createDataFrame(
+        [
+            (1, "mitochondria are the powerhouse of the cell"),
+            (2, "sailing boats need regular hull maintenance"),
+            (3, "the powerhouse organelle mitochondria drives respiration"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(900, "which organelle is the mitochondria powerhouse")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "decon_store")
+    retrieval.postings_index_build(docs, store)
+    got = {
+        (r.doc_id, r.eval_id, r.score)
+        for r in retrieval.lexical_decontaminate_from_index(
+            spark, store, evals, k=5, min_score=0.1
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.eval_id, r.score)
+        for r in retrieval.lexical_decontaminate(
+            docs, evals, k=5, min_score=0.1
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_index_serving_plan_prunes_partitions(spark, planted, tmp_path):
+    """Scale gate: the served plan carries a term_bucket partition filter
+    (the scan is index-bounded, pruned to the query terms' buckets) and no
+    cartesian join beyond the 1-row stats join."""
+    docs, queries = planted
+    store = str(tmp_path / "plan_store")
+    retrieval.postings_index_build(docs, store)
+    plan = (
+        retrieval.bm25_scores_from_index(spark, store, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "term_bucket" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -113,6 +113,7 @@ def extra_oracles() -> dict:
         "x_line_scrub": (ql.q_line_scrubbed_corpus, ql.LINE_SCRUB_ORACLE),
         "x_bm25": (ql.q_bm25_topk, ql.BM25_ORACLE),
         "x_q4": (qr.q4_order_priority, qr.Q4_ORACLE),
+        "x_q17": (qr.q17_small_quantity_revenue, qr.Q17_ORACLE),
         "x_q5": (qr.q5_region_revenue, qr.Q5_ORACLE),
         "x_q10": (qr.q10_returned_item_customers, qr.Q10_ORACLE),
         "x_q6": (qr.q6_forecast_revenue, qr.Q6_ORACLE),
