@@ -143,3 +143,73 @@ def redact_pii(text: Column) -> Column:
     for pat, repl in REDACTION_RULES:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-language stopword-density language guess (r9). The single-language
+# heuristic behind the `lang_id_accuracy` contract query stays as-is; this
+# is its multi-class twin for enriching crawl records that carry no
+# WARC-Identified-Content-Language header (raw-WARC `response` records —
+# see sources/corpusio._warc_documents). Small, high-frequency,
+# maximally-distinctive function-word sets per language; density = matching
+# tokens / all tokens over the lowercased whitespace tokens; argmax wins
+# when it clears `threshold`, else NULL (absence of evidence stays NULL —
+# the same contract the domain-prior floor uses).
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "that", "it", "was", "for",
+           "with", "are", "this", "have", "not"],
+    "es": ["el", "los", "las", "es", "por", "con", "para", "pero", "su",
+           "como", "más", "este", "esta", "muy"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+           "von", "auf", "für", "den", "dem"],
+    "fr": ["le", "les", "des", "est", "et", "une", "pour", "dans", "pas",
+           "sur", "qui", "au", "ce", "vous"],
+    "it": ["il", "che", "di", "una", "per", "non", "sono", "della", "nel",
+           "gli", "anche", "questo", "più"],
+    "pt": ["o", "os", "as", "um", "uma", "não", "que", "para", "com", "por",
+           "se", "mais", "dos", "como"],
+}
+
+LANG_GUESS_THRESHOLD = 0.02
+
+
+def lang_guess(text: Column, threshold: float = LANG_GUESS_THRESHOLD) -> Column:
+    """Best-guess BCP-47 primary tag (en/es/de/fr/it/pt) or NULL.
+
+    Pure Catalyst (one scan, zero exchanges): per language, density is
+    size(filter(tokens, t ∈ set)) / size(tokens) over the LOWERCASED
+    tokens; the winner is the array_max of (density, lang) structs —
+    struct ordering compares density first, then lang, so ties break
+    deterministically toward the later language code. Below ``threshold``
+    (or on empty docs) the answer is NULL, never a guess."""
+    toks_all = F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+    def inner(t: Column) -> Column:
+        n = F.size(t)
+        entries = [
+            F.struct(
+                (
+                    F.size(
+                        F.filter(
+                            t,
+                            lambda x: F.array_contains(
+                                F.array(*[F.lit(w) for w in words]), x
+                            ),
+                        )
+                    )
+                    / n
+                ).alias("d"),
+                F.lit(lang).alias("l"),
+            )
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ]
+        best = F.array_max(F.array(*entries))
+        return F.when(
+            (n > 0) & (best["d"] >= F.lit(threshold)), best["l"]
+        )
+
+    # bound-array idiom (see `shingles`): no CSE inside HOF lambdas, so the
+    # token array is materialized once per row, not once per language
+    return F.transform(F.array(toks_all), inner)[0]

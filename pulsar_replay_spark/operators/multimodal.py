@@ -615,15 +615,31 @@ def audio_windows(
 AUDIO_FP_BITS = 56
 
 
+def _onset_start(x, ratio: float) -> int:
+    """First index whose amplitude reaches ``ratio`` of the clip peak —
+    the onset anchor. A silent (all-zero / empty) signal anchors at 0."""
+    import numpy as np
+
+    if x.size == 0:
+        return 0
+    peak = float(x.max())
+    if peak <= 0:
+        return 0
+    return int(np.argmax(x >= ratio * peak))
+
+
 def _wav_pcm_energies(
-    raw: bytes, window_ms: int, hop_ms: int
+    raw: bytes, window_ms: int, hop_ms: int, onset_ratio: "float | None" = None
 ) -> "list[float] | None":
     """Per-window mean absolute amplitude of a PCM WAV payload — REAL and
     library-free (RIFF walk + numpy frombuffer; no ffmpeg/soundfile).
     Returns None when the payload isn't parseable 8/16-bit PCM WAV so the
     caller can fall back. Channels are mean-mixed; windows are cut by TIME
     via the fmt chunk's sample rate (hop = ``hop_ms``, final partial window
-    kept — the ``audio_windows`` geometry)."""
+    kept — the ``audio_windows`` geometry). ``onset_ratio`` (r9): drop
+    samples before the first one reaching that fraction of the clip's peak
+    amplitude, so a clone with leading silence windows identically to the
+    original (the shift-robustness knob — see ``_audio_fp_bytes``)."""
     import numpy as np
 
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
@@ -651,6 +667,10 @@ def _wav_pcm_energies(
     if samples.size == 0:
         return None
     mono = np.abs(samples.reshape(-1, ch).mean(axis=1))
+    if onset_ratio is not None:
+        mono = mono[_onset_start(mono, onset_ratio):]
+        if mono.size == 0:
+            return None
     win = max(1, (sr * window_ms) // 1000)
     hop = max(1, (sr * hop_ms) // 1000)
     # the audio_windows geometry: stop at the first window reaching the end
@@ -672,6 +692,7 @@ def _audio_fp_bytes(
     hop_ms: int = 500,
     bits: int = AUDIO_FP_BITS,
     fake: bool = True,
+    onset_ratio: "float | None" = None,
 ) -> int:
     """Pure fingerprint of one audio payload: per-window energies (the
     ``audio_windows`` geometry — window ``window_ms``, hop ``hop_ms``,
@@ -689,10 +710,19 @@ def _audio_fp_bytes(
     windows (≈29 s at the 1000/500 defaults) the banded join's
     false-positive rate rises. Shrink window_ms/hop_ms for short-clip
     corpora; never resample UP (repeating windows would zero-fill the same
-    bit positions for every clip and collide distinct short clips)."""
+    bit positions for every clip and collide distinct short clips).
+
+    Shift robustness (r9): the default windowing is anchored at CLIP START,
+    so a clone with ~100 ms of leading silence shifts every window and
+    misses the banded join. ``onset_ratio`` (e.g. 0.05) anchors windowing
+    at the ONSET instead — the first sample reaching that fraction of the
+    clip's peak amplitude — making leading-silence clones fingerprint
+    identically. Off by default: anchoring changes every stored signature,
+    so a store must be rebuilt (or grown from scratch) when flipping it —
+    the same frozen-parameter contract every signature family carries."""
     energies: list[float] | None = None
     if not fake:
-        energies = _wav_pcm_energies(raw, window_ms, hop_ms)
+        energies = _wav_pcm_energies(raw, window_ms, hop_ms, onset_ratio)
     if energies is None:
         import numpy as np
 
@@ -701,8 +731,12 @@ def _audio_fp_bytes(
         # window means via one cumulative sum — O(bytes) once, O(1) per
         # window, structurally distinct from the naive per-window oracle
         buf = np.frombuffer(raw, dtype=np.uint8)
+        if onset_ratio is not None:
+            buf = buf[_onset_start(buf, onset_ratio):]
+            if buf.size == 0:
+                return 0
         cs = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
-        dur = len(raw)  # fake signal: 1 ms per byte
+        dur = int(buf.size)  # fake signal: 1 ms per byte (post-onset-trim)
         energies = []
         start = 0
         while start < dur:
@@ -729,6 +763,7 @@ def audio_fingerprints(
     hop_ms: int = 500,
     bits: int = AUDIO_FP_BITS,
     fake: bool = True,
+    onset_ratio: float | None = None,
 ) -> DataFrame:
     """(doc_id, simhash): the persistable perceptual audio signature —
     Arrow-batched over ``audio/*`` payloads, column-named to feed
@@ -746,7 +781,9 @@ def audio_fingerprints(
                 {
                     "doc_id": pdf["doc_id"],
                     "simhash": [
-                        _audio_fp_bytes(bytes(p), window_ms, hop_ms, bits, fake)
+                        _audio_fp_bytes(
+                            bytes(p), window_ms, hop_ms, bits, fake, onset_ratio
+                        )
                         for p in pdf["payload"]
                     ],
                 }
@@ -765,6 +802,7 @@ def audio_fingerprints_wide(
     hop_ms: int = 500,
     bits: int = 120,
     fake: bool = True,
+    onset_ratio: float | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<long>): wide audio fingerprints for long clips,
     where 56 resampled points blur hours of audio into too few sign bits —
@@ -782,7 +820,10 @@ def audio_fingerprints_wide(
                     "doc_id": pdf["doc_id"],
                     "sig": [
                         pack_sig_words(
-                            _audio_fp_bytes(bytes(p), window_ms, hop_ms, bits, fake),
+                            _audio_fp_bytes(
+                                bytes(p), window_ms, hop_ms, bits, fake,
+                                onset_ratio,
+                            ),
                             bits,
                         )
                         for p in pdf["payload"]
@@ -804,6 +845,7 @@ def audio_near_dup_pairs(
     hop_ms: int = 500,
     bits: int = AUDIO_FP_BITS,
     fake: bool = True,
+    onset_ratio: float | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): audio clip pairs within ``max_hamming``
     fingerprint bits — re-encoded/amplitude-nudged clones collide (energy
@@ -818,11 +860,11 @@ def audio_near_dup_pairs(
     )
 
     if bits <= 60:
-        sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
+        sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake, onset_ratio)
         return banded_hamming_pairs(
             sigs.localCheckpoint(eager=True), max_hamming, bits
         )
-    sigs = audio_fingerprints_wide(media, window_ms, hop_ms, bits, fake)
+    sigs = audio_fingerprints_wide(media, window_ms, hop_ms, bits, fake, onset_ratio)
     return banded_hamming_pairs_multi(
         sigs.localCheckpoint(eager=True), max_hamming, bits
     )
@@ -835,6 +877,7 @@ def audio_dedup(
     hop_ms: int = 500,
     bits: int = AUDIO_FP_BITS,
     fake: bool = True,
+    onset_ratio: float | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, keep): perceptual audio dedup marks — the
     ``image_dedup`` shape: near-dup clusters from the banded pairs'
@@ -849,11 +892,11 @@ def audio_dedup(
     )
 
     if bits <= 60:
-        sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake)
+        sigs = audio_fingerprints(media, window_ms, hop_ms, bits, fake, onset_ratio)
         sigs = sigs.localCheckpoint(eager=True)
         pairs = banded_hamming_pairs(sigs, max_hamming, bits)
     else:
-        sigs = audio_fingerprints_wide(media, window_ms, hop_ms, bits, fake)
+        sigs = audio_fingerprints_wide(media, window_ms, hop_ms, bits, fake, onset_ratio)
         sigs = sigs.localCheckpoint(eager=True)
         pairs = banded_hamming_pairs_multi(sigs, max_hamming, bits)
     cc = connected_components(pairs)
@@ -876,6 +919,7 @@ def incremental_audio_pairs(
     hop_ms: int = 500,
     bits: int = AUDIO_FP_BITS,
     fake: bool = True,
+    onset_ratio: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental perceptual audio dedup — the ``incremental_image_pairs``
     discipline: fingerprint only the NEW batch of clips, probe the
@@ -890,11 +934,15 @@ def incremental_audio_pairs(
     )
 
     if bits <= 60:
-        new_sigs = audio_fingerprints(new_media, window_ms, hop_ms, bits, fake)
+        new_sigs = audio_fingerprints(
+            new_media, window_ms, hop_ms, bits, fake, onset_ratio
+        )
         new_sigs = new_sigs.localCheckpoint(eager=True)
         pairs = incremental_hamming_pairs(new_sigs, existing_sigs, max_hamming, bits)
         return pairs, new_sigs
-    new_sigs = audio_fingerprints_wide(new_media, window_ms, hop_ms, bits, fake)
+    new_sigs = audio_fingerprints_wide(
+        new_media, window_ms, hop_ms, bits, fake, onset_ratio
+    )
     new_sigs = new_sigs.localCheckpoint(eager=True)
     pairs = incremental_hamming_pairs_multi(
         new_sigs, existing_sigs, max_hamming, bits

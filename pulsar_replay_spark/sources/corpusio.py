@@ -277,6 +277,12 @@ _HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
 _TAG_RE = re.compile(r"<[^>]*>")
 _CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_.:-]+)")
+# <meta charset="..."> and <meta http-equiv="Content-Type"
+# content="text/html; charset=..."> both contain charset= inside the tag;
+# the HTML5 prescan only promises the first 1024 bytes, we scan 2048
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I
+)
 
 
 def _strip_html(markup: str) -> str:
@@ -429,9 +435,16 @@ def _http_payload(
     if not (mtype.startswith("text/") or html_like):
         return None, f"http: unextractable content-type {mtype}"
     m = _CHARSET_RE.search(ctype)
-    enc = m.group(1) if m else "utf-8"
+    enc = m.group(1) if m else None
+    if enc is None and html_like:
+        # Content-Type carried no charset: consult the document's own
+        # <meta charset> / http-equiv declaration (HTML5 prescan) before
+        # falling back to UTF-8-replace
+        mm = _META_CHARSET_RE.search(payload[:2048])
+        if mm:
+            enc = mm.group(1).decode("ascii", "replace")
     try:
-        text = payload.decode(enc, "replace")
+        text = payload.decode(enc or "utf-8", "replace")
     except LookupError:
         text = payload.decode("utf-8", "replace")
     if extract_html and html_like:
@@ -449,6 +462,7 @@ def read_warc_corpus(
     keep_corrupt: bool = False,
     extract_http: bool = True,
     html_mode: str = "strip",
+    lang_id: bool = True,
 ) -> DataFrame:
     """WARC/WET files → the documents contract.
 
@@ -479,7 +493,9 @@ def read_warc_corpus(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     files = reader.load(path).select("path", "content")
-    return _warc_documents(files, record_types, keep_corrupt, extract_http, html_mode)
+    return _warc_documents(
+        files, record_types, keep_corrupt, extract_http, html_mode, lang_id
+    )
 
 
 def stream_warc_corpus(
@@ -491,6 +507,7 @@ def stream_warc_corpus(
     max_files_per_trigger: int | None = None,
     extract_http: bool = True,
     html_mode: str = "strip",
+    lang_id: bool = True,
 ) -> DataFrame:
     """Streaming twin of ``read_warc_corpus``: a WARC/WET drop-folder as a
     STREAMING documents frame (the ``stream_jsonl_corpus`` discipline —
@@ -500,7 +517,9 @@ def stream_warc_corpus(
     knob — one ~1 GB Common Crawl segment per trigger is a sane default on
     modest executors."""
     files = _stream_warc_files(spark, path, pattern, max_files_per_trigger)
-    return _warc_documents(files, record_types, keep_corrupt, extract_http, html_mode)
+    return _warc_documents(
+        files, record_types, keep_corrupt, extract_http, html_mode, lang_id
+    )
 
 
 def _stream_warc_files(
@@ -543,11 +562,21 @@ def _warc_documents(
     keep_corrupt: bool,
     extract_http: bool = True,
     html_mode: str = "strip",
+    lang_id: bool = True,
 ) -> DataFrame:
     """Shared batch/streaming tail: the record-splitting Arrow kernel plus
     the documents-contract projection. ``html_mode``: "strip" (tag removal
     only) or "main" (density-based main-content extraction,
-    ``extract_main_text`` — drops nav/menu/footer chrome)."""
+    ``extract_main_text`` — drops nav/menu/footer chrome).
+
+    ``lang_id`` (r9): raw-WARC ``response`` records carry no
+    WARC-Identified-Content-Language header (only WET conversions do), so
+    their ``lang`` lands NULL and a raw-crawl corpus silently piles into
+    the data card's null-lang bucket. When on, extracted response records
+    with no header get ``functions.text.lang_guess`` (pure-Catalyst
+    multi-language stopword density — a guess only above its evidence
+    threshold, NULL otherwise). WET/conversion rows are NEVER touched —
+    header presence or absence passes through verbatim."""
     want = tuple(t.lower() for t in record_types)
 
     def run(batches):
@@ -557,7 +586,8 @@ def _warc_documents(
         import pandas as pd
 
         for pdf in batches:
-            out = {"text": [], "lang": [], "source": [], "corrupt": []}
+            out = {"text": [], "lang": [], "source": [], "corrupt": [],
+                   "wtype": []}
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
                 if raw[:2] == b"\x1f\x8b":
@@ -588,16 +618,32 @@ def _warc_documents(
                     out["lang"].append(lang.split(",")[0].strip() if lang else None)
                     out["source"].append(headers.get("warc-target-uri", fpath))
                     out["corrupt"].append(None)
+                    out["wtype"].append(wtype)
                 if corrupt is not None:
                     out["text"].append(None)
                     out["lang"].append(None)
                     out["source"].append(fpath)
                     out["corrupt"].append(corrupt)
+                    out["wtype"].append(None)
             yield pd.DataFrame(out)
 
     parsed = files.mapInPandas(
-        run, schema="text string, lang string, source string, corrupt string"
+        run,
+        schema="text string, lang string, source string, corrupt string,"
+        " wtype string",
     )
+    if lang_id:
+        from pulsar_replay_spark.functions.text import lang_guess
+
+        parsed = parsed.withColumn(
+            "lang",
+            F.when(
+                F.col("lang").isNull()
+                & (F.col("wtype") == "response")
+                & F.col("text").isNotNull(),
+                lang_guess(F.col("text")),
+            ).otherwise(F.col("lang")),
+        )
     out = parsed.select(
         F.coalesce(
             _content_id(F.col("text")),

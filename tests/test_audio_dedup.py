@@ -244,3 +244,113 @@ def test_wide_audio_fingerprints_route_multi_and_match_oracle(spark):
     got_inc = {(r["doc_a"], r["doc_b"]) for r in ipairs.collect()}
     assert got_inc == {p for p in want if 11 in p or 30 in p}
     assert {r["doc_id"] for r in new_sigs.collect()} == {11, 30}
+
+
+# ---------------------------------------------------------------------------
+# r9: onset-anchored (shift-robust) fingerprints — a clone with leading
+# silence collapses once windowing anchors at the onset.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_audio_fp_onset(raw: bytes, onset_ratio: float, **kw) -> int:
+    """Oracle extension: trim leading sub-onset bytes (first byte reaching
+    onset_ratio·peak anchors), then the unchanged fingerprint oracle."""
+    if raw:
+        peak = max(raw)
+        if peak > 0:
+            thr = onset_ratio * peak
+            start = next((i for i, v in enumerate(raw) if v >= thr), 0)
+            raw = raw[start:]
+    return _oracle_audio_fp(raw, **kw)
+
+
+def test_onset_anchor_collapses_leading_silence_clones(spark):
+    """A clone padded with ~400 ms of leading silence misses at the default
+    clip-start anchoring (every window shifts) but collapses under
+    onset_ratio=0.05, while distinct clips still survive; kernel ==
+    extended oracle on every payload."""
+    base = _clip(31)
+    padded = bytes(400) + base           # 400 silent bytes = 400 ms lead-in
+    clips = {10: base, 11: padded, 20: _clip(32), 21: bytes(250) + _clip(32),
+             30: _clip(33)}
+    media = _media_df(spark, clips)
+
+    # default anchoring: the silence-padded clone does NOT pair with base
+    got_default = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.audio_near_dup_pairs(media, max_hamming=4).collect()
+    }
+    assert (10, 11) not in got_default and (20, 21) not in got_default
+
+    # onset anchoring: both padded clones collapse, the distinct clip stays
+    pairs = mm.audio_near_dup_pairs(media, max_hamming=4, onset_ratio=0.05)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert {(10, 11), (20, 21)} <= got
+    assert not any(30 in p for p in got)
+
+    # kernel == independent oracle, per payload
+    for p in clips.values():
+        assert mm._audio_fp_bytes(p, onset_ratio=0.05) == _oracle_audio_fp_onset(
+            p, 0.05
+        )
+    # identical-fingerprint check: pure silence pad never changes the sig
+    assert mm._audio_fp_bytes(base, onset_ratio=0.05) == mm._audio_fp_bytes(
+        padded, onset_ratio=0.05
+    )
+
+    # dedup marks under onset anchoring: one keeper per padded pair
+    marks = {
+        r["doc_id"]: r["keep"]
+        for r in mm.audio_dedup(media, onset_ratio=0.05).collect()
+    }
+    assert marks == {10: True, 11: False, 20: True, 21: False, 30: True}
+
+
+def test_onset_anchor_real_wav_and_edge_cases(spark):
+    """Real-PCM path: a 16-bit WAV clone with a leading-silence region
+    collapses under onset anchoring; all-zero and empty payloads stay
+    total; incremental ≡ full recompute with the knob threaded."""
+    import struct as st
+
+    def wav(samples: np.ndarray, sr: int = 4000) -> bytes:
+        data = samples.astype("<i2").tobytes()
+        hdr = (
+            b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + st.pack("<I", len(data))
+        )
+        return hdr + data
+    rng = np.random.default_rng(77)
+    n_win = 60
+    levels = (np.cumsum(rng.integers(-3000, 3001, size=n_win)) % 12000) + 1000
+    body = np.repeat(levels, 4000)  # 1 s per level at sr=4000
+    silent = np.zeros(1600, dtype=np.int64)  # 400 ms of digital silence
+    a, b = wav(body), wav(np.concatenate([silent, body]))
+    assert mm._audio_fp_bytes(a, fake=False, onset_ratio=0.05) == \
+        mm._audio_fp_bytes(b, fake=False, onset_ratio=0.05)
+    assert mm._audio_fp_bytes(a, fake=False) != mm._audio_fp_bytes(b, fake=False)
+
+    # totality: silence-only / empty payloads fingerprint to 0, never raise
+    assert mm._audio_fp_bytes(bytes(5000), onset_ratio=0.05) == 0
+    assert mm._audio_fp_bytes(b"", onset_ratio=0.05) == 0
+    assert mm._audio_fp_bytes(wav(np.zeros(8000, dtype=np.int64)),
+                              fake=False, onset_ratio=0.05) in (0,)
+
+    # incremental ≡ full with onset anchoring on
+    base = _clip(41)
+    old_media = _media_df(spark, {1: base, 2: _clip(42)})
+    new_media = _media_df(spark, {3: bytes(300) + base})
+    store = mm.audio_fingerprints(old_media, onset_ratio=0.05)
+    pairs, _sigs = mm.incremental_audio_pairs(
+        new_media, store, onset_ratio=0.05
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.audio_near_dup_pairs(
+            _media_df(spark, {1: base, 2: _clip(42), 3: bytes(300) + base}),
+            onset_ratio=0.05,
+        ).collect()
+        if 3 in (r["doc_a"], r["doc_b"])
+    }
+    assert got == full and (1, 3) in got

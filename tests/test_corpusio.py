@@ -900,3 +900,145 @@ def test_page_anchors_is_total_on_fuzz():
             assert len(text) <= 256
 
     fuzz()
+
+
+# ---------------------------------------------------------------------------
+# r9: raw-WARC lang enrichment (multi-language stopword-density guess) and
+# the <meta charset> prescan fallback.
+# ---------------------------------------------------------------------------
+
+_LANG_TEXTS = {
+    "es": "el gato está en la casa y no quiere salir por la puerta para nada con los otros",
+    "de": "der hund und die katze sind nicht in dem haus ein tier ist zu laut für den garten",
+    "en": "the quick brown fox is one of the animals that it was for with are this",
+    None: "zxqv wqpl mntr kjhg qwerty",
+}
+
+
+def _py_lang_guess(text: str, threshold: float = 0.02):
+    """Independent python mirror of functions.text.lang_guess: same sets,
+    same density arithmetic (double division), same (density, lang)
+    max tie-break, same threshold."""
+    from pulsar_replay_spark.functions.text import LANG_STOPWORDS
+
+    toks = [t for t in text.lower().split(" ") if t]
+    if not toks:
+        return None
+    best = max(
+        (sum(t in set(ws) for t in toks) / len(toks), lang)
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    )
+    return best[1] if best[0] >= threshold else None
+
+
+def test_lang_guess_matches_python_mirror(spark):
+    from pulsar_replay_spark.functions.text import lang_guess
+
+    rows = [(i, t) for i, t in enumerate(
+        [v for v in _LANG_TEXTS.values()]
+        + ["", "   ", "the el der le il o", "EL GATO CON LOS OTROS POR ESO"]
+    )]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: r.g for r in df.select("i", lang_guess(F.col("text")).alias("g")).collect()}
+    want = {i: _py_lang_guess(t) for i, t in rows}
+    assert got == want
+    # and the planted texts classify as planted
+    for i, (lang, _t) in enumerate(_LANG_TEXTS.items()):
+        assert got[i] == lang
+
+
+def test_warc_response_lang_enrichment(spark, tmp_path):
+    """Raw-WARC response records (no WARC-Identified-Content-Language
+    header) get the stopword-density guess; gibberish stays NULL; a WET
+    conversion record WITHOUT the header is NEVER enriched (path
+    unchanged); lang_id=False restores the r8 behavior; stream ≡ batch
+    with the enrichment on."""
+    recs = b"".join(
+        _warc_record(
+            "response",
+            _http_response(t.encode()),
+            uri=f"https://{lang or 'gibberish'}.example/",
+        )
+        for lang, t in _LANG_TEXTS.items()
+    ) + _warc_record(
+        "conversion", b"the wet conversion text with the header absent",
+        uri="https://wet-nolang.example/",
+    )
+    (tmp_path / "seg.warc").write_bytes(recs)
+    rows = {
+        r["source"]: r["lang"]
+        for r in corpusio.read_warc_corpus(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        "https://es.example/": "es",
+        "https://de.example/": "de",
+        "https://en.example/": "en",
+        "https://gibberish.example/": None,
+        # WET row: header absent, heuristic NOT applied (would say 'en')
+        "https://wet-nolang.example/": None,
+    }
+    off = {
+        r["source"]: r["lang"]
+        for r in corpusio.read_warc_corpus(
+            spark, str(tmp_path), lang_id=False
+        ).collect()
+    }
+    assert set(off.values()) == {None}
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        corpusio.stream_warc_corpus(spark, str(tmp_path), pattern="*.warc")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    streamed = {
+        r["source"]: r["lang"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == rows
+
+
+def test_meta_charset_consulted_when_content_type_lacks_one(spark, tmp_path):
+    """A page whose Content-Type carries no charset but declares one via
+    <meta charset=...> (or http-equiv) decodes under the declared charset;
+    without the declaration the UTF-8-replace fallback stands."""
+    body_decl = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        "<body>café au lait</body></html>"
+    ).encode("iso-8859-1")
+    body_equiv = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head>'
+        "<body>déjà vu</body></html>"
+    ).encode("iso-8859-1")
+    body_plain = "<html><body>café noir</body></html>".encode("iso-8859-1")
+    recs = (
+        _warc_record("response", _http_response(body_decl),
+                     uri="https://meta.example/")
+        + _warc_record("response", _http_response(body_equiv),
+                       uri="https://equiv.example/")
+        + _warc_record("response", _http_response(body_plain),
+                       uri="https://bare.example/")
+        # header charset must still WIN over a conflicting meta tag
+        + _warc_record(
+            "response",
+            _http_response(
+                body_decl,
+                headers=("Content-Type: text/html; charset=iso-8859-1",),
+            ),
+            uri="https://header-wins.example/",
+        )
+    )
+    (tmp_path / "seg.warc").write_bytes(recs)
+    rows = {
+        r["source"]: r["text"]
+        for r in corpusio.read_warc_corpus(spark, str(tmp_path)).collect()
+    }
+    assert rows["https://meta.example/"] == "café au lait"
+    assert rows["https://equiv.example/"] == "déjà vu"
+    assert rows["https://header-wins.example/"] == "café au lait"
+    # no declaration anywhere: latin-1 é bytes are invalid UTF-8 → U+FFFD
+    assert "caf� noir" == rows["https://bare.example/"]
