@@ -426,6 +426,16 @@ def main() -> None:
             lambda: _noop_write(retrieval.bm25_topk(docs, bm25_queries, k=10)),
         )
 
+        # r9: Unicode repair (mojibake fix + NFC) — the text-local pandas
+        # UDF pass that runs FIRST in a fix_text funnel; the corpus is
+        # clean synthetic text, so this times the scan+kernel floor
+        from pulsar_replay_spark.operators import textnorm
+
+        timed_op(
+            "unicode_repair_corpus",
+            lambda: _noop_write(textnorm.repair_corpus(docs)),
+        )
+
         # r9: the maintained postings store — build once (idempotent, so
         # repeated reps overwrite themselves), then serve the SAME query
         # batch from the index. The serve row is the repeated-query-batch

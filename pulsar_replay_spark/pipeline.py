@@ -49,12 +49,24 @@ def curate_corpus(
     lexical_max_df_ratio: float | None = None,
     compression_filter: bool = False,
     compression_bounds: tuple[float, float] = (0.15, 0.95),
+    fix_text: bool = False,
 ) -> dict:
     """Run the full funnel; returns every stage frame plus a funnel report.
 
     Keys: deduped, decontaminated, filtered, scored, selected, split,
     packed, report (stage, n_docs rows in pipeline order)."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # optional Unicode repair FIRST (r9): mojibake fix + NFC so every
+    # downstream hash/quality/lang stage sees the text one clean decode
+    # would have produced — a mangled copy of a clean doc re-collides in
+    # exact dedup only if repair runs before hashing. Row count never
+    # changes, so the stage is reported for lineage, not as a filter.
+    if fix_text:
+        from pulsar_replay_spark.operators.textnorm import repair_corpus
+
+        docs = repair_corpus(docs)
+        stages.append(("text_repaired", docs))
 
     # optional URL-level pre-dedup: canonicalized source URLs shed exact
     # re-fetches BEFORE any text is hashed (the crawl pipeline's cheapest
