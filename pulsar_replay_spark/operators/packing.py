@@ -43,7 +43,15 @@ def _sharded_lengths(
     ``lengths`` (doc_id, n_tokens) substitutes a TRAINED tokenizer's counts
     (``bpe_token_counts`` / ``unigram_token_counts`` output) for the
     whitespace default — training sequences are packed in tokenizer tokens,
-    not words; the join is doc_id-keyed and the packing plan is unchanged."""
+    not words; the join is doc_id-keyed and the packing plan is unchanged.
+
+    The lengths join is INNER on purpose (r9 audit): a doc absent from
+    ``lengths`` has no token count in the packing unit and CANNOT be
+    packed consistently — it is excluded from the packed output, not
+    silently given a wrong length (whitespace-count fallback would mix
+    units inside one shard). Anti-join your docs against ``lengths`` first
+    if you need the unencodable rows surfaced; the encode store's
+    quarantine is where they normally land."""
     shard = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int") % n_shards

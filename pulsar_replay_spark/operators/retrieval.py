@@ -639,3 +639,29 @@ def lexical_decontaminate_from_index(
         .filter(F.col("pick") == 1)
         .select("doc_id", F.col("query_id").alias("eval_id"), "score")
     )
+
+
+def hybrid_topk(
+    sparse_hits: DataFrame,
+    dense_hits: DataFrame,
+    k: int = 10,
+    c: int = RRF_C,
+    dense_query_col: str = "q_id",
+    dense_id_col: str = "neighbor_id",
+) -> DataFrame:
+    """One-call sparse+dense hybrid: RRF-fuse a BM25 top-k frame
+    (``bm25_topk`` / ``bm25_topk_from_index`` — (query_id, doc_id, score,
+    rk)) with a dense ANN top-k frame (``similarity.ivf_topk`` /
+    ``lsh_topk`` — (q_id, neighbor_id, sim, rk)) into
+    (query_id, doc_id, score, rk). Pure column adaptation over
+    ``rrf_fuse`` — ranks are the fusion currency, so the two retrievers'
+    incomparable raw scores never meet. The caller aligns id spaces
+    (doc_id ↔ the embedding table's vec_id) upstream — typically the
+    embeddings ARE per-doc and share ids."""
+    dense = dense_hits.select(
+        F.col(dense_query_col).alias("query_id"),
+        F.col(dense_id_col).alias("doc_id"),
+        "rk",
+    )
+    sparse = sparse_hits.select("query_id", "doc_id", "rk")
+    return rrf_fuse([sparse, dense], id_col="doc_id", k=k, c=c)

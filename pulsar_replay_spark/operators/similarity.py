@@ -2037,6 +2037,12 @@ def mmr_rerank(
     Determinism: candidates sort by neighbor_id before selection, scores
     round to 6 decimals, ties break on neighbor_id asc — repartition- and
     retry-stable (same discipline as every other md5/round-gated operator).
+
+    The candidate-vector join is INNER on purpose (r9 audit): a pool row
+    whose vector no longer exists in ``embeddings`` (stale pool after a
+    deletion) has no redundancy term and cannot be reranked — it drops
+    from the pool rather than riding on a fabricated similarity. Re-run
+    retrieval after deletions for a coherent pool.
     """
     import pandas as pd
 

@@ -513,6 +513,11 @@ def data_card(docs: DataFrame, length_bins: list[float] | None = None) -> dict:
         )
         .orderBy("lang")
     )
+    # r9: per-source mojibake rate (pure-Catalyst marker scan over the raw
+    # docs — `base` dropped the text column; a card reader uses this to
+    # decide whether the corpus needs a fix_text pass before release)
+    from pulsar_replay_spark.operators.textnorm import mojibake_report
+
     return {
         "summary": summary,
         "by_lang": _by("lang"),
@@ -520,4 +525,5 @@ def data_card(docs: DataFrame, length_bins: list[float] | None = None) -> dict:
         "top_hosts": top_hosts,
         "length_hist": length_hist,
         "quality_quartiles": quality_quartiles,
+        "mojibake_by_source": mojibake_report(docs).orderBy("source"),
     }

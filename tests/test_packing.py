@@ -273,3 +273,20 @@ def test_pack_with_trained_tokenizer_lengths(documents, spark):
         documents, SEQ_LEN, 4, lengths=lens
     )._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in plan
+
+
+def test_pack_lengths_seam_excludes_unmeasured_docs(documents, spark):
+    """r9 audit pin: the lengths join is INNER by contract — a doc with no
+    token count in the packing unit is EXCLUDED from the packed output (a
+    whitespace fallback would mix units inside a shard), and the packed
+    totals account exactly for the measured docs."""
+    lens = documents.select(
+        "doc_id", (F.length("text") % 7 + 1).cast("bigint").alias("n_tokens")
+    ).filter(F.col("doc_id") % 2 == 0)  # half the corpus unmeasured
+    packed = packing.pack_token_stream(documents, SEQ_LEN, 4, lengths=lens)
+    packed_ids = {r["doc_id"] for r in packed.collect()}
+    measured_ids = {r["doc_id"] for r in lens.collect()}
+    assert packed_ids <= measured_ids
+    assert packed_ids == measured_ids  # every measured doc IS packed
+    total = packed.agg(F.sum("n_tokens")).first()[0]
+    assert total == lens.agg(F.sum("n_tokens")).first()[0]

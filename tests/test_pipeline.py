@@ -393,6 +393,12 @@ def test_data_card_reports_the_corpus(spark):
     assert set(q) == {"en", "es", "fr"}
     assert all(r["q25"] <= r["q50"] <= r["q75"] for r in q.values())
 
+    # r9: mojibake rates ride the card (clean corpus → all zero)
+    moji = {r["source"]: r["mojibake_ratio"]
+            for r in card["mojibake_by_source"].collect()}
+    assert set(moji) == {src for *_, src in rows}
+    assert set(moji.values()) == {0.0}
+
 
 def test_curate_corpus_url_dedup_stage(spark, documents):
     """url_dedup=True sheds re-fetches of the same canonical URL before any

@@ -448,3 +448,38 @@ def test_index_serving_plan_prunes_partitions(spark, planted, tmp_path):
     )
     assert "term_bucket" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_hybrid_topk_fuses_sparse_and_dense(spark, planted, tmp_path):
+    """The one-call serving composition: BM25-from-index ⊕ ANN ranks fuse
+    via RRF; equals composing rrf_fuse by hand; agreement across retrievers
+    outranks one strong list."""
+    docs, queries = planted
+    store = str(tmp_path / "hybrid_store")
+    retrieval.postings_index_build(docs, store)
+    sparse = retrieval.bm25_topk_from_index(spark, store, queries, k=3)
+    dense = spark.createDataFrame(
+        # doc 5 rk1 on query 100 agrees with BM25's rk1 → fused rk1
+        [(100, 5, 0.95, 1), (100, 6, 0.90, 2), (200, 3, 0.88, 1),
+         (300, 2, 0.80, 1)],
+        "q_id long, neighbor_id long, sim double, rk int",
+    )
+    got = {
+        (r.query_id, r.rk): r.doc_id
+        for r in retrieval.hybrid_topk(sparse, dense, k=3).collect()
+    }
+    want = {
+        (r.query_id, r.rk): r.doc_id
+        for r in retrieval.rrf_fuse(
+            [
+                sparse.select("query_id", "doc_id", "rk"),
+                dense.select(
+                    F.col("q_id").alias("query_id"),
+                    F.col("neighbor_id").alias("doc_id"),
+                    "rk",
+                ),
+            ],
+            k=3,
+        ).collect()
+    }
+    assert got == want and got[(100, 1)] == 5
