@@ -206,3 +206,218 @@ def calibration_report(
         F.round(F.avg(F.col("label").cast("double")), 6).alias("observed_rate"),
         F.round(F.avg(F.pow(F.col("score") - F.col("label"), 2)), 6).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainable language classifier (r9): the fastText lang-id recipe —
+# char-n-gram hashed features + a linear one-vs-rest head — trained with
+# the SAME bounded-collect loop as `lr_train`, but all K classes jointly:
+# one iteration costs one broadcast join + one (bucket, class) aggregate
+# whose keyspace is 16^hex · K, constant in the corpus. This is the
+# trainable upgrade of the two heuristics already in the engine (the
+# stopword-density `lang_id_accuracy` contract query and
+# `functions.text.lang_guess`): char n-grams see scripts and morphology,
+# so it generalizes past any hand-listed stopword set.
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(text, n: int):
+    """All lowercased character n-grams of a text column (spaces included —
+    they carry word-boundary signal); empty array below n chars. Bound-array
+    idiom: no CSE inside HOF lambdas, so lower(text) materializes once."""
+
+    def inner(t):
+        return F.when(
+            F.length(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.substr(t, i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(F.lower(text)), inner)[0]
+
+
+def char_ngram_features(
+    docs: DataFrame, ns: tuple[int, ...] = (2, 3), hex_chars: int = DSIR_HEX
+) -> DataFrame:
+    """(doc_id, bucket, x): length-normalized hashed char-n-gram features —
+    `doc_features`' shape with character grams. One map-side-combined
+    shuffle; per-gram increment 1/total computed before the explode."""
+    grams = F.concat(*[char_ngrams(F.col("text"), n) for n in ns])
+    return (
+        docs.select("doc_id", grams.alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select(
+            "doc_id",
+            (F.lit(1.0) / F.size("gs")).alias("inc"),
+            F.explode("gs").alias("g"),
+        )
+        .select("doc_id", "inc", F.substring(F.md5("g"), 1, hex_chars).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("inc").alias("x"))
+    )
+
+
+def lang_classifier_train(
+    docs: DataFrame,
+    n_iter: int = 20,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+    hex_chars: int = DSIR_HEX,
+    ns: tuple[int, ...] = (2, 3),
+) -> dict:
+    """Train the one-vs-rest head jointly over every label in ``docs.lang``.
+
+    Returns {"weights": DataFrame(lang, bucket, w), "bias": {lang: b},
+    "langs": [...], "hex_chars": ..., "ns": ...} — a persistable model
+    (write the weights frame, json the rest).
+
+    Plan shape per iteration: the cached (doc_id, bucket, x, lang) feature
+    table joins the broadcast (bucket, lang_c, w) weight table — K weight
+    rows per bucket fan each feature row out to K class margins, so one
+    groupBy (doc_id, lang_c) yields every class's margin in ONE pass; the
+    gradient groupBy (bucket, lang_c) collects ≤ 16^hex · K rows. Driver
+    holds the K·16^hex floats between iterations (the `lr_train`
+    discipline, K-wide)."""
+    spark = docs.sparkSession
+    labeled = docs.filter(F.col("lang").isNotNull())
+    feats = char_ngram_features(labeled, ns, hex_chars)
+    fl = (
+        feats.join(labeled.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    langs = sorted(r.lang for r in fl.select("lang").distinct().collect())
+    if not langs:
+        raise ValueError("lang_classifier_train: no labeled docs")
+    n_docs = fl.select("doc_id").distinct().count()
+    classes = spark.createDataFrame([(l,) for l in langs], "lang_c string")
+
+    w: dict[tuple[str, str], float] = {}
+    bias: dict[str, float] = {l: 0.0 for l in langs}
+    for _ in range(n_iter):
+        if w:
+            wdf = spark.createDataFrame(
+                [(l, b, v) for (l, b), v in w.items()],
+                "lang_c string, bucket string, w double",
+            )
+            fanned = fl.join(
+                F.broadcast(wdf), "bucket", "left"
+            ).withColumn("w", F.coalesce(F.col("w"), F.lit(0.0)))
+            # rows whose bucket has no weights yet carry lang_c NULL — fan
+            # them to every class at weight 0 so margins stay complete
+            fanned = fanned.withColumn(
+                "lang_c", F.coalesce(F.col("lang_c"), F.lit(None))
+            )
+            missing = fanned.filter(F.col("lang_c").isNull()).drop(
+                "lang_c"
+            ).crossJoin(F.broadcast(classes))
+            fanned = fanned.filter(F.col("lang_c").isNotNull()).unionByName(
+                missing.select(*fanned.columns)
+            )
+        else:
+            fanned = fl.crossJoin(F.broadcast(classes)).withColumn(
+                "w", F.lit(0.0)
+            )
+        bias_df = spark.createDataFrame(
+            [(l, b) for l, b in bias.items()], "lang_c string, b double"
+        )
+        per = (
+            fanned.groupBy("doc_id", "lang", "lang_c")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("margin"))
+            .join(F.broadcast(bias_df), "lang_c")
+        )
+        resid = per.select(
+            "doc_id",
+            "lang_c",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("margin") + F.col("b"))))
+                - (F.col("lang") == F.col("lang_c")).cast("double")
+            ).alias("r"),
+        )
+        grad_rows = (
+            fl.join(resid, "doc_id")
+            .groupBy("bucket", "lang_c")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+            .collect()
+        )
+        grad_bias = {
+            row["lang_c"]: row["gb"]
+            for row in resid.groupBy("lang_c").agg(F.avg("r").alias("gb")).collect()
+        }
+        for row in grad_rows:
+            key = (row["lang_c"], row["bucket"])
+            w[key] = w.get(key, 0.0) - lr * (
+                row["g"] / n_docs + l2 * w.get(key, 0.0)
+            )
+        for l in langs:
+            bias[l] -= lr * grad_bias.get(l, 0.0)
+    weights = spark.createDataFrame(
+        [(l, b, v) for (l, b), v in sorted(w.items())],
+        "lang string, bucket string, w double",
+    ).localCheckpoint(eager=True)
+    return {
+        "weights": weights,
+        "bias": dict(bias),
+        "langs": list(langs),
+        "hex_chars": hex_chars,
+        "ns": tuple(ns),
+    }
+
+
+def lang_classify(
+    docs: DataFrame, model: dict, threshold: float | None = None
+) -> DataFrame:
+    """(doc_id, lang_pred, score): each doc's argmax one-vs-rest
+    probability under a trained model — serving is one broadcast join +
+    one (doc, class) aggregate + one bounded window (margin DESC, lang
+    ASC tie-break). ``threshold`` turns low-confidence predictions into
+    NULL (abstain — the lang_guess contract); a doc whose every n-gram
+    bucket is unseen scores sigmoid(bias) per class and abstains at any
+    reasonable threshold."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    feats = char_ngram_features(docs, model["ns"], model["hex_chars"])
+    wdf = model["weights"].select(
+        F.col("lang").alias("lang_c"), "bucket", "w"
+    )
+    bias_df = spark.createDataFrame(
+        [(l, b) for l, b in model["bias"].items()], "lang_c string, b double"
+    )
+    classes = spark.createDataFrame([(l,) for l in model["langs"]], "lang_c string")
+    margins = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id", "lang_c")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+    )
+    full = (
+        docs.select("doc_id")
+        .distinct()
+        .crossJoin(F.broadcast(classes))
+        .join(margins, ["doc_id", "lang_c"], "left")
+        .join(F.broadcast(bias_df), "lang_c")
+        .select(
+            "doc_id",
+            "lang_c",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.coalesce(F.col("m"), F.lit(0.0)) + F.col("b")))
+                )
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang_c")
+    best = (
+        full.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", F.col("lang_c").alias("lang_pred"), F.round("score", 6).alias("score"))
+    )
+    if threshold is not None:
+        best = best.withColumn(
+            "lang_pred",
+            F.when(F.col("score") >= F.lit(threshold), F.col("lang_pred")),
+        )
+    return best

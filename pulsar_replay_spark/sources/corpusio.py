@@ -601,6 +601,7 @@ def _warc_documents(
                         out["lang"].append(None)
                         out["source"].append(fpath)
                         out["corrupt"].append(f"gzip: {e}")
+                        out["wtype"].append(None)
                         continue
                 recs, corrupt = _split_warc_records(raw)
                 for headers, body in recs:

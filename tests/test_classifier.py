@@ -183,3 +183,116 @@ def test_calibration_report(spark, documents):
         agg[b].append((s - lab[d]) ** 2)
     for r in rep:
         assert abs(r["brier"] - round(sum(agg[r["bin"]]) / len(agg[r["bin"]]), 6)) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# r9: trainable language classifier (char-n-gram one-vs-rest head)
+# ---------------------------------------------------------------------------
+
+_LANG_SENTS = {
+    "en": ["the house is on the hill and it was warm",
+           "this is not the only way to do it",
+           "we have seen that it was good for the people",
+           "the dog and the cat are in the garden"],
+    "es": ["el perro y el gato están en la casa con los niños",
+           "esto es muy bueno para los que no tienen nada",
+           "la vida es como una caja de sorpresas para todos",
+           "los libros están sobre la mesa de madera"],
+    "de": ["der hund und die katze sind nicht in dem haus",
+           "das ist ein gutes buch für die kinder und eltern",
+           "die sonne scheint nicht auf den alten garten",
+           "ein mann ist zu dem großen haus gegangen"],
+    "fr": ["le chien et le chat sont dans la maison pour une heure",
+           "c'est une bonne chose pour les enfants qui ne dorment pas",
+           "les livres sont sur la table dans le salon",
+           "une femme est dans le jardin avec les fleurs"],
+}
+
+
+def _lang_rows():
+    rows, i = [], 0
+    for lang, sents in sorted(_LANG_SENTS.items()):
+        for s in sents:
+            rows.append((i, s, lang))
+            i += 1
+    return rows
+
+
+def _numpy_lang_train(feat_rows, doc_lang, langs, n_iter, lr, l2):
+    """Reference joint one-vs-rest GD on the exact (doc, bucket, x)
+    triples — K sigmoid columns, shared feature matrix."""
+    docs = sorted({d for d, _, _ in feat_rows})
+    buckets = sorted({b for _, b, _ in feat_rows})
+    di = {d: i for i, d in enumerate(docs)}
+    bi = {b: i for i, b in enumerate(buckets)}
+    X = np.zeros((len(docs), len(buckets)))
+    for d, b, x in feat_rows:
+        X[di[d], bi[b]] += x
+    Y = np.zeros((len(docs), len(langs)))
+    for d in docs:
+        Y[di[d], langs.index(doc_lang[d])] = 1.0
+    W = np.zeros((len(buckets), len(langs)))
+    bias = np.zeros(len(langs))
+    for _ in range(n_iter):
+        P = 1.0 / (1.0 + np.exp(-(X @ W + bias)))
+        R = P - Y
+        W -= lr * (X.T @ R / len(docs) + l2 * W)
+        bias -= lr * R.mean(axis=0)
+    return W, bias, di, bi
+
+
+def test_lang_classifier_matches_numpy_mirror_and_classifies(spark):
+    rows = _lang_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    n_iter, lr, l2 = 6, 2.0, 1e-4
+    model = classifier.lang_classifier_train(docs, n_iter=n_iter, lr=lr, l2=l2)
+    langs = model["langs"]
+    assert langs == sorted(_LANG_SENTS)
+
+    feat_rows = _collect_feats(classifier.char_ngram_features(docs))
+    doc_lang = {d: lang for d, _s, lang in rows}
+    W, bias, di, bi = _numpy_lang_train(
+        feat_rows, doc_lang, langs, n_iter, lr, l2
+    )
+    got_w = {
+        (r["lang"], r["bucket"]): r["w"] for r in model["weights"].collect()
+    }
+    for (lang, bucket), v in got_w.items():
+        assert abs(v - W[bi[bucket], langs.index(lang)]) < 1e-6
+    for lang in langs:
+        assert abs(model["bias"][lang] - bias[langs.index(lang)]) < 1e-6
+
+    # training-set classification is perfect on the separable corpus
+    pred = {
+        r["doc_id"]: r["lang_pred"]
+        for r in classifier.lang_classify(docs, model).collect()
+    }
+    assert pred == {d: lang for d, _s, lang in rows}
+
+
+def test_lang_classifier_generalizes_and_abstains(spark):
+    rows = _lang_rows()
+    train = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = classifier.lang_classifier_train(train, n_iter=10)
+    holdout = spark.createDataFrame(
+        [
+            (100, "the cat is not in the house and the dog was away", "en"),
+            (101, "los perros no están en la casa de los abuelos", "es"),
+            (102, "die kinder sind in dem garten und das ist gut", "de"),
+            (103, "les chats ne sont pas dans la maison avec une dame", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pred = {
+        r["doc_id"]: r["lang_pred"]
+        for r in classifier.lang_classify(holdout, model).collect()
+    }
+    assert pred == {100: "en", 101: "es", 102: "de", 103: "fr"}
+
+    # gibberish with unseen n-grams abstains under a threshold — every
+    # class scores ~sigmoid(bias) on a no-signal doc
+    gib = spark.createDataFrame(
+        [(900, "zzqx wqv kkjj pzt")], "doc_id long, text string"
+    )
+    out = classifier.lang_classify(gib, model, threshold=0.7).collect()[0]
+    assert out["lang_pred"] is None
