@@ -1266,3 +1266,70 @@ def scrub_boilerplate_lines(docs: DataFrame, max_doc_freq: int = 5) -> DataFrame
     (collect_list bounded by doc length, never key-global)."""
     marks = line_dedup_marks(docs, max_doc_freq)
     return _reassemble(marks, "line_idx", "line", "\n", "n_lines", "n_kept_lines")
+
+
+def span_decon_marks(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """(doc_id, starts): for each CONTAMINATED doc, the sorted distinct
+    0-based token indices where a 3-word shingle shared with ``benchmark``
+    begins. Docs with no shared shingle produce no row.
+
+    Scale shape: the benchmark shingle set broadcasts (eval suites are
+    tiny and static — the ``benchmark_overlap`` posture); the corpus side
+    contributes positioned shingles map-side and only HIT positions reach
+    the per-doc aggregate, so the shuffle is bounded by contamination, not
+    corpus size."""
+    bench_sh = doc_shingles(benchmark).select("shingle").distinct()
+    positioned = docs.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("text"))).alias("pos", "shingle"),
+    )
+    return (
+        positioned.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
+    )
+
+
+def span_decon_scrub(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Span-level decontamination: remove only the CONTAMINATED token
+    spans (every token covered by a 3-word shingle that also occurs in
+    ``benchmark``) and keep the rest of the document — the modern
+    alternative to ``benchmark_overlap``'s drop-the-whole-doc policy: an
+    encyclopedia page quoting one eval question loses the quote, not the
+    page.
+
+    Returns (doc_id, cleaned_text, n_tokens, n_kept_tokens) — EVERY input
+    doc appears; uncontaminated docs pass their text through BYTE-EXACT
+    (no split/rejoin round-trip), fully-covered docs keep an empty
+    cleaned_text (the corpus writer drops them, the
+    ``scrub_boilerplate_lines`` contract).
+
+    Plan shape: ``span_decon_marks``' hit aggregation plus ONE left join
+    of the corpus against the contaminated-docs-sized starts relation;
+    reconstruction is a per-row higher-order filter (O(tokens · hits) per
+    doc, whole-stage codegen, no token explode and no per-token shuffle)."""
+    marks = span_decon_marks(docs, benchmark)
+    toks = F.split(F.col("text"), " ")
+
+    def kept_tokens(t: "F.Column") -> "F.Column":
+        return F.filter(
+            t,
+            lambda tok, i: ~F.exists(
+                F.col("starts"), lambda s: (i >= s) & (i <= s + F.lit(2))
+            ),
+        )
+
+    joined = docs.select("doc_id", "text").join(marks, "doc_id", "left")
+    clean = F.col("starts").isNull()
+    kept = F.transform(F.array(toks), kept_tokens)[0]
+    return joined.select(
+        "doc_id",
+        F.when(clean, F.col("text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("cleaned_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.when(clean, F.size(toks))
+        .otherwise(F.size(kept))
+        .cast("bigint")
+        .alias("n_kept_tokens"),
+    )

@@ -50,6 +50,7 @@ def curate_corpus(
     compression_filter: bool = False,
     compression_bounds: tuple[float, float] = (0.15, 0.95),
     fix_text: bool = False,
+    decontaminate_policy: str = "drop",
 ) -> dict:
     """Run the full funnel; returns every stage frame plus a funnel report.
 
@@ -81,7 +82,24 @@ def curate_corpus(
     deduped = dedup.dedup_corpus(docs)
     stages.append(("deduped", deduped))
 
-    if benchmark is not None:
+    if benchmark is not None and decontaminate_policy == "scrub":
+        # r9 span policy: remove only the contaminated token spans and keep
+        # the rest of the doc — a page QUOTING one eval question loses the
+        # quote, not the page. Fully-scrubbed docs (nothing but the quote)
+        # leave the corpus; n_chars recomputed over the scrubbed text.
+        scrubbed = dedup.span_decon_scrub(deduped, benchmark)
+        decontaminated = (
+            deduped.drop("text", "n_chars")
+            .join(
+                scrubbed.select(
+                    "doc_id", F.col("cleaned_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .filter(F.length("text") > 0)
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+    elif benchmark is not None:
         overlap = dedup.benchmark_overlap(deduped, benchmark, min_overlap)
         clean_ids = overlap.filter(~F.col("contaminated")).select("doc_id")
         decontaminated = deduped.join(clean_ids, "doc_id", "left_semi")

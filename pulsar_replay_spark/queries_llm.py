@@ -1450,3 +1450,72 @@ def q_bm25_topk(spark, sf_dir):
         )
     )
     return retrieval.bm25_topk(docs, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (r9): remove only the contaminated token spans
+# (3-word shingles shared with the eval set) instead of dropping whole
+# documents. Not registered (the 50-slot contract carries the drop-policy
+# decontamination via q:`decontaminate`); oracle-gated in pytest + parity
+# --extras (x_span_scrub). The eval set derives from the corpus itself
+# (tokens 3..12 of the 3 lowest doc_ids — planted contamination by
+# construction, so the gate is load-bearing: those docs MUST lose spans).
+# ---------------------------------------------------------------------------
+SPAN_SCRUB_ORACLE = """
+WITH bench AS (
+  SELECT ROW_NUMBER() OVER () AS bid,
+         array_to_string(string_split(text, ' ')[3:12], ' ') AS text
+  FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 3)
+),
+btoks AS (
+  SELECT bid, CAST(u.i AS INT) - 1 AS i,
+         string_split(text, ' ')[CAST(u.i AS INT)] AS tok
+  FROM bench, UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+),
+bsh AS (
+  SELECT DISTINCT a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM btoks a
+  JOIN btoks b ON a.bid = b.bid AND b.i = a.i + 1
+  JOIN btoks c ON a.bid = c.bid AND c.i = a.i + 2
+),
+toks AS (
+  SELECT doc_id, CAST(u.i AS INT) - 1 AS i,
+         string_split(text, ' ')[CAST(u.i AS INT)] AS tok
+  FROM documents, UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+),
+starts AS (
+  SELECT DISTINCT t.doc_id, t.i AS s
+  FROM toks t
+  JOIN toks b ON t.doc_id = b.doc_id AND b.i = t.i + 1
+  JOIN toks c ON t.doc_id = c.doc_id AND c.i = t.i + 2
+  JOIN bsh ON t.tok || ' ' || b.tok || ' ' || c.tok = bsh.shingle
+),
+covered AS (
+  SELECT DISTINCT doc_id, s + v.d AS i
+  FROM starts, (VALUES (0), (1), (2)) AS v(d)
+),
+joined AS (
+  SELECT t.doc_id, t.i, t.tok, (c.i IS NULL) AS keep
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.i
+)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE keep), '')
+         AS cleaned_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_tokens
+FROM joined
+GROUP BY doc_id
+"""
+
+
+def q_span_scrubbed_corpus(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(tokens(F.col("text")), 3, 10), " ").alias("text"),
+        )
+    )
+    return dedup.span_decon_scrub(docs, bench)

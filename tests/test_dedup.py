@@ -771,3 +771,103 @@ def test_simhash_multi_matches_python_oracle_and_lossless_banding(spark, documen
 
     with pytest.raises(ValueError, match="fits one long"):
         dedup.simhash_multi(docs, bits=60)
+
+
+# ---------------------------------------------------------------------------
+# r9: span-level decontamination — scrub the quote, keep the page.
+# ---------------------------------------------------------------------------
+
+
+def test_span_decon_scrub_removes_exactly_the_shared_spans(spark):
+    from pulsar_replay_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            # eval sentence embedded mid-doc: only it leaves
+            (1, "intro words here which organelle is the powerhouse of the cell closing remark"),
+            # clean doc with a double space: passes through BYTE-exact
+            (2, "totally clean document with  double space"),
+            # nothing but (a prefix of) the eval sentence: fully scrubbed
+            (3, "which organelle is the powerhouse"),
+            # below shingle width: cannot be contaminated
+            (4, "ab"),
+            # two disjoint contaminated spans in one doc
+            (5, "which organelle is the start middle words then powerhouse of the cell end"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "which organelle is the powerhouse of the cell")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.span_decon_scrub(docs, bench).collect()
+    }
+    assert got[1] == ("intro words here closing remark", 13, 5)
+    assert got[2] == ("totally clean document with  double space", 7, 7)
+    assert got[3] == ("", 5, 0)
+    assert got[4] == ("ab", 1, 1)
+    # doc 5: "which organelle is the" (idx 0-3) and "powerhouse of the
+    # cell" (idx 8-11) leave; middle survives
+    assert got[5] == ("start middle words then end", 13, 5)
+    # every input doc appears
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_span_decon_scrub_plan_broadcasts_bench_side(spark):
+    from pulsar_replay_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "with some shared")], "doc_id long, text string"
+    )
+    plan = (
+        dedup.span_decon_scrub(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curate_corpus_span_scrub_policy(spark):
+    """decontaminate_policy='scrub' keeps the quoting page (minus the
+    quote) where the drop policy would discard it entirely."""
+    from pulsar_replay_spark import pipeline
+
+    filler = " ".join(f"filler{i}" for i in range(30))
+    quote = "the capital of france is paris since the middle ages period"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler} {quote}", "web"),
+            (2, "a clean unrelated document about sailing boats at sea", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([(900, quote)], "doc_id long, text string")
+
+    dropped = pipeline.curate_corpus(
+        docs, benchmark=bench, budget_tokens=1_000, min_overlap=8
+    )
+    drop_stages = {r.stage: r.n_docs for r in dropped["report"].collect()}
+    assert drop_stages["decontaminated"] == 1  # doc 1 discarded wholesale
+
+    scrubbed = pipeline.curate_corpus(
+        docs,
+        benchmark=bench,
+        budget_tokens=1_000,
+        min_overlap=8,
+        decontaminate_policy="scrub",
+    )
+    stages = {r.stage: r.n_docs for r in scrubbed["report"].collect()}
+    assert stages["decontaminated"] == 2  # doc 1 kept, quote removed
+    texts = {
+        r.doc_id: r.text for r in scrubbed["decontaminated"].collect()
+    }
+    assert texts[1] == filler
+    assert "paris" not in texts[1]

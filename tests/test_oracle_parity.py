@@ -404,3 +404,21 @@ def test_bm25_matches_oracle(spark, duck):
     ddf = duck.execute(BM25_ORACLE).df()
     problems = compare(sdf, ddf)
     assert not problems, f"bm25: {problems}"
+
+
+def test_span_scrub_matches_oracle(spark, duck):
+    """r9 span-level decontamination: scrub only the contaminated token
+    spans (eval shingles planted from the corpus's own lowest doc_ids —
+    load-bearing: those docs MUST lose spans); pytest-tier oracle + parity
+    --extras (x_span_scrub)."""
+    from pulsar_replay_spark.queries_llm import (
+        SPAN_SCRUB_ORACLE,
+        q_span_scrubbed_corpus,
+    )
+
+    sdf = q_span_scrubbed_corpus(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(SPAN_SCRUB_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"span_scrub: {problems}"
+    # load-bearing: at least the three planted source docs lost tokens
+    assert (sdf["n_kept_tokens"] < sdf["n_tokens"]).sum() >= 3

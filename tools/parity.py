@@ -111,6 +111,7 @@ def extra_oracles() -> dict:
         "x_minhash_24": (ql.q_minhash_pairs_24, ql.MINHASH_24_ORACLE),
         "x_bitext": (ql.q_bitext_mine, ql.BITEXT_ORACLE),
         "x_line_scrub": (ql.q_line_scrubbed_corpus, ql.LINE_SCRUB_ORACLE),
+        "x_span_scrub": (ql.q_span_scrubbed_corpus, ql.SPAN_SCRUB_ORACLE),
         "x_bm25": (ql.q_bm25_topk, ql.BM25_ORACLE),
         "x_q4": (qr.q4_order_priority, qr.Q4_ORACLE),
         "x_q17": (qr.q17_small_quantity_revenue, qr.Q17_ORACLE),
