@@ -1125,6 +1125,9 @@ def curation_ingest_sink(
     checkpoint_dir: str,
     score_fn,
     threshold: float,
+    benchmark: DataFrame | None = None,
+    decontaminate_policy: str = "drop",
+    min_overlap: int = 8,
 ):
     """Per micro-batch:
 
@@ -1135,8 +1138,16 @@ def curation_ingest_sink(
     2. near dedup — probe the persisted LSH band index
        (``incremental_minhash_pairs``): a batch doc pairing with ANY prior
        accepted doc is dropped, within-batch pairs keep the smaller doc_id;
+    2b. (r9, when ``benchmark`` is given) continuous decontamination
+       against the FIXED eval suite: policy "drop" discards contaminated
+       docs (``benchmark_overlap`` ≥ ``min_overlap``); policy "scrub"
+       removes only the contaminated token spans (``span_decon_scrub``) —
+       both are per-doc decisions against a static benchmark, so the
+       streamed result ≡ the one-shot funnel's stage on the same docs
+       (pinned in tests);
     3. quality — ``score_fn(docs) -> (doc_id, score)`` (e.g. a pinned
-       ``dsir_score`` or ``lr_score`` artifact); admit ``score >= threshold``.
+       ``dsir_score`` or ``lr_score`` artifact); admit ``score >= threshold``
+       — scored on the post-scrub text, the funnel's stage order.
 
     Writes two idempotent batch_id partitions: accepted docs (+ text hash)
     and the accepted docs' OWN index buckets — rejected docs are never
@@ -1200,6 +1211,38 @@ def curation_ingest_sink(
             .alias("doc_id")
         ).distinct()
         survivors = fresh.join(dropped, "doc_id", "left_anti")
+
+        if benchmark is not None and decontaminate_policy == "scrub":
+            from pulsar_replay_spark.operators.dedup import span_decon_scrub
+
+            scrubbed = span_decon_scrub(
+                survivors.select("doc_id", "text"), benchmark
+            )
+            survivors = (
+                survivors.drop("text")
+                .join(
+                    scrubbed.select(
+                        "doc_id", F.col("cleaned_text").alias("text")
+                    ),
+                    "doc_id",
+                )
+                .filter(F.length("text") > 0)
+            )
+            if "n_chars" in survivors.columns:
+                survivors = survivors.withColumn(
+                    "n_chars", F.length("text").cast("long")
+                )
+        elif benchmark is not None:
+            from pulsar_replay_spark.operators.dedup import benchmark_overlap
+
+            overlap = benchmark_overlap(
+                survivors.select("doc_id", "text"), benchmark, min_overlap
+            )
+            survivors = survivors.join(
+                overlap.filter(~F.col("contaminated")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
 
         scores = score_fn(survivors)
         accepted = survivors.join(

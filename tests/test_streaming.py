@@ -1824,3 +1824,78 @@ def test_encode_ingest_sink_matches_one_shot(spark, tmp_path, documents):
         for r in read_encoded_store(spark, store).collect()
     }
     assert again == want
+
+
+def test_curation_ingest_sink_continuous_decontamination(spark, tmp_path_factory):
+    """r9: the sink's decontamination stage against a FIXED eval suite —
+    policy 'scrub' stores the quoting doc minus the quote (scored on the
+    post-scrub text), policy 'drop' discards it; both are per-doc decisions
+    so the streamed store matches the one-shot op on the same docs."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pulsar_replay_spark.functions.text import token_count
+    from pulsar_replay_spark.operators.dedup import span_decon_scrub
+
+    filler = " ".join(f"filler{i}" for i in range(30))
+    filler_b = " ".join(f"otherword{i}" for i in range(30))
+    quote = "the capital of france is paris since the middle ages period"
+    rows_b0 = [
+        {"doc_id": 1, "text": f"{filler} {quote}", "lang": "en",
+         "source": "web", "n_chars": 1},
+        {"doc_id": 2, "text": "a clean long document " + filler_b, "lang": "en",
+         "source": "web", "n_chars": 1},
+    ]
+    rows_b1 = [
+        {"doc_id": 3, "text": quote, "lang": "en",  # nothing but the quote
+         "source": "web", "n_chars": 1},
+        {"doc_id": 4, "text": "another clean piece " + " ".join(
+            f"third{i}" for i in range(30)), "lang": "en",
+         "source": "web", "n_chars": 1},
+    ]
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+         ("source", pa.string()), ("n_chars", pa.int64())]
+    )
+    bench = spark.createDataFrame([(900, quote)], "doc_id long, text string")
+
+    def run(policy):
+        src = str(tmp_path_factory.mktemp(f"decon_src_{policy}"))
+        now = time.time()
+        for i, b in enumerate([rows_b0, rows_b1]):
+            pq.write_table(pa.Table.from_pylist(b, schema=schema),
+                           f"{src}/b{i}.parquet")
+            os.utime(f"{src}/b{i}.parquet", (now + i, now + i))
+        acc = str(tmp_path_factory.mktemp(f"decon_acc_{policy}"))
+        idx = str(tmp_path_factory.mktemp(f"decon_idx_{policy}"))
+        ck = str(tmp_path_factory.mktemp(f"decon_ck_{policy}"))
+
+        def score_fn(df):
+            return df.select(
+                "doc_id", token_count(F.col("text")).cast("double").alias("score")
+            )
+
+        pipelines.curation_ingest_sink(
+            pipelines.documents_stream(spark, src), acc, idx, ck,
+            score_fn, threshold=5.0,
+            benchmark=bench, decontaminate_policy=policy, min_overlap=8,
+        ).awaitTermination()
+        return {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(acc).collect()}
+
+    scrubbed = run("scrub")
+    # quoting doc kept minus the quote; quote-only doc fully scrubbed out
+    assert set(scrubbed) == {1, 2, 4}
+    assert scrubbed[1] == filler and "paris" not in scrubbed[1]
+    # streamed text == the one-shot span scrub of the same doc
+    one_shot = span_decon_scrub(
+        spark.createDataFrame([(1, f"{filler} {quote}")], "doc_id long, text string"),
+        bench,
+    ).collect()[0]["cleaned_text"]
+    assert scrubbed[1] == one_shot
+
+    dropped = run("drop")
+    assert set(dropped) == {2, 4}  # the quoting doc discarded wholesale
