@@ -436,6 +436,24 @@ def main() -> None:
             lambda: _noop_write(textnorm.repair_corpus(docs)),
         )
 
+        # r9: span-level decontamination — eval docs derive from the corpus
+        # (the q_span_scrubbed_corpus recipe), so the row is load-bearing
+        span_bench = (
+            docs.orderBy("doc_id")
+            .limit(3)
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.slice(F.split(F.col("text"), " "), 3, 10), " "
+                ).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        timed_op(
+            "span_scrub_corpus",
+            lambda: _noop_write(dd.span_decon_scrub(docs, span_bench)),
+        )
+
         # r9: the maintained postings store — build once (idempotent, so
         # repeated reps overwrite themselves), then serve the SAME query
         # batch from the index. The serve row is the repeated-query-batch

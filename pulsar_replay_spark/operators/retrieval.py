@@ -493,7 +493,12 @@ def postings_index_build(
     (
         postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
         .withColumn("batch_id", F.lit(int(batch_id)))
-        .repartition("term_bucket")
+        # repartition on (bucket, term), NOT bucket alone: bucket-only
+        # would cap write parallelism at n_buckets tasks — a bottleneck on
+        # a large cluster. Hashing the term in keeps full parallelism;
+        # partitionBy still routes rows to their bucket directory (more
+        # files per dir per batch — the compactor's job to fold)
+        .repartition(F.col("term_bucket"), F.col("term"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "term_bucket")

@@ -2474,7 +2474,7 @@ def postings_compact(
         post = post.join(keep_terms, "term", "semi")
     (
         post.withColumn("batch_id", F.lit(-1))
-        .repartition("term_bucket")
+        .repartition(F.col("term_bucket"), F.col("term"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "term_bucket")
@@ -2513,7 +2513,7 @@ def postings_index_expire(
         .withColumn("batch_id", F.lit(-1))
     )
     (
-        post.repartition("term_bucket")
+        post.repartition(F.col("term_bucket"), F.col("term"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "term_bucket")
