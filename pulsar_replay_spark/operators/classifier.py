@@ -421,3 +421,42 @@ def lang_classify(
             F.when(F.col("score") >= F.lit(threshold), F.col("lang_pred")),
         )
     return best
+
+
+def save_lang_model(model: dict, path: str) -> None:
+    """Persist a ``lang_classifier_train`` model: the (lang, bucket, w)
+    weight frame as parquet + a one-row json-ish params frame (bias map,
+    langs, hex_chars, ns) — everything ``load_lang_model`` needs to serve
+    on another session/cluster."""
+    import json as _json
+
+    spark = model["weights"].sparkSession
+    model["weights"].write.mode("overwrite").parquet(f"{path}/weights")
+    params = _json.dumps(
+        {
+            "bias": model["bias"],
+            "langs": model["langs"],
+            "hex_chars": model["hex_chars"],
+            "ns": list(model["ns"]),
+        }
+    )
+    spark.createDataFrame([(params,)], "params string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def load_lang_model(spark, path: str) -> dict:
+    """Inverse of ``save_lang_model`` — classification under a loaded
+    model is pinned byte-equal to the in-memory one."""
+    import json as _json
+
+    params = _json.loads(
+        spark.read.parquet(f"{path}/params").head().params
+    )
+    return {
+        "weights": spark.read.parquet(f"{path}/weights"),
+        "bias": dict(params["bias"]),
+        "langs": list(params["langs"]),
+        "hex_chars": int(params["hex_chars"]),
+        "ns": tuple(params["ns"]),
+    }

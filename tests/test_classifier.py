@@ -296,3 +296,21 @@ def test_lang_classifier_generalizes_and_abstains(spark):
     )
     out = classifier.lang_classify(gib, model, threshold=0.7).collect()[0]
     assert out["lang_pred"] is None
+
+
+def test_lang_model_save_load_roundtrip(spark, tmp_path):
+    """A persisted model classifies byte-identically to the in-memory
+    one — the persistable-artifact claim, pinned."""
+    rows = _lang_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = classifier.lang_classifier_train(docs, n_iter=4)
+    path = str(tmp_path / "lang_model")
+    classifier.save_lang_model(model, path)
+    loaded = classifier.load_lang_model(spark, path)
+    assert loaded["langs"] == model["langs"]
+    assert loaded["bias"] == pytest.approx(model["bias"])
+    a = {(r.doc_id, r.lang_pred, r.score)
+         for r in classifier.lang_classify(docs, model).collect()}
+    b = {(r.doc_id, r.lang_pred, r.score)
+         for r in classifier.lang_classify(docs, loaded).collect()}
+    assert a == b
