@@ -366,15 +366,29 @@ def lang_classifier_train(
 
 
 def lang_classify(
-    docs: DataFrame, model: dict, threshold: float | None = None
+    docs: DataFrame,
+    model: dict,
+    threshold: float | None = None,
+    min_coverage: float = 0.2,
 ) -> DataFrame:
-    """(doc_id, lang_pred, score): each doc's argmax one-vs-rest
-    probability under a trained model — serving is one broadcast join +
-    one (doc, class) aggregate + one bounded window (margin DESC, lang
-    ASC tie-break). ``threshold`` turns low-confidence predictions into
-    NULL (abstain — the lang_guess contract); a doc whose every n-gram
-    bucket is unseen scores sigmoid(bias) per class and abstains at any
-    reasonable threshold."""
+    """(doc_id, lang_pred, score): each doc's argmax class under a trained
+    model — serving is one broadcast join + one (doc, class) aggregate +
+    one bounded window (logit DESC, lang ASC tie-break).
+
+    ``score`` is the SOFTMAX SHARE of the winning class over all class
+    logits (margin + bias), not the raw one-vs-rest sigmoid: the sigmoid's
+    absolute level tracks training calibration (an underfit model says
+    ~0.25 to everything, an overshot one ~0.75 to everything) while the
+    share measures what a confidence should — how much the winner
+    separates from the field; ``threshold`` turns sub-threshold
+    predictions into NULL (the lang_guess contract).
+
+    ``coverage`` — the fraction of the doc's (unit-normalized) n-gram mass
+    landing in buckets the model trained on — is the out-of-vocabulary
+    abstain signal (the fastText OOV story): gibberish or an unseen script
+    has coverage ≈ 0 no matter how confident the biases look, and
+    predictions below ``min_coverage`` abstain REGARDLESS of score. It
+    rides the output so callers can tune the floor."""
     from pyspark.sql.window import Window
 
     spark = docs.sparkSession
@@ -391,7 +405,13 @@ def lang_classify(
         .groupBy("doc_id", "lang_c")
         .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
     )
-    full = (
+    wbuckets = model["weights"].select("bucket").distinct()
+    cov = (
+        feats.join(F.broadcast(wbuckets), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("x").alias("coverage"))
+    )
+    logits = (
         docs.select("doc_id")
         .distinct()
         .crossJoin(F.broadcast(classes))
@@ -400,27 +420,37 @@ def lang_classify(
         .select(
             "doc_id",
             "lang_c",
-            (
-                F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(-(F.coalesce(F.col("m"), F.lit(0.0)) + F.col("b")))
-                )
-            ).alias("score"),
+            (F.coalesce(F.col("m"), F.lit(0.0)) + F.col("b")).alias("z"),
         )
     )
-    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang_c")
+    wdoc = Window.partitionBy("doc_id")
+    # numerically-stable softmax share: exp(z - max_z) / Σ exp(z - max_z)
+    shared = logits.withColumn("_zmax", F.max("z").over(wdoc)).withColumn(
+        "_e", F.exp(F.col("z") - F.col("_zmax"))
+    )
+    shared = shared.withColumn(
+        "score", F.col("_e") / F.sum("_e").over(wdoc)
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("z"), "lang_c")
     best = (
-        full.withColumn("_rk", F.row_number().over(win))
+        shared.withColumn("_rk", F.row_number().over(win))
         .filter(F.col("_rk") == 1)
-        .select("doc_id", F.col("lang_c").alias("lang_pred"), F.round("score", 6).alias("score"))
-    )
-    if threshold is not None:
-        best = best.withColumn(
-            "lang_pred",
-            F.when(F.col("score") >= F.lit(threshold), F.col("lang_pred")),
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lang_c").alias("lang_pred"),
+            F.round("score", 6).alias("score"),
+            F.round(F.coalesce(F.col("coverage"), F.lit(0.0)), 6).alias(
+                "coverage"
+            ),
         )
-    return best
+    )
+    abstain = F.col("coverage") < F.lit(min_coverage)
+    if threshold is not None:
+        abstain = abstain | (F.col("score") < F.lit(threshold))
+    return best.withColumn(
+        "lang_pred", F.when(~abstain, F.col("lang_pred"))
+    )
 
 
 def save_lang_model(model: dict, path: str) -> None:
@@ -460,3 +490,30 @@ def load_lang_model(spark, path: str) -> dict:
         "hex_chars": int(params["hex_chars"]),
         "ns": tuple(params["ns"]),
     }
+
+
+def enrich_lang(
+    docs: DataFrame,
+    model: dict,
+    threshold: float | None = None,
+    min_coverage: float = 0.2,
+) -> DataFrame:
+    """Fill NULL ``lang`` rows via a trained model — the operational
+    composition with the corpus front doors: raw-WARC `response` records
+    land lang-less (see ``sources/corpusio``; the heuristic `lang_guess`
+    fills confident cases), and this upgrades the remainder under a
+    trained head. Only NULL-lang docs are classified (bounded work);
+    labeled rows pass through untouched; low-coverage (OOV) and
+    sub-threshold predictions stay NULL. Column set is preserved."""
+    cols = docs.columns
+    preds = lang_classify(
+        docs.filter(F.col("lang").isNull()).select("doc_id", "text"),
+        model,
+        threshold,
+        min_coverage,
+    )
+    return (
+        docs.join(preds.select("doc_id", "lang_pred"), "doc_id", "left")
+        .withColumn("lang", F.coalesce(F.col("lang"), F.col("lang_pred")))
+        .select(*cols)
+    )

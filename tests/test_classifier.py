@@ -289,13 +289,20 @@ def test_lang_classifier_generalizes_and_abstains(spark):
     }
     assert pred == {100: "en", 101: "es", 102: "de", 103: "fr"}
 
-    # gibberish with unseen n-grams abstains under a threshold — every
-    # class scores ~sigmoid(bias) on a no-signal doc
+    # gibberish abstains on FEATURE COVERAGE: its n-gram buckets are
+    # unseen, so coverage ~ 0 regardless of how the biases score
     gib = spark.createDataFrame(
         [(900, "zzqx wqv kkjj pzt")], "doc_id long, text string"
     )
-    out = classifier.lang_classify(gib, model, threshold=0.7).collect()[0]
-    assert out["lang_pred"] is None
+    out = classifier.lang_classify(gib, model).collect()[0]
+    assert out["lang_pred"] is None and out["coverage"] < 0.2
+    # real holdout text is well-covered by the trained vocabulary
+    covs = {r.doc_id: r.coverage
+            for r in classifier.lang_classify(holdout, model).collect()}
+    assert all(c > 0.5 for c in covs.values())
+    # a score threshold stacks on top of the coverage floor
+    thr = classifier.lang_classify(holdout, model, threshold=1.01).collect()
+    assert all(r.lang_pred is None for r in thr)
 
 
 def test_lang_model_save_load_roundtrip(spark, tmp_path):
@@ -314,3 +321,26 @@ def test_lang_model_save_load_roundtrip(spark, tmp_path):
     b = {(r.doc_id, r.lang_pred, r.score)
          for r in classifier.lang_classify(docs, loaded).collect()}
     assert a == b
+
+
+def test_enrich_lang_fills_only_null_rows(spark):
+    """The front-door composition: NULL-lang docs get the model's
+    prediction, labeled docs pass through verbatim, low-confidence stays
+    NULL, and the column set is unchanged."""
+    model = classifier.lang_classifier_train(
+        spark.createDataFrame(_lang_rows(), "doc_id long, text string, lang string"),
+        n_iter=10,
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "los perros no están en la casa de los abuelos", None, "w", 1),
+            (2, "the cat is not in the house and the dog was away", None, "w", 1),
+            (3, "whatever text", "ja", "w", 1),  # labeled: untouched
+            (4, "zzqx wqv kkjj pzt", None, "w", 1),  # OOV: low coverage
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = classifier.enrich_lang(docs, model)
+    assert out.columns == docs.columns
+    got = {r.doc_id: r.lang for r in out.collect()}
+    assert got == {1: "es", 2: "en", 3: "ja", 4: None}
