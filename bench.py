@@ -16,6 +16,17 @@ import re
 import sys
 import time
 
+# Idle-box calibration anchors (BENCH_r08, the last known-uncontended
+# official recording). The numpy matmul is engine-independent: when the
+# measured anchor deviates >CONTENTION_RATIO_LIMIT from this baseline the
+# host is oversubscribed and the whole artifact shifts with it, so the
+# recording is annotated contended:true rather than read as a code
+# regression (the r9 record was burned exactly this way: anchor
+# 0.0405 -> 0.197 s, every untouched row +26-92%).
+ANCHOR_NUMPY_MATMUL_1K_SEC = 0.0405
+ANCHOR_JVM_RANGE_SUM_SEC = 0.348
+CONTENTION_RATIO_LIMIT = 2.0
+
 HEADLINE = [
     "capture_pipeline",
     "per_topic_limit",
@@ -43,7 +54,11 @@ HEADLINE = [
     # are visible round over round
     "near_dup_clusters",
     "dedup_corpus_stats",
-    "scrubbed_corpus",
+    # r10: scrubbed_corpus (fixed-window chunk scrub) ceded its contract
+    # slot and its bench row to dup_span_scrub — the any-length
+    # exact-substring scrub (Lee et al. 2107.06499) whose positioned-k-gram
+    # shuffle is the steeper-scaling successor of the same family
+    "dup_span_scrub",
     # r8: perceptual dHash joined the contract (image_near_dup_pairs took
     # q18's slot) — benched with the dedup family so the banded-hamming
     # serving path's regressions stay visible
@@ -122,22 +137,54 @@ def main() -> None:
     # these shift with it, so cross-round deltas can be read relative to
     # the anchor instead of blamed on code.
     calibration: dict[str, float] = {}
+    contended = False
     try:
         import statistics as _st
 
-        jvm_s, np_s = [], []
         import numpy as _np
 
         _m = _np.random.default_rng(0).standard_normal((1024, 1024))
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.range(50_000_000).selectExpr("sum(id * 2) as s").collect()
-            jvm_s.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            (_m @ _m).sum()
-            np_s.append(time.perf_counter() - t0)
-        calibration["jvm_range_sum_sec"] = round(_st.median(jvm_s), 3)
-        calibration["numpy_matmul_1k_sec"] = round(_st.median(np_s), 4)
+
+        def _anchor_pass():
+            jvm_s, np_s = [], []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spark.range(50_000_000).selectExpr("sum(id * 2) as s").collect()
+                jvm_s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                (_m @ _m).sum()
+                np_s.append(time.perf_counter() - t0)
+            return _st.median(jvm_s), _st.median(np_s)
+
+        jvm_med, np_med = _anchor_pass()
+        # Contention guard (r9 verdict "What's wrong" #1): the r9 official
+        # record was silently taken on a ~5x oversubscribed host (numpy
+        # anchor 0.0405 -> 0.197 s) and burned a round of trend data. The
+        # numpy anchor never depends on engine code, so a >2x deviation
+        # from the idle-box baseline means HOST CONTENTION, not a
+        # regression. Retry once after a pause (transient spikes), then
+        # annotate the artifact loudly instead of refusing — the driver's
+        # per-round run must still produce a record.
+        if np_med > ANCHOR_NUMPY_MATMUL_1K_SEC * CONTENTION_RATIO_LIMIT:
+            time.sleep(5)
+            jvm2, np2 = _anchor_pass()
+            if np2 < np_med:
+                jvm_med, np_med = jvm2, np2
+        calibration["jvm_range_sum_sec"] = round(jvm_med, 3)
+        calibration["numpy_matmul_1k_sec"] = round(np_med, 4)
+        calibration["numpy_anchor_ratio"] = round(
+            np_med / ANCHOR_NUMPY_MATMUL_1K_SEC, 2
+        )
+        if np_med > ANCHOR_NUMPY_MATMUL_1K_SEC * CONTENTION_RATIO_LIMIT:
+            contended = True
+            print(
+                "WARNING bench.py: calibration anchor numpy_matmul_1k "
+                f"{np_med:.4f}s is {np_med / ANCHOR_NUMPY_MATMUL_1K_SEC:.1f}x "
+                f"the idle-box baseline {ANCHOR_NUMPY_MATMUL_1K_SEC}s — host "
+                "is contended; this recording is NOT a trustable trend "
+                "point (marked contended:true)",
+                file=sys.stderr,
+            )
     except Exception as e:  # noqa: BLE001
         errors["calibration"] = f"{type(e).__name__}: {e}"[:400]
 
@@ -493,7 +540,10 @@ def main() -> None:
             ),
         )
     except Exception as e:  # noqa: BLE001
-        errors["llm_ops_r8"] = f"{type(e).__name__}: {e}"[:400]
+        # this fenced block carries the r8 encode rows AND the r9 rows
+        # (unicode_repair, span_scrub, bm25 store) — name the key for the
+        # block, not a round, so a failure isn't mislabeled
+        errors["llm_ops_block2"] = f"{type(e).__name__}: {e}"[:400]
 
     total = round(sum(times.values()), 3)
 
@@ -535,6 +585,7 @@ def main() -> None:
         # the tier was only normalizable via the calibration anchor)
         "llm_ops_spread": {k: v for k, v in spread.items() if k in llm_ops},
         "calibration": calibration,
+        "contended": contended,
         "index_build": index_build,
         "llm_ops": llm_ops,
         "throughput": throughput,
@@ -567,6 +618,8 @@ def main() -> None:
         "sf": sf,
         "detail": detail_path,
     }
+    if contended:
+        out["contended"] = True
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
     line = json.dumps(out)

@@ -238,8 +238,21 @@ def char_ngrams(text, n: int):
     return F.transform(F.array(F.lower(text)), inner)[0]
 
 
+# Lang models hash into a LARGER space than DSIR/quality features: the
+# coverage-based OOV abstain only works while trained buckets are SPARSE in
+# the hash space. At 16^3 = 4096 buckets any non-toy corpus populates
+# essentially every bucket, so every input — gibberish included — lands on
+# trained buckets and coverage saturates at ~1.0 (the fastText analogue:
+# its 2M-bucket table stays sparse for the same reason). 16^5 ≈ 1M buckets
+# keeps a real char-2/3-gram vocabulary (tens of thousands of grams) at
+# ~1-5% occupancy, so unseen-script coverage ≈ occupancy ≈ 0. Cost is
+# unchanged: every per-iteration collect and the weight table are bounded
+# by DISTINCT TRAINED grams, not by the hash space.
+LANG_HEX = 5
+
+
 def char_ngram_features(
-    docs: DataFrame, ns: tuple[int, ...] = (2, 3), hex_chars: int = DSIR_HEX
+    docs: DataFrame, ns: tuple[int, ...] = (2, 3), hex_chars: int = LANG_HEX
 ) -> DataFrame:
     """(doc_id, bucket, x): length-normalized hashed char-n-gram features —
     `doc_features`' shape with character grams. One map-side-combined
@@ -264,7 +277,7 @@ def lang_classifier_train(
     n_iter: int = 20,
     lr: float = 2.0,
     l2: float = 1e-4,
-    hex_chars: int = DSIR_HEX,
+    hex_chars: int = LANG_HEX,
     ns: tuple[int, ...] = (2, 3),
 ) -> dict:
     """Train the one-vs-rest head jointly over every label in ``docs.lang``.
@@ -277,9 +290,10 @@ def lang_classifier_train(
     table joins the broadcast (bucket, lang_c, w) weight table — K weight
     rows per bucket fan each feature row out to K class margins, so one
     groupBy (doc_id, lang_c) yields every class's margin in ONE pass; the
-    gradient groupBy (bucket, lang_c) collects ≤ 16^hex · K rows. Driver
-    holds the K·16^hex floats between iterations (the `lr_train`
-    discipline, K-wide)."""
+    gradient groupBy (bucket, lang_c) collects ≤ |distinct trained grams|·K
+    rows (the corpus's char-n-gram vocabulary, NOT the 16^hex hash space —
+    only occupied buckets appear in the feature table). Driver holds those
+    same floats between iterations (the `lr_train` discipline, K-wide)."""
     spark = docs.sparkSession
     labeled = docs.filter(F.col("lang").isNotNull())
     feats = char_ngram_features(labeled, ns, hex_chars)
@@ -297,25 +311,18 @@ def lang_classifier_train(
     bias: dict[str, float] = {l: 0.0 for l in langs}
     for _ in range(n_iter):
         if w:
+            # after the first gradient collect, w holds EVERY (class,
+            # bucket) pair of the cached feature table (the gradient
+            # groupBy fans each bucket to all K classes), so this inner
+            # join is complete — no missing-bucket fan-out needed
             wdf = spark.createDataFrame(
                 [(l, b, v) for (l, b), v in w.items()],
                 "lang_c string, bucket string, w double",
             )
-            fanned = fl.join(
-                F.broadcast(wdf), "bucket", "left"
-            ).withColumn("w", F.coalesce(F.col("w"), F.lit(0.0)))
-            # rows whose bucket has no weights yet carry lang_c NULL — fan
-            # them to every class at weight 0 so margins stay complete
-            fanned = fanned.withColumn(
-                "lang_c", F.coalesce(F.col("lang_c"), F.lit(None))
-            )
-            missing = fanned.filter(F.col("lang_c").isNull()).drop(
-                "lang_c"
-            ).crossJoin(F.broadcast(classes))
-            fanned = fanned.filter(F.col("lang_c").isNotNull()).unionByName(
-                missing.select(*fanned.columns)
-            )
+            fanned = fl.join(F.broadcast(wdf), "bucket")
         else:
+            # iteration 1: all weights are zero — fan every feature row to
+            # every class directly
             fanned = fl.crossJoin(F.broadcast(classes)).withColumn(
                 "w", F.lit(0.0)
             )
@@ -370,6 +377,7 @@ def lang_classify(
     model: dict,
     threshold: float | None = None,
     min_coverage: float = 0.2,
+    coverage_w_floor: float = 0.0,
 ) -> DataFrame:
     """(doc_id, lang_pred, score): each doc's argmax class under a trained
     model — serving is one broadcast join + one (doc, class) aggregate +
@@ -385,10 +393,19 @@ def lang_classify(
 
     ``coverage`` — the fraction of the doc's (unit-normalized) n-gram mass
     landing in buckets the model trained on — is the out-of-vocabulary
-    abstain signal (the fastText OOV story): gibberish or an unseen script
-    has coverage ≈ 0 no matter how confident the biases look, and
-    predictions below ``min_coverage`` abstain REGARDLESS of score. It
-    rides the output so callers can tune the floor."""
+    abstain signal (the fastText OOV story): predictions below
+    ``min_coverage`` abstain REGARDLESS of score. Coverage ≈ 0 for
+    gibberish/unseen scripts ONLY while trained buckets stay sparse in the
+    hash space — that is why lang models default to ``LANG_HEX`` (16^5
+    buckets). A model trained at a small hash space (e.g. the DSIR 16^3
+    default) SATURATES: every bucket carries weight, every input covers
+    ≈ 1.0, and ``min_coverage`` never abstains
+    (test_lang_coverage_saturation pins both regimes). For such models,
+    ``coverage_w_floor`` > 0 restricts the covering set to buckets whose
+    max class |w| exceeds the floor — a partial mitigation (discriminative
+    grams keep large weights; incidental traffic decays under L2), not a
+    substitute for a sparse hash space. It rides the output so callers can
+    tune the floor."""
     from pyspark.sql.window import Window
 
     spark = docs.sparkSession
@@ -405,7 +422,19 @@ def lang_classify(
         .groupBy("doc_id", "lang_c")
         .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
     )
-    wbuckets = model["weights"].select("bucket").distinct()
+    if coverage_w_floor > 0.0:
+        wbuckets = (
+            model["weights"]
+            .groupBy("bucket")
+            .agg(F.max(F.abs(F.col("w"))).alias("_mw"))
+            .filter(F.col("_mw") > F.lit(float(coverage_w_floor)))
+            .select("bucket")
+        )
+    else:
+        # default: every TRAINED bucket covers (weights can legitimately
+        # sit at exactly 0.0 — e.g. cancelling first-iteration gradients —
+        # and those grams were still seen in training)
+        wbuckets = model["weights"].select("bucket").distinct()
     cov = (
         feats.join(F.broadcast(wbuckets), "bucket")
         .groupBy("doc_id")
@@ -497,6 +526,7 @@ def enrich_lang(
     model: dict,
     threshold: float | None = None,
     min_coverage: float = 0.2,
+    coverage_w_floor: float = 0.0,
 ) -> DataFrame:
     """Fill NULL ``lang`` rows via a trained model — the operational
     composition with the corpus front doors: raw-WARC `response` records
@@ -511,6 +541,7 @@ def enrich_lang(
         model,
         threshold,
         min_coverage,
+        coverage_w_floor,
     )
     return (
         docs.join(preds.select("doc_id", "lang_pred"), "doc_id", "left")

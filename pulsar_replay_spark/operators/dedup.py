@@ -1333,3 +1333,167 @@ def span_decon_scrub(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Any-length exact-substring dedup (r10): the Lee et al. "Deduplicating
+# Training Data Makes Language Models Better" (arXiv:2107.06499) family —
+# find every duplicated token span of length ≥ min_tokens with EXACT
+# boundaries, at any alignment, and scrub all-but-one occurrence. This is
+# the granularity `chunk_dedup_marks` cannot reach: its fixed non-
+# overlapping windows miss any repeat that straddles a window boundary or
+# sits at a different offset in each copy.
+#
+# The paper's tool is a single-node suffix array: sort all corpus suffixes,
+# then adjacent suffixes sharing a ≥k-token prefix reveal the duplicated
+# spans. That sort is the wrong primitive on a cluster (shuffling suffixes
+# moves O(corpus²) bytes). The Spark-native equivalent rests on a coverage
+# lemma: a token lies inside SOME duplicated span of length ≥ k  ⇔  it is
+# covered by a duplicated k-gram. (⇐ a duplicated k-gram IS such a span;
+# ⇒ any length-L ≥ k duplicated span covers each of its tokens with at
+# least one of its k-windows, and every window of a repeat is itself a
+# repeat.) So ONE positioned-k-gram shuffle — each row (md5(k-gram),
+# doc_id, pos), 16-byte key, linear in corpus tokens — computes exactly
+# the duplicated-span coverage the suffix array would, and merging the
+# covered [pos, pos+k-1] intervals per doc recovers the maximal spans with
+# exact boundaries. Sub-k fragments BETWEEN merged spans survive, matching
+# the paper's semantics (repeats shorter than the threshold are kept).
+# ---------------------------------------------------------------------------
+
+
+def _positioned_kgram_hashes(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gh): md5 of every k-token window at 0-based token
+    position ``pos``. Docs shorter than k tokens emit nothing (they cannot
+    contain a ≥k-token repeat). The hash — never the gram text — is what
+    shuffles."""
+    toks = docs.select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("t")
+    )
+    win = F.transform(
+        F.sequence(F.lit(0), F.size("t") - k),
+        lambda i: F.md5(F.array_join(F.slice("t", i + 1, k), " ")),
+    )
+    return toks.filter(F.size("t") >= k).select(
+        "doc_id", F.posexplode(win).alias("pos", "gh")
+    )
+
+
+def dup_span_marks(
+    docs: DataFrame, min_tokens: int = 20, keep: str = "first"
+) -> DataFrame:
+    """(doc_id, spans: array<struct<start,end>>, n_dup_tokens): each doc's
+    MAXIMAL duplicated-span intervals (0-based token indices, inclusive) of
+    length ≥ ``min_tokens`` — only docs with ≥1 such span appear (the
+    ``span_decon_marks`` convention; the scrub does the left join).
+
+    ``keep='first'``: the globally first occurrence of each duplicated
+    k-gram — min (doc_id, pos) — is NOT marked, so a repeated passage keeps
+    its earliest copy (greedy per-gram: if an inner k-gram also occurred
+    even earlier elsewhere, that inner window is marked here too — the
+    earlier text already carries it). ``keep='none'``: every occurrence is
+    marked — the stricter remove-all policy for boilerplate nobody wants.
+
+    Plan shape (the 100 TB path): one map-side-combined groupBy on the
+    16-byte k-gram hash finds duplicated grams + their first occurrence;
+    one equi-join (AQE broadcasts when the duplicated-gram relation is
+    small — in natural corpora ≥20-token verbatim repeats are a thin tail)
+    marks occurrences; one per-doc aggregation collects sorted start
+    positions (bounded by doc length, never key-global); interval merging
+    is a per-row higher-order aggregate. No suffix text ever shuffles."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"dup_span_marks: keep must be 'first'|'none', got {keep!r}")
+    k = int(min_tokens)
+    grams = _positioned_kgram_hashes(docs, k)
+    dup = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("gh", "_first")
+    )
+    marked = grams.join(dup, "gh")
+    if keep == "first":
+        marked = marked.filter(
+            ~(
+                (F.col("_first.doc_id") == F.col("doc_id"))
+                & (F.col("_first.pos") == F.col("pos"))
+            )
+        )
+    starts = marked.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("pos")).alias("_starts")
+    )
+    # merge [s, s+k-1] intervals over the ascending starts: adjacent or
+    # overlapping covered ranges fold into one maximal span
+    empty = F.array().cast("array<struct<start:int,end:int>>")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+
+    def step(acc, s):
+        ext = F.struct(
+            last(acc)["start"].alias("start"),
+            F.greatest(last(acc)["end"], s + F.lit(k - 1)).cast("int").alias("end"),
+        )
+        new = F.struct(
+            s.cast("int").alias("start"), (s + F.lit(k - 1)).cast("int").alias("end")
+        )
+        return F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["end"] + 1),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ext)),
+        ).otherwise(F.concat(acc, F.array(new)))
+
+    spans = F.aggregate(F.col("_starts"), empty, step)
+    return starts.select(
+        "doc_id",
+        spans.alias("spans"),
+        F.aggregate(
+            spans,
+            F.lit(0).cast("bigint"),
+            lambda a, sp: a + sp["end"] - sp["start"] + 1,
+        ).alias("n_dup_tokens"),
+    )
+
+
+def dup_span_scrub(
+    docs: DataFrame, min_tokens: int = 20, keep: str = "first"
+) -> DataFrame:
+    """End product of any-length exact-substring dedup: every doc's text
+    with its marked duplicate spans removed — (doc_id, cleaned_text,
+    n_tokens, n_kept_tokens). EVERY input doc appears; docs without
+    duplicated spans pass their text through BYTE-EXACT (no split/rejoin
+    round-trip); a fully-duplicated doc keeps an empty cleaned_text (the
+    corpus writer drops it — the established scrub contract).
+
+    Composes with the curation funnel via
+    ``pipeline.curate_corpus(dup_span_tokens=...)``. Reconstruction is the
+    ``span_decon_scrub`` higher-order filter against the MERGED maximal
+    intervals: O(tokens · spans) per row in whole-stage codegen, no token
+    explode, no per-token shuffle."""
+    marks = dup_span_marks(docs, min_tokens, keep)
+    toks = F.split(F.coalesce("text", F.lit("")), " ")
+
+    def kept_tokens(t: "F.Column") -> "F.Column":
+        return F.filter(
+            t,
+            lambda tok, i: ~F.exists(
+                F.col("spans"),
+                lambda sp: (i >= sp["start"]) & (i <= sp["end"]),
+            ),
+        )
+
+    joined = docs.select("doc_id", "text").join(
+        marks.select("doc_id", "spans"), "doc_id", "left"
+    )
+    clean = F.col("spans").isNull()
+    kept = F.transform(F.array(toks), kept_tokens)[0]
+    return joined.select(
+        "doc_id",
+        F.when(clean, F.coalesce("text", F.lit("")))
+        .otherwise(F.array_join(kept, " "))
+        .alias("cleaned_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.when(clean, F.size(toks))
+        .otherwise(F.size(kept))
+        .cast("bigint")
+        .alias("n_kept_tokens"),
+    )

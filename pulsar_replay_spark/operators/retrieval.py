@@ -467,21 +467,33 @@ def postings_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return postings, doclen
 
 
+BASE_BATCH_ID = -1  # one-shot builds / compaction land here, NEVER a
+# streaming micro-batch id (those start at 0): a one-shot-built store grown
+# by postings_ingest_sink keeps its base partition disjoint from the sink's
+# batch 0, so dynamic overwrite can't half-replace it (stale postings whose
+# docs left doclen would skew df/n_docs/avgdl and served scores).
+
+
 def postings_index_build(
     docs: DataFrame,
     store_dir: str,
-    batch_id: int = 0,
+    batch_id: int = BASE_BATCH_ID,
     n_buckets: int = N_TERM_BUCKETS,
 ) -> None:
     """Write one ingest batch into the store as ITS OWN batch_id partition
     (dynamic partition overwrite: a crash-retried batch clobbers only
     itself — the engine's exactly-once discipline). The one-shot batch
-    build is the same call with the default batch_id; the streaming sink
-    (``streaming.pipelines.postings_ingest_sink``) passes the micro-batch
-    id. meta/ is rewritten every call with identical content — idempotent
-    by construction; growing a store with a DIFFERENT n_buckets than it
-    was built with raises (the bucket hash would stop matching the
-    resident partitions)."""
+    build is the same call with the default batch_id = ``BASE_BATCH_ID``
+    (-1, the same base partition ``postings_compact`` folds into — reserved
+    so a store grown later by ``streaming.pipelines.postings_ingest_sink``,
+    whose micro-batch ids start at 0, can never collide with it); the
+    streaming sink passes the micro-batch id. Re-building a DIFFERENT
+    corpus into an existing batch_id is NOT supported (dynamic overwrite
+    only replaces the term_buckets present in the new data — use a fresh
+    dir); crash-retry of the same data is. meta/ is rewritten every call
+    with identical content — idempotent by construction; growing a store
+    with a DIFFERENT n_buckets than it was built with raises (the bucket
+    hash would stop matching the resident partitions)."""
     spark = docs.sparkSession
     existing = _store_n_buckets(spark, store_dir)
     if existing is not None and existing != n_buckets:

@@ -51,6 +51,8 @@ def curate_corpus(
     compression_bounds: tuple[float, float] = (0.15, 0.95),
     fix_text: bool = False,
     decontaminate_policy: str = "drop",
+    dup_span_tokens: int | None = None,
+    lang_model: dict | None = None,
 ) -> dict:
     """Run the full funnel; returns every stage frame plus a funnel report.
 
@@ -69,6 +71,18 @@ def curate_corpus(
         docs = repair_corpus(docs)
         stages.append(("text_repaired", docs))
 
+    # optional lang enrichment (r10): fill NULL lang rows under a trained
+    # char-n-gram model (classifier.lang_classifier_train artifact) BEFORE
+    # any per-language stage — raw-WARC corpora land lang-less, and both
+    # ccnet_buckets(by=lang) here and data_card's per-lang shares read this
+    # column. Row count never changes (low-coverage/OOV rows stay NULL);
+    # reported for lineage, not as a filter.
+    if lang_model is not None:
+        from pulsar_replay_spark.operators.classifier import enrich_lang
+
+        docs = enrich_lang(docs, lang_model)
+        stages.append(("lang_enriched", docs))
+
     # optional URL-level pre-dedup: canonicalized source URLs shed exact
     # re-fetches BEFORE any text is hashed (the crawl pipeline's cheapest
     # stage — one shuffle on the canonical-url key, no text movement)
@@ -81,6 +95,25 @@ def curate_corpus(
 
     deduped = dedup.dedup_corpus(docs)
     stages.append(("deduped", deduped))
+
+    # optional any-length exact-substring scrub (r10, Lee et al.
+    # arXiv:2107.06499): after doc-level dedup, remove every duplicated
+    # token span of length >= dup_span_tokens (keep-first) — the repeated
+    # boilerplate/quotation tail doc-level dedup can't see. Docs scrubbed
+    # to nothing leave the corpus; n_chars recomputed over surviving text.
+    if dup_span_tokens is not None:
+        scrubbed = dedup.dup_span_scrub(deduped, min_tokens=dup_span_tokens)
+        deduped = (
+            deduped.drop("text", "n_chars")
+            .join(
+                scrubbed.filter(F.length("cleaned_text") > 0).select(
+                    "doc_id", F.col("cleaned_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        stages.append(("dup_span_scrubbed", deduped))
 
     if benchmark is not None and decontaminate_policy == "scrub":
         # r9 span policy: remove only the contaminated token spans and keep
@@ -437,7 +470,11 @@ def curate_media(
     }
 
 
-def data_card(docs: DataFrame, length_bins: list[float] | None = None) -> dict:
+def data_card(
+    docs: DataFrame,
+    length_bins: list[float] | None = None,
+    lang_model: dict | None = None,
+) -> dict:
     """The release artifact every published corpus ships with: one call →
     the summary frames a dataset card reports, each a small aggregate over
     ONE corpus scan family (no frame here is corpus-sized):
@@ -458,6 +495,15 @@ def data_card(docs: DataFrame, length_bins: list[float] | None = None) -> dict:
     from pulsar_replay_spark.operators import dedup, quality
     from pulsar_replay_spark.operators.curation import default_quality_score
     from pulsar_replay_spark.operators.graph import host_expr
+
+    # r10: a card over a raw (partially lang-less) corpus under a trained
+    # model reports MODEL-enriched per-lang shares — NULL stays NULL only
+    # for OOV/low-confidence rows, so `by_lang` reflects the corpus, not
+    # the ingest path's labeling gaps
+    if lang_model is not None:
+        from pulsar_replay_spark.operators.classifier import enrich_lang
+
+        docs = enrich_lang(docs, lang_model)
 
     base = docs.select(
         "doc_id",

@@ -857,10 +857,13 @@ def q_near_dup_clusters(spark, sf_dir):
 # (which terms characterize each source). One explode over tokens; document
 # frequency and per-source term counts are two aggs over it; the scalar
 # corpus size joins in as a broadcast literal-frame (never a collect).
+# r10 rotation: NOT registered — its slot went to `span_scrub`; the token
+# explode → tf/df aggs → broadcast stat join → windowed top-k plan family
+# stays contract-covered (strictly supersetted) by `bm25_topk`. Still
+# oracle-gated in pytest (test_unregistered_tfidf_matches_oracle) + parity
+# --extras (x_tfidf).
 # ---------------------------------------------------------------------------
-@register(
-    "tfidf_top_terms",
-    r"""
+TFIDF_ORACLE = r"""
 WITH tok AS (
   SELECT source, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
@@ -877,8 +880,9 @@ ranked AS (
   FROM scored
 )
 SELECT source, term, n_term, score, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
-""",
-)
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -1265,10 +1269,13 @@ def q_chunk_dedup_stats(spark, sf_dir):
 # reassembled in order, value-hash-checked text output) plus the per-doc
 # total/surviving chunk counts. Every doc appears; fully-scrubbed docs have
 # an empty cleaned_text.
+# r10 rotation: NOT registered — its slot went to `dup_span_scrub`, the
+# any-length exact-substring generalization of the same family (fixed
+# 10-token windows are a strict subset of what the positioned-k-gram path
+# sees). Still oracle-gated in pytest (test_unregistered_scrubbed_corpus
+# _matches_oracle) + parity --extras (x_scrubbed_corpus).
 # ---------------------------------------------------------------------------
-@register(
-    "scrubbed_corpus",
-    """
+SCRUBBED_CORPUS_ORACLE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 chunks AS (
   SELECT doc_id, CAST(u.gs AS INT) AS chunk_idx,
@@ -1289,10 +1296,102 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks
 FROM marked
 GROUP BY doc_id
-""",
-)
+"""
+
+
 def q_scrubbed_corpus(spark, sf_dir):
     return dedup.scrub_repeated_chunks(_docs(spark, sf_dir), chunk_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# Any-length exact-substring dedup (r10, Lee et al. arXiv:2107.06499): the
+# scrubbed corpus under the positioned-k-gram duplicate-span finder — every
+# duplicated token span of length >= 10 at ANY alignment loses all but its
+# first occurrence. Rotated INTO the contract over `scrubbed_corpus` (same
+# family, strictly more general). Load-bearing by construction: the query
+# plants three clones of the 3 lowest doc_ids' token slices at VARIABLE
+# lengths (11, 25, 63 tokens — the verdict's boundary cases; 11 exceeds
+# k=10 by one, so exact boundaries matter), which MUST scrub to empty while
+# their sources keep every token. The oracle re-derives grams, global
+# first-occurrence ranks, covered positions, and the token-level rebuild.
+# ---------------------------------------------------------------------------
+DUP_SPAN_ORACLE = """
+WITH low3 AS (
+  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 3)
+),
+clones AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(text, ' ')[5 : 4 + CASE rn WHEN 1 THEN 11
+                                               WHEN 2 THEN 25
+                                               ELSE 63 END],
+           ' ') AS text
+  FROM low3
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM clones
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+grams AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(t[CAST(u.i AS INT) + 1 : CAST(u.i AS INT) + 10],
+                         ' ') AS g
+  FROM toks, UNNEST(range(len(t) - 9)) AS u(i)
+  WHERE len(t) >= 10
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY g) AS c,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+  FROM grams
+),
+scrub AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rk > 1),
+covered AS (
+  SELECT DISTINCT doc_id, pos + CAST(u.d AS INT) AS i
+  FROM scrub, UNNEST(range(10)) AS u(d)
+),
+trows AS (
+  SELECT doc_id, CAST(u.i AS INT) - 1 AS i, t[CAST(u.i AS INT)] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+joined AS (
+  SELECT tr.doc_id, tr.i, tr.tok, (c.i IS NULL) AS keep
+  FROM trows tr LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.i = c.i
+)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE keep), '')
+         AS cleaned_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_tokens
+FROM joined
+GROUP BY doc_id
+"""
+
+
+@register("dup_span_scrub", DUP_SPAN_ORACLE)
+def q_dup_span_scrub(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    low3 = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_len",
+            F.when(F.col("_rn") == 1, 11).when(F.col("_rn") == 2, 25).otherwise(63),
+        )
+    )
+    clones = low3.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), F.lit(5), F.col("_len")), " "
+        ).alias("text"),
+    )
+    return dedup.dup_span_scrub(docs.unionByName(clones), min_tokens=10)
 
 
 # ---------------------------------------------------------------------------
@@ -1455,11 +1554,14 @@ def q_bm25_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Span-level decontamination (r9): remove only the contaminated token spans
 # (3-word shingles shared with the eval set) instead of dropping whole
-# documents. Not registered (the 50-slot contract carries the drop-policy
-# decontamination via q:`decontaminate`); oracle-gated in pytest + parity
-# --extras (x_span_scrub). The eval set derives from the corpus itself
-# (tokens 3..12 of the 3 lowest doc_ids — planted contamination by
-# construction, so the gate is load-bearing: those docs MUST lose spans).
+# documents. r10 rotation: registered as `span_scrub` — span-level
+# reassembly (positioned explode → covered-range agg → higher-order filter
+# rebuild) is a plan shape the driver gate had never seen, and the oracle
+# was promotion-ready (pytest + parity x_span_scrub green since r9). The
+# eval set derives from the corpus itself (tokens 3..12 of the 3 lowest
+# doc_ids — planted contamination by construction, so the gate is
+# load-bearing: those docs MUST lose spans). `tfidf_top_terms` ceded the
+# slot (see its rotation note above).
 # ---------------------------------------------------------------------------
 SPAN_SCRUB_ORACLE = """
 WITH bench AS (
@@ -1508,6 +1610,7 @@ GROUP BY doc_id
 """
 
 
+@register("span_scrub", SPAN_SCRUB_ORACLE)
 def q_span_scrubbed_corpus(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bench = (

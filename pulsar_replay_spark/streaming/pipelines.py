@@ -1154,6 +1154,15 @@ def curation_ingest_sink(
     indexed, so the store represents exactly the admitted corpus. Crash
     retries overwrite themselves and never self-probe (batch_id excluded
     from both reads).
+
+    NOTE on the stored ``_h`` under policy "scrub": ``_h`` is the RAW-TEXT
+    ADMISSION hash — md5(normalize_text(text-as-ingested)), computed BEFORE
+    span scrubbing — while the persisted ``text`` column is the scrubbed
+    text. That is intentional (a future raw copy of the same doc must still
+    dedup against the admitted one), but it means a reader recomputing
+    md5(normalize_text(text)) over ``accepted_dir`` will NOT reproduce
+    ``_h`` for scrubbed rows; treat ``_h`` as an opaque dedup key, not a
+    content checksum of the stored text.
     """
     from pulsar_replay_spark.functions.text import normalize_text
     from pulsar_replay_spark.operators.dedup import incremental_minhash_pairs

@@ -60,7 +60,35 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark, tmp_pat
         assert full["queries"]["doc_profile"] == sp["median"]
         assert "q1_pricing_summary" not in full["query_spread"]  # failed: none
         assert full["calibration"] and full["runtime"]["pyspark"]
+        # r10 contention guard: every record carries the anchor ratio and
+        # an explicit contended verdict
+        assert "numpy_anchor_ratio" in full["calibration"]
+        assert "contended" in full
         assert full["queries"] == d["queries"]
     finally:
         if os.path.exists(detail_path):  # test artifact, not a round record
             os.unlink(detail_path)
+
+
+def test_bench_marks_contended_recordings(monkeypatch, capsys, spark, tmp_path):
+    """r9's official record was taken on a ~5x oversubscribed host and
+    nothing flagged it — the guard must annotate such recordings loudly.
+    Forcing the idle-box anchor to ~0 makes ANY measured anchor read as
+    contention, exercising the retry + annotate path deterministically."""
+    import bench
+
+    monkeypatch.setattr(bench, "ANCHOR_NUMPY_MATMUL_1K_SEC", 1e-9)
+    monkeypatch.setattr(bench, "HEADLINE", ["doc_profile"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv(
+        "SPARK_GRAFT_DETAIL_PATH", str(tmp_path / "bench_detail_test2.json")
+    )
+    bench.main()
+    captured = capsys.readouterr()
+    d = json.loads(captured.out.strip().splitlines()[-1])
+    assert d.get("contended") is True
+    assert "NOT a trustable trend point" in captured.err
+    with open(str(tmp_path / "bench_detail_test2.json")) as fh:
+        full = json.load(fh)
+    assert full["contended"] is True
+    assert full["calibration"]["numpy_anchor_ratio"] > 2.0

@@ -305,6 +305,49 @@ def test_lang_classifier_generalizes_and_abstains(spark):
     assert all(r.lang_pred is None for r in thr)
 
 
+def test_lang_coverage_saturation(spark):
+    """The OOV-abstain contract holds BECAUSE lang models default to a
+    sparse hash space (LANG_HEX): pins both regimes on one non-toy corpus.
+
+    At hex_chars=3 (the DSIR 4096-bucket space) a corpus with ~10k distinct
+    char n-grams populates essentially every bucket, so gibberish in an
+    unseen alphabet still 'covers' ≈ occupancy ≈ 1 and min_coverage never
+    abstains — the saturation failure mode. The same corpus at the LANG_HEX
+    default occupies ~1% of the space, so the same gibberish covers ≈ 0 and
+    abstains. coverage_w_floor is the documented partial mitigation knob
+    for small-space models; here we pin the primary (hash-space) fix."""
+    import hashlib
+
+    # deterministic pseudo-random a-z text: wide alphabet → ~10k distinct
+    # char 2/3-grams across 300 docs of 60 chars
+    def _txt(i):
+        h = b""
+        while len(h) < 30:
+            h += hashlib.md5(f"sat:{i}:{len(h)}".encode()).digest()
+        return "".join(chr(ord("a") + b % 26) for b in h[:60])
+
+    rows = [(i, _txt(i), "a" if i % 2 == 0 else "b") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # n_iter=1 suffices: coverage depends only on which buckets carry
+    # weight, and one gradient collect populates every trained bucket
+    sat = classifier.lang_classifier_train(docs, n_iter=1, hex_chars=3)
+    sparse = classifier.lang_classifier_train(docs, n_iter=1)
+    assert sparse["hex_chars"] == classifier.LANG_HEX
+    # gibberish from an alphabet the corpus never used (digits)
+    gib = spark.createDataFrame(
+        [(9000, "0192 8374 6550 1928 3746 5501")], "doc_id long, text string"
+    )
+    sat_cov = classifier.lang_classify(gib, sat).collect()[0]["coverage"]
+    sparse_row = classifier.lang_classify(gib, sparse).collect()[0]
+    assert sat_cov > 0.6, "4096-bucket space should saturate on this corpus"
+    assert sparse_row["coverage"] < 0.2 and sparse_row["lang_pred"] is None
+    # known-vocabulary text stays fully covered under the sparse space
+    known = spark.createDataFrame(
+        [(9001, _txt(17))], "doc_id long, text string"
+    )
+    assert classifier.lang_classify(known, sparse).collect()[0]["coverage"] > 0.9
+
+
 def test_lang_model_save_load_roundtrip(spark, tmp_path):
     """A persisted model classifies byte-identically to the in-memory
     one — the persistable-artifact claim, pinned."""

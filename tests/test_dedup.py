@@ -835,6 +835,141 @@ def test_span_decon_scrub_plan_broadcasts_bench_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# ---------------------------------------------------------------------------
+# r10: any-length exact-substring dedup (Lee et al. 2107.06499 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _dup_span_fixture(spark):
+    """Planted VARIABLE-LENGTH repeats — 11, 25 and 63 tokens — at
+    different alignments, plus a straddling repeat chunk_dedup_marks'
+    fixed 10-token windows cannot see."""
+    from pyspark.sql import Row
+
+    src = [f"a{i}" for i in range(100)]
+    rows = [
+        (1, " ".join(src)),  # source: first occurrence of everything
+        # 25-token repeat of a20..a44 at offset 10
+        (2, " ".join([f"x{i}" for i in range(10)] + src[20:45] + [f"y{i}" for i in range(10)])),
+        # 11-token repeat of a50..a60 at offset 3 (k=10: boundary-exact,
+        # only 2 duplicated 10-grams cover it)
+        (3, " ".join([f"b{i}" for i in range(3)] + src[50:61] + [f"c{i}" for i in range(5)])),
+        # 63-token repeat of a5..a67 — leading position
+        (4, " ".join(src[5:68] + [f"d{i}" for i in range(4)])),
+        # repeat straddling doc 1's 10-token chunk grid: a15..a29 starts
+        # mid-window in BOTH docs — invisible to fixed windows
+        (5, " ".join([f"e{i}" for i in range(7)] + src[15:30])),
+        (6, "short clean doc"),
+        (7, "clean text with  double space preserved"),  # byte-exact pass
+    ]
+    return spark.createDataFrame([Row(doc_id=d, text=t) for d, t in rows])
+
+
+def test_dup_span_marks_exact_boundaries(spark):
+    from pulsar_replay_spark.operators import dedup
+
+    docs = _dup_span_fixture(spark)
+    got = {
+        r.doc_id: ([(s["start"], s["end"]) for s in r.spans], r.n_dup_tokens)
+        for r in dedup.dup_span_marks(docs, min_tokens=10).collect()
+    }
+    # keep='first': doc 1 holds the first occurrence of every planted span
+    assert 1 not in got and 6 not in got and 7 not in got
+    assert got[2] == ([(10, 34)], 25)  # exact 25-token boundaries
+    assert got[3] == ([(3, 13)], 11)  # exact 11-token boundaries
+    assert got[4] == ([(0, 62)], 63)  # exact 63-token boundaries
+    assert got[5] == ([(7, 21)], 15)  # the straddling repeat, full extent
+
+    # keep='none' also marks the source doc: a5..a67 ∪ a15..a29 ⊂ a5..a67,
+    # plus a20..a44 and a50..a60 — merged maximal intervals in doc 1
+    none = {
+        r.doc_id: [(s["start"], s["end"]) for s in r.spans]
+        for r in dedup.dup_span_marks(docs, min_tokens=10, keep="none").collect()
+    }
+    assert none[1] == [(5, 67)]  # 5..67 swallows 15..29, 20..44 and 50..60
+    assert none[2] == [(10, 34)] and none[4] == [(0, 62)]
+
+    with pytest.raises(ValueError, match="keep"):
+        dedup.dup_span_marks(docs, 10, keep="bogus")
+
+
+def test_dup_span_scrub_matches_python_mirror(spark):
+    """Brute-force python oracle: enumerate ALL k-grams, find duplicated
+    ones, scrub non-first occurrences — the engine must agree token for
+    token on the planted fixture (and every doc must appear)."""
+    from collections import defaultdict
+
+    from pulsar_replay_spark.operators import dedup
+
+    docs = _dup_span_fixture(spark)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    k = 10
+    occ = defaultdict(list)
+    for d in sorted(rows):
+        t = rows[d].split(" ")
+        for p in range(len(t) - k + 1):
+            occ[" ".join(t[p : p + k])].append((d, p))
+    scrubbed_pos = defaultdict(set)
+    for g, positions in occ.items():
+        if len(positions) > 1:
+            for d, p in positions[1:]:  # first (min doc_id, pos) kept
+                scrubbed_pos[d].update(range(p, p + k))
+    want = {}
+    for d in sorted(rows):
+        t = rows[d].split(" ")
+        kept = [tok for i, tok in enumerate(t) if i not in scrubbed_pos[d]]
+        want[d] = (
+            rows[d] if not scrubbed_pos[d] else " ".join(kept),
+            len(t),
+            len(kept),
+        )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(docs, min_tokens=10).collect()
+    }
+    assert got == want
+    assert got[7][0] == "clean text with  double space preserved"  # byte-exact
+
+
+def test_dup_span_vs_chunk_dedup_straddling_repeat(spark):
+    """The capability gap the operator closes: a repeat that sits at
+    different 10-token-window offsets in its two copies is INVISIBLE to
+    chunk_dedup_marks but found exactly by dup_span_marks."""
+    from pulsar_replay_spark.operators import dedup
+
+    src = [f"a{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(src)),
+            # same 12 tokens a10..a21, but at offset 7 — no 10-token chunk
+            # of doc 2 equals any chunk of doc 1
+            (2, " ".join([f"z{i}" for i in range(7)] + src[10:22] + ["tail"])),
+        ],
+        "doc_id long, text string",
+    )
+    chunk = dedup.chunk_dedup_marks(docs, chunk_tokens=10)
+    assert chunk.filter(~F.col("keep")).count() == 0  # fixed windows: blind
+    spans = {
+        r.doc_id: [(s["start"], s["end"]) for s in r.spans]
+        for r in dedup.dup_span_marks(docs, min_tokens=10).collect()
+    }
+    assert spans == {2: [(7, 18)]}  # exact 12-token boundaries
+
+
+def test_dup_span_plan_no_cartesian_no_python(spark):
+    from pulsar_replay_spark.operators import dedup
+
+    docs = _dup_span_fixture(spark)
+    plan = (
+        dedup.dup_span_scrub(docs, min_tokens=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_curate_corpus_span_scrub_policy(spark):
     """decontaminate_policy='scrub' keeps the quoting page (minus the
     quote) where the drop policy would discard it entirely."""

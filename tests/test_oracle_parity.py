@@ -422,3 +422,47 @@ def test_span_scrub_matches_oracle(spark, duck):
     assert not problems, f"span_scrub: {problems}"
     # load-bearing: at least the three planted source docs lost tokens
     assert (sdf["n_kept_tokens"] < sdf["n_tokens"]).sum() >= 3
+
+
+def test_dup_span_scrub_is_load_bearing(spark):
+    """r10 contract row `dup_span_scrub` (oracle runs in the registered
+    sweep above): beyond hash parity, pin the construction — the three
+    planted variable-length clones (11/25/63 tokens) MUST scrub to empty
+    while their source docs keep every token."""
+    from pulsar_replay_spark.queries_llm import q_dup_span_scrub
+
+    sdf = q_dup_span_scrub(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    clones = sdf[sdf.index >= 1000000]
+    assert len(clones) == 3
+    assert (clones["n_kept_tokens"] == 0).all()
+    assert (clones["cleaned_text"] == "").all()
+    srcs = sdf.loc[[i - 1000000 for i in clones.index]]
+    assert (srcs["n_kept_tokens"] == srcs["n_tokens"]).all()
+
+
+def test_unregistered_scrubbed_corpus_matches_oracle(spark, duck):
+    """r10 rotation: the fixed-window chunk scrub ceded its slot to
+    dup_span_scrub (same family, any-length generalization); its oracle
+    stays pinned here + parity --extras (x_scrubbed_corpus)."""
+    from pulsar_replay_spark.queries_llm import (
+        SCRUBBED_CORPUS_ORACLE,
+        q_scrubbed_corpus,
+    )
+
+    sdf = q_scrubbed_corpus(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(SCRUBBED_CORPUS_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"scrubbed_corpus: {problems}"
+
+
+def test_unregistered_tfidf_matches_oracle(spark, duck):
+    """r10 rotation: tfidf_top_terms ceded its slot to span_scrub (its
+    explode → tf/df → broadcast-stat → window-topk family is contract-
+    covered by bm25_topk); oracle stays pinned here + parity --extras
+    (x_tfidf)."""
+    from pulsar_replay_spark.queries_llm import TFIDF_ORACLE, q_tfidf_top_terms
+
+    sdf = q_tfidf_top_terms(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(TFIDF_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"tfidf: {problems}"

@@ -356,6 +356,58 @@ def test_index_grows_incrementally_and_retry_is_idempotent(spark, planted):
             retrieval.postings_index_build(full, store, n_buckets=8)
 
 
+def test_oneshot_build_then_streaming_growth_no_batch0_collision(
+    spark, planted, tmp_path
+):
+    """Regression (r10): the one-shot build lands in BASE_BATCH_ID = -1,
+    DISJOINT from the sink's micro-batch ids, so growing a one-shot-built
+    store via postings_ingest_sink cannot half-overwrite the base (with a
+    batch_id=0 default, the sink's batch 0 replaced the base's doclen
+    entirely but only the term_buckets present in the new batch — leaving
+    stale postings whose docs were gone from doclen)."""
+    from pulsar_replay_spark.streaming import pipelines as sp
+
+    docs, queries = planted
+    base = docs.filter(F.col("doc_id") <= 3)
+    grown = docs.filter(F.col("doc_id") > 3)
+    store = str(tmp_path / "grow_store")
+    retrieval.postings_index_build(base, store)  # default = BASE_BATCH_ID
+    src = str(tmp_path / "grow_src")
+    grown.coalesce(1).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.mode("append").parquet(src)
+    stream = sp.documents_stream(spark, src).select("doc_id", "text")
+    q = sp.postings_ingest_sink(stream, store, str(tmp_path / "grow_ckpt"))
+    q.awaitTermination(120)
+    # base docs still serve and stats cover the union corpus
+    assert _scores_map(
+        retrieval.bm25_scores_from_index(spark, store, queries)
+    ) == _scores_map(retrieval.bm25_scores(docs, queries))
+    stats = retrieval.index_doc_stats(spark, store).head()
+    assert stats.n_docs == docs.count()
+    # every postings doc is accounted for in doclen (the consistency the
+    # old default silently broke)
+    post_docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/postings")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    dl_docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/doclen")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert post_docs <= dl_docs
+
+
 def test_streaming_ingest_compact_and_expire(spark, planted, tmp_path):
     """The full lifecycle: streamed micro-batch ingest ≡ one-shot build;
     compaction folds (df-capped compaction bakes the cap in: uncapped

@@ -113,6 +113,10 @@ def extra_oracles() -> dict:
         "x_line_scrub": (ql.q_line_scrubbed_corpus, ql.LINE_SCRUB_ORACLE),
         "x_span_scrub": (ql.q_span_scrubbed_corpus, ql.SPAN_SCRUB_ORACLE),
         "x_bm25": (ql.q_bm25_topk, ql.BM25_ORACLE),
+        # r10 rotations: scrubbed_corpus ceded to dup_span_scrub, tfidf to
+        # span_scrub — both keep their oracle gates here + pytest
+        "x_scrubbed_corpus": (ql.q_scrubbed_corpus, ql.SCRUBBED_CORPUS_ORACLE),
+        "x_tfidf": (ql.q_tfidf_top_terms, ql.TFIDF_ORACLE),
         "x_q4": (qr.q4_order_priority, qr.Q4_ORACLE),
         "x_q17": (qr.q17_small_quantity_revenue, qr.Q17_ORACLE),
         "x_q5": (qr.q5_region_revenue, qr.Q5_ORACLE),
