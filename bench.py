@@ -65,8 +65,10 @@ HEADLINE = [
     "image_near_dup_pairs",
     # r8: iterative graph analytics (pagerank_trade took q4's slot) — the
     # one driver-side-loop plan family; benched so per-round join+agg cost
-    # regressions are visible
-    "pagerank_trade",
+    # regressions are visible. r10: the adaptive-scale variant replaced the
+    # pinned row in the contract (identical rounds + one node count), so it
+    # carries the bench row too.
+    "pagerank_trade_adaptive",
     "generator",
 ]
 

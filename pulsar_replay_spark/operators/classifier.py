@@ -482,6 +482,73 @@ def lang_classify(
     )
 
 
+# ---------------------------------------------------------------------------
+# Lang-share drift (r10): the serving-side monitor for a trained lang
+# model — the predicted-language DISTRIBUTION of what a pipeline ingests is
+# a crawl/encoder canary (a fetcher that starts mangling charsets, or a
+# crawl frontier drifting into a new region, shows up as a lang-share shift
+# long before any per-doc score moves). Categories map to integer bins —
+# each lang's index in model["langs"], abstain/OOV as its own trailing bin
+# — so the SAME PSI machinery that monitors score histograms
+# (quality.psi_drift / psi_from_window_hist, the drift_monitor_sink store
+# schema) consumes these counts unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _lang_bin(model: dict, pred_col: str = "lang_pred") -> "F.Column":
+    """Integer bin for a prediction column: index into model['langs'],
+    abstain (NULL prediction) = len(langs)."""
+    expr = F.lit(len(model["langs"]))
+    for i, lang in enumerate(model["langs"]):
+        expr = F.when(F.col(pred_col) == lang, F.lit(i)).otherwise(expr)
+    return expr.cast("long")
+
+
+def lang_share_counts(
+    docs: DataFrame,
+    model: dict,
+    threshold: float | None = None,
+    min_coverage: float = 0.2,
+) -> DataFrame:
+    """(bin, n): predicted-lang counts over ``docs`` — the categorical
+    histogram ``quality.psi_drift`` consumes on either side (freeze one
+    over a vetted corpus as the reference; serve the other per window).
+    Abstains count in their own bin: a surge of OOV text IS drift."""
+    preds = lang_classify(
+        docs.select("doc_id", "text"), model, threshold, min_coverage
+    )
+    return preds.groupBy(_lang_bin(model).alias("bin")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def lang_window_counts(
+    docs: DataFrame,
+    model: dict,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    threshold: float | None = None,
+    min_coverage: float = 0.2,
+) -> DataFrame:
+    """(window_start, bin, n_cur): per-event-time-window predicted-lang
+    counts — ``quality.window_histogram``'s exact shape, so counts are
+    ADDITIVE across any batching (the streaming sink's partial windows
+    re-aggregate exactly) and ``quality.psi_from_window_hist`` serves the
+    per-window PSI against a frozen ``lang_share_counts`` reference."""
+    preds = lang_classify(
+        docs.select("doc_id", "text"), model, threshold, min_coverage
+    )
+    joined = docs.select("doc_id", ts_col).join(preds, "doc_id")
+    return (
+        joined.groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            _lang_bin(model).alias("bin"),
+        )
+        .agg(F.count("*").alias("n_cur"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n_cur")
+    )
+
+
 def save_lang_model(model: dict, path: str) -> None:
     """Persist a ``lang_classifier_train`` model: the (lang, bucket, w)
     weight frame as parquet + a one-row json-ish params frame (bias map,

@@ -78,6 +78,60 @@ def pagerank(
     return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
 
 
+def adaptive_scale(
+    n_mass_carriers: int, damping_pct: int = 85, cap: int = 10**12
+) -> int:
+    """The module docstring's overflow arithmetic as a derivation instead
+    of a refusal: the largest POWER OF 10 ≤ ``cap`` satisfying
+    ``n · scale · damping_pct < 2**63``. Powers of 10 keep the fixed-point
+    reading human (k fractional decimal digits) and make the derivation
+    exactly mirrorable in SQL as integer comparisons — no float log10
+    whose boundary behavior could split engines."""
+    max_scale = (2**63 - 1) // max(n_mass_carriers * damping_pct, 1)
+    if max_scale < 1:
+        raise ValueError(
+            f"adaptive_scale: {n_mass_carriers} mass-carrying nodes x "
+            f"damping {damping_pct} overflow BIGINT even at scale=1"
+        )
+    s = 1
+    bound = min(max_scale, cap)
+    while s * 10 <= bound:
+        s *= 10
+    return s
+
+
+def pagerank_adaptive(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    cap: int = 10**12,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """(node, rank_fp, scale): ``pagerank`` with ``scale`` DERIVED from the
+    measured mass-carrying node count via ``adaptive_scale`` — the
+    production knob for graphs whose size isn't known up front (a pinned
+    scale=1e12 correctly refuses past ~10^5 nodes; this picks the largest
+    power of 10 the bound admits, so the same call serves a 10^3-node
+    trade graph at 1e12 and a 10^9-node web graph at 1e5). The chosen
+    scale rides the output as a column so callers (and the contract
+    oracle, which re-derives it from its own node count) see which
+    precision the ranks are in. The node count is one action on the
+    already-materialized node frame — the same bounded collect the
+    overflow pre-check performs."""
+    damping_pct, cap = _validate_knobs(
+        n_iter, cap, checkpoint_interval, damping_pct
+    )
+    ed, nodes = _edge_frames(edges)
+    scale = adaptive_scale(nodes.count(), damping_pct, cap)
+    base = ((100 - damping_pct) * scale) // 100
+    based = nodes.select("node", F.lit(base).cast("long").alias("base"))
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    out = _pagerank_loop(
+        based, ed, ranks, damping_pct, n_iter, checkpoint_interval
+    )
+    return out.withColumn("scale", F.lit(scale).cast("long"))
+
+
 def _check_overflow_bound(
     mass_carriers: DataFrame, scale: int, damping_pct: int, what: str = "graph"
 ) -> None:

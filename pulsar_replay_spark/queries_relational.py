@@ -1576,15 +1576,21 @@ r{i} AS (
     return sql + f"\nSELECT node, pr AS rank_fp FROM r{n_iter} ORDER BY node"
 
 
-@register(
-    "pagerank_trade",
-    _pagerank_trade_oracle(_PR_ITER, _PR_DAMP, _PR_SCALE),
-)
-def pagerank_trade(spark, sf_dir):
-    """Supplier/customer authority in the trade graph after 6 synchronous
-    PageRank rounds — node ids encode side (custkey*2, suppkey*2+1)."""
-    from pulsar_replay_spark.operators.graph import pagerank
+# r10 rotation (swap, not a new slot): the contract row is now
+# `pagerank_trade_adaptive` — same graph, same 6 integer rounds, but
+# `scale` DERIVED from the measured mass-carrying node count exactly as
+# SCALE.md's sizing arithmetic prescribes (largest power of 10 with
+# n·scale·damping < 2^63, capped at 1e12), with the DuckDB oracle
+# re-deriving the scale in a CTE (integer comparisons over the node count
+# — no float log10). The r9 verdict's gap: the pinned row only ever
+# exercised the fixed-1e12 path, which correctly REFUSES past ~10^5 nodes
+# (sf1), so the production knob's derivation was never under the driver
+# gate. The pinned variant stays oracle-gated in pytest
+# (test_unregistered_pagerank_trade_matches_oracle) + parity (x_pagerank).
+PAGERANK_TRADE_ORACLE = _pagerank_trade_oracle(_PR_ITER, _PR_DAMP, _PR_SCALE)
 
+
+def _trade_edges(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     fwd = (
@@ -1595,9 +1601,85 @@ def pagerank_trade(spark, sf_dir):
         )
         .distinct()
     )
-    edges = fwd.unionByName(
+    return fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+def pagerank_trade(spark, sf_dir):
+    """Supplier/customer authority in the trade graph after 6 synchronous
+    PageRank rounds — node ids encode side (custkey*2, suppkey*2+1)."""
+    from pulsar_replay_spark.operators.graph import pagerank
+
     return pagerank(
-        edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+        _trade_edges(spark, sf_dir),
+        n_iter=_PR_ITER,
+        damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+    ).orderBy("node")
+
+
+def _pagerank_adaptive_oracle(n_iter: int, damping: int, cap: int) -> str:
+    """The adaptive-scale oracle: scale is not a literal — a CTE derives it
+    from the node count with the SAME integer arithmetic as
+    ``graph.adaptive_scale`` (largest power of 10 with
+    n·scale·damping < 2^63, capped), then every unrolled round cross-joins
+    the 1-row scale relation. All-integer, hash-exact."""
+    powers = [10**p for p in range(12, -1, -1) if 10**p <= cap]
+    cases = "\n    ".join(
+        f"WHEN 9223372036854775807 // (n * {damping}) >= {p} "
+        f"THEN CAST({p} AS BIGINT)"
+        for p in powers
+    )
+    sql = f"""
+WITH fwd AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM deg),
+nstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+sc AS (
+  SELECT scale, CAST(({100 - damping} * scale) // 100 AS BIGINT) AS base
+  FROM (SELECT CASE
+    {cases}
+  END AS scale FROM nstat)
+),
+r0 AS (SELECT node, sc.scale AS pr FROM nodes CROSS JOIN sc)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.node,
+         CAST(sc.base + ({damping} * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n CROSS JOIN sc LEFT JOIN (
+    SELECT ed.dst AS node, CAST(SUM(pr // outdeg) AS BIGINT) AS insum
+    FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node
+    GROUP BY ed.dst
+  ) s ON n.node = s.node)"""
+    return (
+        sql
+        + f"""
+SELECT r.node, r.pr AS rank_fp, sc.scale
+FROM r{n_iter} r CROSS JOIN sc ORDER BY r.node"""
+    )
+
+
+@register(
+    "pagerank_trade_adaptive",
+    _pagerank_adaptive_oracle(_PR_ITER, _PR_DAMP, _PR_SCALE),
+)
+def pagerank_trade_adaptive(spark, sf_dir):
+    """The pinned row's production twin: scale derived from the measured
+    node count (rides the output as a column), ranks identical to the
+    pinned variant wherever 1e12 is safe and still defined where it would
+    refuse."""
+    from pulsar_replay_spark.operators.graph import pagerank_adaptive
+
+    return pagerank_adaptive(
+        _trade_edges(spark, sf_dir),
+        n_iter=_PR_ITER,
+        damping_pct=_PR_DAMP,
+        cap=_PR_SCALE,
     ).orderBy("node")

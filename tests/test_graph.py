@@ -295,3 +295,55 @@ def test_pagerank_overflow_bound_raises_named_error(spark):
     # one notch under the bound runs fine
     ok = pagerank(edges, n_iter=1, scale=2**63 // (2000 * 85) - 1)
     assert ok.count() == 2000
+
+
+def test_adaptive_scale_derivation():
+    """r10: the sizing arithmetic as a function — largest power of 10 with
+    n·scale·damping < 2^63, capped. Checked against the bound directly
+    over a sweep of node counts (including the sf1-shaped ~160k case the
+    pinned 1e12 correctly refuses)."""
+    from pulsar_replay_spark.operators.graph import adaptive_scale
+
+    for n in (1, 160, 2_000, 108_000, 159_990, 1_000_000, 10**9):
+        s = adaptive_scale(n, 85)
+        assert n * s * 85 < 2**63, (n, s)
+        assert s <= 10**12
+        # maximality: the next power of 10 violates the bound or the cap
+        assert s == 10**12 or n * (s * 10) * 85 >= 2**63, (n, s)
+    assert adaptive_scale(160, 85) == 10**12  # gate SFs: cap admitted
+    assert adaptive_scale(159_990, 85) == 10**11  # sf1 trade graph
+    assert adaptive_scale(10**9, 85) == 10**8  # web-graph regime
+    with pytest.raises(ValueError, match="even at scale=1"):
+        adaptive_scale(2**63, 85)
+
+
+def test_pagerank_adaptive_runs_where_pinned_refuses(spark):
+    """The r9 verdict's gap, closed: on a graph past the 1e12 bound the
+    pinned call refuses by design while the adaptive call picks the
+    admitted scale, runs, and yields the same ranks the explicitly-sized
+    pinned call does."""
+    from pulsar_replay_spark.operators.graph import (
+        adaptive_scale,
+        pagerank,
+        pagerank_adaptive,
+    )
+
+    n = 130_000  # > (2^63-1) // (1e12 * 85) ≈ 108.5k mass carriers
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="overflow BIGINT"):
+        pagerank(edges, n_iter=1, scale=10**12)
+    got = pagerank_adaptive(edges, n_iter=1)
+    expected_scale = adaptive_scale(n, 85)
+    assert expected_scale == 10**11
+    row = got.limit(1).collect()[0]
+    assert row["scale"] == expected_scale
+    pinned = pagerank(edges, n_iter=1, scale=expected_scale)
+    assert (
+        got.select("node", "rank_fp")
+        .exceptAll(pinned.select("node", "rank_fp"))
+        .count()
+        == 0
+    )
+    assert got.count() == n

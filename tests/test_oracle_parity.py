@@ -455,6 +455,29 @@ def test_unregistered_scrubbed_corpus_matches_oracle(spark, duck):
     assert not problems, f"scrubbed_corpus: {problems}"
 
 
+def test_unregistered_pagerank_trade_matches_oracle(spark, duck):
+    """r10 swap: the contract row is pagerank_trade_adaptive (scale derived
+    from the measured node count); the pinned scale=1e12 variant keeps its
+    hash-exact unrolled-CTE oracle here + parity --extras (x_pagerank).
+    At gate SFs the bound admits the 1e12 cap, so the two variants' ranks
+    must also be IDENTICAL — pinned as the swap's no-regression check."""
+    from pulsar_replay_spark.queries_relational import (
+        PAGERANK_TRADE_ORACLE,
+        pagerank_trade,
+        pagerank_trade_adaptive,
+    )
+
+    sdf = pagerank_trade(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(PAGERANK_TRADE_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"pagerank_trade: {problems}"
+
+    adf = pagerank_trade_adaptive(spark, SF_SMOKE).toPandas()
+    assert (adf["scale"] == 10**12).all()  # gate SF: cap admitted
+    assert list(adf["node"]) == list(sdf["node"])
+    assert list(adf["rank_fp"]) == list(sdf["rank_fp"])
+
+
 def test_unregistered_tfidf_matches_oracle(spark, duck):
     """r10 rotation: tfidf_top_terms ceded its slot to span_scrub (its
     explode → tf/df → broadcast-stat → window-topk family is contract-

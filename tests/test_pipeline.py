@@ -138,6 +138,67 @@ def test_funnel_lm_tail_filter(spark, documents):
     assert survivors and all(buckets[i] != "tail" for i in survivors)
 
 
+def test_curate_corpus_lang_model_enriches_before_per_language_stages(spark):
+    """r10 (verdict #5): a raw multilingual corpus whose WARC-style rows
+    land lang-less gets its NULL langs filled by the trained classifier
+    BEFORE the per-language stages — the CCNet tier filter then trains and
+    thresholds PER ENRICHED LANGUAGE (no doc pools under a NULL-lang LM),
+    and data_card's per-lang shares reflect the model, not the ingest
+    path's labeling gaps."""
+    from pulsar_replay_spark.operators import classifier, quality
+
+    en = ["the house is on the hill and it was warm for the people",
+          "this is not the only way to do it in the house",
+          "we have seen that it was good for the people and the dog",
+          "the dog and the cat are in the garden with the children"]
+    es = ["el perro y el gato están en la casa con los niños",
+          "esto es muy bueno para los que no tienen nada en la casa",
+          "la vida es como una caja de sorpresas para todos los niños",
+          "los libros están sobre la mesa de madera en la casa"]
+    train = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(en)]
+        + [(100 + i, t, "es") for i, t in enumerate(es)],
+        "doc_id long, text string, lang string",
+    )
+    model = classifier.lang_classifier_train(train, n_iter=10)
+
+    # the corpus under curation: same languages, NO labels on most rows
+    rows = []
+    for rep in range(3):  # enough docs per lang for quantile tiers
+        for i, t in enumerate(en):
+            rows.append((1000 + rep * 10 + i, f"{t} extra{rep}{i}", None, "warc"))
+        for i, t in enumerate(es):
+            rows.append((2000 + rep * 10 + i, f"{t} extra{rep}{i}", None, "warc"))
+    rows.append((3000, "whatever text here", "ja", "web"))  # labeled: kept
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    out = pipeline.curate_corpus(
+        docs, lang_model=model, budget_tokens=100_000, drop_quantile=0.0
+    )
+    report = {r.stage: r.n_docs for r in out["report"].collect()}
+    assert report["lang_enriched"] == report["input"]  # lineage, not filter
+    langs = {r.doc_id: r.lang for r in out["deduped"].collect()}
+    assert langs[3000] == "ja"  # labeled rows untouched
+    assert all(langs[d] == "en" for d in langs if 1000 <= d < 2000)
+    assert all(langs[d] == "es" for d in langs if 2000 <= d < 3000)
+
+    # per-language CCNet tiers over the ENRICHED corpus: every scored doc
+    # buckets under its model lang, never under a NULL-lang LM
+    buckets = quality.ccnet_buckets(out["deduped"]).collect()
+    by_lang = {r.lang for r in buckets}
+    assert "en" in by_lang and "es" in by_lang and None not in by_lang
+
+    # data_card(lang_model=...): shares attribute the lang-less rows
+    card = pipeline.data_card(docs, lang_model=model)
+    shares = {r.lang: r.n_docs for r in card["by_lang"].collect()}
+    assert shares.get("en") == 12 and shares.get("es") == 12
+    # unenriched card for contrast: everything unlabeled pools under NULL
+    raw = {r.lang: r.n_docs for r in pipeline.data_card(docs)["by_lang"].collect()}
+    assert raw.get(None) == 24
+
+
 def test_funnel_leakage_check_is_empty_after_dedup(spark, documents):
     out = pipeline.curate_corpus(documents, check_leakage=True, budget_tokens=10_000)
     leaks = out["leakage"]

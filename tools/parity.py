@@ -117,6 +117,9 @@ def extra_oracles() -> dict:
         # span_scrub — both keep their oracle gates here + pytest
         "x_scrubbed_corpus": (ql.q_scrubbed_corpus, ql.SCRUBBED_CORPUS_ORACLE),
         "x_tfidf": (ql.q_tfidf_top_terms, ql.TFIDF_ORACLE),
+        # r10 swap: the contract row is pagerank_trade_adaptive; the pinned
+        # scale=1e12 variant keeps its oracle gate here + pytest
+        "x_pagerank": (qr.pagerank_trade, qr.PAGERANK_TRADE_ORACLE),
         "x_q4": (qr.q4_order_priority, qr.Q4_ORACLE),
         "x_q17": (qr.q17_small_quantity_revenue, qr.Q17_ORACLE),
         "x_q5": (qr.q5_region_revenue, qr.Q5_ORACLE),
