@@ -1421,11 +1421,17 @@ def dup_span_marks(
                 & (F.col("_first.pos") == F.col("pos"))
             )
         )
+    return _spans_from_marked(marked, k)
+
+
+def _spans_from_marked(marked: DataFrame, k: int) -> DataFrame:
+    """(doc_id, spans, n_dup_tokens) from marked k-gram occurrences
+    (doc_id, pos): collect each doc's sorted starts (bounded by doc
+    length), merge the [s, s+k-1] covered ranges into maximal intervals
+    (adjacent or overlapping fold), sum the covered token counts."""
     starts = marked.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("pos")).alias("_starts")
     )
-    # merge [s, s+k-1] intervals over the ascending starts: adjacent or
-    # overlapping covered ranges fold into one maximal span
     empty = F.array().cast("array<struct<start:int,end:int>>")
     last = lambda acc: F.element_at(acc, -1)  # noqa: E731
 
@@ -1469,7 +1475,12 @@ def dup_span_scrub(
     ``span_decon_scrub`` higher-order filter against the MERGED maximal
     intervals: O(tokens · spans) per row in whole-stage codegen, no token
     explode, no per-token shuffle."""
-    marks = dup_span_marks(docs, min_tokens, keep)
+    return _scrub_against_spans(docs, dup_span_marks(docs, min_tokens, keep))
+
+
+def _scrub_against_spans(docs: DataFrame, marks: DataFrame) -> DataFrame:
+    """(doc_id, cleaned_text, n_tokens, n_kept_tokens): remove each doc's
+    marked spans; EVERY input doc appears, span-free docs pass byte-exact."""
     toks = F.split(F.coalesce("text", F.lit("")), " ")
 
     def kept_tokens(t: "F.Column") -> "F.Column":
@@ -1497,3 +1508,55 @@ def dup_span_scrub(
         .cast("bigint")
         .alias("n_kept_tokens"),
     )
+
+
+def incremental_dup_span_scrub(
+    docs: DataFrame, gram_index: DataFrame, min_tokens: int = 20
+) -> tuple[DataFrame, DataFrame]:
+    """The streaming-growth twin of ``dup_span_scrub`` (the
+    ``incremental_minhash_pairs`` pattern): scrub ``docs`` against BOTH the
+    persisted gram index (every k-gram the pipeline has already admitted —
+    any occurrence here is by definition not the first) and within-batch
+    duplication (keep-first), and return what the index should grow by.
+
+    Returns (scrubbed, new_grams):
+    - scrubbed — ``dup_span_scrub``'s exact shape over ``docs``;
+    - new_grams — (gh, doc_id, pos): the batch's FIRST occurrence of each
+      gram the index has not seen (the only rows worth persisting — later
+      occurrences scrub forever against the first).
+
+    Processing doc_id-ordered batches through this equals the one-shot
+    ``dup_span_scrub`` over their union EXACTLY (pinned in tests): the
+    global first occurrence is the first batch's first occurrence.
+
+    Scale posture: the probe is one equi-join of the batch's grams against
+    the index on the 16-byte hash — batch-sized build side, so AQE
+    broadcasts it against an index of any size; at 100 TB put the Bloom
+    prefilter (``operators/bloom``) in front so the index scan skips
+    row groups with no batch grams."""
+    k = int(min_tokens)
+    grams = _positioned_kgram_hashes(docs, k)
+    seen = gram_index.select("gh").distinct()
+    flagged = grams.join(
+        seen.withColumn("_seen", F.lit(True)), "gh", "left"
+    )
+    firsts = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+    )
+    with_first = flagged.join(firsts, "gh")
+    is_batch_first = (F.col("_first.doc_id") == F.col("doc_id")) & (
+        F.col("_first.pos") == F.col("pos")
+    )
+    marked = with_first.filter(
+        F.col("_seen").isNotNull()  # index hit: every occurrence scrubs
+        | ((F.col("_n") > 1) & ~is_batch_first)  # batch dup, not first
+    )
+    scrubbed = _scrub_against_spans(docs, _spans_from_marked(marked, k))
+    new_grams = with_first.filter(
+        F.col("_seen").isNull() & is_batch_first
+    ).select("gh", "doc_id", "pos")
+    return scrubbed, new_grams

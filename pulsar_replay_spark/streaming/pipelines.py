@@ -2231,6 +2231,72 @@ def drift_monitor_read(
     )
 
 
+def dup_span_ingest_sink(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 20,
+):
+    """Continuous any-length exact-substring dedup (r10): grow a k-gram
+    first-occurrence index from a documents stream and scrub each
+    micro-batch against EVERYTHING previously admitted — the streaming
+    twin of ``dedup.dup_span_scrub`` (the Lee et al. family), same
+    discipline as the minhash band index and the BM25 postings store.
+
+    Per micro-batch:
+    1. probe — the batch's k-grams equi-join the accumulated index
+       (own batch_id excluded: a crash-retried batch never self-probes);
+       an index hit scrubs every occurrence (the first lives in a prior
+       batch); within-batch duplication keeps the batch-first occurrence;
+    2. write the scrubbed docs (``dup_span_scrub``'s shape + batch_id) as
+       one idempotent partition of ``out_dir``;
+    3. append the batch's UNSEEN first-occurrence grams (gh, doc_id, pos)
+       as one idempotent partition of ``store_dir`` — the index grows by
+       new grams only, so its size tracks DISTINCT corpus grams, not
+       ingested volume.
+
+    doc_id-ordered batches reproduce the one-shot scrub over their union
+    EXACTLY (pinned in tests). Crash retries overwrite themselves
+    (dynamic partition overwrite on batch_id, reads exclude own batch)."""
+    from pulsar_replay_spark.operators.dedup import incremental_dup_span_scrub
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        idx = (
+            read_parquet_or_empty(
+                spark, store_dir, "gh string, doc_id long, pos int, batch_id long"
+            )
+            .where(F.col("batch_id") != batch_id)
+            .select("gh", "doc_id", "pos")
+        )
+        scrubbed, new_grams = incremental_dup_span_scrub(
+            batch, idx, min_tokens=min_tokens
+        )
+        (
+            scrubbed.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            new_grams.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def lang_drift_sink(
     docs_stream: DataFrame,
     model: dict,

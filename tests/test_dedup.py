@@ -970,6 +970,38 @@ def test_dup_span_plan_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_incremental_dup_span_equals_one_shot(spark):
+    """doc_id-ordered batches through incremental_dup_span_scrub reproduce
+    the one-shot dup_span_scrub over their union EXACTLY, and the index
+    grows by unseen first-occurrence grams only."""
+    from pulsar_replay_spark.operators import dedup
+
+    docs = _dup_span_fixture(spark)
+    one_shot = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(docs, min_tokens=10).collect()
+    }
+    # three doc_id-ordered batches: {1,2}, {3,4,5}, {6,7}
+    got = {}
+    idx = spark.createDataFrame([], "gh string, doc_id long, pos int")
+    n_grams = []
+    for lo, hi in ((1, 2), (3, 5), (6, 7)):
+        batch = docs.filter(F.col("doc_id").between(lo, hi))
+        scrubbed, new_grams = dedup.incremental_dup_span_scrub(
+            batch, idx, min_tokens=10
+        )
+        for r in scrubbed.collect():
+            got[r.doc_id] = (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        idx = idx.unionByName(new_grams).localCheckpoint(eager=True)
+        n_grams.append(new_grams.count())
+    assert got == one_shot
+    # the index holds one row per DISTINCT gram of the whole corpus: later
+    # copies of doc 1's passages added nothing
+    total = idx.count()
+    assert total == idx.select("gh").distinct().count()
+    assert n_grams[1] < 200  # batch 2 (docs 3-5) is mostly repeats of doc 1
+
+
 def test_curate_corpus_dup_span_policy(spark):
     """dup_span_tokens composes into the funnel after doc-level dedup: the
     later copy of a >=k-token repeated passage loses exactly that span,

@@ -1623,6 +1623,63 @@ def test_drift_monitor_sink_flags_the_drifted_window(spark, tmp_path_factory):
     assert {w: r["psi"] for w, r in got.items()} == one_shot
 
 
+def test_dup_span_ingest_sink_scrubs_against_prior_batches(
+    spark, tmp_path_factory
+):
+    """Continuous exact-substring dedup: a passage admitted in batch 0
+    scrubs from every later batch's copies at any alignment; the
+    accumulated scrubbed store over doc_id-ordered batches equals the
+    one-shot dup_span_scrub over all docs; the gram index holds one row
+    per distinct corpus gram."""
+    from pulsar_replay_spark.operators import dedup
+
+    src_tokens = [f"a{i}" for i in range(60)]
+    rows = [
+        (1, " ".join(src_tokens)),  # batch 0: first occurrence
+        (2, " ".join([f"b{i}" for i in range(25)])),
+        # batch 1: 14-token copy of a10..a23 at offset 5
+        (3, " ".join([f"c{i}" for i in range(5)] + src_tokens[10:24] + ["ctail"])),
+        # batch 2: 12-token copy of a30..a41, plus a copy of batch 1's OWN
+        # unique prefix region (c0..c4 too short to matter at k=10)
+        (4, " ".join(src_tokens[30:42] + [f"d{i}" for i in range(8)])),
+    ]
+    src = str(tmp_path_factory.mktemp("dupspan_src"))
+    schema = "doc_id long, text string"
+    for fname, part in (("b0", rows[:2]), ("b1", rows[2:3]), ("b2", rows[3:])):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{fname}")
+
+    store = str(tmp_path_factory.mktemp("dupspan_store"))
+    out = str(tmp_path_factory.mktemp("dupspan_out"))
+    ck = str(tmp_path_factory.mktemp("dupspan_ck"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipelines.dup_span_ingest_sink(
+        stream, store, out, ck, min_tokens=10
+    ).awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = spark.createDataFrame(rows, schema)
+    want = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(docs, min_tokens=10).collect()
+    }
+    assert got == want
+    # the cross-batch copies actually lost their planted spans
+    assert got[3][2] == got[3][1] - 14
+    assert got[4][2] == got[4][1] - 12
+    # index: one row per distinct corpus gram, nothing re-persisted
+    idx = spark.read.parquet(store)
+    assert idx.count() == idx.select("gh").distinct().count()
+
+
 def test_lang_drift_sink_flags_planted_lang_shift(spark, tmp_path_factory):
     """r10 lang-share drift: a crawl that starts in English and drifts into
     Spanish mid-stream crosses the PSI 0.25 rule in the drifted window and
