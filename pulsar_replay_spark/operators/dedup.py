@@ -1399,7 +1399,19 @@ def dup_span_marks(
     small — in natural corpora ≥20-token verbatim repeats are a thin tail)
     marks occurrences; one per-doc aggregation collects sorted start
     positions (bounded by doc length, never key-global); interval merging
-    is a per-row higher-order aggregate. No suffix text ever shuffles."""
+    is a per-row higher-order aggregate. No suffix text ever shuffles.
+
+    Deliberate tradeoff: the gram explode+hash subtree executes TWICE
+    (once under the duplicate agg, once on the join probe side) — the
+    alternatives are worse at scale: materializing the gram table costs
+    corpus-token-scale IO, and a count-over-window(gh) formulation
+    computes grams once but serializes every occurrence of a hot
+    boilerplate gram onto one window reducer — exactly the skew the
+    map-side-combined agg absorbs (the `chunk_dedup_marks` argument).
+    CPU-bound profiles can halve the recompute by swapping md5 of the
+    joined k-gram string for a rolling hash; keep ≥96 hash bits — 10^12
+    grams birthday-collide a 64-bit space, and a collision falsely marks
+    a span as duplicated."""
     if keep not in ("first", "none"):
         raise ValueError(f"dup_span_marks: keep must be 'first'|'none', got {keep!r}")
     k = int(min_tokens)

@@ -2297,6 +2297,58 @@ def dup_span_ingest_sink(
     )
 
 
+def dup_span_store_compact(
+    spark: SparkSession, store_dir: str, compact_dir: str
+) -> None:
+    """Fold the gram store's accumulated batch_id partitions into the
+    batch_id = -1 base (the store-wide compaction discipline — a resumed
+    sink's micro-batch 0 can neither hide nor wipe it). One row per
+    distinct gram survives, keeping the GLOBALLY first (doc_id, pos)
+    occurrence — crash-retry duplicates and any cross-batch races fold to
+    the same winner the one-shot path picks."""
+    _require_distinct_dirs(compact_dir, store_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    (
+        spark.read.parquet(store_dir)
+        .select("gh", "doc_id", "pos")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(compact_dir)
+    )
+
+
+def dup_span_store_expire(
+    spark: SparkSession, store_dir: str, out_dir: str, drop_docs: DataFrame
+) -> None:
+    """Deletion / right-to-be-forgotten for the gram store: a dropped doc's
+    gram rows leave, so the store derives from exactly the retained corpus
+    (the content itself was only ever stored as one-way hashes, but
+    deletion disciplines remove DERIVED rows too). Semantics after expiry:
+    content whose only first occurrence lived in a dropped doc no longer
+    scrubs future copies — correct, the content left the corpus; already-
+    scrubbed docs are not resurrected (scrubbing is applied at admission).
+    Folds to the batch_id = -1 base like ``dup_span_store_compact``."""
+    _require_distinct_dirs(out_dir, store_dir)
+    drop = drop_docs.select("doc_id").distinct().localCheckpoint(eager=True)
+    (
+        spark.read.parquet(store_dir)
+        .select("gh", "doc_id", "pos")
+        .join(drop, "doc_id", "left_anti")
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def lang_drift_sink(
     docs_stream: DataFrame,
     model: dict,

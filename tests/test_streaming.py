@@ -1680,6 +1680,63 @@ def test_dup_span_ingest_sink_scrubs_against_prior_batches(
     assert idx.count() == idx.select("gh").distinct().count()
 
 
+def test_dup_span_store_compact_and_expire(spark, tmp_path_factory):
+    """Gram-store lifecycle: compaction folds batches to one base partition
+    with the globally-first occurrence per distinct gram (serving against
+    the compacted store ≡ the grown store); expiry removes a dropped doc's
+    gram rows, after which content whose only source was the dropped doc
+    no longer scrubs future copies; both refuse in-place overwrite."""
+    from pulsar_replay_spark.operators import dedup
+
+    src = [f"a{i}" for i in range(40)]
+    store = str(tmp_path_factory.mktemp("gs_store"))
+    idx = spark.createDataFrame([], "gh string, doc_id long, pos int")
+    batches = [
+        [(1, " ".join(src))],
+        [(2, " ".join([f"b{i}" for i in range(3)] + src[10:24]))],
+    ]
+    for bid, rows in enumerate(batches):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        _, new_grams = dedup.incremental_dup_span_scrub(batch, idx, 10)
+        new_grams.withColumn("batch_id", F.lit(bid)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(store)
+        idx = spark.read.parquet(store).select("gh", "doc_id", "pos")
+
+    compacted = str(tmp_path_factory.mktemp("gs_compact"))
+    pipelines.dup_span_store_compact(spark, store, compacted)
+    cidx = spark.read.parquet(compacted)
+    assert set(cidx.select("batch_id").distinct().toPandas()["batch_id"]) == {-1}
+    assert cidx.count() == cidx.select("gh").distinct().count()
+    # serving equivalence: a new batch scrubs identically against either
+    probe = spark.createDataFrame(
+        [(9, " ".join(src[5:20] + ["tail9"]))], "doc_id long, text string"
+    )
+    s_grown, _ = dedup.incremental_dup_span_scrub(
+        probe, spark.read.parquet(store).select("gh", "doc_id", "pos"), 10
+    )
+    s_comp, _ = dedup.incremental_dup_span_scrub(
+        probe, cidx.select("gh", "doc_id", "pos"), 10
+    )
+    assert s_grown.collect() == s_comp.collect()
+
+    # expire doc 1: its gram rows leave the store, so a fresh copy of
+    # content whose only first occurrence was doc 1 no longer scrubs
+    expired = str(tmp_path_factory.mktemp("gs_expired"))
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    pipelines.dup_span_store_expire(spark, store, expired, one)
+    eidx = spark.read.parquet(expired).select("gh", "doc_id", "pos")
+    assert eidx.filter(F.col("doc_id") == 1).count() == 0
+    s_exp, _ = dedup.incremental_dup_span_scrub(probe, eidx, 10)
+    row = s_exp.collect()[0]
+    grown_row = s_grown.collect()[0]
+    assert grown_row.n_kept_tokens < row.n_kept_tokens  # less scrubs now
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.dup_span_store_compact(spark, store, store)
+    with pytest.raises(ValueError, match="differ"):
+        pipelines.dup_span_store_expire(spark, store, store, one)
+
+
 def test_lang_drift_sink_flags_planted_lang_shift(spark, tmp_path_factory):
     """r10 lang-share drift: a crawl that starts in English and drifts into
     Spanish mid-stream crosses the PSI 0.25 rule in the drifted window and
