@@ -1370,6 +1370,41 @@ GROUP BY doc_id
 """
 
 
+# The remove-all policy leg (keep='none'): every occurrence of duplicated
+# content leaves, the first included — the boilerplate-nobody-wants
+# variant. Not registered (the registered row carries keep='first', the
+# Lee et al. default); oracle-gated in pytest + parity --extras
+# (x_dup_span_none). Oracle = the registered one minus the rk > 1 guard.
+DUP_SPAN_NONE_ORACLE = DUP_SPAN_ORACLE.replace(
+    "WHERE c > 1 AND rk > 1", "WHERE c > 1"
+)
+
+
+def q_dup_span_scrub_none(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    low3 = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_len",
+            F.when(F.col("_rn") == 1, 11).when(F.col("_rn") == 2, 25).otherwise(63),
+        )
+    )
+    clones = low3.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), F.lit(5), F.col("_len")), " "
+        ).alias("text"),
+    )
+    return dedup.dup_span_scrub(
+        docs.unionByName(clones), min_tokens=10, keep="none"
+    )
+
+
 @register("dup_span_scrub", DUP_SPAN_ORACLE)
 def q_dup_span_scrub(spark, sf_dir):
     from pyspark.sql.window import Window

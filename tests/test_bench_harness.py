@@ -70,6 +70,18 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark, tmp_pat
             os.unlink(detail_path)
 
 
+def test_bench_headline_names_are_registered():
+    """A contract rotation must update bench.HEADLINE too — an unregistered
+    name doesn't crash bench.py (timed() catches per-query), it just turns
+    the row into a silent error entry and shrinks the headline total."""
+    import __spark_entry__ as entrymod
+
+    import bench
+
+    missing = set(bench.HEADLINE) - set(entrymod.queries())
+    assert not missing, f"HEADLINE rows not in the registry: {missing}"
+
+
 def test_bench_marks_contended_recordings(monkeypatch, capsys, spark, tmp_path):
     """r9's official record was taken on a ~5x oversubscribed host and
     nothing flagged it — the guard must annotate such recordings loudly.

@@ -440,6 +440,25 @@ def test_dup_span_scrub_is_load_bearing(spark):
     assert (srcs["n_kept_tokens"] == srcs["n_tokens"]).all()
 
 
+def test_dup_span_scrub_none_policy_matches_oracle(spark, duck):
+    """The keep='none' (remove-all) leg of the r10 contract row: the
+    planted clones' SOURCES lose their spans too. Pytest + parity
+    --extras (x_dup_span_none)."""
+    from pulsar_replay_spark.queries_llm import (
+        DUP_SPAN_NONE_ORACLE,
+        q_dup_span_scrub_none,
+    )
+
+    sdf = q_dup_span_scrub_none(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(DUP_SPAN_NONE_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"dup_span_none: {problems}"
+    i = sdf.set_index("doc_id")
+    srcs = i.loc[[d - 1000000 for d in i.index if d >= 1000000]]
+    assert len(srcs) == 3
+    assert (srcs["n_kept_tokens"] < srcs["n_tokens"]).all()
+
+
 def test_unregistered_scrubbed_corpus_matches_oracle(spark, duck):
     """r10 rotation: the fixed-window chunk scrub ceded its slot to
     dup_span_scrub (same family, any-length generalization); its oracle

@@ -120,6 +120,8 @@ def extra_oracles() -> dict:
         # r10 swap: the contract row is pagerank_trade_adaptive; the pinned
         # scale=1e12 variant keeps its oracle gate here + pytest
         "x_pagerank": (qr.pagerank_trade, qr.PAGERANK_TRADE_ORACLE),
+        # the remove-all policy leg of the r10 contract row
+        "x_dup_span_none": (ql.q_dup_span_scrub_none, ql.DUP_SPAN_NONE_ORACLE),
         "x_q4": (qr.q4_order_priority, qr.Q4_ORACLE),
         "x_q17": (qr.q17_small_quantity_revenue, qr.Q17_ORACLE),
         "x_q5": (qr.q5_region_revenue, qr.Q5_ORACLE),
