@@ -549,6 +549,30 @@ def lang_window_counts(
     )
 
 
+def lang_psi_contributions(
+    model: dict, ref_hist: DataFrame, cur_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """(lang, n_ref, n_cur, p_ref, p_cur, psi_term): the per-LANGUAGE PSI
+    breakdown — ``quality.psi_contributions`` with the integer bins mapped
+    back to their language names (abstain bin → '__abstain__'), so the
+    alert reader sees WHICH language moved, not a bin number. Same
+    arithmetic, |langs|+1 rows."""
+    from pulsar_replay_spark.operators.quality import psi_contributions
+
+    contrib = psi_contributions(ref_hist, cur_hist, eps)
+    label = F.lit("__abstain__")
+    for i, lang in enumerate(model["langs"]):
+        label = F.when(F.col("bin") == i, F.lit(lang)).otherwise(label)
+    return contrib.select(
+        label.alias("lang"),
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        "psi_term",
+    )
+
+
 def save_lang_model(model: dict, path: str) -> None:
     """Persist a ``lang_classifier_train`` model: the (lang, bucket, w)
     weight frame as parquet + a one-row json-ish params frame (bias map,

@@ -1680,6 +1680,73 @@ def test_dup_span_ingest_sink_scrubs_against_prior_batches(
     assert idx.count() == idx.select("gh").distinct().count()
 
 
+def test_dup_span_sink_composes_with_curation_sink(spark, tmp_path_factory):
+    """The continuous-pipeline composition: dup_span_ingest_sink upstream
+    (any-length exact-substring scrub against everything admitted so far)
+    feeding curation_ingest_sink downstream (exact/near dedup + quality) —
+    a later batch's copy of an admitted passage loses the passage before
+    curation ever sees it, and a doc that was NOTHING but the passage
+    arrives empty and falls to the quality floor."""
+    from pulsar_replay_spark.functions.text import token_count
+
+    passage = " ".join(f"boiler{i}" for i in range(15))
+    own1 = " ".join(f"alpha{i}" for i in range(25))
+    own2 = " ".join(f"beta{i}" for i in range(25))
+    rows_by_batch = [
+        [(1, f"{own1} {passage}")],  # admits passage
+        [(2, f"{passage} {own2}"), (3, passage)],  # copy + passage-only
+    ]
+    src = str(tmp_path_factory.mktemp("comp_src"))
+    for i, rows in enumerate(rows_by_batch):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/b{i}")
+
+    gram_store = str(tmp_path_factory.mktemp("comp_grams"))
+    scrubbed_dir = str(tmp_path_factory.mktemp("comp_scrubbed"))
+    pipelines.dup_span_ingest_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*"),
+        gram_store,
+        scrubbed_dir,
+        str(tmp_path_factory.mktemp("comp_ck1")),
+        min_tokens=10,
+    ).awaitTermination(120)
+
+    # stage 2: curate the scrubbed store (its files stream in as batches)
+    scrub_stream = (
+        spark.readStream.schema(
+            "doc_id long, cleaned_text string, n_tokens long, "
+            "n_kept_tokens long, batch_id long"
+        )
+        .parquet(scrubbed_dir)
+        .select(
+            "doc_id",
+            F.col("cleaned_text").alias("text"),
+            F.lit("web").alias("source"),
+        )
+    )
+    accepted_dir = str(tmp_path_factory.mktemp("comp_accepted"))
+    pipelines.curation_ingest_sink(
+        scrub_stream,
+        accepted_dir,
+        str(tmp_path_factory.mktemp("comp_index")),
+        str(tmp_path_factory.mktemp("comp_ck2")),
+        lambda df: df.select(
+            "doc_id", token_count(F.col("text")).cast("double").alias("score")
+        ),
+        threshold=10.0,
+    ).awaitTermination(120)
+
+    texts = {
+        r.doc_id: r.text for r in spark.read.parquet(accepted_dir).collect()
+    }
+    assert set(texts) == {1, 2}  # doc 3 arrived empty → quality floor
+    assert texts[1] == f"{own1} {passage}"  # first occurrence intact
+    assert texts[2] == own2  # the copy lost exactly the passage
+
+
 def test_dup_span_store_compact_and_expire(spark, tmp_path_factory):
     """Gram-store lifecycle: compaction folds batches to one base partition
     with the globally-first occurrence per distinct gram (serving against
@@ -1832,6 +1899,22 @@ def test_lang_drift_sink_flags_planted_lang_shift(spark, tmp_path_factory):
     )
     bins = {r.bin: r.n for r in classifier.lang_share_counts(gib, model).collect()}
     assert bins == {len(model["langs"]): 1}
+
+    # the labeled breakdown names WHICH language moved: es absorbs the
+    # drifted window's share, en loses it, labels are language names
+    drift_docs = spark.read.parquet(f"{src}/*").filter(
+        F.col("ts") >= base + dt.timedelta(hours=1)
+    )
+    cur = classifier.lang_share_counts(drift_docs, model)
+    contrib = {
+        r.lang: r for r in classifier.lang_psi_contributions(
+            model, ref_h, cur
+        ).collect()
+    }
+    assert set(contrib) <= set(model["langs"]) | {"__abstain__"}
+    assert contrib["es"].p_cur > contrib["es"].p_ref
+    assert contrib["en"].p_cur < contrib["en"].p_ref
+    assert contrib["es"].psi_term > 0
 
 
 def test_compactors_refuse_in_place_overwrite(spark, tmp_path_factory):
