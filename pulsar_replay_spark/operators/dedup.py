@@ -1361,13 +1361,22 @@ def span_decon_scrub(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _positioned_kgram_hashes(docs: DataFrame, k: int) -> DataFrame:
+def _positioned_kgram_hashes(
+    docs: DataFrame, k: int, casefold: bool = False
+) -> DataFrame:
     """(doc_id, pos, gh): md5 of every k-token window at 0-based token
     position ``pos``. Docs shorter than k tokens emit nothing (they cannot
     contain a ≥k-token repeat). The hash — never the gram text — is what
-    shuffles."""
+    shuffles. ``casefold`` hashes LOWERCASED tokens (the Lee et al. recipe
+    normalizes before building the suffix array) — per-token lowering
+    preserves token count, so positions still index the ORIGINAL tokens
+    and the scrub removes the original-case text."""
+    raw = F.split(F.coalesce("text", F.lit("")), " ")
     toks = docs.select(
-        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("t")
+        "doc_id",
+        (F.transform(raw, lambda t: F.lower(t)) if casefold else raw).alias(
+            "t"
+        ),
     )
     win = F.transform(
         F.sequence(F.lit(0), F.size("t") - k),
@@ -1379,7 +1388,10 @@ def _positioned_kgram_hashes(docs: DataFrame, k: int) -> DataFrame:
 
 
 def dup_span_marks(
-    docs: DataFrame, min_tokens: int = 20, keep: str = "first"
+    docs: DataFrame,
+    min_tokens: int = 20,
+    keep: str = "first",
+    casefold: bool = False,
 ) -> DataFrame:
     """(doc_id, spans: array<struct<start,end>>, n_dup_tokens): each doc's
     MAXIMAL duplicated-span intervals (0-based token indices, inclusive) of
@@ -1415,7 +1427,7 @@ def dup_span_marks(
     if keep not in ("first", "none"):
         raise ValueError(f"dup_span_marks: keep must be 'first'|'none', got {keep!r}")
     k = int(min_tokens)
-    grams = _positioned_kgram_hashes(docs, k)
+    grams = _positioned_kgram_hashes(docs, k, casefold)
     dup = (
         grams.groupBy("gh")
         .agg(
@@ -1473,7 +1485,10 @@ def _spans_from_marked(marked: DataFrame, k: int) -> DataFrame:
 
 
 def dup_span_scrub(
-    docs: DataFrame, min_tokens: int = 20, keep: str = "first"
+    docs: DataFrame,
+    min_tokens: int = 20,
+    keep: str = "first",
+    casefold: bool = False,
 ) -> DataFrame:
     """End product of any-length exact-substring dedup: every doc's text
     with its marked duplicate spans removed — (doc_id, cleaned_text,
@@ -1487,7 +1502,9 @@ def dup_span_scrub(
     ``span_decon_scrub`` higher-order filter against the MERGED maximal
     intervals: O(tokens · spans) per row in whole-stage codegen, no token
     explode, no per-token shuffle."""
-    return _scrub_against_spans(docs, dup_span_marks(docs, min_tokens, keep))
+    return _scrub_against_spans(
+        docs, dup_span_marks(docs, min_tokens, keep, casefold)
+    )
 
 
 def _scrub_against_spans(docs: DataFrame, marks: DataFrame) -> DataFrame:

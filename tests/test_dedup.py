@@ -970,6 +970,106 @@ def test_dup_span_plan_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_dup_span_casefold_matches_case_variant_repeats(spark):
+    """casefold=True (the Lee et al. normalize-before-suffix-sort recipe):
+    a Title-Case copy of an admitted passage dedups against it, and the
+    scrub removes the ORIGINAL-case tokens (positions are unchanged by
+    per-token lowering). casefold=False stays byte-strict."""
+    from pulsar_replay_spark.operators import dedup
+
+    lower = " ".join(f"word{i}" for i in range(12))
+    title = " ".join(f"Word{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {lower}"),
+            (2, f"{title} outro{0} outro{1}"),
+        ],
+        "doc_id long, text string",
+    )
+    strict = dedup.dup_span_marks(docs, min_tokens=10)
+    assert strict.count() == 0  # byte-strict: case difference = no repeat
+    folded = {
+        r.doc_id: (
+            [(s["start"], s["end"]) for s in r.spans],
+            r.n_dup_tokens,
+        )
+        for r in dedup.dup_span_marks(docs, min_tokens=10, casefold=True).collect()
+    }
+    assert folded == {2: ([(0, 11)], 12)}  # doc 1 (earlier) keeps its copy
+    scrub = {
+        r.doc_id: r.cleaned_text
+        for r in dedup.dup_span_scrub(docs, 10, casefold=True).collect()
+    }
+    assert scrub[1] == f"intro {lower}"
+    assert scrub[2] == "outro0 outro1"  # original-case tokens removed
+
+
+def test_dup_span_deterministic_under_repartitioning(spark):
+    from pulsar_replay_spark.operators import dedup
+
+    docs = _dup_span_fixture(spark)
+    a = sorted(
+        (r.doc_id, r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(docs, min_tokens=10).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(docs.repartition(13), min_tokens=10).collect()
+    )
+    assert a == b
+
+
+def test_dup_span_randomized_brute_force_equivalence(spark):
+    """Seeded randomized gate for the coverage lemma: small random corpora
+    with planted random-length repeats at random alignments — the engine's
+    scrub must equal the brute-force python enumeration of ALL duplicated
+    k-grams, for every seed."""
+    import random
+    from collections import defaultdict
+
+    from pulsar_replay_spark.operators import dedup
+
+    k = 5
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]  # small vocab: natural repeats
+        rows = []
+        for d in range(12):
+            n = rng.randint(2, 40)
+            rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        # plant explicit repeats: slices of doc 0 into random docs/offsets
+        base = rows[0][1].split()
+        if len(base) >= k + 2:
+            for d in (4, 7):
+                L = rng.randint(k, min(len(base), k + 9))
+                s = rng.randint(0, len(base) - L)
+                tgt = rows[d][1].split()
+                at = rng.randint(0, len(tgt))
+                rows[d] = (d, " ".join(tgt[:at] + base[s : s + L] + tgt[at:]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        occ = defaultdict(list)
+        for d, text in rows:
+            t = text.split(" ")
+            for p in range(len(t) - k + 1):
+                occ[" ".join(t[p : p + k])].append((d, p))
+        scrubbed_pos = defaultdict(set)
+        for positions in occ.values():
+            if len(positions) > 1:
+                for d, p in sorted(positions)[1:]:
+                    scrubbed_pos[d].update(range(p, p + k))
+        want = {}
+        for d, text in rows:
+            t = text.split(" ")
+            kept = [tok for i, tok in enumerate(t) if i not in scrubbed_pos[d]]
+            want[d] = (text if not scrubbed_pos[d] else " ".join(kept), len(t), len(kept))
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+            for r in dedup.dup_span_scrub(docs, min_tokens=k).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_incremental_dup_span_equals_one_shot(spark):
     """doc_id-ordered batches through incremental_dup_span_scrub reproduce
     the one-shot dup_span_scrub over their union EXACTLY, and the index
