@@ -1539,6 +1539,39 @@ def _scrub_against_spans(docs: DataFrame, marks: DataFrame) -> DataFrame:
     )
 
 
+def dup_span_stats(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    keep: str = "none",
+    casefold: bool = False,
+) -> DataFrame:
+    """1-row corpus duplication diagnostics — the Lee et al. paper's
+    headline measurement ("how much of this corpus is duplicated text?")
+    as a data-card statistic: (n_docs, n_tokens, n_dup_tokens,
+    dup_token_ratio, n_docs_with_dups). Default ``keep='none'`` counts
+    EVERY occurrence of duplicated content (the "X% of tokens sit inside
+    a repeat" reading); ``keep='first'`` counts only what a scrub would
+    remove. Cost = one ``dup_span_marks`` pass + one global agg."""
+    marks = dup_span_marks(docs, min_tokens, keep, casefold)
+    toks = F.split(F.coalesce("text", F.lit("")), " ")
+    per_doc = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_toks")
+    ).join(marks.select("doc_id", "n_dup_tokens"), "doc_id", "left")
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum("n_dup_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_tokens"),
+        F.round(
+            F.coalesce(F.sum("n_dup_tokens"), F.lit(0))
+            / F.greatest(F.sum("n_toks"), F.lit(1)),
+            6,
+        ).alias("dup_token_ratio"),
+        F.count("n_dup_tokens").cast("bigint").alias("n_docs_with_dups"),
+    )
+
+
 def incremental_dup_span_scrub(
     docs: DataFrame, gram_index: DataFrame, min_tokens: int = 20
 ) -> tuple[DataFrame, DataFrame]:

@@ -474,6 +474,7 @@ def data_card(
     docs: DataFrame,
     length_bins: list[float] | None = None,
     lang_model: dict | None = None,
+    dup_span_tokens: int | None = None,
 ) -> dict:
     """The release artifact every published corpus ships with: one call →
     the summary frames a dataset card reports, each a small aggregate over
@@ -582,7 +583,7 @@ def data_card(
     # decide whether the corpus needs a fix_text pass before release)
     from pulsar_replay_spark.operators.textnorm import mojibake_report
 
-    return {
+    card = {
         "summary": summary,
         "by_lang": _by("lang"),
         "by_source": _by("source"),
@@ -591,3 +592,12 @@ def data_card(
         "quality_quartiles": quality_quartiles,
         "mojibake_by_source": mojibake_report(docs).orderBy("source"),
     }
+    # r10, opt-in (it costs a positioned-k-gram pass over the corpus —
+    # unlike every other card frame, NOT a cheap aggregate): the Lee et al.
+    # duplication headline, "what fraction of tokens sit inside a
+    # duplicated span of >= k tokens"
+    if dup_span_tokens is not None:
+        card["dup_span_stats"] = dedup.dup_span_stats(
+            docs, min_tokens=dup_span_tokens
+        )
+    return card

@@ -1070,6 +1070,37 @@ def test_dup_span_randomized_brute_force_equivalence(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_dup_span_stats_counts_exactly(spark):
+    """The corpus-duplication headline: keep='none' counts every token
+    inside a duplicated >=k span (hand-checked on the planted fixture);
+    keep='first' counts only what a scrub removes; the card knob exposes
+    it."""
+    from pulsar_replay_spark import pipeline
+    from pulsar_replay_spark.operators import dedup
+
+    docs = _dup_span_fixture(spark)
+    s = dedup.dup_span_stats(docs, min_tokens=10).collect()[0]
+    # doc1: span 5-67 = 63 covered tokens (keep='none' marks the firsts);
+    # docs 2/3/4/5 carry 25/11/63/15 dup tokens; docs 6/7 none
+    assert s.n_docs == 7 and s.n_docs_with_dups == 5
+    assert s.n_dup_tokens == 63 + 25 + 11 + 63 + 15
+    total = sum(len(r.text.split(" ")) for r in docs.collect())
+    assert s.n_tokens == total
+    assert abs(s.dup_token_ratio - s.n_dup_tokens / total) < 1e-6
+    first = dedup.dup_span_stats(docs, min_tokens=10, keep="first").collect()[0]
+    assert first.n_dup_tokens == 25 + 11 + 63 + 15  # doc 1 keeps its copy
+    assert first.n_docs_with_dups == 4
+
+    card = pipeline.data_card(
+        docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("web").alias("source"), F.length("text").alias("n_chars"),
+        ),
+        dup_span_tokens=10,
+    )
+    assert card["dup_span_stats"].collect()[0].n_dup_tokens == s.n_dup_tokens
+
+
 def test_incremental_dup_span_equals_one_shot(spark):
     """doc_id-ordered batches through incremental_dup_span_scrub reproduce
     the one-shot dup_span_scrub over their union EXACTLY, and the index
