@@ -22,9 +22,17 @@ import time
 # host is oversubscribed and the whole artifact shifts with it, so the
 # recording is annotated contended:true rather than read as a code
 # regression (the r9 record was burned exactly this way: anchor
-# 0.0405 -> 0.197 s, every untouched row +26-92%).
-ANCHOR_NUMPY_MATMUL_1K_SEC = 0.0405
-ANCHOR_JVM_RANGE_SUM_SEC = 0.348
+# 0.0405 -> 0.197 s, every untouched row +26-92%). The defaults are
+# HOST-SPECIFIC (this build box); on any other machine set
+# SPARK_GRAFT_ANCHOR_NUMPY_SEC / SPARK_GRAFT_ANCHOR_JVM_SEC to that host's
+# idle medians (one idle `python bench.py` run prints them under
+# calibration.*) or every recording there is permanently contended:true.
+ANCHOR_NUMPY_MATMUL_1K_SEC = float(
+    os.environ.get("SPARK_GRAFT_ANCHOR_NUMPY_SEC", "0.0405")
+)
+ANCHOR_JVM_RANGE_SUM_SEC = float(
+    os.environ.get("SPARK_GRAFT_ANCHOR_JVM_SEC", "0.348")
+)
 CONTENTION_RATIO_LIMIT = 2.0
 
 HEADLINE = [
@@ -176,6 +184,12 @@ def main() -> None:
         calibration["numpy_matmul_1k_sec"] = round(np_med, 4)
         calibration["numpy_anchor_ratio"] = round(
             np_med / ANCHOR_NUMPY_MATMUL_1K_SEC, 2
+        )
+        # Secondary signal only (JVM startup/JIT noise makes it too jumpy
+        # to gate on): a numpy ratio near 1 with a large JVM ratio points
+        # at JVM-side trouble (GC, heap pressure), not host contention.
+        calibration["jvm_anchor_ratio"] = round(
+            jvm_med / ANCHOR_JVM_RANGE_SUM_SEC, 2
         )
         if np_med > ANCHOR_NUMPY_MATMUL_1K_SEC * CONTENTION_RATIO_LIMIT:
             contended = True

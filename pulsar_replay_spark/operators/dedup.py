@@ -1362,15 +1362,37 @@ def span_decon_scrub(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
 
 
 def _positioned_kgram_hashes(
-    docs: DataFrame, k: int, casefold: bool = False
+    docs: DataFrame, k: int, casefold: bool = False, impl: str = "md5"
 ) -> DataFrame:
-    """(doc_id, pos, gh): md5 of every k-token window at 0-based token
+    """(doc_id, pos, gh): a hash of every k-token window at 0-based token
     position ``pos``. Docs shorter than k tokens emit nothing (they cannot
     contain a ≥k-token repeat). The hash — never the gram text — is what
     shuffles. ``casefold`` hashes LOWERCASED tokens (the Lee et al. recipe
     normalizes before building the suffix array) — per-token lowering
     preserves token count, so positions still index the ORIGINAL tokens
-    and the scrub removes the original-case text."""
+    and the scrub removes the original-case text.
+
+    ``impl`` picks the kernel (the arrow/jvm kernel-knob pattern; both
+    emit the same (doc_id, pos, gh) relation and the SAME downstream
+    spans — gated bit-identical in tests — but the gh VALUES differ, so
+    a persisted gram store must be probed with its build-time impl):
+
+    - ``'md5'`` (default): whole-stage-codegen JVM expression — builds
+      each k-gram string (slice + array_join) and md5s it. Zero Python,
+      but O(k) char work per token position, and the marks plan runs the
+      subtree twice — at k=20 that's ~40x the char traffic of one scan.
+    - ``'rolling'``: Arrow-batched polynomial rolling hash over per-token
+      md5-derived values — O(1) per position after an O(tokens) pass,
+      the Lee et al. suffix-array cost model re-expressed for Spark.
+      4 independent 31-bit prime channels ≈ 124 hash bits (≥96 keeps
+      10^12 grams birthday-safe; 64 bits would not). One MapInPandas
+      node; everything downstream is unchanged JVM."""
+    if impl == "rolling":
+        return _rolling_kgram_hashes(docs, k, casefold)
+    if impl != "md5":
+        raise ValueError(
+            f"positioned k-gram impl must be 'md5'|'rolling', got {impl!r}"
+        )
     raw = F.split(F.coalesce("text", F.lit("")), " ")
     toks = docs.select(
         "doc_id",
@@ -1387,11 +1409,166 @@ def _positioned_kgram_hashes(
     )
 
 
+# Rolling-hash channel constants: 4 distinct primes just under 2^31,
+# fixed gram bases B, and fixed token-codepoint radixes R. Values,
+# products, and cumulative sums all stay inside int64: per-channel
+# values < 2^31, products < 2^62, and a flat batch cumsum of n tokens
+# tops out at n·2^31 (n < 2^32 per Arrow batch — far beyond any real
+# batch). Channel c's per-token value is the polynomial of the token's
+# UCS4 codepoints in R_c mod p_c (a bijective representation — distinct
+# tokens collide per channel with probability ~width/2^31, jointly
+# across the 4 independent (p, R) channels ~2^-124-ish, the standard
+# multi-channel Rabin–Karp argument).
+_ROLL_PRIMES = (2147483647, 2147483629, 2147483587, 2147483563)
+_ROLL_BASES = (1000003, 999983, 1000033, 1000037)
+_ROLL_RADIXES = (131, 137, 139, 149)
+
+
+def _rolling_kgram_hashes(
+    docs: DataFrame, k: int, casefold: bool = False
+) -> DataFrame:
+    """The ``impl='rolling'`` kernel for ``_positioned_kgram_hashes``:
+    H_c(i) = Σ_j v_c[i+j]·B_c^{k-1-j} mod p_c per 31-bit channel, packed
+    big-endian into one 32-hex-char gh. Fully vectorized O(tokens) per
+    Arrow batch via the inverse-power prefix form
+    H_c(i) = B_c^{i+k-1} · (S_c[i+k] − S_c[i]) mod p_c with
+    S_c = cumsum(v_c[m]·B_c^{−m}); the flat batch cumsum never crosses a
+    doc boundary inside one window difference, so docs don't interact.
+    Per-token values: factorize the batch's tokens (vocab-bounded work),
+    view the UNIQUE tokens as a fixed-width UCS4 codepoint matrix
+    (zero-copy, no per-token Python), and take each channel's value as a
+    polynomial in R_c over the codepoints mod p_c — a bijective
+    representation hashed entirely in numpy, no md5 loop (the md5-per-
+    unique-token variant measured 4x slower on unique-heavy corpora).
+    ``casefold`` lowers via Python str.lower — equivalent to the JVM
+    path's F.lower for the ASCII corpora the gates cover (exotic Unicode
+    case law may differ; the byte-strict default has no such seam)."""
+    import binascii
+
+    doc_id_type = docs.schema["doc_id"].dataType.simpleString()
+    n_ch = len(_ROLL_PRIMES)
+    binvs = tuple(
+        pow(b, p - 2, p) for b, p in zip(_ROLL_BASES, _ROLL_PRIMES)
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        # Per-channel power tables B^m / B^-m mod p, grown once to the
+        # longest doc seen (Python loop over maxlen, once per extension —
+        # not per doc, not per token).
+        pow_b = [np.ones(1, dtype=np.int64) for _ in range(n_ch)]
+        pow_binv = [np.ones(1, dtype=np.int64) for _ in range(n_ch)]
+
+        def extend(tables, mults, upto):
+            for c in range(n_ch):
+                arr = tables[c]
+                if len(arr) <= upto:
+                    p, mult = _ROLL_PRIMES[c], mults[c]
+                    ext = np.empty(upto + 1, dtype=np.int64)
+                    ext[: len(arr)] = arr
+                    cur = int(arr[-1])
+                    for m in range(len(arr), upto + 1):
+                        cur = (cur * mult) % p
+                        ext[m] = cur
+                    tables[c] = ext
+
+        def token_values(uniques) -> "np.ndarray":
+            # Fixed-width UCS4 view: (U, W) codepoint matrix, zero-copy.
+            # Codepoints < 2^21 << p, so no pre-reduction; per-channel
+            # value = Σ cp[j]·R^j mod p via one int64 matvec (terms
+            # < 2^52; mod-chunk when W could overflow the int64 sum).
+            uarr = np.asarray(uniques, dtype="U")
+            w = max(1, uarr.dtype.itemsize // 4)
+            cp = (
+                uarr.view(np.uint32).reshape(len(uarr), w).astype(np.int64)
+                if uarr.dtype.itemsize
+                else np.zeros((len(uarr), 1), dtype=np.int64)
+            )
+            out = np.empty((len(uniques), n_ch), dtype=np.int64)
+            for c in range(n_ch):
+                p, r = _ROLL_PRIMES[c], _ROLL_RADIXES[c]
+                pw = np.empty(w, dtype=np.int64)
+                pw[0] = 1
+                for j in range(1, w):
+                    pw[j] = (pw[j - 1] * r) % p
+                if w <= 1024:  # Σ < 2^52 · 2^10 < 2^63: one matvec
+                    out[:, c] = (cp @ pw) % p
+                else:  # pathological token width: chunked modular sums
+                    acc = np.zeros(len(uniques), dtype=np.int64)
+                    for j0 in range(0, w, 1024):
+                        acc = (
+                            acc + (cp[:, j0 : j0 + 1024] @ pw[j0 : j0 + 1024]) % p
+                        ) % p
+                    out[:, c] = acc
+            return out
+
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            if casefold:
+                texts = texts.str.lower()
+            tok_lists = [t.split(" ") for t in texts]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            keep = lens >= k
+            if not keep.any():
+                continue
+            tok_lists = [t for t, kp in zip(tok_lists, keep) if kp]
+            doc_ids = pdf["doc_id"].to_numpy()[keep]
+            lens = lens[keep]
+            flat = np.asarray(
+                [tok for lst in tok_lists for tok in lst], dtype=object
+            )
+            codes, uniques = pd.factorize(flat)
+            table = token_values(uniques)
+
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            total = int(lens.sum())
+            pos_flat = np.arange(total, dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            extend(pow_b, _ROLL_BASES, int(lens.max()))
+            extend(pow_binv, binvs, int(lens.max()))
+
+            g = lens - k + 1  # grams per doc (all lens >= k here)
+            pos_out = np.arange(int(g.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(g)))[:-1], g
+            )
+            gram_flat = np.repeat(starts, g) + pos_out  # flat left edge
+
+            H = np.empty((int(g.sum()), n_ch), dtype=np.int64)
+            for c in range(n_ch):
+                p = _ROLL_PRIMES[c]
+                u = (table[codes, c] * pow_binv[c][pos_flat]) % p
+                csum = np.concatenate(([0], np.cumsum(u)))
+                w = (csum[gram_flat + k] - csum[gram_flat]) % p
+                H[:, c] = (w * pow_b[c][pos_out + k - 1]) % p
+
+            hexbuf = binascii.hexlify(
+                np.ascontiguousarray(H.astype(">u4")).tobytes()
+            )
+            ghs = np.frombuffer(hexbuf, dtype="S32").astype("U32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, g),
+                    "pos": pos_out.astype(np.int32),
+                    "gh": ghs,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema=f"doc_id {doc_id_type}, pos int, gh string"
+    )
+
+
 def dup_span_marks(
     docs: DataFrame,
     min_tokens: int = 20,
     keep: str = "first",
     casefold: bool = False,
+    impl: str = "md5",
 ) -> DataFrame:
     """(doc_id, spans: array<struct<start,end>>, n_dup_tokens): each doc's
     MAXIMAL duplicated-span intervals (0-based token indices, inclusive) of
@@ -1427,7 +1604,7 @@ def dup_span_marks(
     if keep not in ("first", "none"):
         raise ValueError(f"dup_span_marks: keep must be 'first'|'none', got {keep!r}")
     k = int(min_tokens)
-    grams = _positioned_kgram_hashes(docs, k, casefold)
+    grams = _positioned_kgram_hashes(docs, k, casefold, impl)
     dup = (
         grams.groupBy("gh")
         .agg(
@@ -1489,6 +1666,7 @@ def dup_span_scrub(
     min_tokens: int = 20,
     keep: str = "first",
     casefold: bool = False,
+    impl: str = "md5",
 ) -> DataFrame:
     """End product of any-length exact-substring dedup: every doc's text
     with its marked duplicate spans removed — (doc_id, cleaned_text,
@@ -1503,7 +1681,7 @@ def dup_span_scrub(
     intervals: O(tokens · spans) per row in whole-stage codegen, no token
     explode, no per-token shuffle."""
     return _scrub_against_spans(
-        docs, dup_span_marks(docs, min_tokens, keep, casefold)
+        docs, dup_span_marks(docs, min_tokens, keep, casefold, impl)
     )
 
 
@@ -1544,6 +1722,7 @@ def dup_span_stats(
     min_tokens: int = 20,
     keep: str = "none",
     casefold: bool = False,
+    impl: str = "md5",
 ) -> DataFrame:
     """1-row corpus duplication diagnostics — the Lee et al. paper's
     headline measurement ("how much of this corpus is duplicated text?")
@@ -1552,7 +1731,7 @@ def dup_span_stats(
     EVERY occurrence of duplicated content (the "X% of tokens sit inside
     a repeat" reading); ``keep='first'`` counts only what a scrub would
     remove. Cost = one ``dup_span_marks`` pass + one global agg."""
-    marks = dup_span_marks(docs, min_tokens, keep, casefold)
+    marks = dup_span_marks(docs, min_tokens, keep, casefold, impl)
     toks = F.split(F.coalesce("text", F.lit("")), " ")
     per_doc = docs.select(
         "doc_id", F.size(toks).cast("bigint").alias("n_toks")
@@ -1573,7 +1752,12 @@ def dup_span_stats(
 
 
 def incremental_dup_span_scrub(
-    docs: DataFrame, gram_index: DataFrame, min_tokens: int = 20
+    docs: DataFrame,
+    gram_index: DataFrame,
+    min_tokens: int = 20,
+    casefold: bool = False,
+    impl: str = "md5",
+    bloom_fpp: "float | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The streaming-growth twin of ``dup_span_scrub`` (the
     ``incremental_minhash_pairs`` pattern): scrub ``docs`` against BOTH the
@@ -1591,14 +1775,40 @@ def incremental_dup_span_scrub(
     ``dup_span_scrub`` over their union EXACTLY (pinned in tests): the
     global first occurrence is the first batch's first occurrence.
 
+    ``casefold``/``impl`` must match the index's BUILD-TIME settings —
+    the hashes only compare equal under the same normalization and the
+    same kernel (``dup_span_ingest_sink`` records both in the store's
+    ``_meta`` and refuses a mismatched resume).
+
     Scale posture: the probe is one equi-join of the batch's grams against
     the index on the 16-byte hash — batch-sized build side, so AQE
-    broadcasts it against an index of any size; at 100 TB put the Bloom
-    prefilter (``operators/bloom``) in front so the index scan skips
-    row groups with no batch grams."""
+    broadcasts it against an index of any size. ``bloom_fpp`` (r11, the
+    100 TB requirement SCALE.md named): build a Bloom filter over the
+    BATCH's grams (batch-sized — one zero-shuffle pass + a broadcast
+    bitmap) and prefilter the INDEX scan with it, so only index grams
+    that might occur in the batch (true hits + an fpp sliver) reach the
+    distinct+join — the join's index-side input tracks the BATCH size,
+    not the index size. Exactness is by construction: Bloom has NO false
+    negatives (every real hit survives), and false positives only add
+    index grams the exact equi-join then fails to match — the scrub is
+    IDENTICAL with or without the prefilter (pinned in tests)."""
     k = int(min_tokens)
-    grams = _positioned_kgram_hashes(docs, k)
-    seen = gram_index.select("gh").distinct()
+    grams = _positioned_kgram_hashes(docs, k, casefold, impl)
+    index_gh = gram_index.select("gh")
+    if bloom_fpp is not None:
+        from pulsar_replay_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+            bloom_params,
+        )
+
+        batch_gh = grams.select("gh").distinct().localCheckpoint(eager=True)
+        n_bits, n_hashes = bloom_params(max(1, batch_gh.count()), bloom_fpp)
+        bitmap = bloom_build(batch_gh, "gh", n_bits, n_hashes)
+        index_gh = bloom_might_contain(
+            index_gh, "gh", bitmap, n_hashes
+        ).filter(F.col("might_contain")).select("gh")
+    seen = index_gh.distinct()
     flagged = grams.join(
         seen.withColumn("_seen", F.lit(True)), "gh", "left"
     )

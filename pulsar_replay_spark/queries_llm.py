@@ -1380,7 +1380,13 @@ DUP_SPAN_NONE_ORACLE = DUP_SPAN_ORACLE.replace(
 )
 
 
-def q_dup_span_scrub_none(spark, sf_dir):
+def _planted_clone_docs(spark, sf_dir):
+    """The dup-span gate's planted corpus, shared by BOTH scrub legs so
+    they cannot drift from each other or from the oracles' clone CTE:
+    documents plus three clones of the 3 lowest doc_ids' token slices at
+    the verdict's boundary lengths (11/25/63 tokens, offset 5), clone
+    doc_id = source + 1e6. Mirrors DUP_SPAN_ORACLE's `clones` CTE
+    literal-for-literal."""
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1400,33 +1406,18 @@ def q_dup_span_scrub_none(spark, sf_dir):
             F.slice(F.split(F.col("text"), " "), F.lit(5), F.col("_len")), " "
         ).alias("text"),
     )
+    return docs.unionByName(clones)
+
+
+def q_dup_span_scrub_none(spark, sf_dir):
     return dedup.dup_span_scrub(
-        docs.unionByName(clones), min_tokens=10, keep="none"
+        _planted_clone_docs(spark, sf_dir), min_tokens=10, keep="none"
     )
 
 
 @register("dup_span_scrub", DUP_SPAN_ORACLE)
 def q_dup_span_scrub(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    low3 = (
-        docs.orderBy("doc_id")
-        .limit(3)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "_len",
-            F.when(F.col("_rn") == 1, 11).when(F.col("_rn") == 2, 25).otherwise(63),
-        )
-    )
-    clones = low3.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.col("text"), " "), F.lit(5), F.col("_len")), " "
-        ).alias("text"),
-    )
-    return dedup.dup_span_scrub(docs.unionByName(clones), min_tokens=10)
+    return dedup.dup_span_scrub(_planted_clone_docs(spark, sf_dir), min_tokens=10)
 
 
 # ---------------------------------------------------------------------------
@@ -1568,6 +1559,120 @@ SELECT query_id, doc_id, ROUND(score_u / 1000000.0, 4) AS score,
        CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 served from the maintained postings store (r11): the driver gate's
+# first STORE-LIFECYCLE row. The query BUILDS a postings store (one-shot
+# batch build into a fresh directory: postings partitioned by term_bucket,
+# doclen, frozen n_buckets meta) and answers ONLY from it —
+# `bm25_topk_from_index` never sees the documents frame — while the oracle
+# recomputes BM25 from the raw corpus. A hash match therefore proves
+# store ≡ rescan end-to-end under the driver's own gate (rotation target
+# named by the r10 verdict: the 50-slot contract had never seen a
+# build→serve plan). Load-bearing by construction: a PLANTED doc
+# (doc_id −77, text = query 1's exact text) exists only in the BUILD
+# input — it must surface at rk 1 for query 1, so a serve path that
+# silently fell back to rescanning `documents` (or a store build that
+# dropped rows) hash-mismatches. `per_topic_count_ratio` ceded the slot
+# (its groupBy+ratio shape stays covered by q:`capture_pipeline` +
+# q:`top_n_topics`; oracle retained in pytest + parity x_).
+# ---------------------------------------------------------------------------
+BM25_SERVED_ORACLE = """
+WITH planted AS (
+  SELECT CAST(-77 AS BIGINT) AS doc_id,
+         array_to_string(string_split(text, ' ')[1:6], ' ') AS text
+  FROM documents ORDER BY doc_id LIMIT 1
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM planted
+),
+q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(string_split(text, ' ')[1:6], ' ') AS query
+  FROM documents ORDER BY doc_id LIMIT 5
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(string_split(query, ' ')) AS term FROM q
+  ) WHERE term <> ''
+),
+vocab AS (SELECT DISTINCT term FROM qt),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM corpus
+),
+post AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok JOIN vocab USING (term)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS DOUBLE) / COUNT(*) AS avgdl
+  FROM corpus
+),
+contrib AS (
+  SELECT post.doc_id, post.term,
+         CAST(ROUND((LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * (1.2 + 1.0))
+                  / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) * 1000000)
+              AS BIGINT) AS c_u
+  FROM post JOIN dfreq USING (term) CROSS JOIN stats
+),
+sc AS (
+  SELECT query_id, doc_id, CAST(SUM(c_u) AS BIGINT) AS score_u
+  FROM contrib JOIN qt USING (term)
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_u,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_u DESC, doc_id) AS rk
+  FROM sc
+)
+SELECT query_id, doc_id, ROUND(score_u / 1000000.0, 4) AS score,
+       CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+@register("bm25_topk_served", BM25_SERVED_ORACLE)
+def q_bm25_topk_served(spark, sf_dir):
+    import tempfile
+
+    from pulsar_replay_spark.operators import retrieval
+
+    docs = _docs(spark, sf_dir)
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.lit(-77).cast("long").alias("doc_id"),
+            F.array_join(F.slice(tokens(F.col("text")), 1, 6), " ").alias(
+                "text"
+            ),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    store = tempfile.mkdtemp(prefix="bm25_store_served_")
+    retrieval.postings_index_build(corpus, store)
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(tokens(F.col("text")), 1, 6), " ").alias(
+                "query"
+            ),
+        )
+    )
+    return retrieval.bm25_topk_from_index(spark, store, queries, k=10)
 
 
 @register("bm25_topk", BM25_ORACLE)

@@ -64,8 +64,13 @@ def q_capture_pipeline(spark, sf_dir):
 # (topic='*') the reference prints. Single groupBy; the global rollup is a
 # second agg over the tiny per-topic relation, not a second scan.
 # ---------------------------------------------------------------------------
-@register(
-    "per_topic_count_ratio",
+# r11 rotation: NOT registered — its slot went to `bm25_topk_served`, the
+# driver gate's first STORE-LIFECYCLE row (build → serve must hash-match a
+# raw-corpus recompute). This groupBy+ratio shape stays contract-covered by
+# q:`capture_pipeline` + q:`top_n_topics`; still oracle-gated in pytest
+# (test_unregistered_per_topic_count_ratio_matches_oracle) + parity
+# --extras (x_per_topic_count_ratio).
+PER_TOPIC_COUNT_RATIO_ORACLE = (
     EVENTS_TOPICS_SQL
     + rf"""
 , per AS (
@@ -80,8 +85,10 @@ SELECT '*' AS topic, CAST(SUM(n_msgs) AS BIGINT) AS n_msgs,
        CAST(SUM(n_direct) AS BIGINT) AS n_direct,
        ROUND(SUM(n_direct) * 1.0 / SUM(n_msgs), 4) AS direct_ratio
 FROM per
-""",
+"""
 )
+
+
 def q_per_topic_count_ratio(spark, sf_dir):
     ev = with_topics(load_events(spark, sf_dir)).select(
         collapse_partition(F.col("topic")).alias("ctopic"),

@@ -2231,12 +2231,46 @@ def drift_monitor_read(
     )
 
 
+def _dup_span_store_meta(
+    spark: SparkSession, store_dir: str
+) -> "dict | None":
+    """Read the gram store's frozen build settings from ``_meta`` (an
+    underscore-prefixed subdir — Spark's data listing ignores it, so
+    reading ``store_dir`` as parquet still sees only gram partitions).
+    None = no meta yet (fresh store, or one written before r11)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{store_dir}/_meta").head()
+        return {
+            "min_tokens": r.min_tokens,
+            "casefold": r.casefold,
+            "impl": r.impl,
+        }
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
+def _dup_span_store_meta_write(
+    spark: SparkSession, store_dir: str, min_tokens: int, casefold: bool, impl: str
+) -> None:
+    spark.createDataFrame(
+        [(int(min_tokens), bool(casefold), impl)],
+        "min_tokens int, casefold boolean, impl string",
+    ).write.mode("overwrite").parquet(f"{store_dir}/_meta")
+
+
 def dup_span_ingest_sink(
     docs_stream: DataFrame,
     store_dir: str,
     out_dir: str,
     checkpoint_dir: str,
     min_tokens: int = 20,
+    casefold: bool = False,
+    impl: str = "md5",
+    bloom_fpp: "float | None" = None,
 ):
     """Continuous any-length exact-substring dedup (r10): grow a k-gram
     first-occurrence index from a documents stream and scrub each
@@ -2258,21 +2292,62 @@ def dup_span_ingest_sink(
 
     doc_id-ordered batches reproduce the one-shot scrub over their union
     EXACTLY (pinned in tests). Crash retries overwrite themselves
-    (dynamic partition overwrite on batch_id, reads exclude own batch)."""
+    (dynamic partition overwrite on batch_id, reads exclude own batch).
+
+    ``casefold``/``impl`` select the gram normalization and hash kernel
+    (see ``dedup.dup_span_marks``); both are FROZEN into the store's
+    ``_meta`` on first write — hashes only compare equal under the
+    build-time settings, so resuming with different ones raises instead
+    of silently never matching. ``bloom_fpp`` enables the per-batch Bloom
+    prefilter on the index probe (``dedup.incremental_dup_span_scrub``) —
+    output-identical by construction, index-side join input tracks batch
+    size. The gram store's doc_id column takes the STREAM's doc_id type
+    (string ids ingest as cleanly as longs; a type change mid-stream
+    fails the schema'd read loudly, not by miscast)."""
     from pulsar_replay_spark.operators.dedup import incremental_dup_span_scrub
+
+    if impl not in ("md5", "rolling"):
+        raise ValueError(
+            f"dup_span_ingest_sink: impl must be 'md5'|'rolling', got {impl!r}"
+        )
+    try:
+        doc_id_type = docs_stream.schema["doc_id"].dataType.simpleString()
+    except KeyError:
+        raise ValueError(
+            "dup_span_ingest_sink: stream must carry a doc_id column"
+        ) from None
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        meta = _dup_span_store_meta(spark, store_dir)
+        want = {"min_tokens": int(min_tokens), "casefold": bool(casefold), "impl": impl}
+        if meta is not None and meta != want:
+            raise ValueError(
+                f"dup_span_ingest_sink: store at {store_dir} was built with "
+                f"{meta}; cannot ingest with {want} — gram hashes would "
+                "never match the resident index"
+            )
+        if meta is None:
+            _dup_span_store_meta_write(
+                spark, store_dir, min_tokens, casefold, impl
+            )
         batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
         idx = (
             read_parquet_or_empty(
-                spark, store_dir, "gh string, doc_id long, pos int, batch_id long"
+                spark,
+                store_dir,
+                f"gh string, doc_id {doc_id_type}, pos int, batch_id long",
             )
             .where(F.col("batch_id") != batch_id)
             .select("gh", "doc_id", "pos")
         )
         scrubbed, new_grams = incremental_dup_span_scrub(
-            batch, idx, min_tokens=min_tokens
+            batch,
+            idx,
+            min_tokens=min_tokens,
+            casefold=casefold,
+            impl=impl,
+            bloom_fpp=bloom_fpp,
         )
         (
             scrubbed.withColumn("batch_id", F.lit(batch_id))
@@ -2322,6 +2397,11 @@ def dup_span_store_compact(
         .partitionBy("batch_id")
         .parquet(compact_dir)
     )
+    meta = _dup_span_store_meta(spark, store_dir)
+    if meta is not None:
+        _dup_span_store_meta_write(
+            spark, compact_dir, meta["min_tokens"], meta["casefold"], meta["impl"]
+        )
 
 
 def dup_span_store_expire(
@@ -2347,6 +2427,11 @@ def dup_span_store_expire(
         .partitionBy("batch_id")
         .parquet(out_dir)
     )
+    meta = _dup_span_store_meta(spark, store_dir)
+    if meta is not None:
+        _dup_span_store_meta_write(
+            spark, out_dir, meta["min_tokens"], meta["casefold"], meta["impl"]
+        )
 
 
 def lang_drift_sink(

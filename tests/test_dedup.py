@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pulsar_replay_spark.operators import dedup
+from tests.conftest import SF_SMOKE
 
 
 def _with_planted_dups(spark, documents):
@@ -1019,11 +1020,13 @@ def test_dup_span_deterministic_under_repartitioning(spark):
     assert a == b
 
 
-def test_dup_span_randomized_brute_force_equivalence(spark):
+@pytest.mark.parametrize("impl", ["md5", "rolling"])
+def test_dup_span_randomized_brute_force_equivalence(spark, impl):
     """Seeded randomized gate for the coverage lemma: small random corpora
     with planted random-length repeats at random alignments — the engine's
     scrub must equal the brute-force python enumeration of ALL duplicated
-    k-grams, for every seed."""
+    k-grams, for every seed — under BOTH k-gram hash kernels (the r11
+    rolling-hash fast path is gated by the same oracle as the md5 path)."""
     import random
     from collections import defaultdict
 
@@ -1065,9 +1068,84 @@ def test_dup_span_randomized_brute_force_equivalence(spark):
             want[d] = (text if not scrubbed_pos[d] else " ".join(kept), len(t), len(kept))
         got = {
             r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
-            for r in dedup.dup_span_scrub(docs, min_tokens=k).collect()
+            for r in dedup.dup_span_scrub(docs, min_tokens=k, impl=impl).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_dup_span_rolling_bit_identical_planted(spark):
+    """The r11 verdict's done-gate for the rolling-hash fast path: spans,
+    scrubs and stats from impl='rolling' are BIT-IDENTICAL to the md5
+    path on the planted fixture AND the contract corpus (documents +
+    the 11/25/63-token clones q:`dup_span_scrub` registers), across both
+    keep legs and the casefold knob. Hash VALUES differ by construction;
+    only collisions could make the relations differ, and 4x31-bit
+    channels make that 2^-124-improbable."""
+    from pulsar_replay_spark import queries_llm
+    from pulsar_replay_spark.operators import dedup
+
+    fixture = _dup_span_fixture(spark)
+    contract = queries_llm._planted_clone_docs(spark, SF_SMOKE)
+    for docs, k in ((fixture, 10), (contract, 10)):
+        for keep in ("first", "none"):
+            for casefold in (False, True):
+                md5 = sorted(
+                    (r.doc_id, r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+                    for r in dedup.dup_span_scrub(
+                        docs, k, keep=keep, casefold=casefold
+                    ).collect()
+                )
+                rolling = sorted(
+                    (r.doc_id, r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+                    for r in dedup.dup_span_scrub(
+                        docs, k, keep=keep, casefold=casefold, impl="rolling"
+                    ).collect()
+                )
+                assert md5 == rolling, (keep, casefold)
+    m5 = {
+        r.doc_id: ([(s["start"], s["end"]) for s in r.spans], r.n_dup_tokens)
+        for r in dedup.dup_span_marks(fixture, 10).collect()
+    }
+    ro = {
+        r.doc_id: ([(s["start"], s["end"]) for s in r.spans], r.n_dup_tokens)
+        for r in dedup.dup_span_marks(fixture, 10, impl="rolling").collect()
+    }
+    assert m5 == ro
+    s_md5 = dedup.dup_span_stats(fixture, 10).collect()[0]
+    s_roll = dedup.dup_span_stats(fixture, 10, impl="rolling").collect()[0]
+    assert s_md5 == s_roll
+    with pytest.raises(ValueError, match="impl"):
+        dedup.dup_span_marks(fixture, 10, impl="sha9000").count()
+
+
+def test_dup_span_rolling_deterministic_and_plan_shape(spark):
+    """Rolling kernel output is partitioning-invariant, and its plan keeps
+    the md5 path's guarantees: no cartesian product, no row-at-a-time
+    Python (the ONE Arrow MapInPandas node is the kernel itself — the
+    declared exception, same as the ANN arrow kernels)."""
+    from pulsar_replay_spark.operators import dedup
+
+    docs = _dup_span_fixture(spark)
+    a = sorted(
+        tuple(r)
+        for r in dedup.dup_span_scrub(docs, 10, impl="rolling").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.dup_span_scrub(
+            docs.repartition(13), 10, impl="rolling"
+        ).collect()
+    )
+    assert a == b
+    plan = (
+        dedup.dup_span_scrub(docs, min_tokens=10, impl="rolling")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_dup_span_stats_counts_exactly(spark):
@@ -1131,6 +1209,55 @@ def test_incremental_dup_span_equals_one_shot(spark):
     total = idx.count()
     assert total == idx.select("gh").distinct().count()
     assert n_grams[1] < 200  # batch 2 (docs 3-5) is mostly repeats of doc 1
+
+
+@pytest.mark.parametrize("impl", ["md5", "rolling"])
+def test_incremental_dup_span_bloom_casefold_equals_one_shot(spark, impl):
+    """r11: the Bloom-prefiltered index probe (bloom_fpp) and the casefold
+    knob on the incremental path reproduce the one-shot scrub EXACTLY —
+    Bloom has no false negatives, and its false positives are index grams
+    the exact equi-join discards, so the prefilter is output-invariant by
+    construction; casefold/impl plumb through so a casefolded or
+    rolling-hashed one-shot has a byte-equal streaming twin. The index
+    growth (new_grams) is also pinned identical with and without the
+    prefilter."""
+    from pulsar_replay_spark.operators import dedup
+
+    lower = " ".join(f"word{i}" for i in range(14))
+    title = " ".join(f"Word{i}" for i in range(14))
+    rows = [
+        (1, f"intro {lower} outro0"),
+        (2, " ".join(f"b{i}" for i in range(20))),
+        (3, f"{title} tail0 tail1"),  # case-variant copy of doc 1's passage
+        (4, " ".join(f"d{i}" for i in range(12))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one_shot = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(
+            docs, min_tokens=10, casefold=True, impl=impl
+        ).collect()
+    }
+    assert one_shot[3][0] == "tail0 tail1"  # the knob is load-bearing
+
+    got = {}
+    idx = spark.createDataFrame([], "gh string, doc_id long, pos int")
+    for lo, hi in ((1, 2), (3, 4)):
+        batch = docs.filter(F.col("doc_id").between(lo, hi))
+        scrubbed, new_grams = dedup.incremental_dup_span_scrub(
+            batch, idx, min_tokens=10, casefold=True, impl=impl,
+            bloom_fpp=0.01,
+        )
+        _, new_grams_nobloom = dedup.incremental_dup_span_scrub(
+            batch, idx, min_tokens=10, casefold=True, impl=impl
+        )
+        assert sorted(map(tuple, new_grams.collect())) == sorted(
+            map(tuple, new_grams_nobloom.collect())
+        )
+        for r in scrubbed.collect():
+            got[r.doc_id] = (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        idx = idx.unionByName(new_grams).localCheckpoint(eager=True)
+    assert got == one_shot
 
 
 def test_curate_corpus_dup_span_policy(spark):

@@ -459,6 +459,35 @@ def test_dup_span_scrub_none_policy_matches_oracle(spark, duck):
     assert (srcs["n_kept_tokens"] < srcs["n_tokens"]).all()
 
 
+def test_unregistered_per_topic_count_ratio_matches_oracle(spark, duck):
+    """r11 rotation: per_topic_count_ratio ceded its contract slot to
+    bm25_topk_served (the store-lifecycle row — build → serve must
+    hash-match a raw-corpus recompute under the driver gate); its oracle
+    stays pinned here + parity --extras (x_per_topic_count_ratio)."""
+    from pulsar_replay_spark.queries_reference import (
+        PER_TOPIC_COUNT_RATIO_ORACLE,
+        q_per_topic_count_ratio,
+    )
+
+    sdf = q_per_topic_count_ratio(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(PER_TOPIC_COUNT_RATIO_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"per_topic_count_ratio: {problems}"
+
+
+def test_bm25_served_planted_doc_surfaces(spark):
+    """The store-lifecycle row is load-bearing: the planted doc (−77,
+    text = query 1's exact text) exists ONLY in the store-build input —
+    it must rank first for query 1 in the SERVED result, proving the
+    result came through the store, not a rescan of `documents`."""
+    from pulsar_replay_spark.queries_llm import q_bm25_topk_served
+
+    out = q_bm25_topk_served(spark, SF_SMOKE)
+    q1 = min(r.query_id for r in out.select("query_id").distinct().collect())
+    top = out.filter(f"query_id = {q1} AND rk = 1").collect()[0]
+    assert top.doc_id == -77
+
+
 def test_unregistered_scrubbed_corpus_matches_oracle(spark, duck):
     """r10 rotation: the fixed-window chunk scrub ceded its slot to
     dup_span_scrub (same family, any-length generalization); its oracle

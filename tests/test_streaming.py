@@ -1680,6 +1680,98 @@ def test_dup_span_ingest_sink_scrubs_against_prior_batches(
     assert idx.count() == idx.select("gh").distinct().count()
 
 
+def test_dup_span_sink_knobs_meta_guard_and_string_ids(
+    spark, tmp_path_factory
+):
+    """r11 sink hardening: (1) a STRING-doc_id stream ingests cleanly (the
+    gram store takes the stream's doc_id type instead of hardcoding long);
+    (2) casefold/impl/bloom_fpp plumb through and the accumulated store
+    still equals the matching one-shot scrub; (3) the build-time knobs are
+    frozen in the store's _meta — resuming with different knobs raises
+    instead of silently never matching hashes; (4) compaction carries
+    _meta forward."""
+    from pulsar_replay_spark.operators import dedup
+
+    lower = " ".join(f"word{i}" for i in range(14))
+    title = " ".join(f"Word{i}" for i in range(14))
+    rows = [
+        ("doc_a", f"intro {lower} outro0"),
+        ("doc_b", " ".join(f"b{i}" for i in range(20))),
+        ("doc_c", f"{title} tail0 tail1"),  # case-variant later copy
+    ]
+    schema = "doc_id string, text string"
+    src = str(tmp_path_factory.mktemp("dupspan_meta_src"))
+    for fname, part in (("b0", rows[:2]), ("b1", rows[2:])):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{fname}")
+
+    store = str(tmp_path_factory.mktemp("dupspan_meta_store"))
+    out = str(tmp_path_factory.mktemp("dupspan_meta_out"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipelines.dup_span_ingest_sink(
+        stream,
+        store,
+        out,
+        str(tmp_path_factory.mktemp("dupspan_meta_ck")),
+        min_tokens=10,
+        casefold=True,
+        impl="rolling",
+        bloom_fpp=0.01,
+    ).awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = spark.createDataFrame(rows, schema)
+    want = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(
+            docs, min_tokens=10, casefold=True, impl="rolling"
+        ).collect()
+    }
+    assert got == want
+    assert got["doc_c"][0] == "tail0 tail1"  # cross-batch casefolded scrub
+    idx = spark.read.parquet(store)
+    assert dict(idx.dtypes)["doc_id"] == "string"
+    assert pipelines._dup_span_store_meta(spark, store) == {
+        "min_tokens": 10,
+        "casefold": True,
+        "impl": "rolling",
+    }
+
+    # mismatched resume: a different knob set against the same store raises
+    from pyspark.errors import StreamingQueryException
+
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    with pytest.raises(StreamingQueryException, match="built with"):
+        pipelines.dup_span_ingest_sink(
+            stream2,
+            store,
+            str(tmp_path_factory.mktemp("dupspan_meta_out2")),
+            str(tmp_path_factory.mktemp("dupspan_meta_ck2")),
+            min_tokens=10,  # same k, but byte-strict md5 vs the store's
+        ).awaitTermination(120)
+
+    # compaction carries the meta forward
+    compact = str(tmp_path_factory.mktemp("dupspan_meta_compact"))
+    pipelines.dup_span_store_compact(spark, store, compact)
+    assert pipelines._dup_span_store_meta(spark, compact) == {
+        "min_tokens": 10,
+        "casefold": True,
+        "impl": "rolling",
+    }
+
+
 def test_dup_span_sink_composes_with_curation_sink(spark, tmp_path_factory):
     """The continuous-pipeline composition: dup_span_ingest_sink upstream
     (any-length exact-substring scrub against everything admitted so far)

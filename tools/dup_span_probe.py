@@ -82,17 +82,26 @@ def main(replicas: list[int]) -> None:
             grams.groupBy("gh").count().filter(F.col("count") > 1).count()
         )
 
-        t0 = time.perf_counter()
-        out = dedup.dup_span_scrub(docs, min_tokens=K)
-        stats = out.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("n_tok"),
-            F.sum("n_kept_tokens").alias("n_kept"),
-            F.sum(
-                (F.col("n_kept_tokens") < F.col("n_tokens")).cast("long")
-            ).alias("n_scrubbed_docs"),
-        ).collect()[0]
-        wall = round(time.perf_counter() - t0, 2)
+        def timed_scrub(impl: str):
+            t0 = time.perf_counter()
+            out = dedup.dup_span_scrub(docs, min_tokens=K, impl=impl)
+            stats = out.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tok"),
+                F.sum("n_kept_tokens").alias("n_kept"),
+                F.sum(
+                    (F.col("n_kept_tokens") < F.col("n_tokens")).cast("long")
+                ).alias("n_scrubbed_docs"),
+            ).collect()[0]
+            return out, stats, round(time.perf_counter() - t0, 2)
+
+        out, stats, wall = timed_scrub("md5")
+        # r11: the rolling-hash fast path (O(1)/position vs O(k) string
+        # building, run twice) — same corpus, same aggregate totals
+        # (the bit-identical gate lives in tests; here we pin the probe's
+        # end-to-end stats match at every scale), separate wall.
+        _, stats_roll, wall_roll = timed_scrub("rolling")
+        assert tuple(stats) == tuple(stats_roll), (tuple(stats), tuple(stats_roll))
 
         # correctness spot check: a later copy of each passage lost EXACTLY
         # its passage length; a mode-4 doc passed byte-exact
@@ -118,6 +127,7 @@ def main(replicas: list[int]) -> None:
                 "scrubbed_docs": int(stats.n_scrubbed_docs),
                 "tokens_removed": int(stats.n_tok - stats.n_kept),
                 "scrub_wall_sec": wall,
+                "scrub_wall_sec_rolling": wall_roll,
             }
         )
         print(json.dumps(results[-1]))

@@ -103,10 +103,18 @@ def extra_oracles() -> dict:
     """The pytest-only oracle tier (the 50-slot contract is full): every
     breadth query with a DuckDB twin, runnable here as one sweep."""
     from pulsar_replay_spark import queries_llm as ql
+    from pulsar_replay_spark import queries_reference as qref
     from pulsar_replay_spark import queries_relational as qr
     from pulsar_replay_spark import queries_temporal as qt
 
     return {
+        # r11 rotation: per_topic_count_ratio ceded its slot to
+        # bm25_topk_served (the store-lifecycle row); oracle retained here
+        # + pytest
+        "x_per_topic_count_ratio": (
+            qref.q_per_topic_count_ratio,
+            qref.PER_TOPIC_COUNT_RATIO_ORACLE,
+        ),
         "x_simhash_16": (ql.q_simhash_near_pairs_16, ql.SIMHASH_PAIRS_ORACLE),
         "x_minhash_24": (ql.q_minhash_pairs_24, ql.MINHASH_24_ORACLE),
         "x_bitext": (ql.q_bitext_mine, ql.BITEXT_ORACLE),
