@@ -71,7 +71,30 @@ def _positions(key: str, n_bits: int, n_hashes: int) -> np.ndarray:
     )
 
 
-def bloom_build(keys: DataFrame, key_col: str, n_bits: int, n_hashes: int) -> bytes:
+def _positions_hex128(keys, n_bits: int, n_hashes: int) -> np.ndarray:
+    """Vectorized (N, k) bit positions for keys that ARE 32-hex-char
+    128-bit hashes already (gram hashes, content md5s): no per-key md5 —
+    h1/h2 are the two 64-bit halves of the key itself, decoded for the
+    whole batch in one ``bytes.fromhex`` + numpy view. uint64 arithmetic
+    wraps mod 2^64 identically on build and probe, so the double-hashing
+    positions stay deterministic."""
+    buf = bytes.fromhex("".join(keys))
+    halves = np.frombuffer(buf, dtype=">u8").reshape(len(keys), 2)
+    h1 = halves[:, 0].astype(np.uint64)
+    h2 = (halves[:, 1] | np.uint64(1)).astype(np.uint64)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int,
+    n_hashes: int,
+    key_kind: str = "md5",
+) -> bytes:
     """One-scan, zero-shuffle Bloom build over ``keys[key_col]`` (string).
 
     Each scan partition emits exactly one row carrying its local bitmap;
@@ -79,19 +102,36 @@ def bloom_build(keys: DataFrame, key_col: str, n_bits: int, n_hashes: int) -> by
     a plain ``bytes`` the caller broadcasts / persists next to its index
     state (it is also what ``operators/artifacts.py`` would store: the
     filter IS the model artifact of incremental exact-dedup).
+
+    ``key_kind='hex128'`` declares the key column already IS a uniform
+    32-hex-char 128-bit hash (gram hashes, content md5s): build and probe
+    then derive positions from the key's own bits, fully vectorized — no
+    per-key Python md5. The two kinds produce INCOMPATIBLE bitmaps; a
+    filter must be probed with its build-time kind (same discipline as
+    the gram store's impl meta).
     """
+    if key_kind not in ("md5", "hex128"):
+        raise ValueError(f"bloom key_kind must be 'md5'|'hex128', got {key_kind!r}")
     n_bytes = n_bits // 8
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(n_bytes, dtype=np.uint8)
         seen = False
         for pdf in batches:
-            for key in pdf[key_col]:
-                if key is None:
-                    continue
-                seen = True
-                pos = _positions(key, n_bits, n_hashes)
+            col = pdf[key_col]
+            keys = col[col.notna()]
+            if not len(keys):
+                continue
+            seen = True
+            if key_kind == "hex128":
+                pos = _positions_hex128(list(keys), n_bits, n_hashes).ravel()
                 np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            else:
+                for key in keys:
+                    pos = _positions(key, n_bits, n_hashes)
+                    np.bitwise_or.at(
+                        bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                    )
         if seen:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
@@ -103,14 +143,23 @@ def bloom_build(keys: DataFrame, key_col: str, n_bits: int, n_hashes: int) -> by
 
 
 def bloom_might_contain(
-    df: DataFrame, key: Column | str, bitmap: bytes, n_hashes: int, out: str = "might_contain"
+    df: DataFrame,
+    key: Column | str,
+    bitmap: bytes,
+    n_hashes: int,
+    out: str = "might_contain",
+    key_kind: str = "md5",
 ) -> DataFrame:
     """Append a boolean ``out`` column: key's k bits all set in ``bitmap``.
 
     A pure projection (no Exchange — plan-gated in tests): the bitmap rides
     to executors as an explicit SparkContext broadcast, so the probe costs
-    one Arrow batch pass regardless of history size.
+    one Arrow batch pass regardless of history size. ``key_kind`` must
+    match the filter's build-time kind (see ``bloom_build``); 'hex128'
+    probes an entire Arrow batch in a handful of numpy ops.
     """
+    if key_kind not in ("md5", "hex128"):
+        raise ValueError(f"bloom key_kind must be 'md5'|'hex128', got {key_kind!r}")
     n_bits = len(bitmap) * 8
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(bitmap)
@@ -119,6 +168,16 @@ def bloom_might_contain(
     def probe(s: pd.Series) -> pd.Series:
         bits = np.frombuffer(bc.value, dtype=np.uint8)
         outv = np.zeros(len(s), dtype=bool)
+        if key_kind == "hex128":
+            mask = s.notna().to_numpy()
+            keys = list(s[mask])
+            if keys:
+                pos = _positions_hex128(keys, n_bits, n_hashes)  # (N, k)
+                hit = (
+                    bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)
+                ).astype(bool).all(axis=1)
+                outv[mask] = hit
+            return pd.Series(outv)
         for i, key in enumerate(s):
             if key is None:
                 continue

@@ -1804,9 +1804,11 @@ def incremental_dup_span_scrub(
 
         batch_gh = grams.select("gh").distinct().localCheckpoint(eager=True)
         n_bits, n_hashes = bloom_params(max(1, batch_gh.count()), bloom_fpp)
-        bitmap = bloom_build(batch_gh, "gh", n_bits, n_hashes)
+        # gh is itself a uniform 128-bit hex hash (md5 or rolling), so the
+        # filter uses the vectorized hex128 kind — no per-key md5 anywhere
+        bitmap = bloom_build(batch_gh, "gh", n_bits, n_hashes, key_kind="hex128")
         index_gh = bloom_might_contain(
-            index_gh, "gh", bitmap, n_hashes
+            index_gh, "gh", bitmap, n_hashes, key_kind="hex128"
         ).filter(F.col("might_contain")).select("gh")
     seen = index_gh.distinct()
     flagged = grams.join(

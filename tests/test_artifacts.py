@@ -120,3 +120,42 @@ def test_bloom_roundtrip_and_serving(spark, documents, tmp_path):
     served = bloom.bloom_might_contain(probe, "content_key", lbm, lk)
     assert _rows(built) == _rows(served)
     assert all(r["might_contain"] for r in served.collect())
+
+
+def test_bloom_hex128_kind_no_false_negatives(spark, documents):
+    """r11: the vectorized hex128 key kind (keys that already ARE 128-bit
+    hex hashes — gram hashes, content md5s): every inserted key hits
+    (no false negatives), absent keys miss at ~fpp, bitmaps are NOT
+    interchangeable with the md5 kind, and an unknown kind raises."""
+    import pytest as _pytest
+
+    from pulsar_replay_spark.operators import bloom
+
+    keyed = documents.select(F.md5("text").alias("k")).distinct()
+    n = keyed.count()
+    n_bits, n_hashes = bloom.bloom_params(n, fpp=0.01)
+    bm = bloom.bloom_build(keyed, "k", n_bits, n_hashes, key_kind="hex128")
+    hits = bloom.bloom_might_contain(
+        keyed, "k", bm, n_hashes, key_kind="hex128"
+    )
+    assert all(r["might_contain"] for r in hits.collect())
+
+    absent = spark.range(2000).select(
+        F.md5(F.concat(F.lit("absent"), F.col("id"))).alias("k")
+    )
+    fp = (
+        bloom.bloom_might_contain(absent, "k", bm, n_hashes, key_kind="hex128")
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp <= 2000 * 0.03  # ~fpp with slack
+
+    # kinds are not interchangeable: md5-kind probe of a hex128 bitmap
+    # must NOT report everything present (positions differ)
+    cross = bloom.bloom_might_contain(keyed, "k", bm, n_hashes)
+    assert not all(r["might_contain"] for r in cross.collect())
+
+    with _pytest.raises(ValueError, match="key_kind"):
+        bloom.bloom_build(keyed, "k", n_bits, n_hashes, key_kind="sha9000")
+    with _pytest.raises(ValueError, match="key_kind"):
+        bloom.bloom_might_contain(keyed, "k", bm, n_hashes, key_kind="nope")

@@ -80,6 +80,50 @@ def main(n_batches: int, docs_per_batch: int) -> None:
                       ).alias("scrubbed_docs")
             ).collect()[0]
             wall = round(time.perf_counter() - t0, 2)
+
+            # r11: the Bloom-prefiltered leg — same scrub answer, and the
+            # probe join's index-side input measured as a FRACTION of the
+            # index (the selectivity the prefilter buys; false positives
+            # only add candidates, so correctness is by construction).
+            t0 = time.perf_counter()
+            scrubbed_bl, _ = incremental_dup_span_scrub(
+                batch, idx, K, bloom_fpp=0.01
+            )
+            stats_bl = scrubbed_bl.agg(
+                F.sum((F.col("n_kept_tokens") < F.col("n_tokens")).cast("long")
+                      ).alias("scrubbed_docs")
+            ).collect()[0]
+            wall_bloom = round(time.perf_counter() - t0, 2)
+            assert int(stats_bl.scrubbed_docs) == int(stats.scrubbed_docs)
+            selectivity = None
+            if wrote_any:
+                from pulsar_replay_spark.operators.bloom import (
+                    bloom_build,
+                    bloom_might_contain,
+                    bloom_params,
+                )
+                from pulsar_replay_spark.operators.dedup import (
+                    _positioned_kgram_hashes,
+                )
+
+                bg = (
+                    _positioned_kgram_hashes(batch, K)
+                    .select("gh")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_bits, n_hashes = bloom_params(max(1, bg.count()), 0.01)
+                bm = bloom_build(bg, "gh", n_bits, n_hashes, key_kind="hex128")
+                idx_n = idx.count()
+                cand_n = (
+                    bloom_might_contain(
+                        idx.select("gh"), "gh", bm, n_hashes, key_kind="hex128"
+                    )
+                    .filter(F.col("might_contain"))
+                    .count()
+                )
+                selectivity = round(cand_n / max(1, idx_n), 5)
+
             new_grams.withColumn("batch_id", F.lit(b)).write.mode(
                 "append"
             ).partitionBy("batch_id").parquet(store)
@@ -91,6 +135,8 @@ def main(n_batches: int, docs_per_batch: int) -> None:
             got = int(stats.scrubbed_docs)
             assert got == want, (b, got, want)
             results.append({"batch": b, "scrub_wall_sec": wall,
+                            "scrub_wall_sec_bloom": wall_bloom,
+                            "index_probe_selectivity": selectivity,
                             "scrubbed_docs": got})
             print(json.dumps(results[-1]))
 
