@@ -541,6 +541,34 @@ def main() -> None:
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
 
+        # r11: the dense twin — IVF vector store build + partition-pruned
+        # ANN serving from it (vs the in-session ann_ivf_serve_scaled row
+        # above, which re-derives assignments per call)
+        from pulsar_replay_spark.operators import vecstore
+
+        vec_dir = tempfile.mkdtemp(prefix="ivf_store_")
+        try:
+            emb_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            vq = emb_all.filter(F.col("vec_id") % 200 == 0).select(
+                "vec_id", "embedding"
+            ).localCheckpoint(eager=True)
+            timed_op(
+                "ivf_store_build",
+                lambda: vecstore.ivf_index_build(
+                    emb_all.select("vec_id", "embedding"), vec_dir
+                ),
+            )
+            timed_op(
+                "ivf_topk_from_store",
+                lambda: _noop_write(
+                    vecstore.ivf_topk_from_index(
+                        spark, vec_dir, vq, k=10, n_probe=8
+                    )
+                ),
+            )
+        finally:
+            shutil.rmtree(vec_dir, ignore_errors=True)
+
         # r8: corpus encoding to token-id arrays under a 20-merge BPE —
         # the shuffle that carries the ids IS the product
         from pulsar_replay_spark.operators import bpe

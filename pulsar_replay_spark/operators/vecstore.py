@@ -1,0 +1,259 @@
+"""Maintained IVF vector-index store: the dense-retrieval twin of the BM25
+postings store (``operators/retrieval.py``), r11.
+
+A training-data pipeline's embedding corpus is append-mostly and served
+constantly (ANN dedup probes, hard-negative mining, hybrid retrieval). The
+rescan posture — re-deriving centroids + assignments per query batch — pays
+the O(N·cells·dim) assignment on EVERY serve; this store pays it once per
+ingested batch and makes serving INDEX-BOUNDED:
+
+    store_dir/
+      vectors/batch_id=N/cell_id=C/   (vec_id, embedding)
+      centroids/                      (cell_id, centroid) — FROZEN at build
+      meta/                           (n_cells, dim) — one row, frozen
+
+The serve path's scan is PARTITION-PRUNED on ``cell_id``: a query batch's
+probed cells (≤ |Q|·n_probe distinct ids — a bounded collect, the engine's
+scalar-collect pattern) become a partition filter, so the store read
+touches only the Voronoi cells the queries land in (~n_probe/n_cells of
+the bytes — the pruning the k-gram store structurally CANNOT have, because
+gram probes are corpus-like while cell probes are vocabulary-like).
+Centroids are frozen at build time — the standard serving posture (FAISS
+``add`` after ``train``): ingested batches assign to the EXISTING cells,
+so old assignments never churn and serving stays byte-equal to the
+in-session ``ivf_topk`` over the same centroids (pinned in tests).
+Re-train = build a fresh store and swap directories.
+
+Lifecycle mirrors the postings store: one-shot build and streaming ingest
+land idempotent ``batch_id`` partitions (dynamic partition overwrite — a
+crash-retried batch clobbers only itself; ``BASE_BATCH_ID = -1`` keeps the
+one-shot base disjoint from micro-batch 0), ``ivf_store_compact`` folds
+batches into the base (latest batch wins per vec_id — re-ingested vectors
+supersede), ``ivf_store_expire`` is deletion/right-to-be-forgotten.
+
+Reference analog: none in `pulsar-replay` (no vector surface) — north-star
+extension; the store discipline itself cites the reference's
+backup-then-serve posture (pulsar_backup_restore.py:100-137: capture once,
+serve restores from the artifact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    ivf_params,
+    ivf_topk,
+    kmeans_refine,
+)
+
+BASE_BATCH_ID = -1  # the one-shot/compacted base partition; streaming
+# micro-batch ids start at 0, so dynamic overwrite can never half-replace
+# the base (the retrieval.py discipline, same constant, same reason).
+
+
+def _store_meta(spark: SparkSession, store_dir: str) -> "dict | None":
+    from pyspark.errors import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{store_dir}/meta").head()
+        return {"n_cells": int(r.n_cells), "dim": int(r.dim)}
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
+def ivf_index_build(
+    embeddings: DataFrame,
+    store_dir: str,
+    n_cells: int | None = None,
+    kmeans_iters: int = 0,
+    batch_id: int = BASE_BATCH_ID,
+) -> None:
+    """Build (or grow) the store from one embedding batch.
+
+    First call freezes the centroids: ``n_cells`` defaults to the √N rule
+    (``ivf_params`` on the batch count), optionally Lloyd-refined
+    ``kmeans_iters`` rounds; (cell_id, centroid) and (n_cells, dim) are
+    written once. Later calls (growth) ASSIGN ONLY — vectors route to the
+    frozen cells; passing a conflicting ``n_cells`` against an existing
+    store raises (the bucket-modulus discipline), as does a dim change.
+    Vectors land as one idempotent ``batch_id`` partition, repartitioned by
+    (cell_id, vec_id) so write parallelism isn't capped at n_cells tasks.
+    """
+    spark = embeddings.sparkSession
+    meta = _store_meta(spark, store_dir)
+    dim = embeddings.select(F.size("embedding").alias("d")).head().d
+    if meta is not None:
+        if n_cells is not None and n_cells != meta["n_cells"]:
+            raise ValueError(
+                f"ivf store at {store_dir} was built with "
+                f"n_cells={meta['n_cells']}; cannot ingest with {n_cells}"
+            )
+        if dim != meta["dim"]:
+            raise ValueError(
+                f"ivf store at {store_dir} holds dim={meta['dim']} vectors; "
+                f"batch has dim={dim}"
+            )
+        cents = spark.read.parquet(f"{store_dir}/centroids")
+    else:
+        if n_cells is None:
+            n_cells, _ = ivf_params(embeddings.count())
+        cents = (
+            kmeans_refine(embeddings, n_cells, kmeans_iters)
+            if kmeans_iters > 0
+            else ivf_centroids(embeddings, n_cells)
+        ).localCheckpoint(eager=True)
+        cents.write.mode("overwrite").parquet(f"{store_dir}/centroids")
+        spark.createDataFrame(
+            [(int(n_cells), int(dim))], "n_cells int, dim int"
+        ).write.mode("overwrite").parquet(f"{store_dir}/meta")
+
+    assigned = embeddings.select("vec_id", "embedding").join(
+        ivf_assign(embeddings, cents, n_probe=1), "vec_id"
+    )
+    (
+        assigned.withColumn("batch_id", F.lit(int(batch_id)))
+        # repartition on cell_id ALONE: one file per cell per batch. The
+        # postings store hashes the term in for parallelism, but n_cells
+        # follows the √N rule (256 at 50k, 2^15 at 1e9) so cell-count ≥
+        # core-count already — and the (cell, vec)-salted variant measured
+        # 5× slower end-to-end here purely on tiny-file explosion
+        # (tasks × cells files per batch vs one).
+        .repartition(F.col("cell_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cell_id")
+        .parquet(f"{store_dir}/vectors")
+    )
+
+
+def store_centroids(spark: SparkSession, store_dir: str) -> DataFrame:
+    meta = _store_meta(spark, store_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no ivf store at {store_dir}")
+    return spark.read.parquet(f"{store_dir}/centroids")
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    impl: str = "arrow",
+) -> DataFrame:
+    """``ivf_topk`` served from the store — same output contract
+    (q_id, neighbor_id, sim, rk), pinned byte-equal to the in-session
+    ``ivf_topk`` over the same centroids, but the corpus scan is the
+    PARTITION-PRUNED union of the queries' probed cells: the ≤|Q|·n_probe
+    distinct cell ids (bounded collect) become a partition filter, the
+    centroids ride in as the frozen artifact, and the stored (vec_id,
+    cell_id) partition column IS the corpus assignment — the
+    O(N·cells·dim) assignment never reruns at serve time."""
+    cents = store_centroids(spark, store_dir)
+    query_cells = ivf_assign(queries, cents, n_probe=n_probe).localCheckpoint(
+        eager=True
+    )
+    cell_ids = [r.cell_id for r in query_cells.select("cell_id").distinct().collect()]
+    vectors = (
+        spark.read.parquet(f"{store_dir}/vectors")
+        .filter(F.col("cell_id").isin(cell_ids))
+        # cell_id comes back PARTITION-INFERRED as int; the in-session
+        # assignment frames carry long (centroid ids are vec_ids). The
+        # arrow path cogroups on cell_id, and cogrouping int-vs-long keys
+        # silently mis-buckets instead of casting (caught by the 50k
+        # probe: served top-k degraded ~0.9→0.85 sims) — normalize HERE,
+        # at the read, so every downstream consumer sees one type.
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cell_id").cast("long").alias("cell_id"),
+        )
+        # crash-retried duplicate partitions / re-ingested vectors fold;
+        # latest batch would win in compact — here any copy is identical
+        # by the idempotent-overwrite discipline, so distinct suffices
+        .dropDuplicates(["vec_id", "cell_id"])
+    )
+    emb = vectors.select("vec_id", "embedding")
+    corpus_cells = vectors.select("vec_id", "cell_id")
+    return ivf_topk(
+        emb,
+        queries,
+        k=k,
+        centroids=cents,
+        corpus_cells=corpus_cells,
+        query_cells=query_cells,
+        impl=impl,
+    )
+
+
+def ivf_store_compact(
+    spark: SparkSession, store_dir: str, compact_dir: str
+) -> None:
+    """Fold accumulated batch_id partitions into the batch_id = -1 base:
+    one row per vec_id survives, LATEST batch wins (a re-ingested vector
+    supersedes its older copy — content-addressed ids make this the
+    upsert), cell assignment recomputed against the FROZEN centroids is
+    unnecessary — the stored cell_id rides along. Centroids + meta carry
+    forward so the compacted store serves identically."""
+    from pyspark.sql.window import Window
+
+    if compact_dir == store_dir:
+        raise ValueError("compact_dir must differ from store_dir")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
+    (
+        spark.read.parquet(f"{store_dir}/vectors")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+        .withColumn("batch_id", F.lit(BASE_BATCH_ID))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cell_id")
+        .parquet(f"{compact_dir}/vectors")
+    )
+    spark.read.parquet(f"{store_dir}/centroids").write.mode(
+        "overwrite"
+    ).parquet(f"{compact_dir}/centroids")
+    spark.read.parquet(f"{store_dir}/meta").write.mode("overwrite").parquet(
+        f"{compact_dir}/meta"
+    )
+
+
+def ivf_store_expire(
+    spark: SparkSession, store_dir: str, out_dir: str, drop_ids: DataFrame
+) -> None:
+    """Deletion / right-to-be-forgotten: dropped vec_ids leave the store,
+    so it derives from exactly the retained corpus. Folds to the base
+    partition like compact; centroids stay frozen (they are an aggregate
+    artifact, not per-vector derived rows — re-train via a fresh build if
+    the deletion is large enough to shift cells)."""
+    if out_dir == store_dir:
+        raise ValueError("out_dir must differ from store_dir")
+    drop = drop_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
+    (
+        spark.read.parquet(f"{store_dir}/vectors")
+        .join(F.broadcast(drop), "vec_id", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+        .withColumn("batch_id", F.lit(BASE_BATCH_ID))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cell_id")
+        .parquet(f"{out_dir}/vectors")
+    )
+    spark.read.parquet(f"{store_dir}/centroids").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/centroids")
+    spark.read.parquet(f"{store_dir}/meta").write.mode("overwrite").parquet(
+        f"{out_dir}/meta"
+    )

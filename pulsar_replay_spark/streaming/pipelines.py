@@ -2692,6 +2692,37 @@ def postings_ingest_sink(
     )
 
 
+def ivf_ingest_sink(
+    emb_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    n_cells: "int | None" = None,
+):
+    """Grow the IVF vector store (``operators/vecstore.py``) from an
+    embedding micro-batch stream: each batch assigns to the store's FROZEN
+    centroids (first batch freezes them — the FAISS train-then-add
+    posture) and lands as its own batch_id partition (dynamic partition
+    overwrite — a crash-retried batch clobbers only itself), so ANN
+    serving (``ivf_topk_from_index``) stays partition-pruned and
+    byte-equal to the in-session path over the same centroids while the
+    corpus grows. Same shape as ``postings_ingest_sink``."""
+    from pulsar_replay_spark.operators import vecstore
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return  # empty trigger: nothing to assign, nothing to freeze
+        vecstore.ivf_index_build(
+            batch_df, store_dir, n_cells=n_cells, batch_id=batch_id
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def postings_compact(
     spark: SparkSession,
     store_dir: str,

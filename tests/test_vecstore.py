@@ -1,0 +1,181 @@
+"""Maintained IVF vector-index store (operators/vecstore.py, r11): the
+dense twin of the BM25 postings store. Gates: served ANN is byte-equal to
+the in-session ivf_topk over the same frozen centroids; the serve scan is
+partition-pruned on cell_id; ingest batches reproduce the one-shot build;
+compact folds latest-wins; expire is RTBF; conflicting build knobs raise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_replay_spark.operators import similarity, vecstore
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _rows(df):
+    return sorted(
+        (r.q_id, r.neighbor_id, r.sim, r.rk) for r in df.collect()
+    )
+
+
+def _queries(embeddings):
+    return embeddings.filter(F.col("vec_id") % 100 == 7).select(
+        "vec_id", "embedding"
+    )
+
+
+def test_ivf_store_serve_equals_in_session(spark, embeddings, tmp_path):
+    """build → serve == the in-session ivf_topk over the SAME centroids
+    (exact rows: ids, sims, ranks), and the serve plan partition-prunes
+    the vectors scan on cell_id."""
+    store = str(tmp_path / "ivf")
+    emb = embeddings.select("vec_id", "embedding")
+    vecstore.ivf_index_build(emb, store, n_cells=N_CELLS)
+    q = _queries(embeddings)
+
+    served = vecstore.ivf_topk_from_index(spark, store, q, k=5, n_probe=N_PROBE)
+    cents = vecstore.store_centroids(spark, store)
+    in_session = similarity.ivf_topk(
+        emb, q, k=5, n_probe=N_PROBE, centroids=cents
+    )
+    assert _rows(served) == _rows(in_session)
+
+    # partition pruning is structural: the vectors scan carries a cell_id
+    # partition filter (the probed-cells bounded collect became the prune)
+    plan = (
+        vecstore.ivf_topk_from_index(spark, store, q, k=5, n_probe=N_PROBE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    assert "CartesianProduct" not in plan
+
+    # the cogroup-key discipline: the store read normalizes the
+    # partition-inferred int cell_id back to long — cogrouping int-vs-long
+    # keys silently mis-buckets (caught by the 50k probe as ~0.9→0.85
+    # degraded served sims, invisible at this fixture's size)
+    vr = spark.read.parquet(f"{store}/vectors")
+    assert dict(vr.dtypes)["cell_id"] == "int"  # what parquet gives back
+    cents2 = vecstore.store_centroids(spark, store)
+    assert dict(cents2.dtypes)["cell_id"] == "bigint"  # what cogroup needs
+
+
+def test_ivf_store_planted_vector_surfaces(spark, embeddings, tmp_path):
+    """Load-bearing serve: a vector present ONLY in the store-build input
+    (vec_id 999999 = an exact copy of a query's embedding) must come back
+    at rank 1 with sim 1.0 — a serve path that rescanned some other frame
+    would miss it."""
+    store = str(tmp_path / "ivf_planted")
+    emb = embeddings.select("vec_id", "embedding")
+    q = _queries(embeddings).limit(1).localCheckpoint(eager=True)
+    planted = q.select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding"
+    )
+    vecstore.ivf_index_build(emb.unionByName(planted), store, n_cells=N_CELLS)
+
+    top = (
+        vecstore.ivf_topk_from_index(spark, store, q, k=3, n_probe=N_PROBE)
+        .filter(F.col("rk") == 1)
+        .collect()[0]
+    )
+    assert top.neighbor_id == 999999
+    assert top.sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_store_ingest_equals_one_shot_and_guards(
+    spark, embeddings, tmp_path
+):
+    """vec_id-ordered growth batches (first batch carries the lowest ids,
+    so it freezes the SAME centroids the one-shot build picks) serve
+    identically to the one-shot build over the union; conflicting n_cells
+    and a dim change raise named errors."""
+    emb = embeddings.select("vec_id", "embedding")
+    one = str(tmp_path / "one_shot")
+    grown = str(tmp_path / "grown")
+    vecstore.ivf_index_build(emb, one, n_cells=N_CELLS)
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250)
+    vecstore.ivf_index_build(b0, grown, n_cells=N_CELLS, batch_id=0)
+    vecstore.ivf_index_build(b1, grown, batch_id=1)  # frozen centroids
+
+    q = _queries(embeddings)
+    assert _rows(
+        vecstore.ivf_topk_from_index(spark, grown, q, k=5, n_probe=N_PROBE)
+    ) == _rows(
+        vecstore.ivf_topk_from_index(spark, one, q, k=5, n_probe=N_PROBE)
+    )
+
+    with pytest.raises(ValueError, match="n_cells"):
+        vecstore.ivf_index_build(b1, grown, n_cells=N_CELLS * 2, batch_id=2)
+    short = b1.select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        vecstore.ivf_index_build(short, grown, batch_id=2)
+
+
+def test_ivf_store_compact_latest_wins_and_expire(
+    spark, embeddings, tmp_path
+):
+    """A re-ingested vec_id supersedes its older copy after compaction
+    (latest batch wins); serving from the compacted store equals serving
+    from the grown store; expire removes a vector for good."""
+    emb = embeddings.select("vec_id", "embedding")
+    store = str(tmp_path / "upsert")
+    vecstore.ivf_index_build(emb, store, n_cells=N_CELLS, batch_id=0)
+    q = _queries(embeddings).limit(1).localCheckpoint(eager=True)
+    # re-ingest vec_id 3 as an exact copy of the query vector
+    moved = q.select(F.lit(3).cast("long").alias("vec_id"), "embedding")
+    vecstore.ivf_index_build(moved, store, batch_id=1)
+
+    compacted = str(tmp_path / "compacted")
+    vecstore.ivf_store_compact(spark, store, compacted)
+    vecs = spark.read.parquet(f"{compacted}/vectors")
+    assert vecs.filter(F.col("vec_id") == 3).count() == 1  # latest only
+
+    got = vecstore.ivf_topk_from_index(spark, compacted, q, k=3, n_probe=N_PROBE)
+    top = got.filter(F.col("rk") == 1).collect()[0]
+    assert top.neighbor_id == 3 and top.sim == pytest.approx(1.0, abs=1e-6)
+    assert _rows(got) == _rows(
+        vecstore.ivf_topk_from_index(spark, store, q, k=3, n_probe=N_PROBE)
+    )
+
+    expired = str(tmp_path / "expired")
+    drop = spark.createDataFrame([(3,)], "vec_id long")
+    vecstore.ivf_store_expire(spark, compacted, expired, drop)
+    after = vecstore.ivf_topk_from_index(spark, expired, q, k=3, n_probe=N_PROBE)
+    assert all(r.neighbor_id != 3 for r in after.collect())
+
+
+def test_ivf_ingest_sink_streaming(spark, embeddings, tmp_path):
+    """The streaming sink grows the store batch by batch (frozen centroids
+    after batch 0) and serving equals the one-shot build over the union —
+    the postings_ingest_sink discipline on the dense side."""
+    from pulsar_replay_spark.streaming import pipelines
+
+    emb = embeddings.select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") < 250).coalesce(1).write.parquet(f"{src}/b0")
+    emb.filter(F.col("vec_id") >= 250).coalesce(1).write.parquet(f"{src}/b1")
+
+    store = str(tmp_path / "stream_store")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipelines.ivf_ingest_sink(
+        stream, store, str(tmp_path / "ck"), n_cells=N_CELLS
+    ).awaitTermination(120)
+
+    one = str(tmp_path / "one")
+    vecstore.ivf_index_build(emb, one, n_cells=N_CELLS)
+    q = _queries(embeddings)
+    assert _rows(
+        vecstore.ivf_topk_from_index(spark, store, q, k=5, n_probe=N_PROBE)
+    ) == _rows(vecstore.ivf_topk_from_index(spark, one, q, k=5, n_probe=N_PROBE))
