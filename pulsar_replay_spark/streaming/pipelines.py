@@ -2692,13 +2692,16 @@ def postings_ingest_sink(
     )
 
 
-def ivf_ingest_sink(
+def ivf_store_ingest_sink(
     emb_stream: DataFrame,
     store_dir: str,
     checkpoint_dir: str,
     n_cells: "int | None" = None,
 ):
-    """Grow the IVF vector store (``operators/vecstore.py``) from an
+    """Grow the IVF vector STORE (``operators/vecstore.py`` — vectors +
+    frozen centroids + meta on disk; distinct from ``ivf_ingest_sink``
+    above, which grows only a (vec_id, cell_id) assignment table against
+    caller-held centroids) from an
     embedding micro-batch stream: each batch assigns to the store's FROZEN
     centroids (first batch freezes them — the FAISS train-then-add
     posture) and lands as its own batch_id partition (dynamic partition

@@ -169,7 +169,7 @@ def test_ivf_ingest_sink_streaming(spark, embeddings, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    pipelines.ivf_ingest_sink(
+    pipelines.ivf_store_ingest_sink(
         stream, store, str(tmp_path / "ck"), n_cells=N_CELLS
     ).awaitTermination(120)
 
