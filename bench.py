@@ -134,9 +134,10 @@ def main() -> None:
         }
 
     # Warm the JVM/codegen once on a cheap query so timings measure the
-    # queries, not session startup.
+    # queries, not session startup. (per_topic_limit is a registered
+    # contract row; the r11 rotation retired the previous warmup query.)
     try:
-        _noop_write(qs["per_topic_count_ratio"](spark, sf_dir))
+        _noop_write(qs["per_topic_limit"](spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         errors["_warmup"] = f"{type(e).__name__}: {e}"[:400]
 

@@ -81,6 +81,16 @@ def test_bench_headline_names_are_registered():
     missing = set(bench.HEADLINE) - set(entrymod.queries())
     assert not missing, f"HEADLINE rows not in the registry: {missing}"
 
+    # r11: the warmup call bit this too (it referenced the rotated-out
+    # per_topic_count_ratio by literal name and silently became an error
+    # entry) — every qs["<name>"] literal in bench.py must be registered
+    import re
+
+    src = open(bench.__file__).read()
+    literals = set(re.findall(r'qs\["([^"]+)"\]', src))
+    missing = literals - set(entrymod.queries())
+    assert not missing, f"bench.py qs[...] names not in the registry: {missing}"
+
 
 def test_bench_marks_contended_recordings(monkeypatch, capsys, spark, tmp_path):
     """r9's official record was taken on a ~5x oversubscribed host and
