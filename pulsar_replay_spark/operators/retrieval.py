@@ -658,6 +658,37 @@ def lexical_decontaminate_from_index(
     )
 
 
+def hybrid_topk_from_stores(
+    spark,
+    postings_store_dir: str,
+    vec_store_dir: str,
+    text_queries: DataFrame,
+    emb_queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    c: int = RRF_C,
+) -> DataFrame:
+    """One-call sparse+dense hybrid served ENTIRELY from maintained
+    stores (r11 — the round's two store lifecycles composed): BM25 hits
+    from the postings store (bucket-pruned scan) RRF-fused with ANN hits
+    from the IVF vector store (cell-partition-pruned scan). Neither
+    corpus is rescanned, no assignment or stats recompute — the serving
+    posture a continuously-ingested corpus actually runs. ``text_queries``
+    is (query_id, query); ``emb_queries`` is (vec_id, embedding) with ids
+    aligned to query_id (the doc_id ↔ vec_id alignment contract of
+    ``hybrid_topk``, which this wraps). Both component serves are
+    independently pinned byte-equal to their rescan twins, so the fusion
+    equals ``hybrid_topk`` over the rescan paths by construction — and is
+    pinned again end-to-end in tests."""
+    from pulsar_replay_spark.operators import vecstore
+
+    sparse = bm25_topk_from_index(spark, postings_store_dir, text_queries, k=k)
+    dense = vecstore.ivf_topk_from_index(
+        spark, vec_store_dir, emb_queries, k=k, n_probe=n_probe
+    )
+    return hybrid_topk(sparse, dense, k=k, c=c)
+
+
 def hybrid_topk(
     sparse_hits: DataFrame,
     dense_hits: DataFrame,

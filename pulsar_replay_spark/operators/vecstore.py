@@ -225,6 +225,25 @@ def ivf_store_compact(
     )
 
 
+def ivf_store_cohesion(spark: SparkSession, store_dir: str) -> DataFrame:
+    """1-row (n_vecs, avg_cos) of the STORE's vectors against its frozen
+    centroids — the retrain signal for the expire path: centroids are an
+    aggregate artifact deletion does not touch, so after a large expiry
+    (or a drifting ingest) run this and compare against the build-time
+    value; a material drop means the Voronoi geometry no longer fits the
+    retained corpus and recall decays silently — rebuild into a fresh
+    store. Cost = one assignment pass over the store (the same
+    O(N·cells·dim) the build paid once)."""
+    from pulsar_replay_spark.operators.similarity import assignment_cohesion
+
+    vectors = (
+        spark.read.parquet(f"{store_dir}/vectors")
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    return assignment_cohesion(vectors, store_centroids(spark, store_dir))
+
+
 def ivf_store_expire(
     spark: SparkSession, store_dir: str, out_dir: str, drop_ids: DataFrame
 ) -> None:

@@ -179,3 +179,75 @@ def test_ivf_ingest_sink_streaming(spark, embeddings, tmp_path):
     assert _rows(
         vecstore.ivf_topk_from_index(spark, store, q, k=5, n_probe=N_PROBE)
     ) == _rows(vecstore.ivf_topk_from_index(spark, one, q, k=5, n_probe=N_PROBE))
+
+
+def test_ivf_store_cohesion_diagnostic(spark, embeddings, tmp_path):
+    """The expire-path retrain signal: store cohesion equals the
+    in-session assignment_cohesion over the same vectors+centroids, and
+    after an expiry it recomputes over the retained corpus only."""
+    from pulsar_replay_spark.operators.similarity import assignment_cohesion
+
+    store = str(tmp_path / "coh")
+    emb = embeddings.select("vec_id", "embedding")
+    vecstore.ivf_index_build(emb, store, n_cells=N_CELLS)
+    got = vecstore.ivf_store_cohesion(spark, store).collect()[0]
+    want = assignment_cohesion(
+        emb, vecstore.store_centroids(spark, store)
+    ).collect()[0]
+    assert (got.n_vecs, got.avg_cos) == (want.n_vecs, want.avg_cos)
+
+    expired = str(tmp_path / "coh_exp")
+    drop = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    vecstore.ivf_store_expire(spark, store, expired, drop)
+    after = vecstore.ivf_store_cohesion(spark, expired).collect()[0]
+    assert after.n_vecs == got.n_vecs - drop.count()
+
+
+def test_hybrid_topk_from_stores_equals_rescan_fusion(
+    spark, embeddings, documents, tmp_path
+):
+    """The round's two store lifecycles composed: hybrid retrieval served
+    entirely from the postings store + the vector store equals the same
+    RRF fusion over the rescan paths (both components independently
+    pinned; this pins the composition end-to-end)."""
+    from pulsar_replay_spark.operators import retrieval
+
+    docs = documents.select("doc_id", "text")
+    tq = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 6), " "
+            ).alias("query"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    eq = _queries(embeddings).limit(3).localCheckpoint(eager=True)
+
+    bm25_store = str(tmp_path / "bm25")
+    vec_store = str(tmp_path / "vec")
+    retrieval.postings_index_build(docs, bm25_store)
+    vecstore.ivf_index_build(
+        embeddings.select("vec_id", "embedding"), vec_store, n_cells=N_CELLS
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            retrieval.hybrid_topk_from_stores(
+                spark, bm25_store, vec_store, tq, eq, k=5, n_probe=N_PROBE
+            ).collect(),
+        )
+    )
+    sparse = retrieval.bm25_topk(docs, tq, k=5)
+    dense = similarity.ivf_topk(
+        embeddings.select("vec_id", "embedding"),
+        eq,
+        k=5,
+        n_probe=N_PROBE,
+        centroids=vecstore.store_centroids(spark, vec_store),
+    )
+    want = sorted(map(tuple, retrieval.hybrid_topk(sparse, dense, k=5).collect()))
+    assert got == want and got
