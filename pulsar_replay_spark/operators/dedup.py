@@ -1424,13 +1424,15 @@ _ROLL_BASES = (1000003, 999983, 1000033, 1000037)
 _ROLL_RADIXES = (131, 137, 139, 149)
 
 
-def _rolling_kgram_hashes(
-    docs: DataFrame, k: int, casefold: bool = False
-) -> DataFrame:
-    """The ``impl='rolling'`` kernel for ``_positioned_kgram_hashes``:
+def _rolling_kgram_batch(pdf, k: int, casefold: bool = False):
+    """One Arrow batch of the ``impl='rolling'`` kernel — module-level so
+    the math is unit/property-testable without Spark (the
+    ``_cell_pair_sims`` discipline): (doc_id, pos, gh) pandas frame for
+    every k-token window of every doc in ``pdf`` (doc_id, text).
+
     H_c(i) = Σ_j v_c[i+j]·B_c^{k-1-j} mod p_c per 31-bit channel, packed
-    big-endian into one 32-hex-char gh. Fully vectorized O(tokens) per
-    Arrow batch via the inverse-power prefix form
+    big-endian into one 32-hex-char gh. Fully vectorized O(tokens) via
+    the inverse-power prefix form
     H_c(i) = B_c^{i+k-1} · (S_c[i+k] − S_c[i]) mod p_c with
     S_c = cumsum(v_c[m]·B_c^{−m}); the flat batch cumsum never crosses a
     doc boundary inside one window difference, so docs don't interact.
@@ -1440,123 +1442,118 @@ def _rolling_kgram_hashes(
     polynomial in R_c over the codepoints mod p_c — a bijective
     representation hashed entirely in numpy, no md5 loop (the md5-per-
     unique-token variant measured 4x slower on unique-heavy corpora).
-    ``casefold`` lowers via Python str.lower — equivalent to the JVM
-    path's F.lower for the ASCII corpora the gates cover (exotic Unicode
-    case law may differ; the byte-strict default has no such seam)."""
+    Power tables cost an O(maxlen) python loop per call — trivial next
+    to the vectorized work, and keeping them local keeps this function
+    pure."""
     import binascii
 
-    doc_id_type = docs.schema["doc_id"].dataType.simpleString()
+    import numpy as np
+    import pandas as pd
+
     n_ch = len(_ROLL_PRIMES)
-    binvs = tuple(
-        pow(b, p - 2, p) for b, p in zip(_ROLL_BASES, _ROLL_PRIMES)
+    binvs = tuple(pow(b, p - 2, p) for b, p in zip(_ROLL_BASES, _ROLL_PRIMES))
+
+    def pow_table(mult: int, p: int, upto: int) -> "np.ndarray":
+        ext = np.empty(upto + 1, dtype=np.int64)
+        cur = 1
+        for m in range(upto + 1):
+            ext[m] = cur
+            cur = (cur * mult) % p
+        return ext
+
+    def token_values(uniques) -> "np.ndarray":
+        # Fixed-width UCS4 view: (U, W) codepoint matrix, zero-copy.
+        # Codepoints < 2^21 << p, so no pre-reduction; per-channel
+        # value = Σ cp[j]·R^j mod p via one int64 matvec (terms
+        # < 2^52; mod-chunk when W could overflow the int64 sum).
+        uarr = np.asarray(uniques, dtype="U")
+        w = max(1, uarr.dtype.itemsize // 4)
+        cp = (
+            uarr.view(np.uint32).reshape(len(uarr), w).astype(np.int64)
+            if uarr.dtype.itemsize
+            else np.zeros((len(uarr), 1), dtype=np.int64)
+        )
+        out = np.empty((len(uniques), n_ch), dtype=np.int64)
+        for c in range(n_ch):
+            p, r = _ROLL_PRIMES[c], _ROLL_RADIXES[c]
+            pw = pow_table(r, p, w - 1)
+            if w <= 1024:  # Σ < 2^52 · 2^10 < 2^63: one matvec
+                out[:, c] = (cp @ pw) % p
+            else:  # pathological token width: chunked modular sums
+                acc = np.zeros(len(uniques), dtype=np.int64)
+                for j0 in range(0, w, 1024):
+                    acc = (
+                        acc + (cp[:, j0 : j0 + 1024] @ pw[j0 : j0 + 1024]) % p
+                    ) % p
+                out[:, c] = acc
+        return out
+
+    texts = pdf["text"].fillna("")
+    if casefold:
+        texts = texts.str.lower()
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    keep = lens >= k
+    if not keep.any():
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].iloc[:0],
+                "pos": pd.Series([], dtype="int32"),
+                "gh": pd.Series([], dtype="object"),
+            }
+        )
+    tok_lists = [t for t, kp in zip(tok_lists, keep) if kp]
+    doc_ids = pdf["doc_id"].to_numpy()[keep]
+    lens = lens[keep]
+    flat = np.asarray([tok for lst in tok_lists for tok in lst], dtype=object)
+    codes, uniques = pd.factorize(flat)
+    table = token_values(uniques)
+
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    total = int(lens.sum())
+    pos_flat = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    maxn = int(lens.max())
+
+    g = lens - k + 1  # grams per doc (all lens >= k here)
+    pos_out = np.arange(int(g.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(g)))[:-1], g
+    )
+    gram_flat = np.repeat(starts, g) + pos_out  # flat left edge
+
+    H = np.empty((int(g.sum()), n_ch), dtype=np.int64)
+    for c in range(n_ch):
+        p = _ROLL_PRIMES[c]
+        u = (table[codes, c] * pow_table(binvs[c], p, maxn)[pos_flat]) % p
+        csum = np.concatenate(([0], np.cumsum(u)))
+        w = (csum[gram_flat + k] - csum[gram_flat]) % p
+        H[:, c] = (w * pow_table(_ROLL_BASES[c], p, maxn)[pos_out + k - 1]) % p
+
+    hexbuf = binascii.hexlify(np.ascontiguousarray(H.astype(">u4")).tobytes())
+    ghs = np.frombuffer(hexbuf, dtype="S32").astype("U32")
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(doc_ids, g),
+            "pos": pos_out.astype(np.int32),
+            "gh": ghs,
+        }
     )
 
-    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import numpy as np
-        import pandas as pd
 
-        # Per-channel power tables B^m / B^-m mod p, grown once to the
-        # longest doc seen (Python loop over maxlen, once per extension —
-        # not per doc, not per token).
-        pow_b = [np.ones(1, dtype=np.int64) for _ in range(n_ch)]
-        pow_binv = [np.ones(1, dtype=np.int64) for _ in range(n_ch)]
+def _rolling_kgram_hashes(
+    docs: DataFrame, k: int, casefold: bool = False
+) -> DataFrame:
+    """The ``impl='rolling'`` distributed wrapper: one MapInPandas over
+    (doc_id, text), each Arrow batch through ``_rolling_kgram_batch``
+    (where the math and its property gates live)."""
+    doc_id_type = docs.schema["doc_id"].dataType.simpleString()
 
-        def extend(tables, mults, upto):
-            for c in range(n_ch):
-                arr = tables[c]
-                if len(arr) <= upto:
-                    p, mult = _ROLL_PRIMES[c], mults[c]
-                    ext = np.empty(upto + 1, dtype=np.int64)
-                    ext[: len(arr)] = arr
-                    cur = int(arr[-1])
-                    for m in range(len(arr), upto + 1):
-                        cur = (cur * mult) % p
-                        ext[m] = cur
-                    tables[c] = ext
-
-        def token_values(uniques) -> "np.ndarray":
-            # Fixed-width UCS4 view: (U, W) codepoint matrix, zero-copy.
-            # Codepoints < 2^21 << p, so no pre-reduction; per-channel
-            # value = Σ cp[j]·R^j mod p via one int64 matvec (terms
-            # < 2^52; mod-chunk when W could overflow the int64 sum).
-            uarr = np.asarray(uniques, dtype="U")
-            w = max(1, uarr.dtype.itemsize // 4)
-            cp = (
-                uarr.view(np.uint32).reshape(len(uarr), w).astype(np.int64)
-                if uarr.dtype.itemsize
-                else np.zeros((len(uarr), 1), dtype=np.int64)
-            )
-            out = np.empty((len(uniques), n_ch), dtype=np.int64)
-            for c in range(n_ch):
-                p, r = _ROLL_PRIMES[c], _ROLL_RADIXES[c]
-                pw = np.empty(w, dtype=np.int64)
-                pw[0] = 1
-                for j in range(1, w):
-                    pw[j] = (pw[j - 1] * r) % p
-                if w <= 1024:  # Σ < 2^52 · 2^10 < 2^63: one matvec
-                    out[:, c] = (cp @ pw) % p
-                else:  # pathological token width: chunked modular sums
-                    acc = np.zeros(len(uniques), dtype=np.int64)
-                    for j0 in range(0, w, 1024):
-                        acc = (
-                            acc + (cp[:, j0 : j0 + 1024] @ pw[j0 : j0 + 1024]) % p
-                        ) % p
-                    out[:, c] = acc
-            return out
-
+    def kernel(batches):
         for pdf in batches:
-            texts = pdf["text"].fillna("")
-            if casefold:
-                texts = texts.str.lower()
-            tok_lists = [t.split(" ") for t in texts]
-            lens = np.fromiter(
-                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
-            )
-            keep = lens >= k
-            if not keep.any():
-                continue
-            tok_lists = [t for t, kp in zip(tok_lists, keep) if kp]
-            doc_ids = pdf["doc_id"].to_numpy()[keep]
-            lens = lens[keep]
-            flat = np.asarray(
-                [tok for lst in tok_lists for tok in lst], dtype=object
-            )
-            codes, uniques = pd.factorize(flat)
-            table = token_values(uniques)
-
-            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            total = int(lens.sum())
-            pos_flat = np.arange(total, dtype=np.int64) - np.repeat(
-                starts, lens
-            )
-            extend(pow_b, _ROLL_BASES, int(lens.max()))
-            extend(pow_binv, binvs, int(lens.max()))
-
-            g = lens - k + 1  # grams per doc (all lens >= k here)
-            pos_out = np.arange(int(g.sum()), dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(g)))[:-1], g
-            )
-            gram_flat = np.repeat(starts, g) + pos_out  # flat left edge
-
-            H = np.empty((int(g.sum()), n_ch), dtype=np.int64)
-            for c in range(n_ch):
-                p = _ROLL_PRIMES[c]
-                u = (table[codes, c] * pow_binv[c][pos_flat]) % p
-                csum = np.concatenate(([0], np.cumsum(u)))
-                w = (csum[gram_flat + k] - csum[gram_flat]) % p
-                H[:, c] = (w * pow_b[c][pos_out + k - 1]) % p
-
-            hexbuf = binascii.hexlify(
-                np.ascontiguousarray(H.astype(">u4")).tobytes()
-            )
-            ghs = np.frombuffer(hexbuf, dtype="S32").astype("U32")
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(doc_ids, g),
-                    "pos": pos_out.astype(np.int32),
-                    "gh": ghs,
-                }
-            )
+            out = _rolling_kgram_batch(pdf, k, casefold)
+            if len(out):
+                yield out
 
     return docs.select("doc_id", "text").mapInPandas(
         kernel, schema=f"doc_id {doc_id_type}, pos int, gh string"

@@ -192,6 +192,77 @@ def ivf_topk_from_index(
     )
 
 
+def semantic_decontaminate_from_index(
+    spark: SparkSession,
+    store_dir: str,
+    eval_embs: DataFrame,
+    min_sim: float = 0.95,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Dense decontamination served from the vector store — the embedding
+    twin of ``retrieval.lexical_decontaminate_from_index``: flag every
+    stored vector whose cosine to ANY eval embedding reaches ``min_sim``,
+    one row per flagged doc with its strongest accusing eval —
+    (doc_id, eval_id, sim). Threshold semantics, NOT top-k: a benchmark
+    pasted into a thousand training docs flags all thousand.
+
+    ``n_probe=None`` (default) scans every cell — EXACT decontamination
+    (recall 1 within the store) at one full-store pass per eval batch,
+    the posture a release gate wants. A bounded ``n_probe`` is the
+    continuous-ingest posture: each eval probes only its nearest cells
+    (partition-pruned scan), trading recall for a bounded read — a
+    contaminated copy of an eval lands in the eval's OWN nearest cell
+    (identical vector ⇒ identical assignment), so exact copies are
+    always caught even at n_probe=1; only heavily-paraphrased
+    contamination near a Voronoi boundary can slip a small probe.
+
+    The pair scoring is the JVM HOF dot/norm form (eval suites are small
+    → broadcast; candidates never shuffle)."""
+    from pulsar_replay_spark.functions.vectors import dot, norm
+    from pyspark.sql.window import Window
+
+    cents = store_centroids(spark, store_dir)
+    vectors = spark.read.parquet(f"{store_dir}/vectors")
+    if n_probe is not None:
+        probe_cells = ivf_assign(eval_embs, cents, n_probe=n_probe)
+        cell_ids = [
+            r.cell_id for r in probe_cells.select("cell_id").distinct().collect()
+        ]
+        vectors = vectors.filter(F.col("cell_id").isin(cell_ids))
+    cand = (
+        vectors.select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("d_emb"),
+            norm(F.col("embedding")).alias("d_norm"),
+        )
+    )
+    q = eval_embs.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    hits = (
+        cand.join(F.broadcast(q))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("d_emb"), F.col("q_emb"))
+                / (F.col("d_norm") * F.col("q_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= F.lit(float(min_sim)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), "eval_id")
+    return (
+        hits.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select("doc_id", "eval_id", "sim")
+    )
+
+
 def ivf_store_compact(
     spark: SparkSession, store_dir: str, compact_dir: str
 ) -> None:

@@ -123,3 +123,71 @@ def test_cross_sims_chunked_cut_preserves_exact_rounded_topk(params):
         want = {ni for _, ni in sims[:k]}
         have = set(emitted[emitted["q_id"] == qi]["n_id"])
         assert want <= have, f"cut lost exact top-k rows: {want - have}"
+
+
+# ---------------------------------------------------------------------------
+# r11: the rolling positioned-k-gram kernel (dedup._rolling_kgram_batch).
+# Property over arbitrary token corpora: the kernel's (doc_id, pos)
+# bookkeeping matches a plain-python window enumeration exactly, and gh
+# equality induces EXACTLY the gram-text equality partition (no false
+# splits ever; a false merge is a 4-channel hash collision — 2^-124-ish,
+# so observing one here would itself be a finding). Pure pandas/numpy.
+# ---------------------------------------------------------------------------
+
+_token = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=[" "], max_codepoint=0x2FFF
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.lists(_token, min_size=0, max_size=12), min_size=1, max_size=8),
+    st.integers(1, 4),
+    st.booleans(),
+)
+def test_rolling_kgram_batch_matches_window_enumeration(docs_tokens, k, casefold):
+    from collections import defaultdict
+
+    from pulsar_replay_spark.operators.dedup import _rolling_kgram_batch
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs_tokens)),
+            "text": [" ".join(toks) for toks in docs_tokens],
+        }
+    )
+    out = _rolling_kgram_batch(pdf, k, casefold)
+
+    want_positions = set()
+    gram_text = {}
+    for d, toks in enumerate(docs_tokens):
+        # the kernel splits the JOINED text — "" joins to [''], matching
+        # the JVM split(coalesce(text,''), ' ') contract exactly
+        toks = " ".join(toks).split(" ")
+        if casefold:
+            toks = [t.lower() for t in toks]
+        for i in range(len(toks) - k + 1):
+            want_positions.add((d, i))
+            gram_text[(d, i)] = " ".join(toks[i : i + k])
+
+    got_positions = set(zip(out["doc_id"], out["pos"]))
+    assert got_positions == want_positions
+
+    by_gh = defaultdict(set)
+    for d, i, gh in zip(out["doc_id"], out["pos"], out["gh"]):
+        by_gh[gh].add(gram_text[(d, i)])
+    # no false splits: every occurrence of one gram text got one gh
+    for gh, texts in by_gh.items():
+        assert len(texts) == 1, f"collision (!): {texts}"
+    # no false merges of DIFFERENT texts under one gh is the same assert;
+    # and distinct texts must get distinct ghs (the partition is exact)
+    seen = {}
+    for gh, texts in by_gh.items():
+        t = next(iter(texts))
+        assert t not in seen or seen[t] == gh
+        seen[t] = gh
+    assert len(seen) == len(set(gram_text.values()))

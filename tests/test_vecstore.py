@@ -251,3 +251,59 @@ def test_hybrid_topk_from_stores_equals_rescan_fusion(
     )
     want = sorted(map(tuple, retrieval.hybrid_topk(sparse, dense, k=5).collect()))
     assert got == want and got
+
+
+def test_semantic_decontaminate_from_index(spark, embeddings, tmp_path):
+    """Dense decon served from the store: a planted exact copy of an eval
+    embedding is flagged at sim 1.0 under BOTH the exact (n_probe=None)
+    and the bounded-probe posture (identical vector ⇒ identical cell ⇒
+    the eval's own probe finds it at n_probe=1); the exact posture equals
+    a brute-force python mirror over the store; threshold semantics flag
+    EVERY copy, not top-k."""
+    import numpy as np
+
+    store = str(tmp_path / "decon")
+    emb = embeddings.select("vec_id", "embedding")
+    evals = _queries(embeddings).limit(2).localCheckpoint(eager=True)
+    planted = evals.limit(1).select(
+        F.lit(777777).cast("long").alias("vec_id"), "embedding"
+    )
+    vecstore.ivf_index_build(emb.unionByName(planted), store, n_cells=N_CELLS)
+
+    exact = {
+        (r.doc_id, r.eval_id): r.sim
+        for r in vecstore.semantic_decontaminate_from_index(
+            spark, store, evals, min_sim=0.9
+        ).collect()
+    }
+    ev = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in evals.collect()}
+    assert any(d == 777777 and exact[(d, e)] == 1.0 for d, e in exact)
+    # every eval flags ITSELF (it lives in the corpus) at 1.0
+    for e in ev:
+        assert exact.get((e, e)) == 1.0
+
+    # brute-force python mirror over the store's vectors (exact posture)
+    vecs = spark.read.parquet(f"{store}/vectors").select("vec_id", "embedding")
+    want = {}
+    for r in vecs.collect():
+        v = np.asarray(r.embedding, dtype="float64")
+        best = None
+        for e_id in sorted(ev):
+            q = ev[e_id]
+            sim = round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+            if sim >= 0.9 and (best is None or sim > best[1]):
+                best = (e_id, sim)
+        if best:
+            want[(r.vec_id, best[0])] = best[1]
+    assert set(exact) == set(want)
+    for key in want:
+        assert abs(exact[key] - want[key]) < 2e-6, key
+
+    # bounded probe still catches the exact copy
+    bounded = {
+        (r.doc_id, r.eval_id): r.sim
+        for r in vecstore.semantic_decontaminate_from_index(
+            spark, store, evals, min_sim=0.9, n_probe=1
+        ).collect()
+    }
+    assert any(d == 777777 and bounded[(d, e)] == 1.0 for d, e in bounded)
