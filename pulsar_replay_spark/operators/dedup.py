@@ -1382,7 +1382,9 @@ def _positioned_kgram_hashes(
       but O(k) char work per token position, and the marks plan runs the
       subtree twice — at k=20 that's ~40x the char traffic of one scan.
     - ``'rolling'``: Arrow-batched polynomial rolling hash over per-token
-      md5-derived values — O(1) per position after an O(tokens) pass,
+      codepoint-polynomial values (length-aware since kernel tag
+      'rolling2' — NUL-bearing tokens hash distinctly) — O(1) per
+      position after an O(tokens) pass,
       the Lee et al. suffix-array cost model re-expressed for Spark.
       4 independent 31-bit prime channels ≈ 124 hash bits (≥96 keeps
       10^12 grams birthday-safe; 64 bits would not). One MapInPandas
@@ -1422,6 +1424,20 @@ def _positioned_kgram_hashes(
 _ROLL_PRIMES = (2147483647, 2147483629, 2147483587, 2147483563)
 _ROLL_BASES = (1000003, 999983, 1000033, 1000037)
 _ROLL_RADIXES = (131, 137, 139, 149)
+
+# Versioned kernel tag for persisted gram stores: hash VALUES are part of
+# a store's on-disk contract, so a kernel fix that changes them must bump
+# the tag — 'rolling2' is the r12 length-aware NUL fix. A store whose
+# _meta froze pre-fix 'rolling' refuses a post-fix resume with a named
+# error instead of silently never matching the resident index.
+_ROLL_KERNEL_TAG = "rolling2"
+
+
+def kernel_meta_tag(impl: str) -> str:
+    """The tag frozen into a gram store's ``_meta`` for hash kernel
+    ``impl`` ('md5' is value-stable and keeps its own name; 'rolling'
+    maps to the current versioned tag)."""
+    return _ROLL_KERNEL_TAG if impl == "rolling" else impl
 
 
 def _rolling_kgram_batch(pdf, k: int, casefold: bool = False):
@@ -1473,6 +1489,20 @@ def _rolling_kgram_batch(pdf, k: int, casefold: bool = False):
             if uarr.dtype.itemsize
             else np.zeros((len(uarr), 1), dtype=np.int64)
         )
+        # Length-aware +1 offset (kernel tag 'rolling2'): the fixed-width
+        # view zero-pads, and codepoint 0 (NUL — routine in real web-crawl
+        # text) is indistinguishable from padding, so '' ≡ '\x00' and
+        # 'a' ≡ 'a\x00' hashed identically on ALL channels (r11 bug, found
+        # by the hypothesis gate). Shifting every REAL codepoint to cp+1
+        # (true lengths from the python strs — the U-dtype view itself
+        # cannot represent trailing NULs) keeps padding at 0 and restores
+        # the bijection: values are the (cp+1) sequence, 0-padded, from
+        # which the token (including its length) is recoverable. cp+1 ≤
+        # 0x110000 < 2^21, so the overflow bounds above are unchanged.
+        lens_u = np.fromiter(
+            (len(t) for t in uniques), dtype=np.int64, count=len(uniques)
+        )
+        cp += np.arange(cp.shape[1], dtype=np.int64)[None, :] < lens_u[:, None]
         out = np.empty((len(uniques), n_ch), dtype=np.int64)
         for c in range(n_ch):
             p, r = _ROLL_PRIMES[c], _ROLL_RADIXES[c]
@@ -1508,7 +1538,16 @@ def _rolling_kgram_batch(pdf, k: int, casefold: bool = False):
     doc_ids = pdf["doc_id"].to_numpy()[keep]
     lens = lens[keep]
     flat = np.asarray([tok for lst in tok_lists for tok in lst], dtype=object)
-    codes, uniques = pd.factorize(flat)
+    # pd.factorize hashes object strings as C strings — truncated at the
+    # FIRST NUL — so '' ≡ '\x00' and 'a' ≡ 'a\x00' get ONE code before
+    # any hashing happens (the other half of the r11 NUL bug). One
+    # vectorized scan detects NUL-bearing batches and routes them to
+    # np.unique's python-comparison sort (correct for any codepoints);
+    # the common NUL-free path keeps the O(n) hash factorize.
+    if texts.str.contains("\x00", regex=False).any():
+        uniques, codes = np.unique(flat, return_inverse=True)
+    else:
+        codes, uniques = pd.factorize(flat)
     table = token_values(uniques)
 
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]

@@ -2304,7 +2304,10 @@ def dup_span_ingest_sink(
     size. The gram store's doc_id column takes the STREAM's doc_id type
     (string ids ingest as cleanly as longs; a type change mid-stream
     fails the schema'd read loudly, not by miscast)."""
-    from pulsar_replay_spark.operators.dedup import incremental_dup_span_scrub
+    from pulsar_replay_spark.operators.dedup import (
+        incremental_dup_span_scrub,
+        kernel_meta_tag,
+    )
 
     if impl not in ("md5", "rolling"):
         raise ValueError(
@@ -2320,7 +2323,15 @@ def dup_span_ingest_sink(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         meta = _dup_span_store_meta(spark, store_dir)
-        want = {"min_tokens": int(min_tokens), "casefold": bool(casefold), "impl": impl}
+        # _meta freezes the VERSIONED kernel tag, not the user knob: a
+        # kernel fix that changes hash values bumps the tag (r12:
+        # 'rolling' -> 'rolling2'), so a pre-fix store refuses a post-fix
+        # resume here instead of silently never matching.
+        want = {
+            "min_tokens": int(min_tokens),
+            "casefold": bool(casefold),
+            "impl": kernel_meta_tag(impl),
+        }
         if meta is not None and meta != want:
             raise ValueError(
                 f"dup_span_ingest_sink: store at {store_dir} was built with "
@@ -2329,7 +2340,7 @@ def dup_span_ingest_sink(
             )
         if meta is None:
             _dup_span_store_meta_write(
-                spark, store_dir, min_tokens, casefold, impl
+                spark, store_dir, min_tokens, casefold, kernel_meta_tag(impl)
             )
         batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
         idx = (

@@ -191,3 +191,38 @@ def test_rolling_kgram_batch_matches_window_enumeration(docs_tokens, k, casefold
         assert t not in seen or seen[t] == gh
         seen[t] = gh
     assert len(seen) == len(set(gram_text.values()))
+
+
+def test_rolling_kgram_nul_tokens_do_not_collide():
+    """r11 regression (fixed r12, kernel tag 'rolling2'): the fixed-width
+    UCS4 view zero-pads every token, and codepoint 0 was indistinguishable
+    from padding — '' ≡ '\\x00' and 'a' ≡ 'a\\x00' hashed identically on
+    ALL 4 channels (hypothesis counterexample ``[[], ['\\x00']], k=1``).
+    The length-aware +1 offset keys every real codepoint off padding;
+    these explicit pairs stay as non-hypothesis regression cases."""
+    from pulsar_replay_spark.operators.dedup import _rolling_kgram_batch
+
+    pairs = [
+        ("", "\x00"),
+        ("a", "a\x00"),
+        ("a", "\x00a"),
+        ("\x00", "\x00\x00"),
+        ("a\x00", "a\x00\x00"),
+    ]
+    for left, right in pairs:
+        pdf = pd.DataFrame({"doc_id": [0, 1], "text": [left, right]})
+        out = _rolling_kgram_batch(pdf, 1, False)
+        assert len(out) == 2, (left, right)
+        ghs = out["gh"].tolist()
+        assert ghs[0] != ghs[1], f"NUL collision regressed: {(left, right)}"
+    # equal NUL-bearing grams still merge (the fix must not false-split)
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["x\x00 y", "x\x00 y"]})
+    out = _rolling_kgram_batch(pdf, 2, False)
+    assert len(out) == 2 and out["gh"].nunique() == 1
+
+
+def test_kernel_meta_tag_versions_rolling():
+    from pulsar_replay_spark.operators.dedup import kernel_meta_tag
+
+    assert kernel_meta_tag("md5") == "md5"
+    assert kernel_meta_tag("rolling") == "rolling2"

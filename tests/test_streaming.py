@@ -1739,10 +1739,12 @@ def test_dup_span_sink_knobs_meta_guard_and_string_ids(
     assert got["doc_c"][0] == "tail0 tail1"  # cross-batch casefolded scrub
     idx = spark.read.parquet(store)
     assert dict(idx.dtypes)["doc_id"] == "string"
+    # _meta freezes the VERSIONED kernel tag ('rolling2' = the r12
+    # length-aware NUL fix), not the user-facing knob name
     assert pipelines._dup_span_store_meta(spark, store) == {
         "min_tokens": 10,
         "casefold": True,
-        "impl": "rolling",
+        "impl": "rolling2",
     }
 
     # mismatched resume: a different knob set against the same store raises
@@ -1762,13 +1764,34 @@ def test_dup_span_sink_knobs_meta_guard_and_string_ids(
             min_tokens=10,  # same k, but byte-strict md5 vs the store's
         ).awaitTermination(120)
 
+    # a PRE-FIX rolling store (meta impl='rolling', hash values from the
+    # NUL-colliding r11 kernel) refuses a post-fix resume — its resident
+    # hashes would never match the fixed kernel's
+    prefix_store = str(tmp_path_factory.mktemp("dupspan_meta_prefix"))
+    pipelines._dup_span_store_meta_write(spark, prefix_store, 10, True, "rolling")
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    with pytest.raises(StreamingQueryException, match="built with"):
+        pipelines.dup_span_ingest_sink(
+            stream3,
+            prefix_store,
+            str(tmp_path_factory.mktemp("dupspan_meta_out3")),
+            str(tmp_path_factory.mktemp("dupspan_meta_ck3")),
+            min_tokens=10,
+            casefold=True,
+            impl="rolling",
+        ).awaitTermination(120)
+
     # compaction carries the meta forward
     compact = str(tmp_path_factory.mktemp("dupspan_meta_compact"))
     pipelines.dup_span_store_compact(spark, store, compact)
     assert pipelines._dup_span_store_meta(spark, compact) == {
         "min_tokens": 10,
         "casefold": True,
-        "impl": "rolling",
+        "impl": "rolling2",
     }
 
 
