@@ -77,7 +77,21 @@ def _positions_hex128(keys, n_bits: int, n_hashes: int) -> np.ndarray:
     h1/h2 are the two 64-bit halves of the key itself, decoded for the
     whole batch in one ``bytes.fromhex`` + numpy view. uint64 arithmetic
     wraps mod 2^64 identically on build and probe, so the double-hashing
-    positions stay deterministic."""
+    positions stay deterministic. Every key must be EXACTLY 32 hex chars:
+    the batch decode concatenates keys, so one short/long key that keeps
+    the total length a multiple of 32 would silently shift every later
+    key's h1/h2 — on the probe side that is a Bloom FALSE NEGATIVE,
+    breaking the no-false-negatives guarantee the incremental scrub
+    relies on. Checked vectorized, raising a named error instead."""
+    karr = np.asarray(keys, dtype="U")
+    if len(karr):
+        klens = np.char.str_len(karr)
+        if (klens != 32).any():
+            bad = karr[klens != 32][0]
+            raise ValueError(
+                "bloom key_kind='hex128' requires exactly 32-hex-char "
+                f"keys; got {str(bad)!r} (length {len(str(bad))})"
+            )
     buf = bytes.fromhex("".join(keys))
     halves = np.frombuffer(buf, dtype=">u8").reshape(len(keys), 2)
     h1 = halves[:, 0].astype(np.uint64)

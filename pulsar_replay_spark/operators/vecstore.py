@@ -87,7 +87,14 @@ def ivf_index_build(
     """
     spark = embeddings.sparkSession
     meta = _store_meta(spark, store_dir)
-    dim = embeddings.select(F.size("embedding").alias("d")).head().d
+    dim_row = embeddings.select(F.size("embedding").alias("d")).head()
+    if dim_row is None:
+        raise ValueError(
+            "ivf_index_build: embeddings frame is empty — nothing to build "
+            "or ingest (the streaming sink skips empty micro-batches; "
+            "one-shot callers should too)"
+        )
+    dim = dim_row.d
     if meta is not None:
         if n_cells is not None and n_cells != meta["n_cells"]:
             raise ValueError(
@@ -132,6 +139,47 @@ def ivf_index_build(
     )
 
 
+def _store_vectors_latest(
+    spark: SparkSession, store_dir: str, cell_ids: "list | None" = None
+) -> DataFrame:
+    """The store's vectors with compact's LATEST-BATCH-WINS applied at
+    read time (r12, ADVICE): a vec_id re-ingested with a changed embedding
+    has two copies (possibly in different cells) until compaction, and a
+    serve that treats any copy as current joins embeddings and cell
+    assignments across both — stale, and arbitrary. The max-batch frame
+    reads only vec_id + the batch_id partition value (never embeddings),
+    so with ``cell_ids`` the fat embedding bytes still come ONLY from the
+    pruned cells; the prune stays correct because a moved vector's latest
+    copy is served via its OWN (current) cell and the stale copy in a
+    probed cell is dropped by the semi-join. Compaction collapses the
+    store to one batch, making the semi-join a trivial self-match."""
+    all_vecs = spark.read.parquet(f"{store_dir}/vectors")
+    latest = all_vecs.groupBy("vec_id").agg(F.max("batch_id").alias("batch_id"))
+    pruned = (
+        all_vecs
+        if cell_ids is None
+        else all_vecs.filter(F.col("cell_id").isin(cell_ids))
+    )
+    return (
+        pruned.join(latest, ["vec_id", "batch_id"], "left_semi")
+        # cell_id comes back PARTITION-INFERRED as int; the in-session
+        # assignment frames carry long (centroid ids are vec_ids). The
+        # arrow path cogroups on cell_id, and cogrouping int-vs-long keys
+        # silently mis-buckets instead of casting (caught by the 50k
+        # probe: served top-k degraded ~0.9→0.85 sims) — normalize HERE,
+        # at the read, so every downstream consumer sees one type.
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cell_id").cast("long").alias("cell_id"),
+        )
+        # crash-retried duplicate partitions are byte-identical copies
+        # (idempotent dynamic overwrite); within the latest batch a vec_id
+        # has one assignment — distinct is belt-and-braces only
+        .dropDuplicates(["vec_id", "cell_id"])
+    )
+
+
 def store_centroids(spark: SparkSession, store_dir: str) -> DataFrame:
     meta = _store_meta(spark, store_dir)
     if meta is None:
@@ -160,25 +208,7 @@ def ivf_topk_from_index(
         eager=True
     )
     cell_ids = [r.cell_id for r in query_cells.select("cell_id").distinct().collect()]
-    vectors = (
-        spark.read.parquet(f"{store_dir}/vectors")
-        .filter(F.col("cell_id").isin(cell_ids))
-        # cell_id comes back PARTITION-INFERRED as int; the in-session
-        # assignment frames carry long (centroid ids are vec_ids). The
-        # arrow path cogroups on cell_id, and cogrouping int-vs-long keys
-        # silently mis-buckets instead of casting (caught by the 50k
-        # probe: served top-k degraded ~0.9→0.85 sims) — normalize HERE,
-        # at the read, so every downstream consumer sees one type.
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("cell_id").cast("long").alias("cell_id"),
-        )
-        # crash-retried duplicate partitions / re-ingested vectors fold;
-        # latest batch would win in compact — here any copy is identical
-        # by the idempotent-overwrite discipline, so distinct suffices
-        .dropDuplicates(["vec_id", "cell_id"])
-    )
+    vectors = _store_vectors_latest(spark, store_dir, cell_ids)
     emb = vectors.select("vec_id", "embedding")
     corpus_cells = vectors.select("vec_id", "cell_id")
     return ivf_topk(
@@ -222,16 +252,14 @@ def semantic_decontaminate_from_index(
     from pyspark.sql.window import Window
 
     cents = store_centroids(spark, store_dir)
-    vectors = spark.read.parquet(f"{store_dir}/vectors")
+    cell_ids = None
     if n_probe is not None:
         probe_cells = ivf_assign(eval_embs, cents, n_probe=n_probe)
         cell_ids = [
             r.cell_id for r in probe_cells.select("cell_id").distinct().collect()
         ]
-        vectors = vectors.filter(F.col("cell_id").isin(cell_ids))
     cand = (
-        vectors.select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
+        _store_vectors_latest(spark, store_dir, cell_ids)
         .select(
             F.col("vec_id").alias("doc_id"),
             F.col("embedding").alias("d_emb"),
@@ -307,10 +335,8 @@ def ivf_store_cohesion(spark: SparkSession, store_dir: str) -> DataFrame:
     O(N·cells·dim) the build paid once)."""
     from pulsar_replay_spark.operators.similarity import assignment_cohesion
 
-    vectors = (
-        spark.read.parquet(f"{store_dir}/vectors")
-        .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
+    vectors = _store_vectors_latest(spark, store_dir).select(
+        "vec_id", "embedding"
     )
     return assignment_cohesion(vectors, store_centroids(spark, store_dir))
 

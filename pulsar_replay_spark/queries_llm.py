@@ -1644,6 +1644,7 @@ FROM ranked WHERE rk <= 10
 
 @register("bm25_topk_served", BM25_SERVED_ORACLE)
 def q_bm25_topk_served(spark, sf_dir):
+    import shutil
     import tempfile
 
     from pulsar_replay_spark.operators import retrieval
@@ -1660,19 +1661,29 @@ def q_bm25_topk_served(spark, sf_dir):
         )
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
+    # the store is a per-invocation scratch artifact: materialize the
+    # served result (localCheckpoint pins the blocks independently of the
+    # parquet files) and remove the directory before returning — this
+    # query runs under the driver gate, parity, AND bench, so leaking a
+    # postings store per invocation would fill /tmp (r11 ADVICE).
     store = tempfile.mkdtemp(prefix="bm25_store_served_")
-    retrieval.postings_index_build(corpus, store)
-    queries = (
-        docs.orderBy("doc_id")
-        .limit(5)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.array_join(F.slice(tokens(F.col("text")), 1, 6), " ").alias(
-                "query"
-            ),
+    try:
+        retrieval.postings_index_build(corpus, store)
+        queries = (
+            docs.orderBy("doc_id")
+            .limit(5)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.array_join(F.slice(tokens(F.col("text")), 1, 6), " ").alias(
+                    "query"
+                ),
+            )
         )
-    )
-    return retrieval.bm25_topk_from_index(spark, store, queries, k=10)
+        return retrieval.bm25_topk_from_index(
+            spark, store, queries, k=10
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 @register("bm25_topk", BM25_ORACLE)

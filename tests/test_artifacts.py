@@ -159,3 +159,26 @@ def test_bloom_hex128_kind_no_false_negatives(spark, documents):
         bloom.bloom_build(keyed, "k", n_bits, n_hashes, key_kind="sha9000")
     with _pytest.raises(ValueError, match="key_kind"):
         bloom.bloom_might_contain(keyed, "k", bm, n_hashes, key_kind="nope")
+
+
+def test_bloom_hex128_rejects_malformed_key_lengths():
+    """r11 ADVICE: hex128 decodes the CONCATENATED batch, so a 30-char +
+    34-char pair keeps the total a multiple of 32 and would silently
+    shift every later key's h1/h2 — a probe-side false negative. The
+    per-key length check must raise a named error instead (and not just
+    when the total length breaks fromhex)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pulsar_replay_spark.operators.bloom import _positions_hex128
+
+    good = ["ab" * 16, "cd" * 16]
+    out = _positions_hex128(good, 1 << 20, 5)
+    assert out.shape == (2, 5)
+    # offsetting pair: total length is still 64 chars → fromhex succeeds,
+    # alignment is silently wrong without the guard
+    bad = ["ab" * 15, "cd" * 17]
+    with _pytest.raises(ValueError, match="32-hex-char"):
+        _positions_hex128(bad, 1 << 20, 5)
+    assert _positions_hex128([], 1 << 20, 5).shape[0] == 0
+    assert isinstance(out, np.ndarray)

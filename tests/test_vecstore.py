@@ -152,6 +152,77 @@ def test_ivf_store_compact_latest_wins_and_expire(
     assert all(r.neighbor_id != 3 for r in after.collect())
 
 
+def test_ivf_store_serve_latest_wins_before_compaction(
+    spark, embeddings, tmp_path
+):
+    """r11 ADVICE regression: a vec_id re-ingested with a CHANGED
+    embedding moves cells, and until compaction the store holds BOTH
+    copies. Serve/decon/cohesion must apply compact's latest-batch-wins
+    at read time — the grown store must behave exactly like its compacted
+    twin (pre-fix, serve joined embeddings and cell assignments across
+    both copies, yielding stale/arbitrary pairings whenever the old
+    copy's cell was probed)."""
+    emb = embeddings.select("vec_id", "embedding")
+    store = str(tmp_path / "grown")
+    vecstore.ivf_index_build(emb, store, n_cells=N_CELLS, batch_id=0)
+    q = _queries(embeddings).limit(1).localCheckpoint(eager=True)
+    # vec 3's ORIGINAL embedding as a probe: lands in the stale copy's cell
+    old3 = (
+        emb.filter(F.col("vec_id") == 3)
+        .select(F.lit(888888).cast("long").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    moved = q.select(F.lit(3).cast("long").alias("vec_id"), "embedding")
+    vecstore.ivf_index_build(moved, store, batch_id=1)
+    compacted = str(tmp_path / "compacted")
+    vecstore.ivf_store_compact(spark, store, compacted)
+
+    for probe in (q, old3):
+        assert _rows(
+            vecstore.ivf_topk_from_index(spark, store, probe, k=5, n_probe=N_PROBE)
+        ) == _rows(
+            vecstore.ivf_topk_from_index(
+                spark, compacted, probe, k=5, n_probe=N_PROBE
+            )
+        )
+    # the stale copy must not serve sim 1.0 against its OLD embedding
+    got = vecstore.ivf_topk_from_index(spark, store, old3, k=5, n_probe=N_PROBE)
+    assert all(r.sim < 0.999999 for r in got.collect() if r.neighbor_id == 3)
+
+    # decon equals the compacted twin under both postures
+    for np_ in (None, N_PROBE):
+        a = sorted(
+            map(
+                tuple,
+                vecstore.semantic_decontaminate_from_index(
+                    spark, store, old3, min_sim=0.5, n_probe=np_
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                vecstore.semantic_decontaminate_from_index(
+                    spark, compacted, old3, min_sim=0.5, n_probe=np_
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    # cohesion counts ONE copy per vec_id — the latest
+    ga = vecstore.ivf_store_cohesion(spark, store).collect()[0]
+    gb = vecstore.ivf_store_cohesion(spark, compacted).collect()[0]
+    assert (ga.n_vecs, ga.avg_cos) == (gb.n_vecs, gb.avg_cos)
+
+
+def test_ivf_index_build_empty_frame_raises(spark, tmp_path):
+    """r11 ADVICE: an empty one-shot build/growth frame raised an opaque
+    AttributeError off head() = None; now a named ValueError."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        vecstore.ivf_index_build(empty, str(tmp_path / "e"))
+
+
 def test_ivf_ingest_sink_streaming(spark, embeddings, tmp_path):
     """The streaming sink grows the store batch by batch (frozen centroids
     after batch 0) and serving equals the one-shot build over the union —
