@@ -93,3 +93,45 @@ def test_no_ungated_query_functions():
                 if not registered and not referenced and node.name not in listed:
                     ungated.append(f"{f}:{node.name}")
     assert not ungated, f"query functions without any gate: {ungated}"
+
+
+def _module_level_duplicate_defs(source: str) -> list:
+    """Names bound by more than one MODULE-LEVEL def/class in one file
+    (ast.iter_child_nodes = top level only — nested defs, methods, and
+    conditional try/except fallbacks inside functions don't count)."""
+    from collections import Counter
+
+    tree = ast.parse(source)
+    names = Counter(
+        node.name
+        for node in ast.iter_child_nodes(tree)
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        )
+    )
+    return sorted(n for n, c in names.items() if c > 1)
+
+
+def test_no_module_level_def_shadowing():
+    """Meta-gate (r12, VERDICT): a later module-level def silently
+    shadows an earlier same-named one — the r11 `ivf_ingest_sink`
+    incident disabled a sink and its test until a probe caught the
+    regression. Python raises nothing, so the tree must be clean by
+    construction."""
+    shadowed = []
+    for f in sorted(glob.glob("pulsar_replay_spark/**/*.py", recursive=True)):
+        dups = _module_level_duplicate_defs(open(f).read())
+        if dups:
+            shadowed.append(f"{f}: {dups}")
+    assert not shadowed, f"module-level def shadowing: {shadowed}"
+
+
+def test_module_level_def_shadowing_gate_catches_a_duplicate():
+    """The gate itself must go red on a deliberate duplicate."""
+    src = "def f():\n    pass\n\ndef g():\n    pass\n\ndef f():\n    pass\n"
+    assert _module_level_duplicate_defs(src) == ["f"]
+    nested_ok = (
+        "def f():\n    def inner():\n        pass\n    return inner\n"
+        "class C:\n    def f(self):\n        pass\n"
+    )
+    assert _module_level_duplicate_defs(nested_ok) == []
