@@ -2262,6 +2262,57 @@ def _dup_span_store_meta_write(
     ).write.mode("overwrite").parquet(f"{store_dir}/_meta")
 
 
+# bloom_fpp='auto' policy constants, sourced from the measured crossover
+# (tools/bloom_crossover_probe.py, SCALE.md r11): the plain leg's
+# per-batch DISTINCT SHUFFLE of the index's gh column wins at ≤8.5M index
+# grams (−11%) and loses from 25.4M (+6%, then 2.6× at 50.9M). 16M is the
+# geometric midpoint √(8.5M·25.4M) ≈ 14.7M rounded up — inside the
+# measured bracket, conservative toward plain (the cheap-to-be-wrong
+# side: near the crossover both legs are within ~10%). fpp=0.01 is the
+# probe's measured setting (~1% candidate shuffle, selectivity section).
+AUTO_BLOOM_MIN_INDEX_GRAMS = 16_000_000
+AUTO_BLOOM_FPP = 0.01
+
+
+def _dup_span_store_gram_count(
+    spark: SparkSession, store_dir: str, exclude_batch: "int | None" = None
+) -> int:
+    """Total grams resident in the store, from the ``_counts`` ledger the
+    sink maintains (one row per batch, dynamic-overwritten with its batch
+    so crash retries stay idempotent — reading it is a tiny-table scan,
+    never an index scan). Legacy stores without a ledger fall back to one
+    footer-count of the index itself (metadata-bounded: parquet row
+    counts, no data pages)."""
+    counts = read_parquet_or_empty(
+        spark, f"{store_dir}/_counts", "n_grams long, batch_id long"
+    )
+    if exclude_batch is not None:
+        counts = counts.where(F.col("batch_id") != exclude_batch)
+    rows = counts.collect()  # one row per ingested batch — bounded
+    if rows:
+        return int(sum(r.n_grams for r in rows))
+    idx = read_parquet_or_empty(
+        spark, store_dir, "gh string, batch_id long"
+    ).select("gh", "batch_id")
+    if exclude_batch is not None:
+        idx = idx.where(F.col("batch_id") != exclude_batch)
+    return idx.count()
+
+
+def _dup_span_store_count_write(
+    spark: SparkSession, store_dir: str, batch_id: int, n_grams: int
+) -> None:
+    (
+        spark.createDataFrame(
+            [(int(n_grams), int(batch_id))], "n_grams long, batch_id long"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{store_dir}/_counts")
+    )
+
+
 def dup_span_ingest_sink(
     docs_stream: DataFrame,
     store_dir: str,
@@ -2270,7 +2321,7 @@ def dup_span_ingest_sink(
     min_tokens: int = 20,
     casefold: bool = False,
     impl: str = "md5",
-    bloom_fpp: "float | None" = None,
+    bloom_fpp: "float | str | None" = None,
 ):
     """Continuous any-length exact-substring dedup (r10): grow a k-gram
     first-occurrence index from a documents stream and scrub each
@@ -2301,7 +2352,14 @@ def dup_span_ingest_sink(
     of silently never matching. ``bloom_fpp`` enables the per-batch Bloom
     prefilter on the index probe (``dedup.incremental_dup_span_scrub``) —
     output-identical by construction, index-side join input tracks batch
-    size. The gram store's doc_id column takes the STREAM's doc_id type
+    size. ``bloom_fpp='auto'`` (r12) picks per batch: the sink keeps a
+    per-batch gram-count ledger in ``_counts`` (idempotent, like the gram
+    partitions themselves) and switches the prefilter on once the
+    resident index crosses ``AUTO_BLOOM_MIN_INDEX_GRAMS`` — the measured
+    crossover where the plain leg's index distinct-shuffle stops being
+    cheap. Output is invariant across the switch (both legs are pinned
+    output-identical). The gram store's doc_id column takes the STREAM's
+    doc_id type
     (string ids ingest as cleanly as longs; a type change mid-stream
     fails the schema'd read loudly, not by miscast)."""
     from pulsar_replay_spark.operators.dedup import (
@@ -2312,6 +2370,11 @@ def dup_span_ingest_sink(
     if impl not in ("md5", "rolling"):
         raise ValueError(
             f"dup_span_ingest_sink: impl must be 'md5'|'rolling', got {impl!r}"
+        )
+    if isinstance(bloom_fpp, str) and bloom_fpp != "auto":
+        raise ValueError(
+            f"dup_span_ingest_sink: bloom_fpp must be a float, None, or "
+            f"'auto', got {bloom_fpp!r}"
         )
     try:
         doc_id_type = docs_stream.schema["doc_id"].dataType.simpleString()
@@ -2352,13 +2415,23 @@ def dup_span_ingest_sink(
             .where(F.col("batch_id") != batch_id)
             .select("gh", "doc_id", "pos")
         )
+        effective_fpp = bloom_fpp
+        if bloom_fpp == "auto":
+            n_index = _dup_span_store_gram_count(
+                spark, store_dir, exclude_batch=batch_id
+            )
+            effective_fpp = (
+                AUTO_BLOOM_FPP
+                if n_index >= AUTO_BLOOM_MIN_INDEX_GRAMS
+                else None
+            )
         scrubbed, new_grams = incremental_dup_span_scrub(
             batch,
             idx,
             min_tokens=min_tokens,
             casefold=casefold,
             impl=impl,
-            bloom_fpp=bloom_fpp,
+            bloom_fpp=effective_fpp,
         )
         (
             scrubbed.withColumn("batch_id", F.lit(batch_id))
@@ -2374,6 +2447,16 @@ def dup_span_ingest_sink(
             .partitionBy("batch_id")
             .parquet(store_dir)
         )
+        # ledger the batch's gram count for 'auto': count the JUST-WRITTEN
+        # partition (parquet footer row counts — no data pages, no plan
+        # re-execution) and overwrite this batch's ledger row, so a crash
+        # retry replaces rather than double-counts.
+        n_new = (
+            spark.read.parquet(store_dir)
+            .where(F.col("batch_id") == batch_id)
+            .count()
+        )
+        _dup_span_store_count_write(spark, store_dir, batch_id, n_new)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -2413,6 +2496,9 @@ def dup_span_store_compact(
         _dup_span_store_meta_write(
             spark, compact_dir, meta["min_tokens"], meta["casefold"], meta["impl"]
         )
+    # rebase the 'auto' ledger: one row covering the compacted base
+    n = spark.read.parquet(compact_dir).count()
+    _dup_span_store_count_write(spark, compact_dir, -1, n)
 
 
 def dup_span_store_expire(
@@ -2443,6 +2529,8 @@ def dup_span_store_expire(
         _dup_span_store_meta_write(
             spark, out_dir, meta["min_tokens"], meta["casefold"], meta["impl"]
         )
+    n = spark.read.parquet(out_dir).count()
+    _dup_span_store_count_write(spark, out_dir, -1, n)
 
 
 def lang_drift_sink(

@@ -1680,6 +1680,102 @@ def test_dup_span_ingest_sink_scrubs_against_prior_batches(
     assert idx.count() == idx.select("gh").distinct().count()
 
 
+def test_dup_span_sink_bloom_auto_switch_output_invariant(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r12: bloom_fpp='auto' sources the prefilter decision from the
+    _counts ledger the sink maintains — batch 0 probes plain (empty
+    index), and once the resident grams cross the threshold (shrunk here
+    via monkeypatch) later batches probe through the Bloom prefilter.
+    Output must be INVARIANT across the switch (≡ the one-shot scrub over
+    the union), the ledger must equal the resident index exactly, and
+    compaction rebases it."""
+    from pulsar_replay_spark.operators import dedup
+
+    calls = []
+    real = dedup.incremental_dup_span_scrub
+
+    def spy(*args, **kw):
+        calls.append(kw.get("bloom_fpp"))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(dedup, "incremental_dup_span_scrub", spy)
+    monkeypatch.setattr(pipelines, "AUTO_BLOOM_MIN_INDEX_GRAMS", 5)
+
+    src_tokens = [f"a{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(src_tokens)),
+        (2, " ".join(f"b{i}" for i in range(25))),
+        # 14-token cross-batch copy of a10..a23 — must scrub under BOTH legs
+        (3, " ".join([f"c{i}" for i in range(5)] + src_tokens[10:24] + ["ct"])),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path_factory.mktemp("auto_src"))
+    for fname, part in (("b0", rows[:2]), ("b1", rows[2:])):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            f"{src}/{fname}"
+        )
+    store = str(tmp_path_factory.mktemp("auto_store"))
+    out = str(tmp_path_factory.mktemp("auto_out"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipelines.dup_span_ingest_sink(
+        stream,
+        store,
+        out,
+        str(tmp_path_factory.mktemp("auto_ck")),
+        min_tokens=10,
+        bloom_fpp="auto",
+    ).awaitTermination(120)
+
+    # the switch happened: batch 0 plain, batch 1 through the prefilter
+    assert calls == [None, pipelines.AUTO_BLOOM_FPP]
+
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = spark.createDataFrame(rows, schema)
+    want = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_kept_tokens)
+        for r in dedup.dup_span_scrub(docs, min_tokens=10).collect()
+    }
+    assert got == want
+    assert got[3][2] == got[3][1] - 14  # the planted span actually left
+
+    # the ledger equals the resident index, exactly
+    assert pipelines._dup_span_store_gram_count(spark, store) == (
+        spark.read.parquet(store).count()
+    )
+    # compaction rebases the ledger over the folded base
+    compact = str(tmp_path_factory.mktemp("auto_compact"))
+    pipelines.dup_span_store_compact(spark, store, compact)
+    assert pipelines._dup_span_store_gram_count(spark, compact) == (
+        spark.read.parquet(compact).count()
+    )
+
+    # a legacy store without a ledger falls back to footer-counting
+    import shutil as _sh
+
+    _sh.rmtree(f"{store}/_counts")
+    assert pipelines._dup_span_store_gram_count(spark, store) == (
+        spark.read.parquet(store).count()
+    )
+
+    # only 'auto' is a legal string knob
+    with pytest.raises(ValueError, match="auto"):
+        pipelines.dup_span_ingest_sink(
+            stream,
+            store,
+            out,
+            str(tmp_path_factory.mktemp("auto_ck2")),
+            bloom_fpp="always",
+        )
+
+
 def test_dup_span_sink_knobs_meta_guard_and_string_ids(
     spark, tmp_path_factory
 ):
