@@ -567,6 +567,17 @@ def main() -> None:
                     )
                 ),
             )
+            # r12: dense decon served from the same store — the exact
+            # posture (n_probe=None, one full-store pass per eval batch)
+            # that the new contract row semantic_decon_served gates
+            timed_op(
+                "semantic_decon_from_store",
+                lambda: _noop_write(
+                    vecstore.semantic_decontaminate_from_index(
+                        spark, vec_dir, vq, min_sim=0.30, n_probe=None
+                    )
+                ),
+            )
         finally:
             shutil.rmtree(vec_dir, ignore_errors=True)
 

@@ -526,8 +526,7 @@ sims AS (
 """
 
 
-@register(
-    "embedding_topk",
+EMBEDDING_TOPK_ORACLE = (
     "WITH "
     + COSINE_SQL
     + """
@@ -535,12 +534,93 @@ sims AS (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rk FROM sims
 )
 SELECT q_id, n_id AS neighbor_id, ROUND(sim6, 3) AS sim, rk FROM ranked WHERE rk <= 5
-""",
+"""
 )
+
+
+# r12 rotation: embedding_topk ceded its contract slot to
+# semantic_decon_served (the DENSE store-lifecycle row — the r11 BM25
+# rotation proved store ≡ rescan for the sparse side only). Its
+# brute-force cosine shape stays triply covered in the contract
+# (ann_ivf_topk and embedding_near_dup_pairs rerank through the same
+# dot/norm arithmetic) and its oracle stays pinned in pytest
+# (test_unregistered_embedding_topk_matches_oracle) + parity extras
+# (x_embedding_topk); it also remains the ANN recall oracle in
+# tests/test_similarity.py.
 def q_embedding_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.brute_force_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Dense decontamination served from the MAINTAINED vector store (r12
+# rotation — the dense twin of bm25_topk_served): the query builds an IVF
+# store in a scratch dir with a PLANTED contaminated doc (-77 = an exact
+# copy of eval 7's embedding) that exists ONLY in the store-build input,
+# then flags every stored vector within min_sim of ANY eval — entirely
+# from the store (exact posture, n_probe=None). The oracle recomputes
+# cosine from the raw embeddings table and synthesizes the same planted
+# row, so a hash match proves the store round-trip: build → persist →
+# latest-wins read → threshold flag → strongest-accuser tie-break.
+# Threshold semantics (NOT top-k): sim6 >= 0.30 at 6 decimals, strongest
+# (sim DESC, eval_id) accusation per doc; display sim at 3 decimals (the
+# embedding_near_dup_pairs cross-engine rounding posture).
+# ---------------------------------------------------------------------------
+SEMANTIC_DECON_SERVED_ORACLE = """
+WITH evals AS (
+  SELECT vec_id AS eval_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+  FROM embeddings WHERE vec_id % 100 = 7
+),
+corpus AS (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT -77 AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id = 7
+),
+hits AS (
+  SELECT c.doc_id, e.eval_id,
+         ROUND(list_inner_product(c.v, e.q)
+               / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(e.q, e.q))), 6) AS sim6
+  FROM corpus c, evals e
+),
+flagged AS (SELECT * FROM hits WHERE sim6 >= 0.30),
+ranked AS (
+  SELECT doc_id, eval_id, sim6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim6 DESC, eval_id) AS rk
+  FROM flagged
+)
+SELECT doc_id, eval_id, ROUND(sim6, 3) AS sim FROM ranked WHERE rk = 1
+"""
+
+
+@register("semantic_decon_served", SEMANTIC_DECON_SERVED_ORACLE)
+def q_semantic_decon_served(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pulsar_replay_spark.operators import vecstore
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    evals = emb.filter(F.col("vec_id") % 100 == 7)
+    planted = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(-77).cast("long").alias("vec_id"), "embedding"
+    )
+    # scratch store: materialize the served result, then remove (the
+    # bm25_topk_served discipline — this runs under gate+parity+bench)
+    store = tempfile.mkdtemp(prefix="ivf_store_decon_")
+    try:
+        vecstore.ivf_index_build(emb.unionByName(planted), store)
+        return (
+            vecstore.semantic_decontaminate_from_index(
+                spark, store, evals, min_sim=0.30, n_probe=None
+            )
+            .select("doc_id", "eval_id", F.round("sim", 3).alias("sim"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

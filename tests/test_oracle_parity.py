@@ -475,6 +475,36 @@ def test_unregistered_per_topic_count_ratio_matches_oracle(spark, duck):
     assert not problems, f"per_topic_count_ratio: {problems}"
 
 
+def test_unregistered_embedding_topk_matches_oracle(spark, duck):
+    """r12 rotation: embedding_topk ceded its contract slot to
+    semantic_decon_served (the dense store-lifecycle row); its brute-force
+    cosine oracle stays pinned here + parity --extras (x_embedding_topk),
+    and it remains the ANN recall oracle in tests/test_similarity.py."""
+    from pulsar_replay_spark.queries_llm import (
+        EMBEDDING_TOPK_ORACLE,
+        q_embedding_topk,
+    )
+
+    sdf = q_embedding_topk(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(EMBEDDING_TOPK_ORACLE).df()
+    problems = compare(sdf, ddf)
+    assert not problems, f"embedding_topk: {problems}"
+
+
+def test_semantic_decon_served_planted_doc_surfaces(spark):
+    """The dense store-lifecycle row is load-bearing: the planted vector
+    (-77, an exact copy of eval 7's embedding) exists ONLY in the
+    store-build input — the SERVED decon must flag it at sim 1.0 accused
+    by eval 7, proving the result came through the persisted store, not a
+    rescan of `embeddings`."""
+    from pulsar_replay_spark.queries_llm import q_semantic_decon_served
+
+    out = q_semantic_decon_served(spark, SF_SMOKE)
+    hit = out.filter("doc_id = -77").collect()
+    assert len(hit) == 1
+    assert hit[0].eval_id == 7 and hit[0].sim == 1.0
+
+
 def test_bm25_served_planted_doc_surfaces(spark):
     """The store-lifecycle row is load-bearing: the planted doc (−77,
     text = query 1's exact text) exists ONLY in the store-build input —

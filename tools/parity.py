@@ -115,6 +115,10 @@ def extra_oracles() -> dict:
             qref.q_per_topic_count_ratio,
             qref.PER_TOPIC_COUNT_RATIO_ORACLE,
         ),
+        # r12 rotation: embedding_topk ceded its slot to
+        # semantic_decon_served (the dense store-lifecycle row); oracle
+        # retained here + pytest
+        "x_embedding_topk": (ql.q_embedding_topk, ql.EMBEDDING_TOPK_ORACLE),
         "x_simhash_16": (ql.q_simhash_near_pairs_16, ql.SIMHASH_PAIRS_ORACLE),
         "x_minhash_24": (ql.q_minhash_pairs_24, ql.MINHASH_24_ORACLE),
         "x_bitext": (ql.q_bitext_mine, ql.BITEXT_ORACLE),
