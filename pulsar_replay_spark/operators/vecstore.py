@@ -10,7 +10,11 @@ ingested batch and makes serving INDEX-BOUNDED:
     store_dir/
       vectors/batch_id=N/cell_id=C/   (vec_id, embedding)
       centroids/                      (cell_id, centroid) — FROZEN at build
-      meta/                           (n_cells, dim) — one row, frozen
+      meta/                           (n_cells, dim, pq) — one row, frozen
+      codes/batch_id=N/cell_id=C/     (vec_id, codes, approx_norm) — pq=True
+                                      only: the 32×-compressed ADC relation
+      codebooks/                      (m, cell, centroid) — pq=True only,
+                                      FROZEN at build like the centroids
 
 The serve path's scan is PARTITION-PRUNED on ``cell_id``: a query batch's
 probed cells (≤ |Q|·n_probe distinct ids — a bounded collect, the engine's
@@ -60,7 +64,12 @@ def _store_meta(spark: SparkSession, store_dir: str) -> "dict | None":
 
     try:
         r = spark.read.parquet(f"{store_dir}/meta").head()
-        return {"n_cells": int(r.n_cells), "dim": int(r.dim)}
+        # pq joined the meta in r12 — pre-r12 stores read back as plain
+        return {
+            "n_cells": int(r.n_cells),
+            "dim": int(r.dim),
+            "pq": bool(getattr(r, "pq", False)),
+        }
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
             return None
@@ -73,6 +82,8 @@ def ivf_index_build(
     n_cells: int | None = None,
     kmeans_iters: int = 0,
     batch_id: int = BASE_BATCH_ID,
+    pq: "bool | None" = None,
+    pq_iters: int = 1,
 ) -> None:
     """Build (or grow) the store from one embedding batch.
 
@@ -84,6 +95,17 @@ def ivf_index_build(
     store raises (the bucket-modulus discipline), as does a dim change.
     Vectors land as one idempotent ``batch_id`` partition, repartitioned by
     (cell_id, vec_id) so write parallelism isn't capped at n_cells tasks.
+
+    ``pq=True`` (r12) makes this a PQ-compressed store: the first call
+    ALSO trains the per-subspace codebooks (``similarity.pq_codebooks``,
+    ``pq_iters`` Lloyd rounds) and freezes them alongside the centroids —
+    the FAISS train-then-add posture again; every batch (first and
+    growth) then writes its 32×-compressed (vec_id, codes, approx_norm)
+    rows under ``codes/`` with the same (batch_id, cell_id) layout as the
+    vectors, so the ADC serve scan partition-prunes identically. ``pq``
+    is frozen in ``meta`` like ``n_cells``: ``None`` on a growth call
+    inherits; an explicit conflict raises. The raw vectors are still
+    stored — they are the exact-rerank tail and the RTBF source of truth.
     """
     spark = embeddings.sparkSession
     meta = _store_meta(spark, store_dir)
@@ -106,8 +128,16 @@ def ivf_index_build(
                 f"ivf store at {store_dir} holds dim={meta['dim']} vectors; "
                 f"batch has dim={dim}"
             )
+        if pq is not None and bool(pq) != meta["pq"]:
+            raise ValueError(
+                f"ivf store at {store_dir} was built with pq={meta['pq']}; "
+                f"cannot ingest with pq={pq} — codes and codebooks are "
+                "build-time artifacts"
+            )
+        store_pq = meta["pq"]
         cents = spark.read.parquet(f"{store_dir}/centroids")
     else:
+        store_pq = bool(pq)
         if n_cells is None:
             n_cells, _ = ivf_params(embeddings.count())
         cents = (
@@ -116,13 +146,22 @@ def ivf_index_build(
             else ivf_centroids(embeddings, n_cells)
         ).localCheckpoint(eager=True)
         cents.write.mode("overwrite").parquet(f"{store_dir}/centroids")
+        if store_pq:
+            from pulsar_replay_spark.operators.similarity import pq_codebooks
+
+            pq_codebooks(embeddings, pq_iters).write.mode("overwrite").parquet(
+                f"{store_dir}/codebooks"
+            )
         spark.createDataFrame(
-            [(int(n_cells), int(dim))], "n_cells int, dim int"
+            [(int(n_cells), int(dim), bool(store_pq))],
+            "n_cells int, dim int, pq boolean",
         ).write.mode("overwrite").parquet(f"{store_dir}/meta")
 
     assigned = embeddings.select("vec_id", "embedding").join(
         ivf_assign(embeddings, cents, n_probe=1), "vec_id"
     )
+    if store_pq:
+        assigned = assigned.localCheckpoint(eager=True)  # feeds 2 writes
     (
         assigned.withColumn("batch_id", F.lit(int(batch_id)))
         # repartition on cell_id ALONE: one file per cell per batch. The
@@ -137,28 +176,48 @@ def ivf_index_build(
         .partitionBy("batch_id", "cell_id")
         .parquet(f"{store_dir}/vectors")
     )
+    if store_pq:
+        from pulsar_replay_spark.operators.similarity import pq_encode
+
+        books = spark.read.parquet(f"{store_dir}/codebooks")
+        codes = pq_encode(embeddings.select("vec_id", "embedding"), books).join(
+            assigned.select("vec_id", "cell_id"), "vec_id"
+        )
+        (
+            codes.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(F.col("cell_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "cell_id")
+            .parquet(f"{store_dir}/codes")
+        )
 
 
-def _store_vectors_latest(
-    spark: SparkSession, store_dir: str, cell_ids: "list | None" = None
+def _store_latest(
+    spark: SparkSession,
+    store_dir: str,
+    subdir: str,
+    cols: "list[str]",
+    cell_ids: "list | None" = None,
 ) -> DataFrame:
-    """The store's vectors with compact's LATEST-BATCH-WINS applied at
-    read time (r12, ADVICE): a vec_id re-ingested with a changed embedding
-    has two copies (possibly in different cells) until compaction, and a
-    serve that treats any copy as current joins embeddings and cell
-    assignments across both — stale, and arbitrary. The max-batch frame
-    reads only vec_id + the batch_id partition value (never embeddings),
-    so with ``cell_ids`` the fat embedding bytes still come ONLY from the
-    pruned cells; the prune stays correct because a moved vector's latest
-    copy is served via its OWN (current) cell and the stale copy in a
-    probed cell is dropped by the semi-join. Compaction collapses the
-    store to one batch, making the semi-join a trivial self-match."""
-    all_vecs = spark.read.parquet(f"{store_dir}/vectors")
-    latest = all_vecs.groupBy("vec_id").agg(F.max("batch_id").alias("batch_id"))
+    """A store table (``vectors`` or ``codes`` — same (batch_id, cell_id)
+    layout) with compact's LATEST-BATCH-WINS applied at read time (r12,
+    ADVICE): a vec_id re-ingested with a changed embedding has two copies
+    (possibly in different cells) until compaction, and a serve that
+    treats any copy as current joins payloads and cell assignments across
+    both — stale, and arbitrary. The max-batch frame reads only vec_id +
+    the batch_id partition value (never the payload), so with ``cell_ids``
+    the fat payload bytes still come ONLY from the pruned cells; the
+    prune stays correct because a moved vector's latest copy is served
+    via its OWN (current) cell and the stale copy in a probed cell is
+    dropped by the semi-join. Compaction collapses the store to one
+    batch, making the semi-join a trivial self-match."""
+    all_rows = spark.read.parquet(f"{store_dir}/{subdir}")
+    latest = all_rows.groupBy("vec_id").agg(F.max("batch_id").alias("batch_id"))
     pruned = (
-        all_vecs
+        all_rows
         if cell_ids is None
-        else all_vecs.filter(F.col("cell_id").isin(cell_ids))
+        else all_rows.filter(F.col("cell_id").isin(cell_ids))
     )
     return (
         pruned.join(latest, ["vec_id", "batch_id"], "left_semi")
@@ -168,15 +227,19 @@ def _store_vectors_latest(
         # silently mis-buckets instead of casting (caught by the 50k
         # probe: served top-k degraded ~0.9→0.85 sims) — normalize HERE,
         # at the read, so every downstream consumer sees one type.
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("cell_id").cast("long").alias("cell_id"),
-        )
+        .select(*cols, F.col("cell_id").cast("long").alias("cell_id"))
         # crash-retried duplicate partitions are byte-identical copies
         # (idempotent dynamic overwrite); within the latest batch a vec_id
         # has one assignment — distinct is belt-and-braces only
         .dropDuplicates(["vec_id", "cell_id"])
+    )
+
+
+def _store_vectors_latest(
+    spark: SparkSession, store_dir: str, cell_ids: "list | None" = None
+) -> DataFrame:
+    return _store_latest(
+        spark, store_dir, "vectors", ["vec_id", "embedding"], cell_ids
     )
 
 
@@ -219,6 +282,65 @@ def ivf_topk_from_index(
         corpus_cells=corpus_cells,
         query_cells=query_cells,
         impl=impl,
+    )
+
+
+def ivf_pq_topk_from_index(
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 50,
+) -> DataFrame:
+    """``similarity.ivf_pq_topk`` served from a ``pq=True`` store — same
+    output contract (q_id, neighbor_id, sim, rk), pinned byte-equal to the
+    in-session path over the same frozen quantizer+codebooks, but the ADC
+    scan is the PARTITION-PRUNED union of the probed cells' CODES
+    partitions: 32× smaller bytes than the vectors (8 nibbles + a norm vs
+    64 floats), times the n_probe/n_cells prune — the read profile that
+    makes 100 TB serving a codes problem, not a vectors problem. Full
+    vectors are touched ONLY for the exact rerank tail: the in-session
+    kernel joins its ≤ rerank·|Q| shortlist against the pruned vectors
+    read, so the fat column's scan is bounded by the same probed cells
+    and the join keeps it shortlist-sized past the scan.
+
+    Reads apply compact's latest-wins (see ``_store_latest``) to BOTH
+    tables, so a re-ingested vector serves its current codes and current
+    embedding before compaction."""
+    from pulsar_replay_spark.operators.similarity import ivf_pq_topk
+
+    meta = _store_meta(spark, store_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no ivf store at {store_dir}")
+    if not meta["pq"]:
+        raise ValueError(
+            f"ivf store at {store_dir} was built without pq=True — no "
+            "codes/codebooks to serve ADC from (use ivf_topk_from_index, "
+            "or rebuild with pq=True)"
+        )
+    cents = store_centroids(spark, store_dir)
+    books = spark.read.parquet(f"{store_dir}/codebooks")
+    query_cells = ivf_assign(queries, cents, n_probe=n_probe).localCheckpoint(
+        eager=True
+    )
+    cell_ids = [
+        r.cell_id for r in query_cells.select("cell_id").distinct().collect()
+    ]
+    codes = _store_latest(
+        spark, store_dir, "codes", ["vec_id", "codes", "approx_norm"], cell_ids
+    )
+    emb = _store_vectors_latest(spark, store_dir, cell_ids).select(
+        "vec_id", "embedding"
+    )
+    idx = {
+        "books": books,
+        "codes": codes.select("vec_id", "codes", "approx_norm"),
+        "cents": cents,
+        "cells": codes.select("vec_id", "cell_id"),
+    }
+    return ivf_pq_topk(
+        emb, queries, k=k, n_probe=n_probe, rerank=rerank, index=idx
     )
 
 
@@ -305,17 +427,29 @@ def ivf_store_compact(
     if compact_dir == store_dir:
         raise ValueError("compact_dir must differ from store_dir")
     w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
-    (
-        spark.read.parquet(f"{store_dir}/vectors")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-        .withColumn("batch_id", F.lit(BASE_BATCH_ID))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "cell_id")
-        .parquet(f"{compact_dir}/vectors")
-    )
+
+    def fold(subdir: str, payload_cols: "list[str]") -> None:
+        (
+            spark.read.parquet(f"{store_dir}/{subdir}")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", *payload_cols, "cell_id")
+            .withColumn("batch_id", F.lit(BASE_BATCH_ID))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "cell_id")
+            .parquet(f"{compact_dir}/{subdir}")
+        )
+
+    fold("vectors", ["embedding"])
+    meta = _store_meta(spark, store_dir)
+    if meta is not None and meta["pq"]:
+        # codes fold with the SAME latest-wins; codebooks are a frozen
+        # aggregate artifact like the centroids — carried, never refit
+        fold("codes", ["codes", "approx_norm"])
+        spark.read.parquet(f"{store_dir}/codebooks").write.mode(
+            "overwrite"
+        ).parquet(f"{compact_dir}/codebooks")
     spark.read.parquet(f"{store_dir}/centroids").write.mode(
         "overwrite"
     ).parquet(f"{compact_dir}/centroids")
@@ -355,18 +489,31 @@ def ivf_store_expire(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("batch_id"))
-    (
-        spark.read.parquet(f"{store_dir}/vectors")
-        .join(F.broadcast(drop), "vec_id", "left_anti")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-        .withColumn("batch_id", F.lit(BASE_BATCH_ID))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "cell_id")
-        .parquet(f"{out_dir}/vectors")
-    )
+
+    def fold_out(subdir: str, payload_cols: "list[str]") -> None:
+        (
+            spark.read.parquet(f"{store_dir}/{subdir}")
+            .join(F.broadcast(drop), "vec_id", "left_anti")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", *payload_cols, "cell_id")
+            .withColumn("batch_id", F.lit(BASE_BATCH_ID))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "cell_id")
+            .parquet(f"{out_dir}/{subdir}")
+        )
+
+    fold_out("vectors", ["embedding"])
+    meta = _store_meta(spark, store_dir)
+    if meta is not None and meta["pq"]:
+        # a dropped vec_id's CODES are derived per-vector rows — RTBF
+        # removes them too; codebooks are aggregates (like centroids) and
+        # carry (re-train via a fresh pq build if the deletion is large)
+        fold_out("codes", ["codes", "approx_norm"])
+        spark.read.parquet(f"{store_dir}/codebooks").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/codebooks")
     spark.read.parquet(f"{store_dir}/centroids").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/centroids")

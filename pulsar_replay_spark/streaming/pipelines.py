@@ -2796,6 +2796,7 @@ def ivf_store_ingest_sink(
     store_dir: str,
     checkpoint_dir: str,
     n_cells: "int | None" = None,
+    pq: "bool | None" = None,
 ):
     """Grow the IVF vector STORE (``operators/vecstore.py`` — vectors +
     frozen centroids + meta on disk; distinct from ``ivf_ingest_sink``
@@ -2807,14 +2808,17 @@ def ivf_store_ingest_sink(
     overwrite — a crash-retried batch clobbers only itself), so ANN
     serving (``ivf_topk_from_index``) stays partition-pruned and
     byte-equal to the in-session path over the same centroids while the
-    corpus grows. Same shape as ``postings_ingest_sink``."""
+    corpus grows. Same shape as ``postings_ingest_sink``. ``pq=True``
+    makes it a PQ-compressed store: the first batch also freezes the
+    codebooks and every batch lands its 32×-compressed codes partition
+    (``ivf_pq_topk_from_index`` is then the ADC serve path)."""
     from pulsar_replay_spark.operators import vecstore
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return  # empty trigger: nothing to assign, nothing to freeze
         vecstore.ivf_index_build(
-            batch_df, store_dir, n_cells=n_cells, batch_id=batch_id
+            batch_df, store_dir, n_cells=n_cells, batch_id=batch_id, pq=pq
         )
 
     return (

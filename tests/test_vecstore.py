@@ -252,6 +252,116 @@ def test_ivf_ingest_sink_streaming(spark, embeddings, tmp_path):
     ) == _rows(vecstore.ivf_topk_from_index(spark, one, q, k=5, n_probe=N_PROBE))
 
 
+def test_ivf_pq_store_serve_equals_in_session(spark, embeddings, tmp_path):
+    """r12 PQ tier: a pq=True build freezes codebooks alongside the
+    centroids and lands 32×-compressed codes partitions; ADC serving from
+    the store is byte-equal to the in-session ivf_pq_topk over the same
+    frozen quantizer + codebooks, and the codes scan is partition-pruned
+    on cell_id. A non-pq store refuses the PQ serve with a named error."""
+    store = str(tmp_path / "pq_store")
+    emb = embeddings.select("vec_id", "embedding")
+    vecstore.ivf_index_build(emb, store, n_cells=N_CELLS, pq=True)
+    q = _queries(embeddings)
+
+    served = vecstore.ivf_pq_topk_from_index(
+        spark, store, q, k=5, n_probe=N_PROBE
+    )
+    cents = vecstore.store_centroids(spark, store)
+    cells = similarity.ivf_assign(emb, cents, n_probe=1).localCheckpoint(
+        eager=True
+    )
+    idx = similarity.pq_index(emb, centroids=cents, corpus_cells=cells)
+    in_session = similarity.ivf_pq_topk(
+        emb, q, k=5, n_probe=N_PROBE, index=idx
+    )
+    assert _rows(served) == _rows(in_session)
+    # and the frozen codebooks ARE the in-session ones (deterministic
+    # seed + Lloyd over the same input)
+    stored_books = sorted(
+        (r.m, r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(f"{store}/codebooks").collect()
+    )
+    session_books = sorted(
+        (r.m, r.cell, tuple(r.centroid)) for r in idx["books"].collect()
+    )
+    assert stored_books == session_books
+
+    plan = (
+        vecstore.ivf_pq_topk_from_index(spark, store, q, k=5, n_probe=N_PROBE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    assert "CartesianProduct" not in plan
+
+    plain = str(tmp_path / "plain_store")
+    vecstore.ivf_index_build(emb, plain, n_cells=N_CELLS)
+    with pytest.raises(ValueError, match="pq=True"):
+        vecstore.ivf_pq_topk_from_index(spark, plain, q, k=5)
+    # pq flag is frozen: growth with a conflicting flag raises
+    with pytest.raises(ValueError, match="pq"):
+        vecstore.ivf_index_build(emb, plain, batch_id=1, pq=True)
+
+
+def test_ivf_pq_store_planted_vector_and_lifecycle(
+    spark, embeddings, tmp_path
+):
+    """PQ lifecycle end-to-end: a planted exact query-copy present ONLY in
+    the store-build input surfaces at rank 1 (sim 1.0 — the exact-rerank
+    tail reads the TRUE vector, not the code reconstruction); growth
+    batches encode against the FROZEN codebooks and serve identically to
+    the one-shot build; compact folds codes latest-wins and carries the
+    codebooks; expire removes a vector's codes too."""
+    emb = embeddings.select("vec_id", "embedding")
+    q = _queries(embeddings).limit(1).localCheckpoint(eager=True)
+    planted = q.select(F.lit(999999).cast("long").alias("vec_id"), "embedding")
+
+    one = str(tmp_path / "one")
+    vecstore.ivf_index_build(
+        emb.unionByName(planted), one, n_cells=N_CELLS, pq=True
+    )
+    top = (
+        vecstore.ivf_pq_topk_from_index(spark, one, q, k=3, n_probe=N_PROBE)
+        .filter(F.col("rk") == 1)
+        .collect()[0]
+    )
+    assert top.neighbor_id == 999999
+    assert top.sim == pytest.approx(1.0, abs=1e-6)
+
+    # growth ≡ one-shot: first batch must carry the same centroid/codebook
+    # training input (the ingest-equality discipline of the plain store)
+    grown = str(tmp_path / "grown")
+    all_emb = emb.unionByName(planted)
+    vecstore.ivf_index_build(all_emb, grown, n_cells=N_CELLS, pq=True, batch_id=0)
+    moved = q.select(F.lit(3).cast("long").alias("vec_id"), "embedding")
+    vecstore.ivf_index_build(moved, grown, batch_id=1)  # inherits pq from meta
+    # latest-wins BEFORE compaction: vec 3 now serves as the query copy
+    got = vecstore.ivf_pq_topk_from_index(spark, grown, q, k=3, n_probe=N_PROBE)
+    top2 = {r.rk: r for r in got.collect()}
+    assert {top2[1].neighbor_id, top2[2].neighbor_id} == {999999, 3}
+
+    compacted = str(tmp_path / "compacted")
+    vecstore.ivf_store_compact(spark, grown, compacted)
+    codes = spark.read.parquet(f"{compacted}/codes")
+    assert codes.filter(F.col("vec_id") == 3).count() == 1  # latest only
+    assert _rows(
+        vecstore.ivf_pq_topk_from_index(spark, compacted, q, k=3, n_probe=N_PROBE)
+    ) == _rows(got)
+
+    expired = str(tmp_path / "expired")
+    drop = spark.createDataFrame([(999999,)], "vec_id long")
+    vecstore.ivf_store_expire(spark, compacted, expired, drop)
+    assert (
+        spark.read.parquet(f"{expired}/codes")
+        .filter(F.col("vec_id") == 999999)
+        .count()
+        == 0
+    )
+    after = vecstore.ivf_pq_topk_from_index(spark, expired, q, k=3, n_probe=N_PROBE)
+    assert all(r.neighbor_id != 999999 for r in after.collect())
+
+
 def test_ivf_store_cohesion_diagnostic(spark, embeddings, tmp_path):
     """The expire-path retrain signal: store cohesion equals the
     in-session assignment_cohesion over the same vectors+centroids, and
