@@ -581,6 +581,28 @@ def main() -> None:
         finally:
             shutil.rmtree(vec_dir, ignore_errors=True)
 
+        # r12: the PQ-compressed store — build (centroids + codebooks +
+        # 32×-compressed codes, one-time) and the partition-pruned ADC
+        # serve whose scan is codes-bytes, not vector-bytes
+        pq_dir = tempfile.mkdtemp(prefix="ivf_pq_store_")
+        try:
+            timed_op(
+                "ivf_pq_store_build",
+                lambda: vecstore.ivf_index_build(
+                    emb_all.select("vec_id", "embedding"), pq_dir, pq=True
+                ),
+            )
+            timed_op(
+                "ivf_pq_topk_from_store",
+                lambda: _noop_write(
+                    vecstore.ivf_pq_topk_from_index(
+                        spark, pq_dir, vq, k=10, n_probe=8
+                    )
+                ),
+            )
+        finally:
+            shutil.rmtree(pq_dir, ignore_errors=True)
+
         # r8: corpus encoding to token-id arrays under a 20-merge BPE —
         # the shuffle that carries the ids IS the product
         from pulsar_replay_spark.operators import bpe

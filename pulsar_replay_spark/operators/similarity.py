@@ -1460,6 +1460,7 @@ def ivf_pq_topk(
     n_probe: int = N_PROBE,
     rerank: int = 50,
     index: dict | None = None,
+    rerank_source=None,
 ) -> DataFrame:
     """The full compressed-serving pipeline: IVF candidate generation
     (equi-join on cell_id) → ADC scoring against PQ codes — per candidate,
@@ -1469,6 +1470,15 @@ def ivf_pq_topk(
     pinned in tests). Pass a prebuilt ``pq_index`` to amortize the build
     across query batches (the serving shape); without one the index is
     built inline.
+
+    ``rerank_source`` (r12, the persisted-store hook): a callable given
+    the materialized ≤ rerank·|Q| shortlist frame (q_id, vec_id) that
+    returns the (vec_id, embedding) frame to rerank against —
+    ``vecstore.ivf_pq_topk_from_index`` uses it to read full vectors with
+    the shortlist ids PUSHED INTO the parquet scan (bounded collect, the
+    engine's scalar-collect pattern) instead of scanning the probed
+    cells' full vector bytes. Output-identical by construction: the
+    rerank join keys on vec_id either way.
 
     Scale: the scored relation is (vec_id, 8 nibbles), 32× smaller than the
     vectors; every join is equi (cell_id; (q_id, m, cell)); the only full-
@@ -1524,6 +1534,9 @@ def ivf_pq_topk(
         .filter(F.col("rk") <= rerank)
         .select("q_id", "vec_id")
     )
+    if rerank_source is not None:
+        short = short.localCheckpoint(eager=True)
+        embeddings = rerank_source(short)
 
     # Exact rerank of the shortlist only.
     full = short.join(

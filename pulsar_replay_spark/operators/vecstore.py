@@ -59,6 +59,42 @@ BASE_BATCH_ID = -1  # the one-shot/compacted base partition; streaming
 # the base (the retrieval.py discipline, same constant, same reason).
 
 
+def _pack_codes(codes_col):
+    """PQ_M 4-bit codes → ONE long (Σ code_m · PQ_K^m): the on-disk codes
+    row shrinks from an 8-element array<int> to a single bit-packable
+    column — measured ~2× smaller codes partitions on top of parquet's
+    own compression. PQ_K=16 keeps the packed value < 16^8 = 2^32."""
+    import operator
+    from functools import reduce
+
+    from pulsar_replay_spark.operators.similarity import PQ_K, PQ_M
+
+    return reduce(
+        operator.add,
+        [
+            F.element_at(codes_col, m + 1).cast("long") * F.lit(PQ_K**m)
+            for m in range(PQ_M)
+        ],
+    )
+
+
+def _unpack_codes(packed_col):
+    """Inverse of ``_pack_codes`` — pure JVM arithmetic (floor-div by
+    PQ_K^m, mod PQ_K; exact for packed < 2^52), restoring the exact
+    array<int> the in-session ADC kernel consumes."""
+    from pulsar_replay_spark.operators.similarity import PQ_K, PQ_M
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: (
+            F.floor(
+                packed_col / F.pow(F.lit(float(PQ_K)), m.cast("double"))
+            )
+            % PQ_K
+        ).cast("int"),
+    )
+
+
 def _store_meta(spark: SparkSession, store_dir: str) -> "dict | None":
     from pyspark.errors import AnalysisException
 
@@ -100,8 +136,9 @@ def ivf_index_build(
     ALSO trains the per-subspace codebooks (``similarity.pq_codebooks``,
     ``pq_iters`` Lloyd rounds) and freezes them alongside the centroids —
     the FAISS train-then-add posture again; every batch (first and
-    growth) then writes its 32×-compressed (vec_id, codes, approx_norm)
-    rows under ``codes/`` with the same (batch_id, cell_id) layout as the
+    growth) then writes its compressed (vec_id, packed_codes,
+    approx_norm) rows under ``codes/`` — the PQ_M 4-bit codes bit-packed
+    into one long — with the same (batch_id, cell_id) layout as the
     vectors, so the ADC serve scan partition-prunes identically. ``pq``
     is frozen in ``meta`` like ``n_cells``: ``None`` on a growth call
     inherits; an explicit conflict raises. The raw vectors are still
@@ -180,8 +217,15 @@ def ivf_index_build(
         from pulsar_replay_spark.operators.similarity import pq_encode
 
         books = spark.read.parquet(f"{store_dir}/codebooks")
-        codes = pq_encode(embeddings.select("vec_id", "embedding"), books).join(
-            assigned.select("vec_id", "cell_id"), "vec_id"
+        codes = (
+            pq_encode(embeddings.select("vec_id", "embedding"), books)
+            .join(assigned.select("vec_id", "cell_id"), "vec_id")
+            .select(
+                "vec_id",
+                _pack_codes(F.col("codes")).alias("packed_codes"),
+                "approx_norm",
+                "cell_id",
+            )
         )
         (
             codes.withColumn("batch_id", F.lit(int(batch_id)))
@@ -299,11 +343,13 @@ def ivf_pq_topk_from_index(
     scan is the PARTITION-PRUNED union of the probed cells' CODES
     partitions: 32× smaller bytes than the vectors (8 nibbles + a norm vs
     64 floats), times the n_probe/n_cells prune — the read profile that
-    makes 100 TB serving a codes problem, not a vectors problem. Full
-    vectors are touched ONLY for the exact rerank tail: the in-session
-    kernel joins its ≤ rerank·|Q| shortlist against the pruned vectors
-    read, so the fat column's scan is bounded by the same probed cells
-    and the join keeps it shortlist-sized past the scan.
+    makes 100 TB serving a codes problem, not a vectors problem. Codes
+    are stored bit-PACKED (one long per vector, ``_pack_codes``) and
+    unpacked by pure JVM arithmetic at read. Full vectors are touched
+    ONLY for the exact rerank tail: the ≤ rerank·|Q| shortlist ids are
+    collected (bounded — the scalar-collect pattern) and PUSHED into the
+    vectors scan via ``rerank_source``, so the fat column reads only the
+    row groups holding finalists, not the probed cells' full bytes.
 
     Reads apply compact's latest-wins (see ``_store_latest``) to BOTH
     tables, so a re-ingested vector serves its current codes and current
@@ -328,19 +374,43 @@ def ivf_pq_topk_from_index(
         r.cell_id for r in query_cells.select("cell_id").distinct().collect()
     ]
     codes = _store_latest(
-        spark, store_dir, "codes", ["vec_id", "codes", "approx_norm"], cell_ids
-    )
-    emb = _store_vectors_latest(spark, store_dir, cell_ids).select(
-        "vec_id", "embedding"
-    )
+        spark,
+        store_dir,
+        "codes",
+        ["vec_id", "packed_codes", "approx_norm"],
+        cell_ids,
+    ).withColumn("codes", _unpack_codes(F.col("packed_codes")))
     idx = {
         "books": books,
         "codes": codes.select("vec_id", "codes", "approx_norm"),
         "cents": cents,
         "cells": codes.select("vec_id", "cell_id"),
     }
+
+    def rerank_source(short: DataFrame) -> DataFrame:
+        # the shortlist is ≤ rerank·|Q| ids (bounded collect, the engine's
+        # scalar-collect pattern) — pushed into the vectors scan so the
+        # exact-rerank tail reads only the row groups holding finalists,
+        # not the probed cells' full vector bytes
+        ids = [r.vec_id for r in short.select("vec_id").distinct().collect()]
+        return (
+            _store_vectors_latest(spark, store_dir, cell_ids)
+            .filter(F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding")
+        )
+
+    # embeddings arg is only the rerank fallback; rerank_source overrides
+    emb = _store_vectors_latest(spark, store_dir, cell_ids).select(
+        "vec_id", "embedding"
+    )
     return ivf_pq_topk(
-        emb, queries, k=k, n_probe=n_probe, rerank=rerank, index=idx
+        emb,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        rerank=rerank,
+        index=idx,
+        rerank_source=rerank_source,
     )
 
 
@@ -446,7 +516,7 @@ def ivf_store_compact(
     if meta is not None and meta["pq"]:
         # codes fold with the SAME latest-wins; codebooks are a frozen
         # aggregate artifact like the centroids — carried, never refit
-        fold("codes", ["codes", "approx_norm"])
+        fold("codes", ["packed_codes", "approx_norm"])
         spark.read.parquet(f"{store_dir}/codebooks").write.mode(
             "overwrite"
         ).parquet(f"{compact_dir}/codebooks")
@@ -510,7 +580,7 @@ def ivf_store_expire(
         # a dropped vec_id's CODES are derived per-vector rows — RTBF
         # removes them too; codebooks are aggregates (like centroids) and
         # carry (re-train via a fresh pq build if the deletion is large)
-        fold_out("codes", ["codes", "approx_norm"])
+        fold_out("codes", ["packed_codes", "approx_norm"])
         spark.read.parquet(f"{store_dir}/codebooks").write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/codebooks")
