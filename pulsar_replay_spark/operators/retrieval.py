@@ -667,6 +667,7 @@ def hybrid_topk_from_stores(
     k: int = 10,
     n_probe: int = 4,
     c: int = RRF_C,
+    pq: bool = False,
 ) -> DataFrame:
     """One-call sparse+dense hybrid served ENTIRELY from maintained
     stores (r11 — the round's two store lifecycles composed): BM25 hits
@@ -679,12 +680,20 @@ def hybrid_topk_from_stores(
     ``hybrid_topk``, which this wraps). Both component serves are
     independently pinned byte-equal to their rescan twins, so the fusion
     equals ``hybrid_topk`` over the rescan paths by construction — and is
-    pinned again end-to-end in tests."""
+    pinned again end-to-end in tests. ``pq=True`` (r12) serves the dense
+    leg through the PQ store's ADC path (``ivf_pq_topk_from_index`` —
+    codes-bytes scan + exact rerank tail) for a pq-built vector store."""
     from pulsar_replay_spark.operators import vecstore
 
     sparse = bm25_topk_from_index(spark, postings_store_dir, text_queries, k=k)
-    dense = vecstore.ivf_topk_from_index(
-        spark, vec_store_dir, emb_queries, k=k, n_probe=n_probe
+    dense = (
+        vecstore.ivf_pq_topk_from_index(
+            spark, vec_store_dir, emb_queries, k=k, n_probe=n_probe
+        )
+        if pq
+        else vecstore.ivf_topk_from_index(
+            spark, vec_store_dir, emb_queries, k=k, n_probe=n_probe
+        )
     )
     return hybrid_topk(sparse, dense, k=k, c=c)
 

@@ -434,6 +434,57 @@ def test_hybrid_topk_from_stores_equals_rescan_fusion(
     assert got == want and got
 
 
+def test_hybrid_from_stores_pq_leg_equals_in_session_fusion(
+    spark, embeddings, documents, tmp_path
+):
+    """r12 composition: hybrid retrieval with the dense leg served
+    through the PQ store's ADC path equals the same RRF fusion over the
+    rescan BM25 + in-session ivf_pq_topk (same frozen quantizer and
+    codebooks) — the pq=True twin of the r11 stores-fusion pin."""
+    from pulsar_replay_spark.operators import retrieval
+
+    docs = documents.select("doc_id", "text")
+    tq = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 6), " "
+            ).alias("query"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    eq = _queries(embeddings).limit(3).localCheckpoint(eager=True)
+    emb = embeddings.select("vec_id", "embedding")
+
+    bm25_store = str(tmp_path / "bm25")
+    vec_store = str(tmp_path / "pqvec")
+    retrieval.postings_index_build(docs, bm25_store)
+    vecstore.ivf_index_build(emb, vec_store, n_cells=N_CELLS, pq=True)
+
+    got = sorted(
+        map(
+            tuple,
+            retrieval.hybrid_topk_from_stores(
+                spark, bm25_store, vec_store, tq, eq, k=5,
+                n_probe=N_PROBE, pq=True,
+            ).collect(),
+        )
+    )
+    sparse = retrieval.bm25_topk(docs, tq, k=5)
+    cents = vecstore.store_centroids(spark, vec_store)
+    cells = similarity.ivf_assign(emb, cents, n_probe=1).localCheckpoint(
+        eager=True
+    )
+    idx = similarity.pq_index(emb, centroids=cents, corpus_cells=cells)
+    dense = similarity.ivf_pq_topk(emb, eq, k=5, n_probe=N_PROBE, index=idx)
+    want = sorted(
+        map(tuple, retrieval.hybrid_topk(sparse, dense, k=5).collect())
+    )
+    assert got == want and got
+
+
 def test_semantic_decontaminate_from_index(spark, embeddings, tmp_path):
     """Dense decon served from the store: a planted exact copy of an eval
     embedding is flagged at sim 1.0 under BOTH the exact (n_probe=None)
