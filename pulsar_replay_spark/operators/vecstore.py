@@ -171,6 +171,22 @@ def ivf_index_build(
                 f"cannot ingest with pq={pq} — codes and codebooks are "
                 "build-time artifacts"
             )
+        # element-type drift guard (r12): a double-element growth batch
+        # against a float-element store would WRITE cleanly into its own
+        # partition and fail every later full read with a parquet
+        # type-mismatch — refuse loudly at ingest instead.
+        stored_t = (
+            spark.read.parquet(f"{store_dir}/vectors")
+            .schema["embedding"]
+            .dataType.simpleString()
+        )
+        batch_t = embeddings.schema["embedding"].dataType.simpleString()
+        if batch_t != stored_t:
+            raise ValueError(
+                f"ivf store at {store_dir} holds {stored_t} embeddings; "
+                f"batch has {batch_t} — cast the batch to the store's "
+                "element type (a mixed-type store fails every read)"
+            )
         store_pq = meta["pq"]
         cents = spark.read.parquet(f"{store_dir}/centroids")
     else:
@@ -543,6 +559,51 @@ def ivf_store_cohesion(spark: SparkSession, store_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return assignment_cohesion(vectors, store_centroids(spark, store_dir))
+
+
+def ivf_store_retrain(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    n_cells: "int | None" = None,
+    kmeans_iters: int = 2,
+    pq_iters: int = 1,
+) -> None:
+    """The ACTION the ``ivf_store_cohesion`` signal calls for — the
+    lifecycle's last edge (build → ingest → drift detected → retrain →
+    swap directories): rebuild the quantizer from the CURRENT retained
+    corpus (latest-wins fold of the vectors) and re-bucket everything
+    into a fresh store at ``out_dir``. Centroids — and codebooks, for a
+    pq store — RE-TRAIN on today's distribution instead of the frozen
+    build-day one; every vector re-assigns; the result lands as the
+    batch_id = -1 base of a store that serves exactly like a fresh
+    ``ivf_index_build`` over the folded vectors (it IS one — pinned in
+    tests). ``n_cells`` defaults to the √N rule on the RETAINED count,
+    so a heavily-expired store's geometry follows its new size.
+    ``kmeans_iters`` defaults to 2 Lloyd rounds — the deterministic
+    lowest-id seed alone reproduces the OLD geometry on the same ids
+    (a retrain that doesn't refine changes nothing); refinement is what
+    moves the centroids onto today's distribution. Cost = one quantizer
+    train + one assignment pass — what the cohesion docstring prices;
+    serve from the old store until the swap."""
+    meta = _store_meta(spark, store_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no ivf store at {store_dir}")
+    if out_dir == store_dir:
+        raise ValueError("out_dir must differ from store_dir")
+    vectors = (
+        _store_vectors_latest(spark, store_dir)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ivf_index_build(
+        vectors,
+        out_dir,
+        n_cells=n_cells,
+        kmeans_iters=kmeans_iters,
+        pq=meta["pq"],
+        pq_iters=pq_iters,
+    )
 
 
 def ivf_store_expire(

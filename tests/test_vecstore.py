@@ -384,6 +384,68 @@ def test_ivf_store_cohesion_diagnostic(spark, embeddings, tmp_path):
     assert after.n_vecs == got.n_vecs - drop.count()
 
 
+def test_ivf_store_retrain_closes_the_cohesion_loop(
+    spark, embeddings, tmp_path
+):
+    """r12: the retrain action — a store whose ingest drifted away from
+    the frozen build-day centroids (cohesion drop) is rebuilt from its
+    CURRENT retained corpus: the retrained store serves byte-equal to a
+    fresh build over the folded latest vectors, its cohesion recovers
+    above the drifted store's, the √N geometry follows the retained
+    count, and a pq store re-trains codebooks too."""
+    emb = embeddings.select("vec_id", "embedding")
+    lo = emb.filter(F.col("vec_id") < 250)
+    # drifted ingest: the remaining vectors shifted far off the build
+    # distribution (every dim + 25) — lands in few frozen cells
+    hi = emb.filter(F.col("vec_id") >= 250).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x + F.lit(25.0)).cast("float")
+        ).alias("embedding"),
+    )
+    store = str(tmp_path / "drifted")
+    vecstore.ivf_index_build(lo, store, n_cells=N_CELLS, batch_id=0)
+    vecstore.ivf_index_build(hi, store, batch_id=1)
+    drifted = vecstore.ivf_store_cohesion(spark, store).collect()[0]
+
+    out = str(tmp_path / "retrained")
+    vecstore.ivf_store_retrain(spark, store, out, n_cells=N_CELLS)
+    after = vecstore.ivf_store_cohesion(spark, out).collect()[0]
+    assert after.n_vecs == drifted.n_vecs
+    assert after.avg_cos > drifted.avg_cos  # the geometry fits again
+
+    # retrain IS a fresh build over the folded latest vectors
+    fresh = str(tmp_path / "fresh")
+    folded = vecstore._store_vectors_latest(spark, store).select(
+        "vec_id", "embedding"
+    )
+    vecstore.ivf_index_build(folded, fresh, n_cells=N_CELLS, kmeans_iters=2)
+    q = _queries(embeddings).limit(2).localCheckpoint(eager=True)
+    assert _rows(
+        vecstore.ivf_topk_from_index(spark, out, q, k=5, n_probe=N_PROBE)
+    ) == _rows(
+        vecstore.ivf_topk_from_index(spark, fresh, q, k=5, n_probe=N_PROBE)
+    )
+
+    # a pq store re-trains codebooks and stays a pq store
+    pq_store = str(tmp_path / "pq_drift")
+    vecstore.ivf_index_build(lo, pq_store, n_cells=N_CELLS, pq=True, batch_id=0)
+    vecstore.ivf_index_build(hi, pq_store, batch_id=1)
+    pq_out = str(tmp_path / "pq_retrained")
+    vecstore.ivf_store_retrain(spark, pq_store, pq_out, n_cells=N_CELLS)
+    assert vecstore._store_meta(spark, pq_out)["pq"] is True
+    assert spark.read.parquet(f"{pq_out}/codebooks").count() > 0
+    top = (
+        vecstore.ivf_pq_topk_from_index(spark, pq_out, q, k=3, n_probe=N_PROBE)
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    assert top  # the retrained pq store serves
+
+    with pytest.raises(ValueError, match="differ"):
+        vecstore.ivf_store_retrain(spark, store, store)
+
+
 def test_hybrid_topk_from_stores_equals_rescan_fusion(
     spark, embeddings, documents, tmp_path
 ):
