@@ -362,6 +362,55 @@ def test_ivf_pq_store_planted_vector_and_lifecycle(
     assert all(r.neighbor_id != 999999 for r in after.collect())
 
 
+def test_ivf_pq_store_retry_idempotent_and_streaming_ingest(
+    spark, embeddings, tmp_path
+):
+    """PQ ingest discipline: a crash-retried batch (same batch_id re-run)
+    overwrites its own codes partition rather than duplicating it, and
+    the streaming sink with pq=True grows a store that serves identically
+    to the one-shot pq build over the union."""
+    from pulsar_replay_spark.streaming import pipelines
+
+    emb = embeddings.select("vec_id", "embedding")
+    store = str(tmp_path / "retry")
+    vecstore.ivf_index_build(emb, store, n_cells=N_CELLS, pq=True, batch_id=0)
+    before = spark.read.parquet(f"{store}/codes").count()
+    vecstore.ivf_index_build(emb, store, batch_id=0)  # crash retry
+    assert spark.read.parquet(f"{store}/codes").count() == before
+
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") < 250).coalesce(1).write.parquet(f"{src}/b0")
+    emb.filter(F.col("vec_id") >= 250).coalesce(1).write.parquet(f"{src}/b1")
+    stream_store = str(tmp_path / "stream_pq")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipelines.ivf_store_ingest_sink(
+        stream, stream_store, str(tmp_path / "ck"), n_cells=N_CELLS, pq=True
+    ).awaitTermination(120)
+
+    # the sink IS a foreachBatch wrapper over ivf_index_build: its store
+    # must equal the manually-grown one with the same batch split (the
+    # codebooks train on batch 0 and FREEZE — a one-shot build over the
+    # union would Lloyd-refine them on everything, a different quantizer
+    # by design, so growth-vs-one-shot is pinned only for the plain store
+    # whose unrefined seed is split-invariant)
+    grown = str(tmp_path / "grown_pq")
+    vecstore.ivf_index_build(
+        emb.filter(F.col("vec_id") < 250), grown,
+        n_cells=N_CELLS, pq=True, batch_id=0,
+    )
+    vecstore.ivf_index_build(emb.filter(F.col("vec_id") >= 250), grown, batch_id=1)
+    q = _queries(embeddings)
+    assert _rows(
+        vecstore.ivf_pq_topk_from_index(spark, stream_store, q, k=5, n_probe=N_PROBE)
+    ) == _rows(
+        vecstore.ivf_pq_topk_from_index(spark, grown, q, k=5, n_probe=N_PROBE)
+    )
+
+
 def test_ivf_store_cohesion_diagnostic(spark, embeddings, tmp_path):
     """The expire-path retrain signal: store cohesion equals the
     in-session assignment_cohesion over the same vectors+centroids, and

@@ -136,6 +136,19 @@ def main(sizes: list[int]) -> None:
             codes_total = _dir_bytes(f"{pq_store}/codes")
             codes_probed = _dir_bytes(f"{pq_store}/codes", probed)
 
+            # single-query serve: the pruning-bounded case (a uniform
+            # 32-query batch deliberately probes most cells — worst case;
+            # one query probes n_probe/n_cells of them)
+            q1 = queries.limit(1).localCheckpoint(eager=True)
+            probed1 = [
+                r.cell_id
+                for r in similarity.ivf_assign(q1, cents, n_probe=n_probe)
+                .select("cell_id")
+                .distinct()
+                .collect()
+            ]
+            codes_probed1 = _dir_bytes(f"{pq_store}/codes", probed1)
+
             row = {
                 "n_vectors": n,
                 "n_cells": n_cells,
@@ -152,6 +165,10 @@ def main(sizes: list[int]) -> None:
                 # should track compression × prune
                 "adc_scan_vs_full_vectors": round(
                     codes_probed / max(1, vec_total), 5
+                ),
+                "probed_cells_fraction_1q": round(len(probed1) / n_cells, 4),
+                "adc_scan_vs_full_vectors_1q": round(
+                    codes_probed1 / max(1, vec_total), 5
                 ),
                 "rerank_tail_vectors_bytes": vec_probed,
                 "rerank_shortlist_rows": 50 * 32,
