@@ -2274,15 +2274,28 @@ AUTO_BLOOM_MIN_INDEX_GRAMS = 16_000_000
 AUTO_BLOOM_FPP = 0.01
 
 
+LEGACY_COUNT_BATCH_ID = -2  # the backfill ledger row for pre-ledger grams
+# (streaming batches are >= 0 and the compacted base is -1, so -2 can
+# never collide with, or be overwritten by, a real batch's row)
+
+
 def _dup_span_store_gram_count(
-    spark: SparkSession, store_dir: str, exclude_batch: "int | None" = None
+    spark: SparkSession,
+    store_dir: str,
+    exclude_batch: "int | None" = None,
+    backfill: bool = False,
 ) -> int:
     """Total grams resident in the store, from the ``_counts`` ledger the
     sink maintains (one row per batch, dynamic-overwritten with its batch
     so crash retries stay idempotent — reading it is a tiny-table scan,
-    never an index scan). Legacy stores without a ledger fall back to one
-    footer-count of the index itself (metadata-bounded: parquet row
-    counts, no data pages)."""
+    never an index scan). Stores without a ledger (pre-r12, or any
+    one-shot-written index) fall back to one footer-count of the index
+    itself (metadata-bounded: parquet row counts, no data pages);
+    ``backfill=True`` then RECORDS that total as a ``batch_id = -2``
+    ledger row, so a resumed sink's later batches sum legacy + new grams
+    instead of silently counting only post-resume batches (which would
+    keep 'auto' in the plain regime against an arbitrarily large legacy
+    index)."""
     counts = read_parquet_or_empty(
         spark, f"{store_dir}/_counts", "n_grams long, batch_id long"
     )
@@ -2296,7 +2309,10 @@ def _dup_span_store_gram_count(
     ).select("gh", "batch_id")
     if exclude_batch is not None:
         idx = idx.where(F.col("batch_id") != exclude_batch)
-    return idx.count()
+    n = idx.count()
+    if backfill and n > 0:
+        _dup_span_store_count_write(spark, store_dir, LEGACY_COUNT_BATCH_ID, n)
+    return n
 
 
 def _dup_span_store_count_write(
@@ -2418,7 +2434,7 @@ def dup_span_ingest_sink(
         effective_fpp = bloom_fpp
         if bloom_fpp == "auto":
             n_index = _dup_span_store_gram_count(
-                spark, store_dir, exclude_batch=batch_id
+                spark, store_dir, exclude_batch=batch_id, backfill=True
             )
             effective_fpp = (
                 AUTO_BLOOM_FPP

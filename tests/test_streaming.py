@@ -1722,11 +1722,12 @@ def test_dup_span_sink_bloom_auto_switch_output_invariant(
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
+    ck = str(tmp_path_factory.mktemp("auto_ck"))
     pipelines.dup_span_ingest_sink(
         stream,
         store,
         out,
-        str(tmp_path_factory.mktemp("auto_ck")),
+        ck,
         min_tokens=10,
         bloom_fpp="auto",
     ).awaitTermination(120)
@@ -1761,9 +1762,33 @@ def test_dup_span_sink_bloom_auto_switch_output_invariant(
     import shutil as _sh
 
     _sh.rmtree(f"{store}/_counts")
+    idx_total = spark.read.parquet(store).count()
+    assert pipelines._dup_span_store_gram_count(spark, store) == idx_total
+
+    # ...and a RESUMED 'auto' sink backfills the legacy total as a
+    # batch_id=-2 ledger row, so later batches sum legacy + new grams
+    # (without this, an arbitrarily large pre-ledger index would keep
+    # 'auto' in the plain regime forever)
+    spark.createDataFrame(
+        [(4, " ".join(f"z{i}" for i in range(15)))], schema
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    stream_resume = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipelines.dup_span_ingest_sink(
+        stream_resume, store, out, ck, min_tokens=10, bloom_fpp="auto"
+    ).awaitTermination(120)
+    counts = {
+        r.batch_id: r.n_grams
+        for r in spark.read.parquet(f"{store}/_counts").collect()
+    }
+    assert counts.get(pipelines.LEGACY_COUNT_BATCH_ID) == idx_total
     assert pipelines._dup_span_store_gram_count(spark, store) == (
         spark.read.parquet(store).count()
     )
+    assert calls[-1] == pipelines.AUTO_BLOOM_FPP  # legacy total drove bloom
 
     # only 'auto' is a legal string knob
     with pytest.raises(ValueError, match="auto"):
