@@ -342,10 +342,15 @@ def main() -> None:
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         target = docs.filter(F.col("lang") == "es")
+        # r12: the trainer consumes bucket-level counts (dsir_bucket_counts)
+        # instead of per-doc features — same trained artifact bit-for-bit
+        # (equality-gated in test_dsir), one corpus-gram-scale shuffle less
+        # per side; per-doc features remain the SCORING path's input
+        # (dsir_score_corpus below still pays them, unchanged).
         rd = timed_op(
             "dsir_train_ratio",
             lambda: curation.dsir_bucket_log_ratio(
-                curation.dsir_features(target), curation.dsir_features(docs)
+                curation.dsir_bucket_counts(target), curation.dsir_bucket_counts(docs)
             ),
         )
         if rd is not None:

@@ -255,6 +255,29 @@ def dsir_features(docs: DataFrame, hex_chars: int = DSIR_HEX) -> DataFrame:
     )
 
 
+def dsir_bucket_counts(docs: DataFrame, hex_chars: int = DSIR_HEX) -> DataFrame:
+    """(bucket, cnt): corpus-level hashed n-gram bucket counts — the ratio
+    TRAINER's input when no per-doc scoring reuse is needed (r12, guide
+    §2.3 "aggregate before you shuffle"). ``dsir_features`` keys its
+    shuffle by (doc_id, bucket) — a corpus-gram-scale relation whose
+    map-side combine barely reduces (per-doc bucket counts are mostly 1) —
+    only for ``dsir_bucket_log_ratio`` to immediately re-aggregate it down
+    to ≤16^hex buckets. Aggregating straight to the bucket keyspace makes
+    the one shuffle carry ≤16^hex rows per map task after combine. Σ over
+    docs of per-doc counts ≡ the direct count, so the trained ratio (and
+    its default) is bit-identical either way (equality-gated in
+    test_dsir)."""
+    from pulsar_replay_spark.functions.text import bigrams, tokens
+
+    grams = F.concat(tokens(F.col("text")), bigrams(F.col("text")))
+    return (
+        docs.select(F.explode(grams).alias("g"))
+        .select(F.substring(F.md5("g"), 1, hex_chars).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def dsir_bucket_log_ratio(
     target_feats: DataFrame,
     raw_feats: DataFrame,
@@ -356,8 +379,10 @@ def dsir_log_weights(
     with its aggregations, so the saved pass isn't free-standing). Scoring
     NEW docs against this model is ``dsir_score`` (declarative, no cache)."""
     raw_feats = dsir_features(raw_docs, hex_chars).persist()
+    # target side: bucket-level counts only — its per-doc granularity fed
+    # nothing but the ratio re-aggregation (r12, see dsir_bucket_counts)
     ratio, default = dsir_bucket_log_ratio(
-        dsir_features(target_docs, hex_chars), raw_feats, hex_chars, alpha
+        dsir_bucket_counts(target_docs, hex_chars), raw_feats, hex_chars, alpha
     )
     out = _score_feats(raw_docs, raw_feats, ratio, default).localCheckpoint(
         eager=True

@@ -52,7 +52,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     one-hash-many-slices trick; hashing is the dominant CPU of the whole
     dedup family, and 8 separate salted digests cost 8× this for the same
     collision statistics. Hex-string min == lexicographic min — identical
-    in DuckDB (``substr(md5(shingle), 1+4*i, 4)``)."""
+    in DuckDB (``substr(md5(shingle), 1+4*i, 4)``).
+
+    r12 note: a shuffle-free map-side formulation (array_min over the
+    distinct-shingle md5 array, zero exchanges) was measured SLOWER (6.6 s
+    vs 4.2 s over sf0.1) — higher-order functions evaluate interpreted,
+    while this explode + partial-min aggregation runs whole-stage codegen
+    and its shuffle carries only (doc_id, 8×4 hex chars) after map-side
+    combine. Keep the codegen shape."""
     sh = doc_shingles(docs)
     h = F.md5("shingle")
     aggs = [
@@ -248,7 +255,12 @@ def incremental_minhash_pairs(
     return pairs, nb
 
 
-def simhash_expr(text, bits: int = SIMHASH_BITS, salt: str | None = None) -> "F.Column":
+def simhash_expr(
+    text,
+    bits: int = SIMHASH_BITS,
+    salt: str | None = None,
+    hashes: "F.Column | None" = None,
+) -> "F.Column":
     """``bits``-wide SimHash as a single shuffle-free expression: bit j of the
     signature is the sign of Σ_tokens (2·bit_j(h(token)) − 1).
 
@@ -263,8 +275,20 @@ def simhash_expr(text, bits: int = SIMHASH_BITS, salt: str | None = None) -> "F.
     ``salt`` (the multi-word family's lever) switches the per-token bit
     source to ``token_hash60(token + salt)`` — an independent hash function
     over the same token multiset; the arithmetic is shared so the wide
-    family can never drift from this contract-pinned expression."""
-    if salt is None:
+    family can never drift from this contract-pinned expression.
+
+    ``hashes``: a precomputed ``transform(tokens(text), token_hash60)``
+    column (r12, the bound-array discipline): callers that already carry
+    the token-hash array for other per-doc features (doc_profile's
+    fingerprint) pass it here so the md5 pass runs once per row, not once
+    per consumer — Catalyst does no CSE across separate interpreted HOF
+    subtrees. Mutually exclusive with ``salt``; value-identical by
+    construction (it is literally the same expression, bound)."""
+    if hashes is not None:
+        if salt is not None:
+            raise ValueError("simhash_expr: pass salt or hashes, not both")
+        hs = hashes
+    elif salt is None:
         hs = F.transform(tokens(text), lambda t: token_hash60(t))
     else:
         s = F.lit(salt)

@@ -186,6 +186,11 @@ def _edge_frames(
     passes False (its max-normalization needs no degrees)."""
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     if with_outdeg:
+        # r12 note: a window-based outdeg (count over partitionBy(src), one
+        # shuffle, no join) was measured SLOWER here — WindowExec sorts and
+        # buffers the full edge relation, while this agg produces a
+        # node-scale degree table that broadcasts back onto the checkpointed
+        # edges (no edge shuffle at all when it fits; SHJ/SMJ otherwise).
         deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
         e = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (

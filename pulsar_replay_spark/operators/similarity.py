@@ -1177,6 +1177,7 @@ def ivf_topk(
     corpus_cells: DataFrame | None = None,
     query_cells: DataFrame | None = None,
     impl: str = "arrow",
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: corpus vectors live in their 1 nearest cell; each
     query probes its ``n_probe`` nearest cells. Candidate generation is an
@@ -1206,13 +1207,21 @@ def ivf_topk(
     # of (vector, centroids), so callers that already hold it (the
     # incremental path: old verdicts carry it, the new batch was assigned to
     # find the affected cells) skip the O(N·cells·dim) recompute.
-    if corpus_cells is None:
-        corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
+    # ``corpus_assigned`` (r12, guide §2.4): one frame already carrying
+    # (vec_id, embedding, cell_id) — the vector store's serve read has
+    # exactly this shape, and splitting it into embeddings + corpus_cells
+    # only for this function to re-join them on vec_id both re-executed the
+    # pruned store read twice and paid a corpus-side self-join per serve.
+    # Row-identical to the join (vec_id is unique per frame by contract).
+    if corpus_assigned is None:
+        if corpus_cells is None:
+            corpus_cells = ivf_assign(embeddings, cents, n_probe=1)
+        corpus_assigned = embeddings.join(corpus_cells, "vec_id")
     if query_cells is None:
         query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 
     if impl == "arrow":
-        cand = embeddings.join(corpus_cells, "vec_id").select(
+        cand = corpus_assigned.select(
             F.col("vec_id").alias("n_id"),
             F.col("embedding").alias("n_emb"),
             "cell_id",
@@ -1236,7 +1245,7 @@ def ivf_topk(
             "sim6", F.round(F.col("raw_sim"), 6)
         )
     else:
-        cand = embeddings.join(corpus_cells, "vec_id").select(
+        cand = corpus_assigned.select(
             F.col("vec_id").alias("n_id"),
             F.col("embedding").alias("n_emb"),
             norm(F.col("embedding")).alias("n_norm"),

@@ -271,16 +271,35 @@ def _store_latest(
     prune stays correct because a moved vector's latest copy is served
     via its OWN (current) cell and the stale copy in a probed cell is
     dropped by the semi-join. Compaction collapses the store to one
-    batch, making the semi-join a trivial self-match."""
+    batch, making the semi-join a trivial self-match.
+
+    r12 optimization (guide §2.4): when the store layout holds exactly ONE
+    batch_id partition (one-shot build, or post-compaction — the common
+    serving posture), latest-wins is the identity and the full-store
+    max-batch aggregation + semi-join are skipped outright. The batch set
+    comes from the datasource's own partition listing (``inputFiles`` —
+    driver-side paths, no job, already paid by the parquet read), so the
+    fast path can never misfire on data: a second batch directory brings
+    the semi-join back."""
     all_rows = spark.read.parquet(f"{store_dir}/{subdir}")
-    latest = all_rows.groupBy("vec_id").agg(F.max("batch_id").alias("batch_id"))
+    batch_ids = {
+        seg.split("=", 1)[1]
+        for f in all_rows.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("batch_id=")
+    }
     pruned = (
         all_rows
         if cell_ids is None
         else all_rows.filter(F.col("cell_id").isin(cell_ids))
     )
+    if len(batch_ids) > 1:
+        latest = all_rows.groupBy("vec_id").agg(
+            F.max("batch_id").alias("batch_id")
+        )
+        pruned = pruned.join(latest, ["vec_id", "batch_id"], "left_semi")
     return (
-        pruned.join(latest, ["vec_id", "batch_id"], "left_semi")
+        pruned
         # cell_id comes back PARTITION-INFERRED as int; the in-session
         # assignment frames carry long (centroid ids are vec_ids). The
         # arrow path cogroups on cell_id, and cogrouping int-vs-long keys
@@ -331,17 +350,22 @@ def ivf_topk_from_index(
         eager=True
     )
     cell_ids = [r.cell_id for r in query_cells.select("cell_id").distinct().collect()]
-    vectors = _store_vectors_latest(spark, store_dir, cell_ids)
-    emb = vectors.select("vec_id", "embedding")
-    corpus_cells = vectors.select("vec_id", "cell_id")
+    # r12 optimization: the store read already carries (vec_id, embedding,
+    # cell_id) — hand it to ivf_topk whole (``corpus_assigned``) instead of
+    # splitting into two projections that ivf_topk re-joined on vec_id,
+    # which both re-executed the pruned store read twice and paid a
+    # corpus-side self-join per serve. Output pinned byte-equal as before.
+    vectors = _store_vectors_latest(
+        spark, store_dir, cell_ids
+    ).select("vec_id", "embedding", "cell_id")
     return ivf_topk(
-        emb,
+        vectors.select("vec_id", "embedding"),  # recall-oracle/fallback arg
         queries,
         k=k,
         centroids=cents,
-        corpus_cells=corpus_cells,
         query_cells=query_cells,
         impl=impl,
+        corpus_assigned=vectors,
     )
 
 

@@ -235,19 +235,27 @@ def q_approx_quantiles_value(spark, sf_dir):
 # on (user_id, hour).
 # ---------------------------------------------------------------------------
 def q_gapfill_hourly_counts(spark, sf_dir):
+    # r12 optimization (guide §2.4/§1.2): the per-user bounds are derivable
+    # from the hourly aggregate itself — date_trunc('hour', min(ts)) ==
+    # min(date_trunc('hour', ts)) (truncation is monotone), so ONE events
+    # scan + one (user, hour) shuffle feeds both the grid and the counts
+    # (was: a second full scan + user_id shuffle just for min/max ts). The
+    # hourly frame is (users × active hours)-sized, so the eager checkpoint
+    # materializes a keyspace-bounded relation, never raw events.
     ev = load_events(spark, sf_dir)
-    bounds = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    cnt = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # feeds bounds AND the grid join
+    )
+    bounds = cnt.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
     )
     grid = bounds.select(
         "user_id",
         F.explode(
             F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
         ).alias("h"),
-    )
-    cnt = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
-        F.count("*").alias("n")
     )
     return (
         grid.join(cnt, ["user_id", "h"], "left")

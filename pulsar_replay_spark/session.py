@@ -35,6 +35,18 @@ def get_spark(app_name: str = "pulsar-replay-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 (guide §3.1): let AQE rewrite a planned sort-merge join to a
+        # shuffled hash join AT RUNTIME when every post-shuffle partition of
+        # the build side measures under this threshold — removes both sorts
+        # exactly when the per-partition hash table provably fits (the
+        # OOM-safety condition), and stays SMJ otherwise. Scale-adaptive by
+        # construction: at 100 TB fact⋈fact partitions exceed the threshold
+        # and keep the spill-safe SMJ; the default 0 (off) is Spark's, not a
+        # local-box tune — override per deployment via env.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "128m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.ts has shipped both as parquet TIMESTAMP(NANOS) (which the
         # vectorized reader only accepts as a raw long under this conf) and as

@@ -278,3 +278,21 @@ def test_dsir_select_per_group_by_lang_regression(spark, documents):
     for lang, v in per_lang.items():
         want = {d for _, d in sorted(best[lang])[:4]}
         assert {d for _, d in v} == want, lang
+
+
+def test_bucket_counts_trainer_equals_per_doc_features(documents, target):
+    """r12: the bucket-level trainer input (dsir_bucket_counts) must train
+    the EXACT ratio artifact the per-doc feature path trains — Σ over docs
+    of per-doc counts ≡ the direct bucket count, so log_ratio and default
+    are bit-identical (this is the equality the optimized bench row and
+    dsir_log_weights' target side rely on)."""
+    r_a, d_a = curation.dsir_bucket_log_ratio(
+        curation.dsir_features(target), curation.dsir_features(documents)
+    )
+    r_b, d_b = curation.dsir_bucket_log_ratio(
+        curation.dsir_bucket_counts(target), curation.dsir_bucket_counts(documents)
+    )
+    assert d_a == d_b
+    a = {r.bucket: r.log_ratio for r in r_a.collect()}
+    b = {r.bucket: r.log_ratio for r in r_b.collect()}
+    assert a == b
