@@ -1500,7 +1500,8 @@ def ivf_pq_topk(
     query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 
     # Query LUT: partial dot of each query sub-vector with every centroid —
-    # |Q|·PQ_M·PQ_K rows, broadcast.
+    # |Q|·PQ_M·PQ_K rows, assembled per query into ONE (m, cell)-ordered
+    # flat array (index = m·PQ_K + cell) and broadcast.
     lut = (
         _subvectors(queries.join(query_cells.select("vec_id").distinct(), "vec_id"))
         .withColumnRenamed("vec_id", "q_id")
@@ -1516,24 +1517,44 @@ def ivf_pq_topk(
             ).alias("pdot"),
         )
     )
+    lut_arr = lut.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cell", "pdot"))),
+            lambda s: s["pdot"],
+        ).alias("pdots")
+    )
     q_norms = queries.select(
         F.col("vec_id").alias("q_id"), norm(F.col("embedding")).alias("q_norm")
     )
 
     # IVF candidates → their codes → ADC score from PQ_M LUT lookups.
+    # r12 (guide §2.4): the lookups are a MAP-SIDE fold over the code array
+    # against the query's broadcast 128-float LUT array — the previous
+    # posexplode (8 rows per candidate) + broadcast join + groupBy re-agg
+    # shuffled an 8× intermediate just to sum 8 doubles. The fold sums in
+    # the same ascending-m order the partial hash agg did (posexplode emits
+    # m 0..7 in row order and the broadcast join streams), so adot is
+    # bit-identical; one Exchange removed from the ADC stage.
     cand = (
         corpus_cells.join(query_cells.withColumnRenamed("vec_id", "q_id"), "cell_id")
         .select("q_id", "vec_id")
         .filter(F.col("q_id") != F.col("vec_id"))
         .dropDuplicates(["q_id", "vec_id"])
     )
-    cand_codes = cand.join(codes, "vec_id").select(
-        "q_id", "vec_id", F.posexplode("codes").alias("m", "cell"), "approx_norm"
+    adot = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(
+                F.col("pdots"), (i * PQ_K + c + F.lit(1)).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     adc = (
-        cand_codes.join(F.broadcast(lut), ["q_id", "m", "cell"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("pdot").alias("adot"), F.first("approx_norm").alias("approx_norm"))
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut_arr), "q_id")
+        .select("q_id", "vec_id", adot.alias("adot"), "approx_norm")
         .join(F.broadcast(q_norms), "q_id")
         .withColumn("asim", F.col("adot") / (F.col("q_norm") * F.col("approx_norm")))
     )
