@@ -567,15 +567,11 @@ SELECT q_id, n_id AS neighbor_id, ROUND(sim6, 3) AS sim, rk FROM ranked WHERE rk
 )
 
 
-# r12 rotation: embedding_topk ceded its contract slot to
-# semantic_decon_served (the DENSE store-lifecycle row — the r11 BM25
-# rotation proved store ≡ rescan for the sparse side only). Its
-# brute-force cosine shape stays triply covered in the contract
-# (ann_ivf_topk and embedding_near_dup_pairs rerank through the same
-# dot/norm arithmetic) and its oracle stays pinned in pytest
-# (test_unregistered_embedding_topk_matches_oracle) + parity extras
-# (x_embedding_topk); it also remains the ANN recall oracle in
-# tests/test_similarity.py.
+# r13: embedding_topk is RE-REGISTERED. The r12 rotation (swap for
+# semantic_decon_served) read as a dropped contract query to the driver;
+# both rows are declared from r13 on (51 slots). The oracle also stays in
+# parity extras (x_embedding_topk) and tests/test_similarity.py.
+@register("embedding_topk", EMBEDDING_TOPK_ORACLE)
 def q_embedding_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
