@@ -208,11 +208,20 @@ def main() -> None:
     for name in HEADLINE:
         timed(name, lambda name=name: _noop_write(qs[name](spark, sf_dir)))
 
+    # Test-only knob (r13): the bench-harness pytest gates exercise the
+    # handshake/contention machinery, not the ANN/llm_ops tiers — those two
+    # monkeypatched bench.main() runs were the slowest tests in the suite
+    # (265 s + 216 s) purely on tier time. NEVER set outside tests: the
+    # driver runs `python bench.py` with a clean env, so the recorded
+    # artifact always carries every tier.
+    headline_only = bool(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"))
+
     # ANN serving benches: index build is a one-time artifact (reported
     # separately, not part of the headline total); the benched headline is
     # the query-time path against the prebuilt index.
     index_build: dict[str, float] = {}
     try:
+      if not headline_only:
         from pyspark.sql import functions as F
 
         from pulsar_replay_spark.operators import similarity
@@ -336,6 +345,7 @@ def main() -> None:
         return result
 
     try:
+      if not headline_only:
         from pyspark.sql import functions as F
 
         from pulsar_replay_spark.operators import bpe, curation
@@ -450,6 +460,7 @@ def main() -> None:
     # sharing the earlier block's `bpe`/`docs` names let a failure there
     # mask these rows behind a NameError instead of failing on its own).
     try:
+      if not headline_only:
         from pyspark.sql import functions as F
 
         from pulsar_replay_spark.operators import dedup as dd
@@ -696,21 +707,38 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # r13 (verdict #2b): per-query MIN of the reps — far more robust to
+        # host contention than the median — as a compact array ALIGNED WITH
+        # the insertion order of the "queries" dict (full name->min map
+        # lives in the detail file's query_spread). Additive: "queries"
+        # itself is unchanged.
+        "query_min": [
+            round(spread[k]["min"], 2) if k in spread else None for k in times
+        ],
         "llm_ops": llm_ops,
         "throughput": throughput,
         "sf": sf,
         "detail": detail_path,
     }
+    # r13: anchor ratios in the one-line record so a contended window is
+    # quantifiable from the driver's artifact alone (1.0 = idle baseline).
+    if "numpy_anchor_ratio" in calibration:
+        out["anchor_np"] = calibration["numpy_anchor_ratio"]
+    if "jvm_anchor_ratio" in calibration:
+        out["anchor_jvm"] = calibration["jvm_anchor_ratio"]
     if contended:
         out["contended"] = True
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
     line = json.dumps(out)
-    # Degrade gracefully rather than ever exceeding the capture window:
-    # medians-only llm_ops goes first (it lives in the detail file), then
-    # error text, then per-query medians collapse to the scalar total.
-    for drop in ("llm_ops", "errors", "queries"):
-        if len(line) <= 1900:
+    # Degrade gracefully rather than ever exceeding the ~2000-char capture
+    # window (budget 1980: the observed window is the LAST 2000 chars of
+    # stdout, so the line itself must fit under it with its newline): error
+    # text goes first (full text lives in the detail file), then medians-only
+    # llm_ops (also in the detail file), then the r13 min array, then
+    # per-query medians collapse to the scalar total.
+    for drop in ("errors", "llm_ops", "query_min", "queries"):
+        if len(line) <= 1980:
             break
         out.pop(drop, None)
         line = json.dumps(out)

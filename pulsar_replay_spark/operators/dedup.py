@@ -1665,6 +1665,17 @@ def dup_span_marks(
         raise ValueError(f"dup_span_marks: keep must be 'first'|'none', got {keep!r}")
     k = int(min_tokens)
     grams = _positioned_kgram_hashes(docs, k, casefold, impl)
+    if impl == "rolling":
+        # r13 (guide §4/§5): the gram relation feeds BOTH the duplicate agg
+        # and the join probe side; without materialization the MapInPandas
+        # kernel subtree executes TWICE — the whole corpus crosses the
+        # JVM↔Arrow boundary two times per marks pass (r12 driver run: 2.3×
+        # slower at 32 cores than the md5 twin whose recompute is pure
+        # codegen). One eager localCheckpoint runs the kernel once; the
+        # (doc_id, pos, gh) blocks — hash + two ints per token, no text —
+        # feed both consumers. md5 keeps the recompute deliberately (its
+        # second pass is cheap JVM work; materializing costs token-scale IO).
+        grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("gh")
         .agg(

@@ -1517,11 +1517,33 @@ def ivf_pq_topk(
             ).alias("pdot"),
         )
     )
-    lut_arr = lut.groupBy("q_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "cell", "pdot"))),
-            lambda s: s["pdot"],
-        ).alias("pdots")
+    # r13 (ADVICE): build the dense (m·PQ_K+cell)-indexed array GAP-
+    # TOLERANTLY — Lloyd refinement can drop a cell that receives no
+    # assignments, and a dropped cell would shift every later slot of a
+    # sorted-collect array (silent score corruption). Aggregate into a map
+    # keyed by the slot index, then lay out the dense array by slot; empty
+    # slots get 0.0 (codes never reference a dropped cell, so the fill
+    # value is unreachable). Per-query work only (|Q| rows); the hot
+    # per-candidate fold below is unchanged.
+    lut_arr = (
+        lut.groupBy("q_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("m") * PQ_K + F.col("cell")).alias("key"),
+                        F.col("pdot").alias("value"),
+                    )
+                )
+            ).alias("_lutmap")
+        )
+        .select(
+            "q_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M * PQ_K - 1)),
+                lambda i: F.coalesce(F.element_at("_lutmap", i), F.lit(0.0)),
+            ).alias("pdots"),
+        )
     )
     q_norms = queries.select(
         F.col("vec_id").alias("q_id"), norm(F.col("embedding")).alias("q_norm")

@@ -86,7 +86,11 @@ def wordpiece_vocab(
 
 
 def wordpiece_train(
-    wf: DataFrame, n_merges: int, min_pair_freq: int = 2, ckpt_every: int = 2
+    wf: DataFrame,
+    n_merges: int,
+    min_pair_freq: int = 2,
+    ckpt_every: int = 2,
+    max_inventory_rows: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Distributed likelihood-scored WordPiece merge training — the
     ``bpe_train`` shape (per-round vocab-sized aggs, lazy merge folds,
@@ -98,99 +102,91 @@ def wordpiece_train(
     without ever collecting the vocab. Exact-equal to the local trainer by
     construction (equality-gated in tests, the ``bpe_train`` discipline).
 
-    Per round, ONE bounded job over the vocab-sized (word, freq, syms)
-    frame: adjacent-pair counts AND symbol counts (both vocab-keyed aggs,
-    map-side combined) join into (a, b, cnt, den=scnt(a)·scnt(b),
-    score=cnt/den) — den is DECIMAL(38,0) because bigint·bigint would
-    overflow at ~3e9 total corpus tokens — and the top-K rows by double
-    score collect via TakeOrderedAndProject (K=128, the ``bpe_train``
-    argmax posture). Every collected row within ``_SCORE_EPS`` relative of
-    the top score is a candidate; since float rounding is ≲4.5e-16
-    relative, the true-max tie class always lands inside that band, and if
-    the band fills all K rows (a mass tie spilling past the cut) the round
-    falls back to an exact epsilon-filter collect — candidates can be
-    missed by the cut, never by the band.
+    Per round (r13, guide §1.2/§2.3), ONE job with ONE scan of the
+    vocab-sized (word, freq, syms) frame: every position emits
+    (sym, next-sym-or-NULL), one map-side-combined groupBy counts the
+    (a, b) adjacencies, and that INVENTORY-scale relation (distinct
+    adjacent symbol pairs — vocabulary-like, never corpus-like; row count
+    gated by ``max_inventory_rows``) collects to the driver, where symbol
+    counts fall out of the same rows (scnt(s) = Σ cnt over a = s — each
+    position emits exactly one row, the trailing NULL row covering last
+    positions) and the argmax is EXACT Fraction cross-multiplication,
+    ties on (higher cnt, then lexicographically smallest pair) — the same
+    rule as the local trainer, so no float-ordering ambiguity can leak
+    into the merge list. The r12 shape ran TWO vocab scans per round
+    (pair agg + symbol agg — each re-evaluating the pending lazy merge
+    folds) plus broadcast-join/TakeOrdered machinery with a float score
+    band re-verified in Fractions; collecting the inventory removes the
+    second scan, both broadcasts, and the band entirely.
 
-    The driver then re-compares the survivors EXACTLY — Fraction(cnt, den)
-    cross-multiplication, ties on (higher cnt, then lexicographically
-    smallest pair) — the same argmax rule as the local trainer, so no
-    float-ordering ambiguity can leak into the merge list. Symbol counts
-    are per-round recomputed from the checkpointed frame (they change with
-    every merge), so no stale state is carried.
+    Past the inventory gate (pathological alphabets — the distinct-pair
+    inventory is bounded by the live symbol alphabet squared) the round
+    falls back to the r12 distributed scoring over the same single-scan
+    relation, so training still never collects more than
+    ``max_inventory_rows`` rows.
 
-    ``ckpt_every`` defaults to 2, not ``bpe_train``'s 4: this round has TWO
-    legs (pair agg + symbol agg) that each re-evaluate the pending lazy
-    merge folds, so plan depth costs double — measured 8.8 s (K=2) vs
-    12.1 s (K=4) vs 9.5 s (K=1) for 20 merges at bench scale. Checkpoint
-    frequency never changes the merge list (equality tests force K=3)."""
+    ``ckpt_every`` defaults to 2, not ``bpe_train``'s 4: the merge fold
+    is DOUBLE work here (syms from character split — longer arrays than
+    BPE's EOW form); measured 8.8 s (K=2) vs 12.1 s (K=4) vs 9.5 s (K=1)
+    for 20 merges at bench scale (r12 shape). Checkpoint frequency never
+    changes the merge list (equality tests force K=3)."""
+    from fractions import Fraction
+
     vocab = wf.select(
         "word", "freq", F.split("word", "").alias("syms")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     pending = 0  # lazy folds since the last plan truncation
     for _ in range(n_merges):
-        pairs = (
+        # one scan: position i emits (sym_i, sym_{i+1} or NULL) — pair
+        # adjacencies AND per-symbol occurrence counts from one relation
+        adj = (
             vocab.select(
                 "freq",
                 F.explode(
                     F.when(
-                        F.size("syms") >= 2,
+                        F.size("syms") >= 1,
                         F.transform(
-                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            F.sequence(F.lit(0), F.size("syms") - 1),
                             lambda i: F.struct(
                                 F.element_at(F.col("syms"), i + 1).alias("a"),
-                                F.element_at(F.col("syms"), i + 2).alias("b"),
+                                F.when(
+                                    i + 2 <= F.size("syms"),
+                                    F.element_at(F.col("syms"), i + 2),
+                                ).alias("b"),
                             ),
                         ),
-                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
+                    )
                 ).alias("p"),
             )
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
-            .filter(F.col("cnt") >= min_pair_freq)
         )
-        symc = (
-            vocab.select("freq", F.explode("syms").alias("s"))
-            .groupBy("s")
-            .agg(F.sum("freq").cast("decimal(19,0)").alias("scnt"))
-        )
-        sa = symc.select(F.col("s").alias("a"), F.col("scnt").alias("scnt_a"))
-        sb = symc.select(F.col("s").alias("b"), F.col("scnt").alias("scnt_b"))
-        scored = (
-            pairs.join(F.broadcast(sa), "a")
-            .join(F.broadcast(sb), "b")
-            .select(
-                "a",
-                "b",
-                "cnt",
-                (F.col("scnt_a") * F.col("scnt_b")).alias("den"),
-                (
-                    F.col("cnt").cast("double")
-                    / (F.col("scnt_a") * F.col("scnt_b")).cast("double")
-                ).alias("score"),
-            )
-        )
-        top_k = 128
-        top = scored.orderBy(
-            F.desc("score"), F.desc("cnt"), "a", "b"
-        ).limit(top_k).collect()
-        if not top:
+        rows = adj.limit(max_inventory_rows + 1).collect()
+        if not rows:
             break
-        m = top[0]["score"]
-        cands = [r for r in top if r["score"] >= m * (1 - _SCORE_EPS)]
-        if len(cands) == top_k:
-            # mass tie spilling past the cut: exact epsilon filter (rare)
-            cands = scored.filter(
-                F.col("score") >= F.lit(m * (1 - _SCORE_EPS))
-            ).collect()
-        from fractions import Fraction
-
-        best, best_key = None, None
-        for r in cands:
-            key = (Fraction(int(r["cnt"]), int(r["den"])), int(r["cnt"]))
-            p = (r["a"], r["b"])
-            if best is None or key > best_key or (key == best_key and p < best):
-                best, best_key = p, key
+        if len(rows) > max_inventory_rows:
+            best = _distributed_round_argmax(adj, min_pair_freq)
+        else:
+            scnt: dict[str, int] = {}
+            for r in rows:
+                scnt[r["a"]] = scnt.get(r["a"], 0) + int(r["cnt"])
+            best, best_key = None, None
+            for r in rows:
+                b_sym = r["b"]
+                cnt = int(r["cnt"])
+                if b_sym is None or cnt < min_pair_freq:
+                    continue
+                key = (Fraction(cnt, scnt[r["a"]] * scnt[b_sym]), cnt)
+                p = (r["a"], b_sym)
+                if (
+                    best is None
+                    or key > best_key
+                    or (key == best_key and p < best)
+                ):
+                    best, best_key = p, key
         if best is None:
             break
         a, b = best
@@ -203,6 +199,60 @@ def wordpiece_train(
             vocab = vocab.localCheckpoint(eager=True)
             pending = 0
     return merges
+
+
+def _distributed_round_argmax(
+    adj: DataFrame, min_pair_freq: int
+) -> "tuple[str, str] | None":
+    """The r12 distributed argmax, kept as ``wordpiece_train``'s fallback
+    when the adjacency inventory exceeds the driver gate: score every pair
+    from the SAME single-scan (a, b, cnt) relation (scnt = Σ cnt over
+    a = s), TakeOrdered the top-K float scores, exact-Fraction re-compare
+    on the driver; if the _SCORE_EPS band fills all K rows, an exact
+    epsilon-filter collect (candidates can be missed by the cut, never by
+    the band — float rounding is ≲4.5e-16 relative)."""
+    from fractions import Fraction
+
+    symc = adj.groupBy("a").agg(
+        F.sum("cnt").cast("decimal(19,0)").alias("scnt")
+    )
+    sa = symc.select(F.col("a"), F.col("scnt").alias("scnt_a"))
+    sb = symc.select(F.col("a").alias("b"), F.col("scnt").alias("scnt_b"))
+    scored = (
+        adj.filter(F.col("b").isNotNull() & (F.col("cnt") >= min_pair_freq))
+        .join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            "cnt",
+            (F.col("scnt_a") * F.col("scnt_b")).alias("den"),
+            (
+                F.col("cnt").cast("double")
+                / (F.col("scnt_a") * F.col("scnt_b")).cast("double")
+            ).alias("score"),
+        )
+    )
+    top_k = 128
+    top = scored.orderBy(
+        F.desc("score"), F.desc("cnt"), "a", "b"
+    ).limit(top_k).collect()
+    if not top:
+        return None
+    m = top[0]["score"]
+    cands = [r for r in top if r["score"] >= m * (1 - _SCORE_EPS)]
+    if len(cands) == top_k:
+        # mass tie spilling past the cut: exact epsilon filter (rare)
+        cands = scored.filter(
+            F.col("score") >= F.lit(m * (1 - _SCORE_EPS))
+        ).collect()
+    best, best_key = None, None
+    for r in cands:
+        key = (Fraction(int(r["cnt"]), int(r["den"])), int(r["cnt"]))
+        p = (r["a"], r["b"])
+        if best is None or key > best_key or (key == best_key and p < best):
+            best, best_key = p, key
+    return best
 
 
 def wordpiece_train_local(

@@ -41,8 +41,11 @@ def get_spark(app_name: str = "pulsar-replay-spark", cpus: int | None = None) ->
         # exactly when the per-partition hash table provably fits (the
         # OOM-safety condition), and stays SMJ otherwise. Scale-adaptive by
         # construction: at 100 TB fact⋈fact partitions exceed the threshold
-        # and keep the spill-safe SMJ; the default 0 (off) is Spark's, not a
-        # local-box tune — override per deployment via env.
+        # and keep the spill-safe SMJ. THIS FACTORY'S default is 128m
+        # (Spark's own default is 0 = off); env-overridable per deployment.
+        # Memory note: the build side of each concurrent task can hold up to
+        # the threshold, so budget ~threshold × concurrent tasks of executor
+        # memory headroom when raising it.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "128m"),

@@ -26,6 +26,10 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark, tmp_pat
 
     monkeypatch.setattr(entrymod, "queries", sabotaged)
     monkeypatch.setattr(bench, "HEADLINE", ["q1_pricing_summary", "doc_profile"])
+    # r13: the harness gates exercise the handshake, not the ANN/llm_ops
+    # tiers — skipping them took these two tests from 265 s/216 s (the
+    # suite's slowest) to seconds-scale
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_HEADLINE_ONLY", "1")
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     # redirect the detail side file: the default round-inferred path IS the
     # committed round artifact, which a test run must never clobber
@@ -39,8 +43,14 @@ def test_bench_survives_single_query_failure(monkeypatch, capsys, spark, tmp_pat
     # r7 handshake: the driver tail-captures 2000 chars — the final line is
     # the compact headline (BENCH_r06's parsed:null lesson) and the full
     # record (spread/calibration/runtime) goes to the detail side file
-    assert len(line) <= 1900, len(line)
+    # (r13: budget 1980 — the line itself + newline must fit the window)
+    assert len(line) <= 1980, len(line)
     assert d["metric"] == "headline_queries_total"
+    # r13 (verdict #2b): contention-robust per-query MINs ride the one-line
+    # record as an array aligned with the queries dict, plus anchor ratios
+    assert len(d["query_min"]) == len(d["queries"])
+    assert all(v is not None and v > 0 for v in d["query_min"])
+    assert "anchor_np" in d and "anchor_jvm" in d
     assert "q1_pricing_summary" in d.get("errors", {}), d
     assert "deliberately broken" in d["errors"]["q1_pricing_summary"]
     assert "doc_profile" in d["queries"] and d["queries"]["doc_profile"] > 0
@@ -101,6 +111,8 @@ def test_bench_marks_contended_recordings(monkeypatch, capsys, spark, tmp_path):
 
     monkeypatch.setattr(bench, "ANCHOR_NUMPY_MATMUL_1K_SEC", 1e-9)
     monkeypatch.setattr(bench, "HEADLINE", ["doc_profile"])
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_HEADLINE_ONLY", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REPS", "1")
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv(
         "SPARK_GRAFT_DETAIL_PATH", str(tmp_path / "bench_detail_test2.json")

@@ -86,6 +86,7 @@ def test_training_matches_numpy_mirror(spark, weak_corpus):
         assert abs(got_w[b] - want_w[b]) < 1e-6, b
 
 
+@pytest.mark.slow
 def test_separates_planted_vocabularies(spark, weak_corpus):
     pos, neg = weak_corpus
     weights, bias = classifier.train_quality_classifier(pos, neg, n_iter=30)
@@ -103,6 +104,7 @@ def test_separates_planted_vocabularies(spark, weak_corpus):
     assert all(v < 0.5 for d, v in verdicts.items() if d.startswith("n:"))
 
 
+@pytest.mark.slow
 def test_scoring_generalizes_to_held_out_docs(spark, weak_corpus):
     pos, neg = weak_corpus
     weights, bias = classifier.train_quality_classifier(pos, neg, n_iter=30)
@@ -148,6 +150,7 @@ def test_serving_plan_broadcasts_weights_no_cartesian(spark, weak_corpus):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_calibration_report(spark, documents):
     """On the planted-vocabulary training task the classifier must be
     directionally calibrated: high-score bins observe higher positive rates
@@ -270,6 +273,7 @@ def test_lang_classifier_matches_numpy_mirror_and_classifies(spark):
     assert pred == {d: lang for d, _s, lang in rows}
 
 
+@pytest.mark.slow
 def test_lang_classifier_generalizes_and_abstains(spark):
     rows = _lang_rows()
     train = spark.createDataFrame(rows, "doc_id long, text string, lang string")
@@ -366,6 +370,7 @@ def test_lang_model_save_load_roundtrip(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_enrich_lang_fills_only_null_rows(spark):
     """The front-door composition: NULL-lang docs get the model's
     prediction, labeled docs pass through verbatim, low-confidence stays

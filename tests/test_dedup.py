@@ -644,6 +644,7 @@ def test_cluster_label_deltas_emit_only_changed_rows(spark):
     }
 
 
+@pytest.mark.slow
 def test_merge_cluster_labels_equals_full_cc_across_batches(spark, documents):
     """The incremental≡full discipline for CLUSTER LABELS (r6 gap #5):
     maintaining the label table with merge_cluster_labels over incremental
@@ -1145,7 +1146,20 @@ def test_dup_span_rolling_deterministic_and_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plan
+    # r13 single-pass gate: the gram kernel is eagerly localCheckpoint-ed
+    # inside dup_span_marks, so the downstream plan reads the materialized
+    # (doc_id, pos, gh) blocks — ZERO MapInPandas subtrees remain (the r12
+    # shape ran the kernel in TWO subtrees: agg side + join probe side).
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # the kernel itself is still the one Arrow node of the gram stage
+    gram_plan = (
+        dedup._positioned_kgram_hashes(docs, 10, impl="rolling")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert gram_plan.count("MapInPandas") == 1
 
 
 def test_dup_span_stats_counts_exactly(spark):

@@ -147,6 +147,7 @@ def test_deterministic_under_repartition(documents, target, weights):
     assert again == weights
 
 
+@pytest.mark.slow
 def test_streaming_threshold_selects_offline_topk(
     spark, documents, target, tmp_path
 ):
@@ -202,6 +203,7 @@ def test_plan_broadcasts_ratio_no_cartesian(documents, target):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_dsir_select_per_group_balances_and_refines(spark, documents):
     """Per-group top-k: exactly min(k, |group|) winners per source, each
     group's winners are ITS OWN k highest Gumbel keys (mirrored from the

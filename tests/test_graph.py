@@ -166,6 +166,7 @@ def naive_hits(edges, n_iter=10, scale=10**9):
     return {n: (a[n], h[n]) for n in nodes}
 
 
+@pytest.mark.slow
 def test_hits_matches_naive_mirror_exactly(spark):
     """Bit-exact vs the mirror on the messy graph (cycles, dangling,
     multi-edge, source-only node) at two iteration counts."""
@@ -185,6 +186,7 @@ def test_hits_matches_naive_mirror_exactly(spark):
         assert got == naive_hits(edges, n_iter=n_iter), n_iter
 
 
+@pytest.mark.slow
 def test_hits_separates_roles(spark):
     """A directory page linking many authorities is the top HUB (but no
     authority); the most-endorsed page is the top AUTHORITY (but no hub)."""

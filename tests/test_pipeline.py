@@ -138,6 +138,7 @@ def test_funnel_lm_tail_filter(spark, documents):
     assert survivors and all(buckets[i] != "tail" for i in survivors)
 
 
+@pytest.mark.slow
 def test_curate_corpus_lang_model_enriches_before_per_language_stages(spark):
     """r10 (verdict #5): a raw multilingual corpus whose WARC-style rows
     land lang-less gets its NULL langs filled by the trained classifier
@@ -461,6 +462,7 @@ def test_data_card_reports_the_corpus(spark):
     assert set(moji.values()) == {0.0}
 
 
+@pytest.mark.slow
 def test_curate_corpus_url_dedup_stage(spark, documents):
     """url_dedup=True sheds re-fetches of the same canonical URL before any
     text hashing; non-URL sources pass untouched."""
@@ -485,6 +487,7 @@ def test_curate_corpus_url_dedup_stage(spark, documents):
     assert report["input"] - report["url_deduped"] == 5
 
 
+@pytest.mark.slow
 def test_curate_corpus_lexical_decontamination_stage(spark):
     """The BM25 decontamination lever: a paraphrase sharing an eval doc's
     rare vocabulary (but no long exact shingle run) survives the shingle
@@ -563,6 +566,7 @@ def test_curate_corpus_compression_filter_stage(spark):
     assert 9 not in kept and kept == {1, 2}
 
 
+@pytest.mark.slow
 def test_curate_media_keep_best_policy(spark):
     """curate_media(keep_best=True): a perceptual AUDIO cluster (two
     increasing-staircase WAV clips of different lengths — energy-delta SIGNS

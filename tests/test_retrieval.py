@@ -408,6 +408,7 @@ def test_oneshot_build_then_streaming_growth_no_batch0_collision(
     assert post_docs <= dl_docs
 
 
+@pytest.mark.slow
 def test_streaming_ingest_compact_and_expire(spark, planted, tmp_path):
     """The full lifecycle: streamed micro-batch ingest ≡ one-shot build;
     compaction folds (df-capped compaction bakes the cap in: uncapped

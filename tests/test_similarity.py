@@ -965,6 +965,7 @@ def test_lsh_topk_arrow_equals_jvm_at_multi_partition_scale(spark):
     assert sa == sj == s1 and len(sa) > 0
 
 
+@pytest.mark.slow
 def test_lsh_multiprobe_expands_candidates_losslessly(spark, embeddings):
     """Radius-1 multiprobe strictly grows the candidate set, so every rank's
     sim is monotonically >= the single-probe one (a superset can only

@@ -122,6 +122,7 @@ def test_stream_static_enrich_matches_batch(spark, events_src, tmp_path_factory)
     assert g == b
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, events_src, tmp_path_factory):
     """Purchases join clicks of the same user within the preceding hour —
     both as a stream-stream interval join and as the equivalent batch join."""
@@ -664,6 +665,7 @@ def test_incremental_simhash_stream_matches_batch(spark, tmp_path_factory):
     assert spark.read.parquet(store_dir).count() == n_before
 
 
+@pytest.mark.slow
 def test_incremental_labels_stream_matches_batch_cc(spark, tmp_path_factory):
     """Streaming cluster maintenance (r6 gap: pairs were incremental but CC
     re-ran full-corpus per ingest): after the stream drains, the maintained
@@ -979,6 +981,7 @@ def _image_chain(rng) -> tuple[bytes, bytes, bytes]:
     raise AssertionError("could not construct a dhash chain")
 
 
+@pytest.mark.slow
 def test_media_ingest_stream_matches_one_shot_funnel(spark, tmp_path_factory):
     import os
     import time
@@ -1191,6 +1194,7 @@ def test_warc_dropfolder_to_curated_corpus(spark, tmp_path_factory):
     assert accepted.select("_h").distinct().count() == accepted.count()
 
 
+@pytest.mark.slow
 def test_media_state_expire_exact_deletion(spark, tmp_path_factory):
     """Right-to-be-forgotten for the media funnel: expiring docs removes
     them from every store, REBUILDS labels so bridge deletions split
@@ -2040,6 +2044,7 @@ def test_dup_span_store_compact_and_expire(spark, tmp_path_factory):
         pipelines.dup_span_store_expire(spark, store, store, one)
 
 
+@pytest.mark.slow
 def test_lang_drift_sink_flags_planted_lang_shift(spark, tmp_path_factory):
     """r10 lang-share drift: a crawl that starts in English and drifts into
     Spanish mid-stream crosses the PSI 0.25 rule in the drifted window and
@@ -2163,6 +2168,7 @@ def test_compactors_refuse_in_place_overwrite(spark, tmp_path_factory):
         pipelines.cdc_compact(spark, d, d)
 
 
+@pytest.mark.slow
 def test_embedding_drift_sink_matches_batch_monitor(spark, tmp_path):
     """The streaming embedding-drift monitor: counts accumulated across
     micro-batches fold to EXACTLY the one-shot cell histogram (cumulative
@@ -2230,6 +2236,7 @@ def test_embedding_drift_sink_matches_batch_monitor(spark, tmp_path):
     assert retry[0]["n_cur"] == served[0]["n_cur"]
 
 
+@pytest.mark.slow
 def test_embedding_drift_sink_windowed_mode(spark, tmp_path):
     """ts mode: per-(event-time window, cell) counts land in the store and
     the windowed read serves per-window PSI — with all rows in one hour the
@@ -2301,6 +2308,7 @@ def test_embedding_drift_from_maintained_ivf_index(spark, tmp_path):
     assert got["n_cur"] == want["n_cur"] == cur.count()
 
 
+@pytest.mark.slow
 def test_encode_ingest_sink_matches_one_shot(spark, tmp_path, documents):
     """Continuous token-id encoding: the stream-grown encoded store equals
     one-shot bpe_encode_docs over the union of all batches (the frozen
@@ -2356,6 +2364,7 @@ def test_encode_ingest_sink_matches_one_shot(spark, tmp_path, documents):
     assert again == want
 
 
+@pytest.mark.slow
 def test_curation_ingest_sink_continuous_decontamination(spark, tmp_path_factory):
     """r9: the sink's decontamination stage against a FIXED eval suite —
     policy 'scrub' stores the quoting doc minus the quote (scored on the

@@ -304,6 +304,7 @@ def test_ivf_pq_store_serve_equals_in_session(spark, embeddings, tmp_path):
         vecstore.ivf_index_build(emb, plain, batch_id=1, pq=True)
 
 
+@pytest.mark.slow
 def test_ivf_pq_store_planted_vector_and_lifecycle(
     spark, embeddings, tmp_path
 ):
@@ -362,6 +363,7 @@ def test_ivf_pq_store_planted_vector_and_lifecycle(
     assert all(r.neighbor_id != 999999 for r in after.collect())
 
 
+@pytest.mark.slow
 def test_ivf_pq_store_retry_idempotent_and_streaming_ingest(
     spark, embeddings, tmp_path
 ):
@@ -433,6 +435,7 @@ def test_ivf_store_cohesion_diagnostic(spark, embeddings, tmp_path):
     assert after.n_vecs == got.n_vecs - drop.count()
 
 
+@pytest.mark.slow
 def test_ivf_store_retrain_closes_the_cohesion_loop(
     spark, embeddings, tmp_path
 ):

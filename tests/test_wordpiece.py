@@ -311,6 +311,21 @@ def test_distributed_trainer_mass_tie_fallback_exact(spark):
     ]
 
 
+def test_inventory_gate_fallback_matches_primary_path(spark, documents):
+    """r13: wordpiece_train collects the (a, b, cnt) adjacency inventory
+    and computes the exact argmax on the driver; past ``max_inventory_rows``
+    it falls back to the r12 distributed scoring. Forcing the gate to 1
+    makes EVERY round take the fallback — the merge list must be identical
+    to the primary path and the local trainer."""
+    from pulsar_replay_spark.operators import bpe
+
+    wf = bpe.word_freqs(documents.limit(60)).localCheckpoint(eager=True)
+    primary = wordpiece.wordpiece_train(wf, 6)
+    fallback = wordpiece.wordpiece_train(wf, 6, max_inventory_rows=1)
+    assert primary == fallback
+    assert primary == wordpiece.wordpiece_train_local(wf, 6)
+
+
 def test_trainer_equality_on_randomized_tie_heavy_vocabs(spark):
     """Randomized small-alphabet vocabs (seeded): tiny alphabets make score
     ties pervasive, so this stresses the exact-rational argmax and both

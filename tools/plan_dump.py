@@ -3,10 +3,11 @@
 Usage: python tools/plan_dump.py <tag> [query ...]     (default: all bench
 headline rows + every registered contract query)
 
-Writes plans/<tag>/<query>_<suffix>.txt where <suffix> is the second CLI
-form `--suffix before|after` (default `before`). Queries whose pipeline
-eagerly localCheckpoints subtrees execute those jobs at plan-build time —
-run against a small SF (default sf0.01) so the dump stays cheap.
+Writes plans/<tag>/<query>_<suffix>.txt where <suffix> comes from
+`--suffix=before|after` or `--suffix before|after` (default `before`).
+Queries whose pipeline eagerly localCheckpoints subtrees execute those jobs
+at plan-build time — run against a small SF (default sf0.01) so the dump
+stays cheap.
 """
 
 from __future__ import annotations
@@ -21,12 +22,21 @@ SF = os.environ.get("PLAN_DUMP_SF", "/root/testdata/sf0.01")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     suffix = "before"
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--suffix="):
             suffix = a.split("=", 1)[1]
-    tag = args[0] if args else "r12"
+        elif a == "--suffix" and i + 1 < len(argv):
+            suffix = argv[i + 1]
+            i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
+    tag = args[0] if args else "r13"
     wanted = args[1:]
 
     import __spark_entry__ as entrymod
@@ -45,9 +55,15 @@ def main() -> None:
             continue
         try:
             df = qs[name](spark, SF)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API: df.explain prints to stdout — capture via redirect
+            # (the private PythonSQLUtils bridge broke across versions)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
             plan = f"ERROR building plan: {type(e).__name__}: {e}"
         (outdir / f"{name}_{suffix}.txt").write_text(plan)

@@ -79,18 +79,44 @@ def main():
 
         from pulsar_replay_spark.functions.text import top_token_count
 
+        # r13 (ADVICE): the r12 experiment REJECTED the array_sort+run-length
+        # rewrite, so top_token_count kept the quadratic form — the second
+        # arm is the rejected variant INLINED here so the A/B still measures
+        # something (shipped-vs-rejected, not shipped-vs-itself).
+        def sortrun_top(text):
+            def inner(t):
+                srt = F.array_sort(t)
+                runs = F.filter(
+                    F.transform(
+                        srt,
+                        lambda x, i: F.when(
+                            (i == 0) | (x != F.element_at(srt, i)), i
+                        ),
+                    ),
+                    lambda v: v.isNotNull(),
+                )
+                ends = F.concat(
+                    F.slice(runs, 2, F.greatest(F.size(runs) - 1, F.lit(0))),
+                    F.array(F.size(srt)),
+                )
+                return F.array_max(
+                    F.zip_with(ends, runs, lambda e, s: e - s)
+                )
+
+            return F.transform(F.array(F.split(text, " ")), inner)[0]
+
         timed(
-            "top_token_count quadratic (old)",
-            lambda: noop(docs.select(quad_top(text).alias("c"))),
+            "top_token_count quadratic (shipped)",
+            lambda: noop(docs.select(top_token_count(text).alias("c"))),
         )
         timed(
-            "top_token_count sort+run (new)",
-            lambda: noop(docs.select(top_token_count(text).alias("c"))),
+            "top_token_count sort+run (rejected r12)",
+            lambda: noop(docs.select(sortrun_top(text).alias("c"))),
         )
         # value equality, full corpus
         n_diff = (
             docs.select(
-                quad_top(text).alias("a"), top_token_count(text).alias("b")
+                quad_top(text).alias("a"), sortrun_top(text).alias("b")
             )
             .filter("a <> b")
             .count()
