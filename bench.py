@@ -639,6 +639,32 @@ def main() -> None:
         # block, not a round, so a failure isn't mislabeled
         errors["llm_ops_block2"] = f"{type(e).__name__}: {e}"[:400]
 
+    # r13: trailing anchor pass — the r13 baseline rerun showed the start
+    # anchor can read clean (0.85×) while the host degrades MID-RUN (every
+    # untouched row 1.5-4× slower, end anchor >2×). Bracketing the run
+    # makes that failure mode visible in the artifact: contended flips on
+    # if EITHER endpoint exceeds the limit.
+    try:
+        if "numpy_anchor_ratio" in calibration:
+            jvm_end, np_end = _anchor_pass()
+            calibration["numpy_anchor_ratio_end"] = round(
+                np_end / ANCHOR_NUMPY_MATMUL_1K_SEC, 2
+            )
+            calibration["jvm_anchor_ratio_end"] = round(
+                jvm_end / ANCHOR_JVM_RANGE_SUM_SEC, 2
+            )
+            if np_end > ANCHOR_NUMPY_MATMUL_1K_SEC * CONTENTION_RATIO_LIMIT:
+                contended = True
+                print(
+                    "WARNING bench.py: TRAILING calibration anchor "
+                    f"{np_end:.4f}s is {np_end / ANCHOR_NUMPY_MATMUL_1K_SEC:.1f}x "
+                    "the idle-box baseline — host degraded mid-run; marked "
+                    "contended:true",
+                    file=sys.stderr,
+                )
+    except Exception as e:  # noqa: BLE001
+        errors["calibration_end"] = f"{type(e).__name__}: {e}"[:400]
+
     total = round(sum(times.values()), 3)
 
     # Derived throughputs comparable to BASELINE.md's reference numbers:

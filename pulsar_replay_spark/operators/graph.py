@@ -33,8 +33,22 @@ keeps 6 fractional digits with 10× headroom).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# r13 (guide §2.4/§3.1): below this node count the per-round rank frame is
+# explicitly broadcast into the edge⋈rank join, so the CHECKPOINTED edge
+# table is never exchanged again after materialization — the iteration's
+# only shuffle is the node-scale contribution agg. 2M nodes ≈ 32 MB of
+# (long, long) rows — comfortably inside executor build memory; a web-scale
+# graph (1e9 nodes) stays on the spill-safe SMJ/SHJ path. The node count is
+# already measured by every entry point (overflow pre-check / adaptive
+# scale), so the gate costs nothing extra.
+PR_BROADCAST_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_PR_BROADCAST_MAX_NODES", "2000000")
+)
 
 
 def pagerank(
@@ -71,11 +85,14 @@ def pagerank(
         n_iter, scale, checkpoint_interval, damping_pct
     )
     ed, nodes = _edge_frames(edges)
-    _check_overflow_bound(nodes, scale, damping_pct)
+    n_nodes = _check_overflow_bound(nodes, scale, damping_pct)
     base = ((100 - damping_pct) * scale) // 100
     based = nodes.select("node", F.lit(base).cast("long").alias("base"))
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
-    return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
+    return _pagerank_loop(
+        based, ed, ranks, damping_pct, n_iter, checkpoint_interval,
+        broadcast_ranks=n_nodes <= PR_BROADCAST_MAX_NODES,
+    )
 
 
 def adaptive_scale(
@@ -122,12 +139,14 @@ def pagerank_adaptive(
         n_iter, cap, checkpoint_interval, damping_pct
     )
     ed, nodes = _edge_frames(edges)
-    scale = adaptive_scale(nodes.count(), damping_pct, cap)
+    n_nodes = nodes.count()
+    scale = adaptive_scale(n_nodes, damping_pct, cap)
     base = ((100 - damping_pct) * scale) // 100
     based = nodes.select("node", F.lit(base).cast("long").alias("base"))
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
     out = _pagerank_loop(
-        based, ed, ranks, damping_pct, n_iter, checkpoint_interval
+        based, ed, ranks, damping_pct, n_iter, checkpoint_interval,
+        broadcast_ranks=n_nodes <= PR_BROADCAST_MAX_NODES,
     )
     return out.withColumn("scale", F.lit(scale).cast("long"))
 
@@ -144,7 +163,8 @@ def _check_overflow_bound(
     ``n · scale · damping_pct < 2**63`` — otherwise ANSI mode raises an
     opaque BIGINT overflow mid-iteration on exactly the skewed graphs the
     operator exists for (found by the probe's --mega-hub rehearsal). The
-    count is one action on an already-materialized frame."""
+    count is one action on an already-materialized frame; it is RETURNED
+    so callers can reuse it (r13: the broadcast-ranks gate)."""
     n = mass_carriers.count()
     if n * scale * damping_pct >= 2**63:
         max_scale = (2**63 - 1) // max(n * damping_pct, 1)
@@ -154,6 +174,7 @@ def _check_overflow_bound(
             f"mass concentration exceeds 2^63. Use scale <= {max_scale} "
             "(rank precision is relative to scale, so 1e6+ is still ample)."
         )
+    return n
 
 
 def _validate_knobs(
@@ -209,26 +230,37 @@ def _pagerank_loop(
     damping_pct: int,
     n_iter: int,
     checkpoint_interval: int,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """The shared synchronous iteration driver: ``based`` is the node table
     carrying each node's per-round teleport ``base`` (uniform for
-    ``pagerank``, seed-concentrated for ``personalized_pagerank``)."""
+    ``pagerank``, seed-concentrated for ``personalized_pagerank``).
+    ``broadcast_ranks`` (r13) is the node-count-gated join strategy: the
+    rank frame rides a broadcast into each round's edge join, so the
+    checkpointed edge table is never re-exchanged per round."""
     for i in range(n_iter):
-        ranks = _pagerank_round(based, ed, ranks, damping_pct)
+        ranks = _pagerank_round(based, ed, ranks, damping_pct, broadcast_ranks)
         if (i + 1) % checkpoint_interval == 0 or i + 1 == n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("pr").alias("rank_fp"))
 
 
 def _pagerank_round(
-    based: DataFrame, ed: DataFrame, ranks: DataFrame, damping_pct: int
+    based: DataFrame,
+    ed: DataFrame,
+    ranks: DataFrame,
+    damping_pct: int,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """One synchronous PageRank round, UNcheckpointed — factored out so the
     per-iteration physical plan is gate-able (test_plans.py: equi-joins
     only, never a cartesian) even though the loop checkpoints each
-    materialization away. ``based`` = (node, base)."""
+    materialization away. ``based`` = (node, base). Integer sums are
+    order-independent, so the join strategy (broadcast vs SMJ/SHJ) can
+    never change the result — ``broadcast_ranks`` is purely a plan knob."""
+    rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
     contrib = (
-        ed.join(ranks, ed["src"] == ranks["node"])
+        ed.join(rank_side, ed["src"] == ranks["node"])
         # `div` = integral division (floor for the non-negative ranks
         # here) — a float `/` would melt the exactness guarantee
         .select(ed["dst"].alias("node"), F.expr("pr div outdeg").alias("share"))
@@ -284,6 +316,7 @@ def personalized_pagerank(
         marked.filter(F.col("_seed")), scale, damping_pct,
         what="seed whitelist",
     )
+    n_nodes = marked.count()  # broadcast gate keys on the FULL rank table
     based = marked.select(
         "node",
         F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
@@ -296,7 +329,10 @@ def personalized_pagerank(
         .cast("long")
         .alias("pr"),
     )
-    return _pagerank_loop(based, ed, ranks, damping_pct, n_iter, checkpoint_interval)
+    return _pagerank_loop(
+        based, ed, ranks, damping_pct, n_iter, checkpoint_interval,
+        broadcast_ranks=n_nodes <= PR_BROADCAST_MAX_NODES,
+    )
 
 
 def domain_rank(

@@ -1470,6 +1470,7 @@ def ivf_pq_topk(
     rerank: int = 50,
     index: dict | None = None,
     rerank_source=None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """The full compressed-serving pipeline: IVF candidate generation
     (equi-join on cell_id) → ADC scoring against PQ codes — per candidate,
@@ -1483,10 +1484,9 @@ def ivf_pq_topk(
     ``rerank_source`` (r12, the persisted-store hook): a callable given
     the materialized ≤ rerank·|Q| shortlist frame (q_id, vec_id) that
     returns the (vec_id, embedding) frame to rerank against —
-    ``vecstore.ivf_pq_topk_from_index`` uses it to read full vectors with
-    the shortlist ids PUSHED INTO the parquet scan (bounded collect, the
-    engine's scalar-collect pattern) instead of scanning the probed
-    cells' full vector bytes. Output-identical by construction: the
+    ``vecstore.ivf_pq_topk_from_index`` uses it to restrict the
+    cell-pruned vectors read to finalists (r13: broadcast left-semi on
+    the checkpointed shortlist). Output-identical by construction: the
     rerank join keys on vec_id either way.
 
     Scale: the scored relation is (vec_id, 8 nibbles), 32× smaller than the
@@ -1497,7 +1497,11 @@ def ivf_pq_topk(
     idx = index if index is not None else pq_index(embeddings)
     books, codes = idx["books"], idx["codes"]
     cents, corpus_cells = idx["cents"], idx["cells"]
-    query_cells = ivf_assign(queries, cents, n_probe=n_probe)
+    if query_cells is None:
+        # callers that already assigned the batch (the store serve collects
+        # the assignment to derive its partition prune) pass it through so
+        # the arrow assignment kernel doesn't run a second time per serve
+        query_cells = ivf_assign(queries, cents, n_probe=n_probe)
 
     # Query LUT: partial dot of each query sub-vector with every centroid —
     # |Q|·PQ_M·PQ_K rows, assembled per query into ONE (m, cell)-ordered

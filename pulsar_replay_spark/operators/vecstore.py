@@ -346,10 +346,15 @@ def ivf_topk_from_index(
     cell_id) partition column IS the corpus assignment — the
     O(N·cells·dim) assignment never reruns at serve time."""
     cents = store_centroids(spark, store_dir)
-    query_cells = ivf_assign(queries, cents, n_probe=n_probe).localCheckpoint(
-        eager=True
+    # r13 (guide §5): the query assignment is ≤ |Q|·n_probe rows — collect
+    # it ONCE and rebuild the frame as a local relation instead of paying a
+    # localCheckpoint job AND a distinct-collect job (two serial jobs → one;
+    # the bounded-collect posture is unchanged, only the job count).
+    assigned = ivf_assign(queries, cents, n_probe=n_probe).collect()
+    cell_ids = sorted({r.cell_id for r in assigned})
+    query_cells = spark.createDataFrame(
+        [(r.vec_id, r.cell_id) for r in assigned], "vec_id long, cell_id long"
     )
-    cell_ids = [r.cell_id for r in query_cells.select("cell_id").distinct().collect()]
     # r12 optimization: the store read already carries (vec_id, embedding,
     # cell_id) — hand it to ivf_topk whole (``corpus_assigned``) instead of
     # splitting into two projections that ivf_topk re-joined on vec_id,
@@ -386,10 +391,11 @@ def ivf_pq_topk_from_index(
     makes 100 TB serving a codes problem, not a vectors problem. Codes
     are stored bit-PACKED (one long per vector, ``_pack_codes``) and
     unpacked by pure JVM arithmetic at read. Full vectors are touched
-    ONLY for the exact rerank tail: the ≤ rerank·|Q| shortlist ids are
-    collected (bounded — the scalar-collect pattern) and PUSHED into the
-    vectors scan via ``rerank_source``, so the fat column reads only the
-    row groups holding finalists, not the probed cells' full bytes.
+    ONLY for the exact rerank tail: the checkpointed ≤ rerank·|Q|
+    shortlist rides a broadcast left-semi join into the cell-pruned
+    vectors read via ``rerank_source`` (r13 — previously a
+    distinct-collect + giant isin literal, whose parquet pushdown
+    degraded to a no-op min/max range for uniformly-spread ids anyway).
 
     Reads apply compact's latest-wins (see ``_store_latest``) to BOTH
     tables, so a re-ingested vector serves its current codes and current
@@ -407,12 +413,13 @@ def ivf_pq_topk_from_index(
         )
     cents = store_centroids(spark, store_dir)
     books = spark.read.parquet(f"{store_dir}/codebooks")
-    query_cells = ivf_assign(queries, cents, n_probe=n_probe).localCheckpoint(
-        eager=True
+    # r13: one bounded collect replaces checkpoint + distinct-collect (see
+    # ivf_topk_from_index) — the serve's serial job ladder loses a rung
+    assigned = ivf_assign(queries, cents, n_probe=n_probe).collect()
+    cell_ids = sorted({r.cell_id for r in assigned})
+    query_cells = spark.createDataFrame(
+        [(r.vec_id, r.cell_id) for r in assigned], "vec_id long, cell_id long"
     )
-    cell_ids = [
-        r.cell_id for r in query_cells.select("cell_id").distinct().collect()
-    ]
     codes = _store_latest(
         spark,
         store_dir,
@@ -428,14 +435,21 @@ def ivf_pq_topk_from_index(
     }
 
     def rerank_source(short: DataFrame) -> DataFrame:
-        # the shortlist is ≤ rerank·|Q| ids (bounded collect, the engine's
-        # scalar-collect pattern) — pushed into the vectors scan so the
-        # exact-rerank tail reads only the row groups holding finalists,
-        # not the probed cells' full vector bytes
-        ids = [r.vec_id for r in short.select("vec_id").distinct().collect()]
+        # the shortlist is ≤ rerank·|Q| rows, already checkpointed by the
+        # caller — a BROADCAST LEFT-SEMI join restricts the (cell-pruned)
+        # vectors scan to finalists. r13: this replaces a distinct-collect
+        # job + a rerank·|Q|-literal isin filter (the giant In expression
+        # cost more in plan build/codegen than its pushdown recovered —
+        # parquet rewrites >10-value In filters to a min/max range, which
+        # prunes nothing for uniformly-spread finalist ids; the cell_id
+        # partition prune remains the real read bound).
         return (
             _store_vectors_latest(spark, store_dir, cell_ids)
-            .filter(F.col("vec_id").isin(ids))
+            .join(
+                F.broadcast(short.select("vec_id").distinct()),
+                "vec_id",
+                "left_semi",
+            )
             .select("vec_id", "embedding")
         )
 
@@ -451,6 +465,7 @@ def ivf_pq_topk_from_index(
         rerank=rerank,
         index=idx,
         rerank_source=rerank_source,
+        query_cells=query_cells,
     )
 
 

@@ -144,6 +144,33 @@ def test_local_trainer_matches_reference_and_distributed(
     assert bpe.bpe_train_local(wf, 10, min_pair_freq=10**9) == []
 
 
+def test_speculative_batching_equals_serial_on_conflict_heavy_vocabs(spark):
+    """r13: bpe_train accepts a provably-serial-equal PREFIX of the round's
+    top candidates (speculative multi-merge). Tiny-alphabet randomized
+    vocabs make every hazard common — symbol conflicts, window-floor ties,
+    created-pair preemption, merges whose concatenation already exists as
+    a symbol ('aa' + 'a a' words) — and the batched list must equal both
+    the forced-serial path (batch_candidates=1) and the local trainer on
+    every draw."""
+    import random
+
+    rnd = random.Random(1234)
+    for trial in range(6):
+        alpha = "ab" if trial % 2 == 0 else "abc"
+        vocab: dict[str, int] = {}
+        for _ in range(rnd.randint(4, 14)):
+            w = "".join(rnd.choice(alpha) for _ in range(rnd.randint(1, 7)))
+            vocab[w] = vocab.get(w, 0) + rnd.randint(1, 9)
+        wf = spark.createDataFrame(
+            sorted(vocab.items()), "word string, freq long"
+        ).localCheckpoint(eager=True)
+        mpf = 1 if trial % 2 == 0 else 2  # mpf=1 maximizes tie hazards
+        batched = bpe.bpe_train(wf, 12, min_pair_freq=mpf)
+        serial = bpe.bpe_train(wf, 12, min_pair_freq=mpf, batch_candidates=1)
+        local = bpe.bpe_train_local(wf, 12, min_pair_freq=mpf)
+        assert batched == serial == local, (trial, mpf, sorted(vocab.items()))
+
+
 def test_local_trainer_vocab_gate(spark, documents):
     import pytest as _pytest
 

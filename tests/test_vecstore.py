@@ -189,6 +189,20 @@ def test_ivf_store_serve_latest_wins_before_compaction(
     got = vecstore.ivf_topk_from_index(spark, store, old3, k=5, n_probe=N_PROBE)
     assert all(r.sim < 0.999999 for r in got.collect() if r.neighbor_id == 3)
 
+    # r13 plan gates (the C5 fast path's OTHER half): the multi-batch store
+    # must KEEP the latest-wins semi-join, while its compacted (one-batch)
+    # twin serves without it
+    multi_plan = (
+        vecstore.ivf_topk_from_index(spark, store, q, k=5, n_probe=N_PROBE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    one_plan = (
+        vecstore.ivf_topk_from_index(spark, compacted, q, k=5, n_probe=N_PROBE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in multi_plan
+    assert "LeftSemi" not in one_plan
+
     # decon equals the compacted twin under both postures
     for np_ in (None, N_PROBE):
         a = sorted(
@@ -294,6 +308,16 @@ def test_ivf_pq_store_serve_equals_in_session(spark, embeddings, tmp_path):
     )
     assert "PartitionFilters" in plan and "cell_id" in plan
     assert "CartesianProduct" not in plan
+    # r13 plan gates (verdict #7) so the r12 structural wins can't silently
+    # regress: (a) C5 — a SINGLE-batch store serves without the latest-wins
+    # semi-joins; the ONE LeftSemi allowed is the r13 broadcast rerank
+    # shortlist restriction (latest-wins would add two more, one per store
+    # table — the two-batch gate lives in the latest_wins test); (b) C7 —
+    # ADC scoring is the map-side LUT fold, so the serve plan contains
+    # ZERO Generate/posexplode nodes (the old shape exploded 8 rows per
+    # candidate into an Exchange).
+    assert plan.count("LeftSemi") == 1
+    assert "Generate" not in plan and "posexplode" not in plan
 
     plain = str(tmp_path / "plain_store")
     vecstore.ivf_index_build(emb, plain, n_cells=N_CELLS)
