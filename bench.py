@@ -34,6 +34,11 @@ ANCHOR_JVM_RANGE_SUM_SEC = float(
     os.environ.get("SPARK_GRAFT_ANCHOR_JVM_SEC", "0.348")
 )
 CONTENTION_RATIO_LIMIT = 2.0
+# r13: minimum acceptable 8-way parallel efficiency (1.0 = 8 real cores).
+# An idle box measures ~0.9; the observed hypervisor throughput-cap state
+# measured ~0.08 while the single-thread anchor read CLEAN — the flag
+# exists precisely for that invisible-to-1-thread failure mode.
+MC8_EFFICIENCY_FLOOR = 0.5
 
 HEADLINE = [
     "capture_pipeline",
@@ -83,6 +88,18 @@ HEADLINE = [
 
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _mc_matmul_task(_arg) -> float:
+    """One worker of the multicore calibration anchor (module-level so
+    multiprocessing can pickle it): median-ish per-matmul seconds."""
+    import numpy as np
+
+    mm = np.random.default_rng(1).standard_normal((512, 512))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        (mm @ mm).sum()
+    return (time.perf_counter() - t0) / 6
 
 
 def main() -> None:
@@ -167,6 +184,21 @@ def main() -> None:
                 np_s.append(time.perf_counter() - t0)
             return _st.median(jvm_s), _st.median(np_s)
 
+        def _mc_efficiency(n_procs: int = 8) -> float:
+            """Parallel efficiency of n_procs simultaneous numpy matmuls vs
+            one (1.0 = the host delivers n_procs real cores). r13: the
+            single-thread anchor CANNOT see hypervisor-level aggregate
+            throughput caps — a window was observed where the 1-thread
+            anchor read 0.55x (clean) while 32 parallel matmuls measured
+            ~2.6 effective cores, inflating every multicore row 1.5-2x.
+            Host-baseline-free by construction (self-relative)."""
+            import multiprocessing as _mp
+
+            single = min(_mc_matmul_task(0) for _ in range(2))
+            with _mp.Pool(n_procs) as pool:
+                per_task = _st.median(pool.map(_mc_matmul_task, range(n_procs)))
+            return single / per_task if per_task > 0 else 0.0
+
         jvm_med, np_med = _anchor_pass()
         # Contention guard (r9 verdict "What's wrong" #1): the r9 official
         # record was silently taken on a ~5x oversubscribed host (numpy
@@ -192,6 +224,20 @@ def main() -> None:
         calibration["jvm_anchor_ratio"] = round(
             jvm_med / ANCHOR_JVM_RANGE_SUM_SEC, 2
         )
+        try:
+            eff = _mc_efficiency()
+            calibration["mc8_parallel_efficiency"] = round(eff, 3)
+            if eff < MC8_EFFICIENCY_FLOOR:
+                contended = True
+                print(
+                    "WARNING bench.py: 8-way parallel efficiency "
+                    f"{eff:.2f} < {MC8_EFFICIENCY_FLOOR} — the host is not "
+                    "delivering its cores (aggregate-throughput cap); "
+                    "multicore rows are inflated; marked contended:true",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors["calibration_mc"] = f"{type(e).__name__}: {e}"[:200]
         if np_med > ANCHOR_NUMPY_MATMUL_1K_SEC * CONTENTION_RATIO_LIMIT:
             contended = True
             print(
@@ -653,6 +699,10 @@ def main() -> None:
             calibration["jvm_anchor_ratio_end"] = round(
                 jvm_end / ANCHOR_JVM_RANGE_SUM_SEC, 2
             )
+            eff_end = _mc_efficiency()
+            calibration["mc8_parallel_efficiency_end"] = round(eff_end, 3)
+            if eff_end < MC8_EFFICIENCY_FLOOR:
+                contended = True
             if np_end > ANCHOR_NUMPY_MATMUL_1K_SEC * CONTENTION_RATIO_LIMIT:
                 contended = True
                 print(
@@ -752,6 +802,8 @@ def main() -> None:
         out["anchor_np"] = calibration["numpy_anchor_ratio"]
     if "jvm_anchor_ratio" in calibration:
         out["anchor_jvm"] = calibration["jvm_anchor_ratio"]
+    if "mc8_parallel_efficiency" in calibration:
+        out["anchor_mc8"] = calibration["mc8_parallel_efficiency"]
     if contended:
         out["contended"] = True
     if errors:
